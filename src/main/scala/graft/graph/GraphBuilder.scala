@@ -1,0 +1,105 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Relational→graph construction (SURVEY.md §2.8 G1/G2).
+  *
+  * The reference loads nodes with batched Cypher `MERGE (n:L {key}) SET n +=`
+  * upserts (reference: final/inject_node.py:241-306,351-360) and edges with
+  * `MATCH src, MATCH dst, MERGE (src)-[r]->(dst)` (reference:
+  * final/inject_relationship.py:405-500,636-644), plus hand-rolled chunking,
+  * contention analysis, retries and connection pooling
+  * (final/inject_relationship.py:33-337). All of that machinery is replaced by
+  * a declarative DataFrame pipeline: Spark partitioning subsumes chunking, AQE
+  * subsumes the adaptive batch sizing, task retry subsumes backoff.
+  *
+  * Scale posture (100 TB): node builds shuffle once on the node key
+  * (dedup window); edge builds shuffle on the two FK keys for validation —
+  * when a node side is small (dims) Catalyst broadcasts it, so the fact-side
+  * edge table never moves. No driver-side iteration anywhere.
+  */
+object GraphBuilder {
+
+  /** Build one node set: multi-table outer-join merge on the key column
+    * (reference: final/inject_node.py:390-403), last-wins dedup by key
+    * (MERGE upsert semantics, final/inject_node.py:350-360 — made
+    * deterministic with an explicit priority order, SURVEY.md §7.4.2),
+    * project to declared properties null-padding the missing ones
+    * (final/inject_node.py:414-422).
+    */
+  def buildNodes(tables: String => DataFrame, nt: NodeType): DataFrame = {
+    require(nt.tables.nonEmpty, s"node type ${nt.name} declares no source tables")
+    val merged = nt.tables.map(tables).reduceLeft { (a, b) =>
+      // Column-conflict resolution on merge: keep the left (earlier table)
+      // copy, as the reference's `_dup`-suffix drop does
+      // (final/inject_node.py:399-403).
+      val dupCols = b.columns.toSet.intersect(a.columns.toSet) - nt.key
+      a.join(dupCols.foldLeft(b)(_.drop(_)), Seq(nt.key), "full_outer")
+    }
+    val withNullPad = nt.properties.foldLeft(merged) { (df, p) =>
+      if (df.columns.contains(p)) df else df.withColumn(p, lit(null))
+    }
+    // Deterministic last-wins: order duplicates by every property value so
+    // the kept row does not depend on partitioning (the reference's outcome
+    // depends on nondeterministic batch arrival order — a defect we fix).
+    val ordCols: Seq[Column] = nt.properties.map(c => col(c).desc_nulls_last)
+    val deduped =
+      if (ordCols.isEmpty) withNullPad.dropDuplicates(Seq(nt.key))
+      else {
+        val w = Window.partitionBy(nt.key).orderBy(ordCols: _*)
+        withNullPad
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__rn")
+      }
+    deduped
+      .filter(col(nt.key).isNotNull)
+      .select((nt.key +: nt.properties).map(col): _*)
+  }
+
+  /** Build one edge set: null-key drop (reference:
+    * final/inject_relationship.py:674-677), pair dedup (`:680`), then
+    * FK validation as a double join — Cypher `MATCH` silently drops edges
+    * whose endpoints don't exist (final/inject_relationship.py:636-644);
+    * left-semi joins replicate that without widening the row.
+    */
+  def buildEdges(
+      tables: String => DataFrame,
+      et: EdgeType,
+      srcNodes: DataFrame,
+      dstNodes: DataFrame,
+      srcKey: String,
+      dstKey: String): DataFrame = {
+    val raw = tables(et.table)
+      .select((Seq(et.keyS, et.keyT) ++ et.properties).map(col): _*)
+      .na.drop("any", Seq(et.keyS, et.keyT))
+      .dropDuplicates(Seq(et.keyS, et.keyT))
+    raw
+      .join(srcNodes.select(col(srcKey).as(et.keyS)), Seq(et.keyS), "left_semi")
+      .join(dstNodes.select(col(dstKey).as(et.keyT)), Seq(et.keyT), "left_semi")
+      .select((Seq(et.keyS, et.keyT) ++ et.properties).map(col): _*)
+  }
+
+  /** Dangling-edge accounting — the reference logs dropped counts
+    * (final/inject_relationship.py:843-847); builder surfaces the same.
+    */
+  final case class EdgeMetrics(input: Long, afterClean: Long, committed: Long) {
+    def dropped: Long = afterClean - committed
+  }
+
+  /** Build the whole declared graph from a scale-factor directory. */
+  def buildAll(spark: SparkSession, dir: String, schema: GraphSchema = GraphSchema.testdata): GraphStore = {
+    val tables: String => DataFrame = name => Tables.load(spark, dir, name)
+    val nodes = schema.nodes.map(nt => nt.name -> buildNodes(tables, nt)).toMap
+    val edges = schema.edges.map { et =>
+      val srcNt = schema.node(et.src)
+      val dstNt = schema.node(et.dst)
+      et.label -> buildEdges(tables, et, nodes(et.src), nodes(et.dst), srcNt.key, dstNt.key)
+    }.toMap
+    GraphStore(schema, nodes, edges)
+  }
+}

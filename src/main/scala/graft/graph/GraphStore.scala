@@ -1,0 +1,46 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-label node stores + per-type edge stores — our analogue of the
+  * reference's Neo4j database, laid out as Parquet datasets
+  * (`graph/nodes/<Label>/`, `graph/edges/<LABEL>/`; SURVEY.md §1.3).
+  *
+  * At scale each store is a partitioned parquet dataset; a query touching one
+  * label scans one directory with full pushdown, never the whole graph.
+  */
+final case class GraphStore(
+    schema: GraphSchema,
+    nodes: Map[String, DataFrame],
+    edges: Map[String, DataFrame]) {
+
+  /** Graph statistics report — nodes by label, edges by type (the
+    * reference's pre-flight and final count audits, reference:
+    * final/inject_relationship.py:927-961,1017-1031). One row per
+    * label/type: (kind, name, cnt), totally ordered.
+    */
+  def describe(spark: SparkSession): DataFrame = {
+    val parts =
+      nodes.toSeq.map { case (n, df) =>
+        df.agg(count(lit(1)).as("cnt")).select(lit("node").as("kind"), lit(n).as("name"), col("cnt"))
+      } ++
+      edges.toSeq.map { case (n, df) =>
+        df.agg(count(lit(1)).as("cnt")).select(lit("edge").as("kind"), lit(n).as("name"), col("cnt"))
+      }
+    parts.reduce(_.unionByName(_)).orderBy("kind", "name")
+  }
+
+  def save(root: String): Unit = {
+    nodes.foreach { case (n, df) => df.write.mode("overwrite").parquet(s"$root/nodes/$n") }
+    edges.foreach { case (n, df) => df.write.mode("overwrite").parquet(s"$root/edges/$n") }
+  }
+}
+
+object GraphStore {
+  def load(spark: SparkSession, root: String, schema: GraphSchema): GraphStore =
+    GraphStore(
+      schema,
+      schema.nodes.map(nt => nt.name -> spark.read.parquet(s"$root/nodes/${nt.name}")).toMap,
+      schema.edges.map(et => et.label -> spark.read.parquet(s"$root/edges/${et.label}")).toMap)
+}

@@ -20,7 +20,6 @@ object AnalyticQueries {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  private val D18_2 = DecimalType(18, 2)
 
   /** Per-customer order counts — shared input of Q16/Q20. */
   private def perCustCounts(s: SparkSession, dir: String): DataFrame =
@@ -58,12 +57,12 @@ object AnalyticQueries {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("o_custkey"), col("o_orderkey"),
-        col("o_totalprice").cast(D18_2).as("price"), col("rn"))
+        col("o_totalprice").as("price"), col("rn"))
       .orderBy("o_custkey", "rn")
   }
 
   private val q17Sql =
-    """SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price, rn
+    """SELECT o_custkey, o_orderkey, o_totalprice AS price, rn
       |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
       |        ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
       |      FROM orders) t
@@ -99,8 +98,8 @@ object AnalyticQueries {
 
   private val q19Sql =
     """SELECT month, cnt,
-      |  SUM(cnt) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cnt,
-      |  SUM(cnt) OVER (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov3
+      |  CAST(SUM(cnt) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cnt,
+      |  CAST(SUM(cnt) OVER (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov3
       |FROM (SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS cnt FROM orders GROUP BY 1) m
       |ORDER BY month""".stripMargin
 

@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.graph.{GraphAnalytics, GraphBuilder, GraphSchema}
+import graft.sources.Tables
+
+/** Graph operator surface (SURVEY.md §2.8): construction stats, degree
+  * analytics, k-hop traversals, connected components, BFS. Q33/Q34 run
+  * through GraphX/Pregel ([[graft.graph.GraphAnalytics]]); the DuckDB oracle
+  * reproduces them with recursive CTEs.
+  */
+object GraphQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Part vertex ids are offset into a disjoint id space so the bipartite
+    * customer–part graph has globally unique vertex ids.
+    */
+  private val PartOffset = 1000000000L
+
+  /** Bipartite customer–part edges via lineitem⨝orders (the derived graph of
+    * SURVEY.md §2.12 Q33/Q34), deduplicated. `sampleMod` keeps the Q33
+    * component-closure oracle tractable (recursive CTE) — None = full graph.
+    */
+  private def bipartiteEdges(s: SparkSession, dir: String, sampleMod: Option[Int]): DataFrame = {
+    val o = sampleMod match {
+      case Some(m) => T(s, dir, "orders").filter(pmod(col("o_orderkey"), lit(m)) === 0)
+      case None => T(s, dir, "orders")
+    }
+    T(s, dir, "lineitem")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").cast(LongType).as("src"),
+        (col("l_partkey").cast(LongType) + PartOffset).as("dst"))
+      .distinct()
+  }
+
+  private def bipartiteEdgeSql(sampleFilter: String): String =
+    s"""SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src, CAST(l_partkey + 1000000000 AS BIGINT) AS dst
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey $sampleFilter""".stripMargin
+
+  // ------------------------------------------------ Q31 degree profile (G4)
+  /** A2/G4: degree histogram — the reference's contention analysis
+    * (final/inject_relationship.py:154-188) as a two-level aggregate.
+    */
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .groupBy("o_custkey").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_customers"))
+      .orderBy("degree")
+
+  private val q31Sql =
+    """SELECT degree, COUNT(*) AS n_customers
+      |FROM (SELECT o_custkey, COUNT(*) AS degree FROM orders GROUP BY o_custkey) d
+      |GROUP BY degree ORDER BY degree""".stripMargin
+
+  // ------------------------------------------- Q31b graph construction stats
+  /** G1/G2/G8: build the full declared property graph (node merge-dedup +
+    * FK-validated edge construction) and report nodes-by-label /
+    * edges-by-type — the reference's final count audit
+    * (final/inject_relationship.py:1017-1031).
+    */
+  private def q31b(s: SparkSession, dir: String): DataFrame =
+    GraphBuilder.buildAll(s, dir).describe(s)
+
+  private val q31bSql: String = {
+    val g = GraphSchema.testdata
+    val nodeSqls = g.nodes.map { nt =>
+      s"SELECT 'node' AS kind, '${nt.name}' AS name, COUNT(DISTINCT ${nt.key}) AS cnt FROM ${nt.tables.head}"
+    }
+    val edgeSqls = g.edges.map { et =>
+      val srcNt = g.node(et.src); val dstNt = g.node(et.dst)
+      s"""SELECT 'edge' AS kind, '${et.label}' AS name, COUNT(*) AS cnt FROM (
+         |  SELECT DISTINCT t.${et.keyS}, t.${et.keyT} FROM ${et.table} t
+         |  JOIN ${srcNt.tables.head} s ON t.${et.keyS} = s.${srcNt.key}
+         |  JOIN ${dstNt.tables.head} d ON t.${et.keyT} = d.${dstNt.key}) e""".stripMargin
+    }
+    (nodeSqls ++ edgeSqls).mkString("", " UNION ALL ", " ORDER BY kind, name")
+  }
+
+  // ----------------------------------------------------- Q32 2-hop traversal
+  /** J4/G6: 2-hop pattern Region←Nation←Customer←Order — chained equi joins;
+    * the dim chain broadcasts so the orders fact never shuffles.
+    */
+  private def q32(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders")
+      .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name").agg(count(lit(1)).as("cnt"))
+      .orderBy("r_name")
+
+  private val q32Sql =
+    """SELECT r_name, COUNT(*) AS cnt
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  // ----------------------------------------------------- Q32b 3-hop traversal
+  /** J4/G6/G13: 3-hop chain adding Order→LineItem→Part — counts per
+    * (region, part type).
+    */
+  private def q32b(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem")
+      .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy("r_name", "p_type").agg(count(lit(1)).as("cnt"))
+      .orderBy("r_name", "p_type")
+
+  private val q32bSql =
+    """SELECT r_name, p_type, COUNT(*) AS cnt
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |JOIN part ON l_partkey = p_partkey
+      |GROUP BY r_name, p_type ORDER BY r_name, p_type""".stripMargin
+
+  // -------------------------------------------- Q33 connected components (G9)
+  /** G9: Pregel min-label connected components on a sampled bipartite
+    * subgraph (sampling keeps the oracle's recursive-CTE closure small; the
+    * full graph is exercised in bench). Output: (component, member_count).
+    */
+  private def q33(s: SparkSession, dir: String): DataFrame =
+    GraphAnalytics.connectedComponents(s, bipartiteEdges(s, dir, Some(97)))
+      .groupBy("component").agg(count(lit(1)).as("member_count"))
+      .orderBy("component")
+
+  private val q33Sql =
+    s"""WITH RECURSIVE
+       |edges AS (${bipartiteEdgeSql("WHERE o_orderkey % 97 = 0")}),
+       |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       |adj AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT a.dst, r.r FROM reach r JOIN adj a ON a.src = r.id
+       |)
+       |SELECT component, COUNT(*) AS member_count FROM (
+       |  SELECT id, MIN(r) AS component FROM reach GROUP BY id) c
+       |GROUP BY component ORDER BY component""".stripMargin
+
+  // ------------------------------------------------------- Q34 BFS dist (G10)
+  /** G10: Pregel BFS hop distance from the first customer vertex, ≤ 4 hops,
+    * on the full bipartite graph.
+    */
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // The source vertex is part of the result even if isolated (GraphX only
+    // materializes vertices that appear in some edge).
+    val seed = Seq((1L, 0)).toDF("node", "dist")
+    GraphAnalytics.bfs(s, bipartiteEdges(s, dir, None), source = 1L, maxDepth = 4)
+      .unionByName(seed)
+      .groupBy("node").agg(min(col("dist")).cast(IntegerType).as("dist"))
+      .orderBy("node")
+  }
+
+  private val q34Sql =
+    s"""WITH RECURSIVE
+       |edges AS (${bipartiteEdgeSql("")}),
+       |adj AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+       |bfs(id, dist) AS (
+       |  SELECT CAST(1 AS BIGINT), 0
+       |  UNION
+       |  SELECT a.dst, b.dist + 1 FROM bfs b JOIN adj a ON a.src = b.id WHERE b.dist < 4
+       |)
+       |SELECT id AS node, CAST(MIN(dist) AS INTEGER) AS dist FROM bfs
+       |GROUP BY id ORDER BY node""".stripMargin
+
+  // ------------------------------------------------------------------ registry
+
+  val defs: Map[String, Q] = Map(
+    "q31_degree_histogram" -> q31 _,
+    "q31b_graph_stats" -> q31b _,
+    "q32_2hop_region" -> q32 _,
+    "q32b_3hop_parttype" -> q32b _,
+    "q33_connected_components" -> q33 _,
+    "q34_bfs_distance" -> q34 _
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q31_degree_histogram" -> q31Sql,
+    "q31b_graph_stats" -> q31bSql,
+    "q32_2hop_region" -> q32Sql,
+    "q32b_3hop_parttype" -> q32bSql,
+    "q33_connected_components" -> q33Sql,
+    "q34_bfs_distance" -> q34Sql
+  )
+}

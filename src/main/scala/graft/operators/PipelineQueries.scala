@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Query surface over the LLM-data-pipeline operators (SURVEY.md §2.10;
+  * BASELINE.json north_star): MinHash/SimHash near-dup, embedding ANN,
+  * language-ID/quality/fingerprint text analysis, multimodal feature
+  * plumbing.
+  *
+  * These are engine-side sketches (xxhash-based signatures, float cosines) —
+  * not expressible in DuckDB SQL, so the driver records rows-only checks
+  * (SURVEY.md §2.12 "bench-only" family); exact-arithmetic behavior is
+  * pinned by ScalaTest specs with planted duplicates instead.
+  */
+object PipelineQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ------------------------------------------------ Q47 MinHash-LSH near-dup
+  /** MinHash+LSH candidate pairs verified by exact shingle Jaccard —
+    * per-band bucket stats + verified-pair accounting in one summary row.
+    */
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text", k = 64, bands = 16)
+    Dedup.verifyJaccard(docs, cands, "doc_id", "text")
+      .agg(count(lit(1)).as("candidate_pairs"),
+        sum(when(col("jaccard") >= 0.5, 1).otherwise(0)).cast(LongType).as("dup_pairs_j50"),
+        sum(when(col("jaccard") >= 0.8, 1).otherwise(0)).cast(LongType).as("dup_pairs_j80"))
+  }
+
+  // ---------------------------------------------------- Q48 SimHash near-dup
+  private def q48(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashCandidates(T(s, dir, "documents"), "doc_id", "text", maxHamming = 16)
+      .agg(count(lit(1)).as("candidate_pairs"),
+        min(col("hamming")).as("min_hamming"))
+
+  // ------------------------------------------------ Q49 brute-force ANN top-k
+  /** Exact cosine top-3 neighbors for the first 5 vectors (baseline path). */
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3)
+      .orderBy("query_id", "rank")
+  }
+
+  // ------------------------------------------------------- Q50 LSH ANN top-k
+  /** Sign-LSH bucketed ANN for the same queries (the scale path; recall
+    * vs q49 is the quality metric, judged in bench).
+    */
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3, bits = 8)
+      .orderBy("query_id", "rank")
+  }
+
+  // -------------------------------------------- Q51 embedding cosine near-dup
+  private def q51(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDup(T(s, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.3, bits = 6)
+      .agg(count(lit(1)).as("near_dup_pairs"))
+
+  // ------------------------------------------------------- Q52 language ID
+  /** Heuristic language-ID vs the labeled `lang` column: confusion counts. */
+  private def q52(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents")
+      .withColumn("pred", TextAnalysis.languageId(col("text")).getField("lang"))
+      .groupBy("lang", "pred").agg(count(lit(1)).as("cnt"))
+      .orderBy("lang", "pred")
+
+  // ------------------------------------------------- Q53 quality + fingerprint
+  private def q53(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityFeatures(T(s, dir, "documents"), "text")
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .filter(col("doc_id") < 20)
+      .select("doc_id", "n_tokens", "mean_tok_len", "stopword_ratio", "distinct_ratio", "fp")
+      .orderBy("doc_id")
+
+  // ------------------------------------------------- Q54 multimodal features
+  /** Synthesized media table → mapPartitions feature extraction → stats
+    * (decode is a documented deterministic stub; the Spark plumbing —
+    * schema, encoders, partition batching — is real).
+    */
+  private def q54(s: SparkSession, dir: String): DataFrame =
+    Multimodal.featureStats(Multimodal.extractFeatures(Multimodal.synthesize(s, 300)))
+
+  // ------------------------------------------------------------------ registry
+
+  val defs: Map[String, Q] = Map(
+    "q47_minhash_neardup" -> q47 _,
+    "q48_simhash_neardup" -> q48 _,
+    "q49_ann_bruteforce" -> q49 _,
+    "q50_ann_lsh" -> q50 _,
+    "q51_cosine_neardup" -> q51 _,
+    "q52_language_id" -> q52 _,
+    "q53_quality_fingerprint" -> q53 _,
+    "q54_multimodal_features" -> q54 _
+  )
+
+  /** Engine-side sketches — no DuckDB equivalent; rows-only checks. */
+  val oracle: Map[String, String] = Map.empty
+}

@@ -30,7 +30,6 @@ object RelationalQueries {
     Tables.load(s, dir, name)
 
   private val D18_4 = DecimalType(18, 4)
-  private val D18_2 = DecimalType(18, 2)
   private def dec4(c: Column): Column = c.cast(D18_4)
 
   // ---------------------------------------------------------------- Q1 scans
@@ -51,11 +50,11 @@ object RelationalQueries {
     T(s, dir, "lineitem")
       .filter(col("l_returnflag") === "R" && col("l_discount") > 0.05)
       .select(col("l_orderkey"), col("l_linenumber"),
-        col("l_extendedprice").cast(D18_2).as("price"))
+        col("l_extendedprice").as("price"))
       .orderBy("l_orderkey", "l_linenumber")
 
   private val q2Sql =
-    """SELECT l_orderkey, l_linenumber, CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+    """SELECT l_orderkey, l_linenumber, l_extendedprice AS price
       |FROM lineitem WHERE l_returnflag = 'R' AND l_discount > 0.05
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
@@ -213,18 +212,22 @@ object RelationalQueries {
     T(s, dir, "lineitem")
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(dec4(col("l_quantity"))).cast(D18_4).as("sum_qty"),
-        sum(dec4(col("l_extendedprice"))).cast(D18_4).as("sum_base_price"),
+        sum(dec4(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        sum(dec4(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
         sum(dec4(col("l_extendedprice")) * (lit(BigDecimal(1)).cast(D18_4) - dec4(col("l_discount"))))
-          .cast(D18_4).as("sum_disc_price"),
+          .cast(DoubleType).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  // Aggregation happens in DECIMAL (exact, order-independent across
+  // partitionings); the FINAL value is emitted as DOUBLE — the one numeric
+  // type every engine/stack canonicalizes identically (decimal→double is a
+  // single correctly-rounded IEEE conversion in both Spark and DuckDB).
   private val q12Sql =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(18,4)) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
       |  COUNT(*) AS count_order
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
@@ -267,12 +270,12 @@ object RelationalQueries {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .agg(count(lit(1)).as("cnt"),
-        sum(dec4(col("l_quantity"))).cast(D18_4).as("kept_qty"))
+        sum(dec4(col("l_quantity"))).cast(DoubleType).as("kept_qty"))
   }
 
   private val q14Sql =
     """SELECT COUNT(*) AS cnt,
-      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS kept_qty
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS kept_qty
       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey
       |        ORDER BY l_linenumber DESC, l_quantity DESC, l_extendedprice DESC, l_suppkey DESC) AS rn
       |      FROM lineitem) t WHERE rn = 1""".stripMargin

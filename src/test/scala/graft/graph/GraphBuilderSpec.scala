@@ -1,0 +1,74 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraphBuilderSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tables(m: Map[String, DataFrame]): String => DataFrame = m(_)
+
+  test("node build: multi-table outer merge keeps left copy on column conflict") {
+    // reference semantics: _dup-suffix columns dropped after outer merge
+    // (final/inject_node.py:399-403)
+    val a = Seq((1L, "a1"), (2L, "a2")).toDF("k", "name")
+    val b = Seq((2L, "b2", 20L), (3L, "b3", 30L)).toDF("k", "name", "extra")
+    val nt = NodeType("T", "k", Seq("name", "extra"), Seq("a", "b"))
+    val out = GraphBuilder.buildNodes(tables(Map("a" -> a, "b" -> b)), nt)
+      .orderBy("k").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // key 2 exists in both: left (a) copy of `name` wins
+    assert(out(1).getString(1) == "a2")
+    // key 3 only in b: its `name` lived in the dropped right-side copy, so
+    // it is null — exactly the reference's `_dup`-drop outcome
+    // (final/inject_node.py:399-403); `extra` (b-only column) survives
+    assert(out(2).isNullAt(1))
+    assert(out(2).getLong(2) == 30L)
+    assert(out(0).isNullAt(2))
+  }
+
+  test("node build: last-wins dedup is deterministic and drops null keys") {
+    val t = Seq(
+      (Some(1L), "x", 5L), (Some(1L), "y", 9L), // dup key: max-prop row wins
+      (None, "z", 1L) // null key dropped
+    ).toDF("k", "name", "v")
+    val nt = NodeType("T", "k", Seq("name", "v"), Seq("t"))
+    val out = GraphBuilder.buildNodes(tables(Map("t" -> t)), nt).collect()
+    assert(out.length == 1)
+    assert(out(0).getString(1) == "y") // desc_nulls_last ordering on props
+  }
+
+  test("edge build: null keys, duplicate pairs and dangling FKs dropped") {
+    val edges = Seq(
+      (Some(1L), Some(10L)), (Some(1L), Some(10L)), // dup pair → 1
+      (Some(2L), None), // null dst → dropped
+      (Some(9L), Some(10L)), // dangling src → dropped (MATCH semantics,
+      // reference: final/inject_relationship.py:636-644)
+      (Some(2L), Some(11L))).toDF("s", "d")
+    val src = Seq(1L, 2L).toDF("sk")
+    val dst = Seq(10L, 11L).toDF("dk")
+    val et = EdgeType("E", "S", "D", "s", "d", Nil, "e")
+    val out = GraphBuilder.buildEdges(tables(Map("e" -> edges)), et, src, dst, "sk", "dk")
+      .orderBy("s", "d").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 10L), (2L, 11L)))
+  }
+
+  test("graph store describe counts nodes and edges per label") {
+    val dir = "/root/testdata/sf0.001"
+    val store = GraphBuilder.buildAll(spark, dir)
+    val stats = store.describe(spark).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toMap2
+    assert(stats(("node", "Region")) == 5L)
+    assert(stats(("edge", "IN_REGION")) == 25L)
+    assert(stats.keys.count(_._1 == "node") == 6)
+    assert(stats.keys.count(_._1 == "edge") == 5)
+  }
+
+  private implicit class Tup3Ops(rows: Array[(String, String, Long)]) {
+    def toMap2: Map[(String, String), Long] =
+      rows.map { case (a, b, c) => ((a, b), c) }.toMap
+  }
+}

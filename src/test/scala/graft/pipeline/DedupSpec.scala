@@ -1,0 +1,51 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bend today"), // near dup of 1
+    (4L, "completely different content about spark catalyst optimizer rules and plans"),
+    (5L, "another unrelated document mentioning parquet columnar storage formats only")
+  ).toDF("doc_id", "text")
+
+  test("minhash LSH finds exact and near duplicates, not unrelated pairs") {
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text", k = 64, bands = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)), "exact duplicate must be a candidate")
+    assert(cands.contains((1L, 3L)) && cands.contains((2L, 3L)),
+      "near duplicates should collide in some band")
+    assert(!cands.contains((4L, 5L)), "unrelated docs must not be candidates")
+  }
+
+  test("verifyJaccard: exact dup has jaccard 1.0; near dup is high; ") {
+    val cands = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val j = Dedup.verifyJaccard(docs, cands, "doc_id", "text")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) > 0.5 && j((1L, 3L)) < 1.0)
+  }
+
+  test("simhash: identical text → distance 0; near dup close; unrelated far") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) == 0)
+    assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
+  }
+
+  test("shingles produce n-grams over tokens") {
+    val sh = docs.filter($"doc_id" === 4L)
+      .select(Dedup.shingles(col("text"), 3).as("sh"))
+      .head().getSeq[Any](0).map(_.toString)
+    assert(sh.contains("completely\u0001different\u0001content"))
+    assert(sh.length == 8) // 10 tokens → 8 trigrams
+  }
+}

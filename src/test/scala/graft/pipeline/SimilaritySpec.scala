@@ -1,0 +1,52 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.999f, 0.01f, 0.0f)), // near dup of 0
+    (2L, Seq(0.0f, 1.0f, 0.0f)), // orthogonal to 0
+    (3L, Seq(-1.0f, 0.0f, 0.0f)), // opposite of 0
+    (4L, Seq(0.7f, 0.7f, 0.0f)) // between 0 and 2
+  ).toDF("vec_id", "embedding")
+
+  test("dot and cosine are exact on unit vectors") {
+    val c = vecs.as("a").crossJoin(vecs.as("b"))
+      .select($"a.vec_id".as("ia"), $"b.vec_id".as("ib"),
+        Similarity.cosine($"a.embedding", $"b.embedding").as("cos"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(c((0L, 2L))) < 1e-9)
+    assert(math.abs(c((0L, 3L)) + 1.0) < 1e-9)
+    assert(c((0L, 1L)) > 0.999)
+  }
+
+  test("brute-force top-k ranks the near-duplicate first") {
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0L),
+      "vec_id", "embedding", k = 2)
+      .orderBy("rank").collect()
+    assert(top.map(_.getLong(1)).toSeq == Seq(1L, 4L))
+  }
+
+  test("lsh signature is deterministic and buckets near-identical vectors together") {
+    val sigs = vecs.select($"vec_id", Similarity.lshSignature($"embedding", 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sigs2 = vecs.select($"vec_id", Similarity.lshSignature($"embedding", 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs == sigs2, "deterministic across evaluations")
+    assert(sigs(0L) == sigs(1L), "near-identical vectors share all sign bits")
+    assert(sigs(0L) != sigs(3L), "opposite vectors flip every sign bit")
+  }
+
+  test("cosineNearDup finds the planted pair via LSH blocking") {
+    val pairs = Similarity.cosineNearDup(vecs, "vec_id", "embedding",
+      threshold = 0.99, bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}
