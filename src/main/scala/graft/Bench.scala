@@ -10,7 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional positional args restrict the run to the named queries
+    // (local iteration aid; the driver always runs the full set).
+    val wanted = if (args.isEmpty) SparkEntry.queries
+                 else SparkEntry.queries.filter(kv => args.contains(kv._1))
+    val results = wanted.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -40,14 +41,65 @@ object Dedup {
     array_distinct(transform(idx, i => array_join(slice(toks, i, lit(n)), "\u0001")))
   }
 
-  /** MinHash signature: for seed i, sig_i = min over shingles of
-    * xxhash64(i, shingle). Returns an array<bigint> of length `k`.
-    * One expression tree, fully codegen'd.
+  /** One row per lower-cased whitespace token: `[id, pos, t]`. The
+    * posexplode + filter pipeline is whole-stage-codegen'd end to end —
+    * unlike the higher-order-function route ([[tokensArr]]), whose lambdas
+    * evaluate interpreted. Position gaps from dropped empty tokens don't
+    * matter to consumers, which only use `pos` for ordering.
     */
-  def minhashSignature(shingleArr: Column, k: Int): Column =
-    array((0 until k).map { i =>
-      array_min(transform(shingleArr, sh => xxhash64(lit(i), sh)))
-    }: _*)
+  def tokenRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+        posexplode(split(lower(col(textCol)), " ")).as(Seq("pos", "t")))
+      .filter(col("t") =!= "")
+
+  /** 3-gram shingle HASHES, one row per shingle: `[id, h]`. The shingle
+    * string is never materialized — each token is hashed once, and the
+    * n-gram hash combines the n token hashes via a window `lead`, keeping
+    * the whole pipeline inside codegen (no lambda evaluation, no string
+    * allocation). Docs shorter than `n` tokens contribute their single
+    * partial shingle (matching [[shingles]]' short-text fallback).
+    * MinHash/Jaccard over hashed shingles is equivalent to over strings
+    * up to 64-bit hash collisions.
+    */
+  def shingleHashes(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    require(n == 3, s"shingleHashes is specialized to n=3 (got $n)")
+    val w = Window.partitionBy("id").orderBy("pos")
+    tokenRows(df, idCol, textCol)
+      .select(col("id"), col("pos"), xxhash64(col("t")).as("h0"))
+      .select(col("id"),
+        lead(col("h0"), 1).over(w).as("h1"),
+        lead(col("h0"), 2).over(w).as("h2"),
+        row_number().over(w).as("rn"),
+        col("h0"))
+      .filter(col("h2").isNotNull || col("rn") === 1)
+      .select(col("id"),
+        xxhash64(col("h0"), coalesce(col("h1"), lit(0L)), coalesce(col("h2"), lit(0L))).as("h"))
+  }
+
+  /** MinHash signatures as a DataFrame `[id, sig: array<bigint>]`: each
+    * shingle is hashed ONCE to a long, then seed i's hash is the cheap
+    * long-remix `xxhash64(i, h)`; sig_i = MIN over shingles.
+    *
+    * Shape matters at scale: explode + k `min` aggregates is map-side
+    * combinable (partial mins per partition), so the shuffle carries k longs
+    * per document — vs a per-row expression tree that re-evaluates the
+    * shingle array per seed (higher-order-function lambdas defeat
+    * subexpression elimination, making that k× redundant work).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      k: Int, n: Int = 3): DataFrame = {
+    val hashed = shingleHashes(df, idCol, textCol, n)
+    // Explode the seed dimension rather than emitting k separate min-agg
+    // columns: the constant-size plan (4 nodes vs k aggregate buffers)
+    // analyzes/compiles in milliseconds, and the map-side partial min
+    // reduces the shuffle to k longs per doc either way.
+    hashed
+      .select(col("id"), explode(sequence(lit(0), lit(k - 1))).as("seed"), col("h"))
+      .groupBy("id", "seed").agg(min(xxhash64(col("seed"), col("h"))).as("m"))
+      .groupBy("id").agg(
+        transform(array_sort(collect_list(struct(col("seed"), col("m")))),
+          s => s.getField("m")).as("sig"))
+  }
 
   /** LSH banding: docs → (band, bucketHash) rows; docs sharing a bucket in
     * any band are candidate duplicates (standard MinHash-LSH: `bands` bands
@@ -56,7 +108,7 @@ object Dedup {
   def lshBuckets(df: DataFrame, idCol: String, textCol: String, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val rows = k / bands
-    val sig = df.select(col(idCol).as("id"), minhashSignature(shingles(col(textCol), 3), k).as("sig"))
+    val sig = minhashSignatures(df, idCol, textCol, k)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket"))
     }
@@ -64,17 +116,29 @@ object Dedup {
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
+  /** All unordered element pairs within each group: groupBy(keys) → sorted
+    * collect_set → combination expansion. One shuffle, and the grouped
+    * values are computed ONCE — a bucket self-join would recompute the
+    * upstream signature plan for each join side (only the bottom exchange
+    * is reusable) and shuffle it twice. Pair count is quadratic in bucket
+    * size by LSH design (buckets are small for non-degenerate inputs).
+    */
+  private def bucketPairs(df: DataFrame, keys: Seq[String], payload: Column): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(array_sort(collect_set(payload)).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(flatten(transform(col("xs"), (a, i) =>
+        transform(slice(col("xs"), i + lit(2), size(col("xs"))),
+          b => struct(a.as("a"), b.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+
   /** Candidate near-duplicate pairs from LSH bucket co-membership
     * (id_a < id_b, deduplicated across bands).
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
       k: Int = 64, bands: Int = 16): DataFrame = {
     val b = lshBuckets(df, idCol, textCol, k, bands)
-    val l = b.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val r = b.select(col("band"), col("bucket"), col("id").as("id_b"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    bucketPairs(b, Seq("band", "bucket"), col("id"))
+      .select(col("a").as("id_a"), col("b").as("id_b"))
       .distinct()
   }
 
@@ -84,7 +148,8 @@ object Dedup {
     */
   def verifyJaccard(df: DataFrame, candidates: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val sh = shingleHashes(df, idCol, textCol, n)
+      .groupBy("id").agg(collect_set(col("h")).as("sh"))
     candidates
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -117,6 +182,29 @@ object Dedup {
           .otherwise(lit(0L))))
   }
 
+  /** SimHash fingerprints as a DataFrame `[id, sig: bigint]` — identical
+    * bits to [[simhash]] (same per-token hash and vote rule) but computed by
+    * explode + 64 map-side-combinable SUM votes instead of a per-row
+    * `aggregate` lambda, for the same scale reason as
+    * [[minhashSignatures]]. Docs with no tokens (lost by explode) are
+    * restored with the all-zero-votes fingerprint 0L.
+    */
+  def simhashDf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = tokenRows(df, idCol, textCol)
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map { j =>
+      sum(when(call_function("shiftright", col("h"), lit(j)).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"_v$j")
+    }
+    val sig = (0 until 64).map { j =>
+      when(col(s"_v$j") > 0, call_function("shiftleft", lit(1L), lit(j))).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    val sigs = tok.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"), sig.as("sig"))
+    df.select(col(idCol).as("id")).join(sigs, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("sig"), lit(0L)).as("sig"))
+  }
+
   /** Hamming distance between two simhash fingerprints (bit_count of xor). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -126,14 +214,13 @@ object Dedup {
     */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 8, blockBits: Int = 12): DataFrame = {
-    val withSig = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val withSig = simhashDf(df, idCol, textCol)
       .withColumn("block", shiftrightunsigned(col("sig"), 64 - blockBits))
-    val l = withSig.select(col("block"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = withSig.select(col("block"), col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("block"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(hamming(col("sig_a"), col("sig_b")) <= maxHamming)
-      .select(col("id_a"), col("id_b"), hamming(col("sig_a"), col("sig_b")).as("hamming"))
-      .distinct()
+    // One block per doc → a given (id_a, id_b) pair can only arise once;
+    // no cross-band dedup needed (unlike MinHash banding).
+    bucketPairs(withSig, Seq("block"), struct(col("id"), col("sig")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming(col("a.sig"), col("b.sig")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 }
