@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.operators.{AnalyticQueries, GraphQueries, PipelineQueries, RelationalQueries, StreamAnalogQueries, TextQueries}
+import graft.operators.{AnalyticQueries, CypherQueries, GraphQueries, PipelineQueries, RelationalQueries, StreamAnalogQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,12 +33,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.defs ++ AnalyticQueries.defs ++ GraphQueries.defs ++
-      StreamAnalogQueries.defs ++ TextQueries.defs ++ PipelineQueries.defs
+      StreamAnalogQueries.defs ++ TextQueries.defs ++ PipelineQueries.defs ++
+      CypherQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ AnalyticQueries.oracle ++ GraphQueries.oracle ++
-      StreamAnalogQueries.oracle ++ TextQueries.oracle ++ PipelineQueries.oracle
+      StreamAnalogQueries.oracle ++ TextQueries.oracle ++ PipelineQueries.oracle ++
+      CypherQueries.oracle
 }

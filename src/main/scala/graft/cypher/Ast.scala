@@ -1,0 +1,67 @@
+package graft.cypher
+
+/** AST for the Cypher subset the engine compiles to DataFrame plans.
+  *
+  * The subset covers what the reference's text2cypher surface actually
+  * emits and validates (reference: final/langraph_neo4j3.py:154-221 — MATCH
+  * pattern chains, WHERE, WITH aggregation, RETURN with aliases, ORDER BY,
+  * LIMIT; observed instances in final/experimenting_new/notebook1.ipynb:844
+  * and final/experimenting_new/rca.ipynb:345-354) plus bounded var-length
+  * relationships `[:R*1..n]` (SURVEY.md §2.8 G13).
+  */
+object Ast {
+
+  sealed trait Expr
+  /** `v.prop` */
+  final case class Prop(variable: String, prop: String) extends Expr
+  /** bare pattern variable, e.g. `count(o)` */
+  final case class Var(name: String) extends Expr
+  /** literal: Long, Double, String, Boolean, or null */
+  final case class Lit(value: Any) extends Expr
+  /** function call; `distinct` for `count(DISTINCT x)` */
+  final case class Fn(name: String, args: Seq[Expr], distinct: Boolean = false) extends Expr
+  /** binary op: + - * / % = <> < <= > >= AND OR */
+  final case class Bin(op: String, l: Expr, r: Expr) extends Expr
+  final case class Not(e: Expr) extends Expr
+  final case class IsNull(e: Expr, negated: Boolean) extends Expr
+  final case class InList(e: Expr, list: Seq[Expr]) extends Expr
+
+  sealed trait Direction
+  case object Out extends Direction // -[]->
+  case object In extends Direction // <-[]-
+  case object Undirected extends Direction // -[]-
+
+  final case class NodePat(
+      variable: Option[String],
+      label: Option[String],
+      props: Seq[(String, Expr)] = Nil)
+
+  final case class RelPat(
+      variable: Option[String],
+      label: Option[String],
+      dir: Direction,
+      varLength: Option[(Int, Int)] = None,
+      props: Seq[(String, Expr)] = Nil)
+
+  /** `(a)-[r]->(b)-[s]->(c)`: head node + (rel, node) hops. */
+  final case class PathPat(head: NodePat, hops: Seq[(RelPat, NodePat)])
+
+  final case class Item(expr: Expr, alias: Option[String])
+
+  final case class Sort(expr: Expr, asc: Boolean)
+
+  /** One projection stage (`WITH` or `RETURN`). */
+  final case class Projection(
+      items: Seq[Item],
+      distinct: Boolean,
+      where: Option[Expr] = None, // WITH ... WHERE (post-aggregation filter)
+      orderBy: Seq[Sort] = Nil,
+      skip: Option[Long] = None,
+      limit: Option[Long] = None)
+
+  final case class Query(
+      patterns: Seq[PathPat],
+      where: Option[Expr],
+      withStage: Option[Projection],
+      ret: Projection)
+}

@@ -1,0 +1,417 @@
+package graft.cypher
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.graph.{EdgeType, GraphStore}
+import Ast._
+
+/** Cypher-subset → DataFrame compiler.
+  *
+  * Replaces the reference's text2cypher → Neo4j execution path (reference:
+  * final/langraph_neo4j3.py:154-221,455-465) with a deterministic pipeline:
+  * parse → schema-resolve (incl. relationship-direction correction, the
+  * behavior of the CypherQueryCorrector the reference relies on at
+  * final/langraph_neo4j3.py:299-331) → assemble DataFrame joins → project/
+  * aggregate. Catalyst then does what Neo4j's planner did: join ordering,
+  * predicate pushdown, broadcast selection.
+  *
+  * Scale posture: each pattern hop is an equi-join on node keys — dimension
+  * node stores broadcast automatically; the fact-side edge store never
+  * round-trips the driver. Var-length paths compile to a bounded union of
+  * join chains (SURVEY.md §2.8 G13), so depth is explicit in the plan, not
+  * hidden in driver iteration.
+  */
+final case class CypherEngine(store: GraphStore) {
+
+  import CypherEngine._
+
+  def run(query: String): DataFrame = compile(Parser.parse(query))
+
+  /** Variable bindings: node variable → label, plus the set of relationship
+    * variables (whose properties are addressable but which cannot be
+    * returned bare).
+    */
+  private final case class Ctx(labels: Map[String, String], rels: Set[String]) {
+    def nodeLabel(v: String): Option[String] = labels.get(v)
+  }
+
+  // ------------------------------------------------------------ resolution
+
+  /** A hop normalized to schema direction: `srcVar` is the pattern variable
+    * sitting on the edge type's source side (after any direction flip).
+    */
+  private final case class ResolvedHop(
+      edge: EdgeType,
+      relVar: String,
+      srcVar: String,
+      dstVar: String,
+      varLength: Option[(Int, Int)],
+      relProps: Seq[(String, Expr)])
+
+  /** Infer the unique edge type + orientation for a hop; flip the pattern
+    * when its arrow contradicts the schema (direction correction, G7/R12).
+    */
+  private def resolveHop(
+      u: NodePat, rel: RelPat, v: NodePat,
+      labels: collection.mutable.Map[String, String],
+      uVar: String, vVar: String): (EdgeType, Boolean) = {
+    val candidates = rel.label match {
+      case Some(l) =>
+        val e = store.schema.edges.filter(_.label == l)
+        if (e.isEmpty) throw CypherException(s"unknown relationship type: $l")
+        e
+      case None => store.schema.edges
+    }
+    val lu = labels.get(uVar).orElse(u.label)
+    val lv = labels.get(vVar).orElse(v.label)
+    def fits(want: Option[String], actual: String) = want.forall(_ == actual)
+    val forward = candidates.filter(e => fits(lu, e.src) && fits(lv, e.dst))
+    val backward = candidates.filter(e => fits(lv, e.src) && fits(lu, e.dst))
+    val (et, flipped) = rel.dir match {
+      case Out | Undirected =>
+        if (forward.nonEmpty) (only(forward, rel), false)
+        else if (backward.nonEmpty) (only(backward, rel), true)
+        else throw CypherException(s"no relationship fits ($lu)-[${rel.label.getOrElse("")}]->($lv)")
+      case In => // (u)<-[r]-(v): schema-forward means v→u
+        if (backward.nonEmpty) (only(backward, rel), true)
+        else if (forward.nonEmpty) (only(forward, rel), false)
+        else throw CypherException(s"no relationship fits ($lu)<-[${rel.label.getOrElse("")}]-($lv)")
+    }
+    if (!flipped) { labels(uVar) = et.src; labels(vVar) = et.dst }
+    else { labels(uVar) = et.dst; labels(vVar) = et.src }
+    (et, flipped)
+  }
+
+  private def only(es: Seq[EdgeType], rel: RelPat): EdgeType =
+    if (es.size == 1) es.head
+    else throw CypherException(
+      s"ambiguous relationship ${rel.label.getOrElse("(untyped)")}: matches ${es.map(_.label).mkString(", ")}")
+
+  // ------------------------------------------------------------- assembly
+
+  private def nodeDf(variable: String, label: String): DataFrame = {
+    val df = store.nodes.getOrElse(label, throw CypherException(s"unknown node label: $label"))
+    df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"${variable}__$c"))
+  }
+
+  /** (src,dst) pairs reachable in lo..hi hops of `et` — bounded var-length
+    * closure as a union of join chains (one row per path, Cypher semantics).
+    */
+  private def closure(et: EdgeType, lo: Int, hi: Int): DataFrame = {
+    if (lo < 1 || hi < lo || hi > 10)
+      throw CypherException(s"var-length bounds out of range: *$lo..$hi")
+    if (hi > 1 && et.src != et.dst)
+      throw CypherException(s"var-length over ${et.label} needs ${et.src}=${et.dst}")
+    val e = store.edges(et.label).select(col(et.keyS).as("__cs"), col(et.keyT).as("__cd"))
+    val chains = (lo to hi).map { n =>
+      (2 to n).foldLeft(e) { (acc, _) =>
+        acc.join(e.withColumnRenamed("__cs", "__m").withColumnRenamed("__cd", "__cd2"),
+            col("__cd") === col("__m"))
+          .select(col("__cs"), col("__cd2").as("__cd"))
+      }
+    }
+    chains.reduce(_.unionByName(_))
+  }
+
+  /** Bind all patterns into one DataFrame. */
+  private def assemble(patterns: Seq[PathPat]): (DataFrame, Ctx) = {
+    val labels = collection.mutable.Map[String, String]()
+    val bound = collection.mutable.Set[String]()
+    val relVars = collection.mutable.Set[String]()
+    var varCounter = 0
+    def freshVar(prefix: String): String = { varCounter += 1; s"__$prefix$varCounter" }
+    var df: DataFrame = null
+
+    def keyColName(v: String): String =
+      s"${v}__${store.schema.node(labels(v)).key}"
+
+    def propFilters(variable: String, props: Seq[(String, Expr)]): Unit =
+      props.foreach { case (k, v) =>
+        df = df.filter(col(s"${variable}__$k") === literal(v))
+      }
+
+    /** Bind a node standalone (head of a path, or shared var re-check). */
+    def bindHead(variable: String, pat: NodePat): Unit = {
+      if (!bound(variable)) {
+        val label = labels.getOrElse(variable,
+          pat.label.getOrElse(throw CypherException(
+            s"cannot infer label for ($variable) — annotate it or use a typed relationship")))
+        labels(variable) = label
+        val nd = nodeDf(variable, label)
+        df = if (df == null) nd else df.crossJoin(nd)
+        bound += variable
+      }
+      propFilters(variable, pat.props)
+    }
+
+    /** Bind a node by joining on an existing key column in `df`. */
+    def bindJoined(variable: String, pat: NodePat, joinKey: String): Unit = {
+      val label = labels.getOrElse(variable,
+        pat.label.getOrElse(throw CypherException(s"cannot infer label for ($variable)")))
+      labels(variable) = label
+      df = df.join(nodeDf(variable, label), col(joinKey) === col(s"${variable}__${store.schema.node(label).key}"))
+      bound += variable
+      propFilters(variable, pat.props)
+    }
+
+    patterns.foreach { path =>
+      val headVar = path.head.variable.getOrElse(freshVar("n"))
+      // resolve the chain first so labels are inferred before any binding
+      var prevPat = path.head
+      var prevVar = headVar
+      val resolved = path.hops.map { case (rel, node) =>
+        val nodeVar = node.variable.getOrElse(freshVar("n"))
+        val (et, flipped) = resolveHop(prevPat, rel, node, labels, prevVar, nodeVar)
+        val relVar = rel.variable.getOrElse(freshVar("r"))
+        relVars += relVar
+        val hop =
+          if (!flipped) ResolvedHop(et, relVar, prevVar, nodeVar, rel.varLength, rel.props)
+          else ResolvedHop(et, relVar, nodeVar, prevVar, rel.varLength, rel.props)
+        prevPat = node
+        prevVar = nodeVar
+        (hop, node, nodeVar)
+      }
+
+      bindHead(headVar, path.head)
+
+      resolved.foreach { case (hop, nodePat, nodeVar) =>
+        // the hop end already in `df` is the anchor; the other end joins in
+        val anchorVar = if (bound(hop.srcVar)) hop.srcVar else hop.dstVar
+        val otherVar = if (anchorVar == hop.srcVar) hop.dstVar else hop.srcVar
+        if (!bound(anchorVar))
+          throw CypherException(s"pattern hop with no bound endpoint: $anchorVar")
+
+        hop.varLength match {
+          case Some((lo, hi)) =>
+            if (hop.relProps.nonEmpty)
+              throw CypherException("relationship properties are not supported on var-length patterns")
+            val cl = closure(hop.edge, lo, hi)
+            val (anchorSide, otherSide) =
+              if (anchorVar == hop.srcVar) ("__cs", "__cd") else ("__cd", "__cs")
+            df = df.join(cl, col(keyColName(anchorVar)) === col(anchorSide))
+            if (bound(otherVar)) df = df.filter(col(otherSide) === col(keyColName(otherVar)))
+            else bindJoined(otherVar, nodePat, otherSide)
+            df = df.drop("__cs", "__cd")
+          case None =>
+            val srcName = s"${hop.relVar}__srckey"
+            val dstName = s"${hop.relVar}__dstkey"
+            val ed0 = store.edges(hop.edge.label)
+            val ed = hop.edge.properties.foldLeft(
+              ed0.withColumnRenamed(hop.edge.keyS, srcName)
+                .withColumnRenamed(hop.edge.keyT, dstName)
+            )((d, p) => d.withColumnRenamed(p, s"${hop.relVar}__$p"))
+            val (anchorSide, otherSide) =
+              if (anchorVar == hop.srcVar) (srcName, dstName) else (dstName, srcName)
+            df = df.join(ed, col(keyColName(anchorVar)) === col(anchorSide))
+            hop.relProps.foreach { case (k, v) =>
+              df = df.filter(col(s"${hop.relVar}__$k") === literal(v))
+            }
+            if (bound(otherVar)) df = df.filter(col(otherSide) === col(keyColName(otherVar)))
+            else bindJoined(otherVar, nodePat, otherSide)
+            df = df.drop(srcName, dstName)
+        }
+      }
+    }
+
+    (df, Ctx(labels.toMap, relVars.toSet))
+  }
+
+  // ------------------------------------------------------------ expressions
+
+  private val aggFns = Set("count", "sum", "avg", "min", "max", "collect", "stdev")
+
+  private def containsAgg(e: Expr): Boolean = e match {
+    case Fn(n, args, _) => aggFns(n) || args.exists(containsAgg)
+    case Bin(_, l, r) => containsAgg(l) || containsAgg(r)
+    case Not(x) => containsAgg(x)
+    case IsNull(x, _) => containsAgg(x)
+    case InList(x, xs) => containsAgg(x) || xs.exists(containsAgg)
+    case _ => false
+  }
+
+  private def literal(e: Expr): Column = e match {
+    case Lit(null) => lit(null)
+    case Lit(v) => lit(v)
+    case Fn("date", Seq(Lit(s: String)), _) => to_date(lit(s))
+    case other => throw CypherException(s"expected literal, found $other")
+  }
+
+  private def rawLiteral(e: Expr): Any = e match {
+    case Lit(v) => v
+    case other => throw CypherException(s"expected literal, found $other")
+  }
+
+  /** Translate in pattern context: Prop → prefixed column; node Var → its
+    * key column; unknown bare Var → output column (post-WITH alias).
+    */
+  private def column(e: Expr, ctx: Ctx): Column = {
+    def c(e: Expr): Column = e match {
+      case Prop(v, p) =>
+        if (ctx.labels.contains(v) || ctx.rels.contains(v)) col(s"${v}__$p")
+        else throw CypherException(s"unbound variable: $v")
+      case Var(v) =>
+        ctx.nodeLabel(v) match {
+          case Some(label) => col(s"${v}__${store.schema.node(label).key}")
+          case None =>
+            if (ctx.rels.contains(v))
+              throw CypherException(s"relationship variable $v cannot be used as a value")
+            col(v)
+        }
+      case Lit(null) => lit(null)
+      case Lit(x) => lit(x)
+      case Bin(op, l, r) => binop(op, c(l), c(r))
+      case Not(x) => !c(x)
+      case IsNull(x, neg) => if (neg) c(x).isNotNull else c(x).isNull
+      case InList(x, xs) => c(x).isin(xs.map(rawLiteral): _*)
+      case Fn("count", Seq(Var(v)), _) if ctx.rels.contains(v) =>
+        count(lit(1)) // count(r): a rel var has no value column; count rows
+      case Fn(name, args, distinct) => function(name, args.map(c), distinct, args, ctx)
+    }
+    c(e)
+  }
+
+  private def binop(op: String, l: Column, r: Column): Column = op match {
+    case "+" => l + r
+    case "-" => l - r
+    case "*" => l * r
+    case "/" => l / r
+    case "%" => l % r
+    case "=" => l === r
+    case "<>" => l =!= r
+    case "<" => l < r
+    case "<=" => l <= r
+    case ">" => l > r
+    case ">=" => l >= r
+    case "and" => l && r
+    case "or" => l || r
+    case other => throw CypherException(s"unsupported operator: $other")
+  }
+
+  private def function(name: String, args: Seq[Column], distinct: Boolean,
+      rawArgs: Seq[Expr], ctx: Ctx): Column = name match {
+    case "count" =>
+      if (args.isEmpty) count(lit(1))
+      else if (distinct) count_distinct(args.head, args.tail: _*)
+      else count(args.head)
+    case "sum" => sum(args.head)
+    case "avg" => avg(args.head)
+    case "min" => min(args.head)
+    case "max" => max(args.head)
+    case "collect" =>
+      // Cypher's collect() is unordered; sorted for determinism (SURVEY A17)
+      if (distinct) array_sort(collect_set(args.head)) else array_sort(collect_list(args.head))
+    case "stdev" => stddev(args.head)
+    case "tolower" | "lower" => lower(args.head)
+    case "toupper" | "upper" => upper(args.head)
+    case "tostring" => args.head.cast(StringType)
+    case "tointeger" => args.head.cast("long")
+    case "tofloat" => args.head.cast("double")
+    case "size" | "length" =>
+      if (isStringTyped(rawArgs.head, ctx)) length(args.head) else size(args.head)
+    case "abs" => abs(args.head)
+    case "round" => round(args.head)
+    case "ceil" => ceil(args.head)
+    case "floor" => floor(args.head)
+    case "sqrt" => sqrt(args.head)
+    case "coalesce" => coalesce(args: _*)
+    case "date" => to_date(args.head)
+    case "datetime" | "timestamp" => to_timestamp(args.head)
+    case "year" => year(args.head)
+    case "month" => month(args.head)
+    case "day" => dayofmonth(args.head)
+    case "trim" => trim(args.head)
+    case "substring" => // Cypher substring(s, start[, len]) is 0-based
+      if (args.size == 3) args.head.substr(args(1) + lit(1), args(2))
+      else if (args.size == 2) args.head.substr(args(1) + lit(1), length(args.head))
+      else throw CypherException("substring expects 2 or 3 arguments")
+    case other => throw CypherException(s"unsupported function: $other()")
+  }
+
+  private def isStringTyped(e: Expr, ctx: Ctx): Boolean = e match {
+    case Lit(_: String) => true
+    case Fn("tolower" | "lower" | "toupper" | "upper" | "tostring" | "trim" | "substring", _, _) => true
+    case Prop(v, p) =>
+      ctx.nodeLabel(v).exists { label =>
+        store.nodes(label).schema.fields.exists(f => f.name == p && f.dataType == StringType)
+      }
+    case _ => false
+  }
+
+  // ------------------------------------------------------------ projection
+
+  private def genName(e: Expr): String = e match {
+    case Prop(v, p) => s"$v.$p"
+    case Var(v) => v
+    case Lit(x) => String.valueOf(x)
+    case Fn(n, args, d) =>
+      s"$n(${if (d) "DISTINCT " else ""}${args.map(genName).mkString(", ")})"
+    case Bin(op, l, r) => s"${genName(l)} $op ${genName(r)}"
+    case Not(x) => s"NOT ${genName(x)}"
+    case IsNull(x, neg) => s"${genName(x)} IS ${if (neg) "NOT " else ""}NULL"
+    case InList(x, xs) => s"${genName(x)} IN [${xs.map(genName).mkString(", ")}]"
+  }
+
+  /** Apply a WITH/RETURN stage. Bare node variables (`WITH o, ...`) carry
+    * all the node's columns so later stages can still say `o.prop`; under
+    * aggregation they group by all carried columns (equivalent to grouping
+    * by node identity — properties are functionally dependent on the key).
+    */
+  private def project(df: DataFrame, stage: Projection, ctx: Ctx): (DataFrame, Ctx) = {
+    val carried = stage.items.collect {
+      case Item(Var(v), None) if ctx.labels.contains(v) => v
+    }
+    val plain = stage.items.filterNot {
+      case Item(Var(v), None) => ctx.labels.contains(v)
+      case _ => false
+    }
+    val hasAgg = plain.exists(i => containsAgg(i.expr))
+
+    def outName(i: Item): String = i.alias.getOrElse(genName(i.expr))
+    val carriedCols: Seq[Column] = carried.flatMap { v =>
+      store.nodes(ctx.labels(v)).columns.map(c => col(s"${v}__$c"))
+    }
+
+    var out: DataFrame =
+      if (!hasAgg) {
+        df.select(carriedCols ++ plain.map(i => column(i.expr, ctx).as(outName(i))): _*)
+      } else {
+        val (aggs, keys) = plain.partition(i => containsAgg(i.expr))
+        val keyCols = carriedCols ++ keys.map(i => column(i.expr, ctx).as(outName(i)))
+        val aggCols = aggs.map(i => column(i.expr, ctx).as(outName(i)))
+        if (keyCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+        else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+      }
+    if (stage.distinct) out = out.distinct()
+
+    val newCtx = Ctx(ctx.labels.filter { case (v, _) => carried.contains(v) }, Set.empty)
+    stage.where.foreach(w => out = out.filter(column(w, newCtx)))
+    if (stage.orderBy.nonEmpty) {
+      val sorts = stage.orderBy.map { s =>
+        val c = column(s.expr, newCtx)
+        if (s.asc) c.asc else c.desc
+      }
+      out = out.orderBy(sorts: _*)
+    }
+    stage.skip.foreach(n => out = out.offset(n.toInt))
+    stage.limit.foreach(n => out = out.limit(n.toInt))
+    (out, newCtx)
+  }
+
+  // ------------------------------------------------------------------ main
+
+  def compile(q: Query): DataFrame = {
+    val (df0, ctx) = assemble(q.patterns)
+    val df1 = q.where.map(w => df0.filter(column(w, ctx))).getOrElse(df0)
+    val (df2, ctx2) = q.withStage match {
+      case Some(w) => project(df1, w, ctx)
+      case None => (df1, ctx)
+    }
+    project(df2, q.ret, ctx2)._1
+  }
+}
+
+object CypherEngine {
+  final case class CypherException(msg: String) extends RuntimeException(msg)
+}

@@ -1,0 +1,336 @@
+package graft.cypher
+
+import Ast._
+
+/** Hand-rolled tokenizer + recursive-descent parser for the Cypher subset
+  * (grammar documented on [[Ast]]). No parser library — the subset is small
+  * and the error messages stay query-shaped.
+  */
+object Parser {
+
+  final case class ParseException(msg: String) extends RuntimeException(msg)
+
+  // ----------------------------------------------------------------- tokens
+  private sealed trait Tok
+  private case class Ident(s: String) extends Tok // identifiers + keywords, original case
+  private case class Num(s: String) extends Tok
+  private case class Str(s: String) extends Tok
+  private case class Sym(s: String) extends Tok
+  private case object EOF extends Tok
+
+  private val symbols = List( // longest first
+    "<=", ">=", "<>", "->", "<-", "..", "(", ")", "[", "]", "{", "}",
+    ":", ",", ".", "-", ">", "<", "=", "+", "*", "/", "%")
+
+  private def tokenize(q: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = q.length
+    while (i < n) {
+      val c = q(i)
+      if (c.isWhitespace) i += 1
+      else if (c.isLetter || c == '_' || c == '`') {
+        if (c == '`') {
+          val j = q.indexOf('`', i + 1)
+          if (j < 0) throw ParseException("unterminated backtick identifier")
+          out += Ident(q.substring(i + 1, j)); i = j + 1
+        } else {
+          val s = i
+          while (i < n && (q(i).isLetterOrDigit || q(i) == '_')) i += 1
+          out += Ident(q.substring(s, i))
+        }
+      } else if (c.isDigit) {
+        val s = i
+        while (i < n && q(i).isDigit) i += 1
+        // decimal part — but not the ".." range operator
+        if (i + 1 < n && q(i) == '.' && q(i + 1).isDigit) {
+          i += 1
+          while (i < n && q(i).isDigit) i += 1
+        }
+        out += Num(q.substring(s, i))
+      } else if (c == '\'' || c == '"') {
+        val sb = new StringBuilder
+        i += 1
+        while (i < n && q(i) != c) {
+          if (q(i) == '\\' && i + 1 < n) { sb += q(i + 1); i += 2 }
+          else { sb += q(i); i += 1 }
+        }
+        if (i >= n) throw ParseException("unterminated string literal")
+        i += 1
+        out += Str(sb.toString)
+      } else {
+        symbols.find(s => q.startsWith(s, i)) match {
+          case Some(s) => out += Sym(s); i += s.length
+          case None => throw ParseException(s"unexpected character '$c' at $i")
+        }
+      }
+    }
+    (out += EOF).result()
+  }
+
+  // ----------------------------------------------------------------- parser
+  private final class P(toks: Vector[Tok]) {
+    private var pos = 0
+    def peek: Tok = toks(pos)
+    def next(): Tok = { val t = toks(pos); pos += 1; t }
+
+    def isKw(kw: String): Boolean = peek match {
+      case Ident(s) => s.equalsIgnoreCase(kw)
+      case _ => false
+    }
+    def eatKw(kw: String): Unit =
+      if (isKw(kw)) { pos += 1 }
+      else throw ParseException(s"expected $kw, found $peek")
+    def tryKw(kw: String): Boolean = if (isKw(kw)) { pos += 1; true } else false
+    def isSym(s: String): Boolean = peek match {
+      case Sym(x) => x == s
+      case _ => false
+    }
+    def eatSym(s: String): Unit =
+      if (isSym(s)) { pos += 1 }
+      else throw ParseException(s"expected '$s', found $peek")
+    def trySym(s: String): Boolean = if (isSym(s)) { pos += 1; true } else false
+
+    def ident(): String = next() match {
+      case Ident(s) => s
+      case t => throw ParseException(s"expected identifier, found $t")
+    }
+
+    private val keywords = Set("match", "where", "with", "return", "order", "by",
+      "limit", "skip", "as", "and", "or", "not", "distinct", "in", "is", "null",
+      "asc", "desc", "ascending", "descending", "true", "false", "exists")
+
+    // ---------------------------------------------------------------- query
+    def query(): Query = {
+      var patterns = Seq.empty[PathPat]
+      eatKw("MATCH")
+      patterns ++= patternList()
+      while (tryKw("MATCH")) patterns ++= patternList()
+      val where = if (tryKw("WHERE")) Some(expr()) else None
+      val withStage = if (tryKw("WITH")) Some(projection(allowWhere = true)) else None
+      eatKw("RETURN")
+      val ret = projection(allowWhere = false)
+      peek match {
+        case EOF => Query(patterns, where, withStage, ret)
+        case t => throw ParseException(s"trailing input: $t")
+      }
+    }
+
+    def patternList(): Seq[PathPat] = {
+      val b = Seq.newBuilder[PathPat]
+      b += pathPattern()
+      while (trySym(",")) b += pathPattern()
+      b.result()
+    }
+
+    def pathPattern(): PathPat = {
+      val head = nodePattern()
+      val hops = Seq.newBuilder[(RelPat, NodePat)]
+      var continue = true
+      while (continue) {
+        if (isSym("-") || isSym("<-")) hops += ((relPattern(), nodePattern()))
+        else continue = false
+      }
+      PathPat(head, hops.result())
+    }
+
+    def nodePattern(): NodePat = {
+      eatSym("(")
+      var variable: Option[String] = None
+      var label: Option[String] = None
+      peek match {
+        case Ident(s) => variable = Some(s); next()
+        case _ =>
+      }
+      if (trySym(":")) label = Some(ident())
+      val props = if (isSym("{")) propMap() else Nil
+      eatSym(")")
+      NodePat(variable, label, props)
+    }
+
+    private def propMap(): Seq[(String, Expr)] = {
+      eatSym("{")
+      val b = Seq.newBuilder[(String, Expr)]
+      if (!isSym("}")) {
+        def one(): Unit = { val k = ident(); eatSym(":"); b += ((k, expr())) }
+        one()
+        while (trySym(",")) one()
+      }
+      eatSym("}")
+      b.result()
+    }
+
+    def relPattern(): RelPat = {
+      // <-[r:T]-  |  -[r:T]->  |  -[r:T]-   (bracket part optional: -->, <--)
+      val leftArrow = trySym("<-")
+      if (!leftArrow) eatSym("-")
+      var variable: Option[String] = None
+      var label: Option[String] = None
+      var varLength: Option[(Int, Int)] = None
+      var props: Seq[(String, Expr)] = Nil
+      if (trySym("[")) {
+        peek match {
+          case Ident(s) => variable = Some(s); pos += 1
+          case _ =>
+        }
+        if (trySym(":")) label = Some(ident())
+        if (trySym("*")) {
+          val lo = peek match {
+            case Num(s) => pos += 1; s.toInt
+            case _ => 1
+          }
+          val hi =
+            if (trySym("..")) peek match {
+              case Num(s) => pos += 1; s.toInt
+              case _ => lo
+            }
+            else lo
+          varLength = Some((lo, hi))
+        }
+        if (isSym("{")) props = propMap()
+        eatSym("]")
+      }
+      val rightArrow =
+        if (leftArrow) { eatSym("-"); false }
+        else if (trySym("->")) true
+        else { eatSym("-"); trySym(">") }
+      val dir =
+        if (leftArrow) In
+        else if (rightArrow) Out
+        else Undirected
+      RelPat(variable, label, dir, varLength, props)
+    }
+
+    // ----------------------------------------------------------- projection
+    def projection(allowWhere: Boolean): Projection = {
+      val distinct = tryKw("DISTINCT")
+      val items = Seq.newBuilder[Item]
+      def item(): Unit = {
+        val e = expr()
+        val alias = if (tryKw("AS")) Some(ident()) else None
+        items += Item(e, alias)
+      }
+      item()
+      while (trySym(",")) item()
+      val where = if (allowWhere && tryKw("WHERE")) Some(expr()) else None
+      var orderBy = Seq.empty[Sort]
+      if (tryKw("ORDER")) {
+        eatKw("BY")
+        val b = Seq.newBuilder[Sort]
+        def sortItem(): Unit = {
+          val e = expr()
+          val asc =
+            if (tryKw("DESC") || tryKw("DESCENDING")) false
+            else { tryKw("ASC"); tryKw("ASCENDING"); true }
+          b += Sort(e, asc)
+        }
+        sortItem()
+        while (trySym(",")) sortItem()
+        orderBy = b.result()
+      }
+      val skip = if (tryKw("SKIP")) Some(longLit()) else None
+      val limit = if (tryKw("LIMIT")) Some(longLit()) else None
+      Projection(items.result(), distinct, where, orderBy, skip, limit)
+    }
+
+    private def longLit(): Long = next() match {
+      case Num(s) => s.toLong
+      case t => throw ParseException(s"expected number, found $t")
+    }
+
+    // ------------------------------------------------------------ expression
+    // precedence: OR < AND < NOT < comparison/IS/IN < add < mul < unary < postfix
+    def expr(): Expr = orExpr()
+
+    private def orExpr(): Expr = {
+      var l = andExpr()
+      while (tryKw("OR")) l = Bin("or", l, andExpr())
+      l
+    }
+    private def andExpr(): Expr = {
+      var l = notExpr()
+      while (tryKw("AND")) l = Bin("and", l, notExpr())
+      l
+    }
+    private def notExpr(): Expr =
+      if (tryKw("NOT")) Not(notExpr()) else comparison()
+
+    private def comparison(): Expr = {
+      val l = addExpr()
+      peek match {
+        case Sym(op @ ("=" | "<>" | "<" | "<=" | ">" | ">=")) =>
+          pos += 1; Bin(op, l, addExpr())
+        case Ident(s) if s.equalsIgnoreCase("is") =>
+          pos += 1
+          val neg = tryKw("NOT")
+          eatKw("NULL")
+          IsNull(l, neg)
+        case Ident(s) if s.equalsIgnoreCase("in") =>
+          pos += 1
+          eatSym("[")
+          val b = Seq.newBuilder[Expr]
+          if (!isSym("]")) { b += expr(); while (trySym(",")) b += expr() }
+          eatSym("]")
+          InList(l, b.result())
+        case _ => l
+      }
+    }
+
+    private def addExpr(): Expr = {
+      var l = mulExpr()
+      var continue = true
+      while (continue) peek match {
+        case Sym(op @ ("+" | "-")) => pos += 1; l = Bin(op, l, mulExpr())
+        case _ => continue = false
+      }
+      l
+    }
+    private def mulExpr(): Expr = {
+      var l = unary()
+      var continue = true
+      while (continue) peek match {
+        case Sym(op @ ("*" | "/" | "%")) => pos += 1; l = Bin(op, l, unary())
+        case _ => continue = false
+      }
+      l
+    }
+    private def unary(): Expr =
+      if (trySym("-")) Bin("*", Lit(-1L), unary()) else postfix()
+
+    /** primary with `.prop` chains: `v.p` → Prop; `fn(..).year` → Fn("year", fn). */
+    private def postfix(): Expr = {
+      var e = primary()
+      while (trySym(".")) {
+        val p = ident()
+        e = e match {
+          case Var(v) => Prop(v, p)
+          case other => Fn(p.toLowerCase, Seq(other)) // date(x).year → year(date(x))
+        }
+      }
+      e
+    }
+
+    private def primary(): Expr = next() match {
+      case Num(s) => if (s.contains('.')) Lit(s.toDouble) else Lit(s.toLong)
+      case Str(s) => Lit(s)
+      case Sym("(") => val e = expr(); eatSym(")"); e
+      case Ident(s) if s.equalsIgnoreCase("null") => Lit(null)
+      case Ident(s) if s.equalsIgnoreCase("true") => Lit(true)
+      case Ident(s) if s.equalsIgnoreCase("false") => Lit(false)
+      case Ident(s) if isSym("(") => // function call
+        eatSym("(")
+        val distinct = tryKw("DISTINCT")
+        val args = Seq.newBuilder[Expr]
+        if (!isSym(")")) {
+          if (isSym("*")) { eatSym("*") } // count(*) → zero args
+          else { args += expr(); while (trySym(",")) args += expr() }
+        }
+        eatSym(")")
+        Fn(s.toLowerCase, args.result(), distinct)
+      case Ident(s) if !keywords.contains(s.toLowerCase) => Var(s)
+      case t => throw ParseException(s"unexpected token in expression: $t")
+    }
+  }
+
+  def parse(q: String): Query = new P(tokenize(q)).query()
+}

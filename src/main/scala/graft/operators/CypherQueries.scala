@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.cypher.CypherEngine
+import graft.graph.GraphBuilder
+
+/** Oracle-checked queries executed THROUGH the Cypher-subset compiler
+  * (SURVEY.md §3.1 redesign): each runs a Cypher text against the
+  * testdata-derived graph store and must hash-match a DuckDB SQL oracle on
+  * the underlying relational tables — validating pattern→join compilation,
+  * direction correction, WITH/RETURN aggregation, and edge-build semantics
+  * (pair dedup + FK validation) in one shot.
+  */
+object CypherQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def cy(query: String): Q = (s, dir) =>
+    CypherEngine(GraphBuilder.buildAll(s, dir)).run(query)
+
+  val defs: Map[String, Q] = Map(
+    "q60_cypher_count_by_nation" -> cy(
+      """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+         RETURN n.n_name AS n_name, count(c) AS cnt ORDER BY n_name"""),
+    // deliberately written AGAINST schema direction (PLACED_BY is
+    // Order→Customer): exercises direction correction on the oracle path
+    "q61_cypher_status_topk" -> cy(
+      """MATCH (c:Customer)<-[:PLACED_BY]-(o:Order)
+         WHERE o.o_orderstatus = 'F'
+         RETURN c.c_name AS c_name, count(o) AS cnt
+         ORDER BY cnt DESC, c_name LIMIT 10"""),
+    "q62_cypher_2hop_region" -> cy(
+      """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)-[:IN_REGION]->(r:Region)
+         RETURN r.r_name AS r_name, count(c) AS cnt ORDER BY r_name"""),
+    "q63_cypher_with_year" -> cy(
+      """MATCH (o:Order)-[l:CONTAINS]->(p:Part)
+         WITH year(o.o_orderdate) AS yr, count(l) AS cnt
+         RETURN yr, cnt ORDER BY yr"""),
+    "q64_cypher_where_in" -> cy(
+      """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+         WHERE n.n_nationkey IN [0, 1, 2] AND c.c_acctbal > 0
+         RETURN count(c) AS cnt"""),
+    "q65_cypher_distinct_propmatch" -> cy(
+      """MATCH (o:Order {o_orderstatus: 'O'})-[:PLACED_BY]->(c:Customer)
+         RETURN DISTINCT c.c_nationkey AS nk ORDER BY nk""")
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q60_cypher_count_by_nation" ->
+      """SELECT n.n_name AS n_name, count(*) AS cnt
+         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY 1 ORDER BY 1""",
+    "q61_cypher_status_topk" ->
+      """SELECT c.c_name AS c_name, count(*) AS cnt
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE o.o_orderstatus = 'F'
+         GROUP BY 1 ORDER BY cnt DESC, c_name LIMIT 10""",
+    "q62_cypher_2hop_region" ->
+      """SELECT r.r_name AS r_name, count(*) AS cnt
+         FROM customer c
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         JOIN region r ON n.n_regionkey = r.r_regionkey
+         GROUP BY 1 ORDER BY 1""",
+    "q63_cypher_with_year" ->
+      """SELECT year(o.o_orderdate) AS yr, count(*) AS cnt
+         FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         GROUP BY 1 ORDER BY 1""",
+    "q64_cypher_where_in" ->
+      """SELECT count(*) AS cnt
+         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE n.n_nationkey IN (0, 1, 2) AND c.c_acctbal > 0""",
+    "q65_cypher_distinct_propmatch" ->
+      """SELECT DISTINCT c.c_nationkey AS nk
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE o.o_orderstatus = 'O' ORDER BY 1"""
+  )
+}

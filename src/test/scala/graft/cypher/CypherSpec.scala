@@ -1,0 +1,185 @@
+package graft.cypher
+
+import org.apache.spark.sql.Row
+
+import graft.SparkSpec
+import graft.graph.{EdgeType, GraphBuilder, GraphSchema, GraphStore, NodeType}
+import Ast._
+
+class CypherSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val store = GraphBuilder.buildAll(spark, sf)
+  private lazy val engine = CypherEngine(store)
+
+  // ------------------------------------------------------------- parser
+
+  test("parser: pattern chain with where/return/order/limit") {
+    val q = Parser.parse(
+      """MATCH (o:Order)-[c:CONTAINS]->(p:Part)
+        WHERE o.o_orderstatus = 'F' AND p.p_partkey >= 10
+        RETURN p.p_name AS name, count(o) AS cnt
+        ORDER BY cnt DESC, name LIMIT 5""")
+    assert(q.patterns.size == 1)
+    assert(q.patterns.head.head == NodePat(Some("o"), Some("Order"), Nil))
+    val (rel, node) = q.patterns.head.hops.head
+    assert(rel == RelPat(Some("c"), Some("CONTAINS"), Out))
+    assert(node == NodePat(Some("p"), Some("Part"), Nil))
+    assert(q.where.isDefined)
+    assert(q.ret.items.map(_.alias) == Seq(Some("name"), Some("cnt")))
+    assert(q.ret.orderBy == Seq(Sort(Var("cnt"), asc = false), Sort(Var("name"), asc = true)))
+    assert(q.ret.limit.contains(5L))
+  }
+
+  test("parser: left arrow, anonymous rel, property map, var-length") {
+    val q = Parser.parse(
+      "MATCH (a:Person {age: 30})<-[:KNOWS*1..3]-(b) RETURN b.name")
+    val (rel, _) = q.patterns.head.hops.head
+    assert(rel.dir == In)
+    assert(rel.varLength.contains((1, 3)))
+    assert(q.patterns.head.head.props == Seq(("age", Lit(30L))))
+  }
+
+  test("parser: rejects trailing junk and unterminated strings") {
+    assertThrows[Parser.ParseException](Parser.parse("MATCH (a:X) RETURN a.b extra"))
+    assertThrows[Parser.ParseException](Parser.parse("MATCH (a:X) RETURN 'oops"))
+  }
+
+  // ------------------------------------------- direction correction (G7)
+
+  test("direction correction: reversed arrow compiles to the same result") {
+    // schema: PLACED_BY is Order→Customer
+    val right = engine.run(
+      "MATCH (o:Order)-[:PLACED_BY]->(c:Customer) RETURN count(o) AS cnt")
+    val wrong = engine.run(
+      "MATCH (o:Order)<-[:PLACED_BY]-(c:Customer) RETURN count(o) AS cnt")
+    assert(right.collect().head.getLong(0) == wrong.collect().head.getLong(0))
+    assert(right.collect().head.getLong(0) > 0)
+  }
+
+  test("untyped relationship resolves unambiguously from labels") {
+    val n = engine.run(
+      "MATCH (n:Nation)-[]->(r:Region) RETURN count(n) AS cnt")
+      .collect().head.getLong(0)
+    assert(n == store.nodes("Nation").count())
+  }
+
+  test("ambiguous untyped relationship is rejected") {
+    // Customer and Supplier both connect to Nation; with no labels at all
+    // the hop is ambiguous
+    assertThrows[CypherEngine.CypherException](
+      engine.run("MATCH (a)-[]->(n:Nation) RETURN count(a) AS cnt"))
+  }
+
+  // -------------------------------------------------------- compilation
+
+  test("1-hop aggregate matches the direct DataFrame equivalent") {
+    import org.apache.spark.sql.functions._
+    val viaCypher = engine.run(
+      """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+        RETURN n.n_name AS n_name, count(c) AS cnt ORDER BY n_name""").collect()
+    val direct = store.nodes("Customer")
+      .join(store.nodes("Nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(count(lit(1)).as("cnt"))
+      .orderBy("n_name").collect()
+    assert(viaCypher.toSeq == direct.toSeq)
+  }
+
+  test("node property map + WHERE + IN + IS NULL compile") {
+    val rows = engine.run(
+      """MATCH (o:Order {o_orderstatus: 'F'})-[:PLACED_BY]->(c:Customer)
+        WHERE c.c_nationkey IN [0, 1, 2, 3] AND c.c_name IS NOT NULL
+        RETURN count(o) AS cnt""").collect()
+    assert(rows.head.getLong(0) > 0)
+  }
+
+  test("WITH aggregation then RETURN with ORDER BY (notebook shape)") {
+    val rows = engine.run(
+      """MATCH (o:Order)-[l:CONTAINS]->(p:Part)
+        WITH year(o.o_orderdate) AS yr, count(l) AS cnt
+        RETURN yr, cnt ORDER BY yr""").collect()
+    assert(rows.nonEmpty)
+    val years = rows.map(_.getInt(0)).toSeq
+    assert(years == years.sorted)
+  }
+
+  test("carried node variable stays addressable after WITH") {
+    val rows = engine.run(
+      """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+        WITH n, count(c) AS cnt WHERE cnt > 0
+        RETURN n.n_name AS name, cnt ORDER BY name LIMIT 3""").collect()
+    assert(rows.length == 3)
+    assert(rows.forall(r => r.getString(0) != null && r.getLong(1) > 0))
+  }
+
+  test("shared variable across patterns joins instead of cross-products") {
+    val shared = engine.run(
+      """MATCH (c:Customer)-[:IN_NATION]->(n:Nation), (s:Supplier)-[:SUPP_IN_NATION]->(n)
+        RETURN count(c) AS cnt""").collect().head.getLong(0)
+    import org.apache.spark.sql.functions._
+    val direct = store.nodes("Customer")
+      .join(store.nodes("Supplier").withColumnRenamed("s_nationkey", "sn"),
+        col("c_nationkey") === col("sn"))
+      .count()
+    assert(shared == direct)
+  }
+
+  // ------------------------------------------------------ var-length paths
+
+  private lazy val chainStore: GraphStore = {
+    import spark.implicits._
+    val people = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "name")
+    // a→b→c→d chain
+    val knows = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src_id", "dst_id")
+    GraphStore(
+      GraphSchema(
+        nodes = Seq(NodeType("Person", "id", Seq("name"), Seq("people"))),
+        edges = Seq(EdgeType("KNOWS", "Person", "Person", "src_id", "dst_id", Nil, "knows"))),
+      nodes = Map("Person" -> people),
+      edges = Map("KNOWS" -> knows))
+  }
+
+  test("var-length *1..3 returns one row per path") {
+    val e = CypherEngine(chainStore)
+    // paths from a: a→b, a→b→c, a→b→c→d
+    val rows = e.run(
+      """MATCH (a:Person {name: 'a'})-[:KNOWS*1..3]->(b:Person)
+        RETURN b.name AS name ORDER BY name""").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("b", "c", "d"))
+    // exactly two hops
+    val two = e.run(
+      """MATCH (a:Person {name: 'a'})-[:KNOWS*2..2]->(b:Person)
+        RETURN b.name AS name""").collect()
+    assert(two.map(_.getString(0)).toSeq == Seq("c"))
+  }
+
+  test("var-length respects direction correction too") {
+    val e = CypherEngine(chainStore)
+    val rows = e.run(
+      """MATCH (b:Person)<-[:KNOWS*1..2]-(a:Person {name: 'a'})
+        RETURN b.name AS name ORDER BY name""").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("b", "c"))
+  }
+
+  // ---------------------------------------------------------- functions
+
+  test("scalar functions: toLower, substring, coalesce, size") {
+    val rows = engine.run(
+      """MATCH (r:Region)
+        RETURN toLower(r.r_name) AS lname, substring(r.r_name, 0, 2) AS pre
+        ORDER BY lname""").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(0).toLowerCase)
+      assert(r.getString(1).length <= 2)
+    }
+  }
+
+  test("DISTINCT and SKIP/LIMIT pagination") {
+    val all = engine.run(
+      "MATCH (n:Nation) RETURN DISTINCT n.n_regionkey AS rk ORDER BY rk").collect()
+    val page = engine.run(
+      "MATCH (n:Nation) RETURN DISTINCT n.n_regionkey AS rk ORDER BY rk SKIP 1 LIMIT 2").collect()
+    assert(page.toSeq == all.toSeq.slice(1, 3))
+  }
+}
