@@ -91,9 +91,8 @@ object GraphBuilder {
     def dropped: Long = afterClean - committed
   }
 
-  /** Build the whole declared graph from a scale-factor directory. */
-  def buildAll(spark: SparkSession, dir: String, schema: GraphSchema = GraphSchema.testdata): GraphStore = {
-    val tables: String => DataFrame = name => Tables.load(spark, dir, name)
+  /** Build the whole declared graph from any table provider. */
+  def buildAll(tables: String => DataFrame, schema: GraphSchema): GraphStore = {
     val nodes = schema.nodes.map(nt => nt.name -> buildNodes(tables, nt)).toMap
     val edges = schema.edges.map { et =>
       val srcNt = schema.node(et.src)
@@ -102,4 +101,8 @@ object GraphBuilder {
     }.toMap
     GraphStore(schema, nodes, edges)
   }
+
+  /** Build the declared graph from a scale-factor directory. */
+  def buildAll(spark: SparkSession, dir: String, schema: GraphSchema = GraphSchema.testdata): GraphStore =
+    buildAll(name => Tables.load(spark, dir, name), schema)
 }

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming operator surface (SURVEY.md §2.9 T1-T7).
+  *
+  * The reference's only streaming is SSE presentation text (reference:
+  * final/app.py:157-164, final/rca_final.py:215-264); real stream
+  * processing over event data is a north-star extension. Every transform
+  * here takes a DataFrame and works identically on a static frame and a
+  * `readStream` frame — the t2 oracle pins the batch semantics
+  * (StreamAnalogQueries) and [[graft.streaming]] tests prove
+  * stream-vs-batch equivalence on the same input.
+  *
+  * Scale posture: all stateful ops are keyed (event_type / user_id), so
+  * state partitions across executors; watermarks bound state size; the
+  * incremental graph upsert writes through `foreachBatch` so each
+  * micro-batch is one idempotent last-wins merge.
+  */
+object Streams {
+
+  /** T1: file-based event stream source (schema from a static sibling). */
+  def eventStream(spark: SparkSession, dir: String, schemaFrom: DataFrame): DataFrame =
+    spark.readStream.schema(schemaFrom.schema).parquet(dir)
+
+  /** T2: tumbling-window counts + sums per event type. */
+  def tumblingCounts(events: DataFrame, width: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sval"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("cnt"), col("sval"))
+
+  /** T3: sliding-window counts (width, slide). */
+  def slidingCounts(events: DataFrame, width: String = "10 minutes",
+      slide: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("cnt"))
+
+  /** T4: session windows per user with a fixed inactivity gap. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("s_start"), col("w.end").as("s_end"),
+        col("user_id"), col("cnt"))
+
+  /** T5: watermarked tumbling aggregation — late events beyond `lateness`
+    * are dropped from open windows (streaming only; on a static frame the
+    * watermark is a no-op, which IS the batch analog: nothing is late).
+    */
+  def watermarkedCounts(events: DataFrame, lateness: String = "10 minutes",
+      width: String = "5 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("cnt"))
+
+  /** T6: stateful stream dedup on (user_id, event_type, ts) within the
+    * watermark horizon.
+    */
+  def dedupedEvents(events: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicates(Seq("user_id", "event_type", "ts"))
+
+  /** T7: incremental graph node upsert — each micro-batch merges last-wins
+    * (by a monotonic `ord` column, here the event ts) into the Parquet node
+    * store at `storePath`. The merge itself is the same A10 window dedup the
+    * batch builder uses (SURVEY.md §2.4 A10), applied to existing ∪ new.
+    */
+  def incrementalUpsert(
+      events: DataFrame,
+      spark: SparkSession,
+      storePath: String,
+      keyCol: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertBatch(spark, batch, storePath, keyCol)
+      }
+
+  /** One idempotent last-wins merge of `batch` into the store. */
+  def upsertBatch(spark: SparkSession, batch: DataFrame, storePath: String, keyCol: String): Unit = {
+    val existing =
+      try Some(spark.read.parquet(storePath))
+      catch { case _: Exception => None }
+    val all = existing match {
+      case Some(e) => e.unionByName(batch, allowMissingColumns = true)
+      case None => batch
+    }
+    val w = Window.partitionBy(keyCol).orderBy(col("ts").desc_nulls_last)
+    val merged = all
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    // write to a temp dir then swap — the source may be the store itself
+    val tmp = storePath + "__tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(storePath)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+}

@@ -1,0 +1,123 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Streaming execution tests (SURVEY.md §2.9): the same transforms the
+  * oracle checks in batch (StreamAnalogQueries) run here as real streams,
+  * asserting stream-vs-batch equivalence, watermark late-drop, stateful
+  * dedup, and the foreachBatch incremental upsert.
+  */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:$sec%02d")
+
+  private val staticEvents = Seq(
+    (1L, "click", ts(0), 1.0),
+    (1L, "click", ts(2), 2.0),
+    (2L, "view", ts(4), 3.0),
+    (2L, "click", ts(6), 4.0),
+    (1L, "view", ts(11), 5.0),
+    (3L, "click", ts(13), 6.0)
+  ).toDF("user_id", "event_type", "ts", "value")
+
+  private def runStream[T](stream: MemoryStream[T], data: Seq[T],
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      mode: String = "complete"): org.apache.spark.sql.DataFrame = {
+    val name = s"mem_${System.nanoTime()}"
+    val q = transform(stream.toDF())
+      .writeStream.format("memory").queryName(name).outputMode(mode).start()
+    stream.addData(data: _*)
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+
+  test("T2 tumbling: stream result equals batch result on the same input") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Timestamp, Double)]
+    val rows = staticEvents.as[(Long, String, Timestamp, Double)].collect().toSeq
+    val got = runStream[(Long, String, Timestamp, Double)](
+      stream, rows,
+      df => Streams.tumblingCounts(
+        df.toDF("user_id", "event_type", "ts", "value")))
+      .orderBy("w_start", "event_type").collect()
+    val want = Streams.tumblingCounts(staticEvents)
+      .orderBy("w_start", "event_type").collect()
+    assert(got.toSeq == want.toSeq)
+    assert(got.nonEmpty)
+  }
+
+  test("T4 sessions: stream sessionization equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Timestamp, Double)]
+    val rows = staticEvents.as[(Long, String, Timestamp, Double)].collect().toSeq
+    val got = runStream[(Long, String, Timestamp, Double)](
+      stream, rows,
+      df => Streams.sessionCounts(
+        df.toDF("user_id", "event_type", "ts", "value"), gap = "5 minutes"))
+      .orderBy("user_id", "s_start").collect()
+    val want = Streams.sessionCounts(staticEvents, gap = "5 minutes")
+      .orderBy("user_id", "s_start").collect()
+    assert(got.toSeq == want.toSeq)
+    // user 1: events at 10:00,10:02 (one session) and 10:11 (another)
+    assert(got.count(_.getLong(2) == 1L) == 2)
+  }
+
+  test("T5 watermark: events later than the horizon are dropped from state") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Timestamp, Double)]
+    val name = s"mem_${System.nanoTime()}"
+    val q = Streams.watermarkedCounts(
+        stream.toDF().toDF("user_id", "event_type", "ts", "value"),
+        lateness = "5 minutes", width = "5 minutes")
+      .writeStream.format("memory").queryName(name).outputMode("update").start()
+    // batch 1: event at 10:30 → watermark advances to 10:25
+    stream.addData((1L, "click", ts(30), 1.0))
+    q.processAllAvailable()
+    // batch 2: a very late event at 10:00 (window end 10:05 < watermark) is
+    // dropped; a fresh event at 10:31 is kept
+    stream.addData((1L, "click", ts(0), 9.0), (1L, "click", ts(31), 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val buckets = spark.table(name).select("w_start").distinct().as[Timestamp].collect()
+    assert(buckets.forall(_.toString >= "2024-01-01 10:30:00.0"), buckets.mkString(","))
+  }
+
+  test("T6 stateful dedup: duplicate (user,type,ts) rows collapse") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, Timestamp, Double)]
+    val dup = (1L, "click", ts(1), 1.0)
+    val got = runStream[(Long, String, Timestamp, Double)](
+      stream, Seq(dup, dup, dup, (2L, "view", ts(2), 2.0)),
+      df => Streams.dedupedEvents(df.toDF("user_id", "event_type", "ts", "value")),
+      mode = "append")
+    assert(got.count() == 2)
+  }
+
+  test("T7 incremental upsert: micro-batches merge last-wins into the store") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = Files.createTempDirectory("graft_store").toString + "/nodes"
+    val stream = MemoryStream[(Long, String, Timestamp, Double)]
+    val q = Streams.incrementalUpsert(
+      stream.toDF().toDF("user_id", "event_type", "ts", "value"),
+      spark, store, keyCol = "user_id").start()
+    stream.addData((1L, "click", ts(0), 1.0), (2L, "view", ts(1), 2.0))
+    q.processAllAvailable()
+    stream.addData((1L, "upgrade", ts(5), 9.0)) // later ts wins for user 1
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(store).orderBy("user_id").collect()
+    assert(rows.length == 2)
+    assert(rows.head.getAs[String]("event_type") == "upgrade")
+    assert(rows(1).getAs[String]("event_type") == "view")
+  }
+}
