@@ -46,9 +46,13 @@ object GraphBuilder {
     // Deterministic last-wins: order duplicates by every property value so
     // the kept row does not depend on partitioning (the reference's outcome
     // depends on nondeterministic batch arrival order — a defect we fix).
+    // When the catalog proves the key unique (declared PK, single table)
+    // the whole dedup shuffle is skipped — the dominant cost of a node
+    // build at scale.
     val ordCols: Seq[Column] = nt.properties.map(c => col(c).desc_nulls_last)
     val deduped =
-      if (ordCols.isEmpty) withNullPad.dropDuplicates(Seq(nt.key))
+      if (nt.keyUnique && nt.tables.size == 1) withNullPad
+      else if (ordCols.isEmpty) withNullPad.dropDuplicates(Seq(nt.key))
       else {
         val w = Window.partitionBy(nt.key).orderBy(ordCols: _*)
         withNullPad
@@ -73,13 +77,22 @@ object GraphBuilder {
       srcNodes: DataFrame,
       dstNodes: DataFrame,
       srcKey: String,
-      dstKey: String): DataFrame = {
-    val raw = tables(et.table)
+      dstKey: String,
+      skipSrcValidation: Boolean = false): DataFrame = {
+    val selected = tables(et.table)
       .select((Seq(et.keyS, et.keyT) ++ et.properties).map(col): _*)
       .na.drop("any", Seq(et.keyS, et.keyT))
-      .dropDuplicates(Seq(et.keyS, et.keyT))
-    raw
-      .join(srcNodes.select(col(srcKey).as(et.keyS)), Seq(et.keyS), "left_semi")
+    // pair dedup is skipped when the catalog proves (keyS, keyT) unique
+    val raw =
+      if (et.pairsUnique) selected
+      else selected.dropDuplicates(Seq(et.keyS, et.keyT))
+    // FK-edge special case: when the src node set is built 1:1 from this
+    // same table keyed by keyS, the src-side membership check is a
+    // tautology — drop the join, keep only the real FK validation
+    val srcChecked =
+      if (skipSrcValidation) raw
+      else raw.join(srcNodes.select(col(srcKey).as(et.keyS)), Seq(et.keyS), "left_semi")
+    srcChecked
       .join(dstNodes.select(col(dstKey).as(et.keyT)), Seq(et.keyT), "left_semi")
       .select((Seq(et.keyS, et.keyT) ++ et.properties).map(col): _*)
   }
@@ -97,7 +110,9 @@ object GraphBuilder {
     val edges = schema.edges.map { et =>
       val srcNt = schema.node(et.src)
       val dstNt = schema.node(et.dst)
-      et.label -> buildEdges(tables, et, nodes(et.src), nodes(et.dst), srcNt.key, dstNt.key)
+      val srcSelf = srcNt.tables == Seq(et.table) && srcNt.key == et.keyS
+      et.label -> buildEdges(tables, et, nodes(et.src), nodes(et.dst),
+        srcNt.key, dstNt.key, skipSrcValidation = srcSelf)
     }.toMap
     GraphStore(schema, nodes, edges)
   }

@@ -14,7 +14,13 @@ final case class NodeType(
     name: String,
     key: String,
     properties: Seq[String] = Nil,
-    tables: Seq[String] = Nil)
+    tables: Seq[String] = Nil,
+    /** The catalog proves `key` unique in the (single) source table — e.g.
+      * it is the declared PK — so the builder can skip the last-wins dedup
+      * shuffle entirely. At 100 TB that's one full shuffle of every node
+      * table saved whenever PK metadata exists.
+      */
+    keyUnique: Boolean = false)
 
 /** Directed edge type: rows come from `table`, `keyS` references the source
   * node's key, `keyT` the target node's key (reference:
@@ -27,7 +33,11 @@ final case class EdgeType(
     keyS: String,
     keyT: String,
     properties: Seq[String] = Nil,
-    table: String = "")
+    table: String = "",
+    /** The catalog proves (keyS, keyT) unique in `table` (e.g. keyS is the
+      * PK, or the pair is a composite PK) — the builder skips pair dedup.
+      */
+    pairsUnique: Boolean = false)
 
 final case class GraphSchema(nodes: Seq[NodeType], edges: Seq[EdgeType]) {
   def node(name: String): NodeType =
@@ -51,17 +61,18 @@ object GraphSchema {
     */
   val testdata: GraphSchema = GraphSchema(
     nodes = Seq(
-      NodeType("Region", "r_regionkey", Seq("r_name"), Seq("region")),
-      NodeType("Nation", "n_nationkey", Seq("n_name", "n_regionkey"), Seq("nation")),
-      NodeType("Customer", "c_custkey", Seq("c_name", "c_nationkey", "c_acctbal"), Seq("customer")),
-      NodeType("Supplier", "s_suppkey", Seq("s_name", "s_nationkey"), Seq("supplier")),
-      NodeType("Part", "p_partkey", Seq("p_name", "p_brand", "p_type"), Seq("part")),
-      NodeType("Order", "o_orderkey", Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"), Seq("orders"))),
+      NodeType("Region", "r_regionkey", Seq("r_name"), Seq("region"), keyUnique = true),
+      NodeType("Nation", "n_nationkey", Seq("n_name", "n_regionkey"), Seq("nation"), keyUnique = true),
+      NodeType("Customer", "c_custkey", Seq("c_name", "c_nationkey", "c_acctbal"), Seq("customer"), keyUnique = true),
+      NodeType("Supplier", "s_suppkey", Seq("s_name", "s_nationkey"), Seq("supplier"), keyUnique = true),
+      NodeType("Part", "p_partkey", Seq("p_name", "p_brand", "p_type"), Seq("part"), keyUnique = true),
+      NodeType("Order", "o_orderkey", Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"), Seq("orders"), keyUnique = true)),
     edges = Seq(
-      EdgeType("IN_REGION", "Nation", "Region", "n_nationkey", "n_regionkey", Nil, "nation"),
-      EdgeType("IN_NATION", "Customer", "Nation", "c_custkey", "c_nationkey", Nil, "customer"),
-      EdgeType("SUPP_IN_NATION", "Supplier", "Nation", "s_suppkey", "s_nationkey", Nil, "supplier"),
-      EdgeType("PLACED_BY", "Order", "Customer", "o_orderkey", "o_custkey", Nil, "orders"),
+      EdgeType("IN_REGION", "Nation", "Region", "n_nationkey", "n_regionkey", Nil, "nation", pairsUnique = true),
+      EdgeType("IN_NATION", "Customer", "Nation", "c_custkey", "c_nationkey", Nil, "customer", pairsUnique = true),
+      EdgeType("SUPP_IN_NATION", "Supplier", "Nation", "s_suppkey", "s_nationkey", Nil, "supplier", pairsUnique = true),
+      EdgeType("PLACED_BY", "Order", "Customer", "o_orderkey", "o_custkey", Nil, "orders", pairsUnique = true),
+      // lineitem repeats (orderkey, partkey) pairs — dedup stays on
       EdgeType("CONTAINS", "Order", "Part", "l_orderkey", "l_partkey",
         Seq("l_quantity", "l_extendedprice"), "lineitem")))
 }

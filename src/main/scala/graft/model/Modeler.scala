@@ -67,7 +67,10 @@ object Modeler {
         name = nodeName(t.name),
         key = key,
         properties = t.columns.map(_.name).filterNot(_ == key),
-        tables = Seq(t.name))
+        tables = Seq(t.name),
+        // a declared single-column PK proves uniqueness → builder skips
+        // the dedup shuffle
+        keyUnique = t.primaryKeys.size == 1)
     }.toMap
 
     val fkEdges = entities.flatMap { t =>
@@ -80,7 +83,9 @@ object Modeler {
             keyS = nodeKey(t),
             keyT = fk.from,
             properties = Nil,
-            table = t.name)
+            table = t.name,
+            // keyS is the row PK → one edge per row, pairs unique
+            pairsUnique = t.primaryKeys.size == 1)
         }
       }
     }
@@ -98,7 +103,9 @@ object Modeler {
           keyS = f1.from,
           keyT = f2.from,
           properties = t.columns.map(_.name).filterNot(used.contains),
-          table = t.name))
+          table = t.name,
+          // unique only when the composite PK IS exactly the FK pair
+          pairsUnique = t.primaryKeys.toSet == used))
       }
     }
 
