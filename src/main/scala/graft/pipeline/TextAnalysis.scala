@@ -37,6 +37,29 @@ object TextAnalysis {
     array_max(array(scores: _*))
   }
 
+  /** Language-ID over a whole DataFrame: `[id, pred, score]`. Same scoring
+    * and tie rule as [[languageId]] (tokens count toward EVERY language
+    * whose marker list contains them), but computed via exploded tokens and
+    * per-language conditional sums — fully codegen'd, vs one interpreted
+    * lambda filter per language per row. Docs with no tokens keep the
+    * all-zero-scores prediction via the left join.
+    */
+  def languageIdDf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val langs = markers.keys.toSeq.sorted
+    val tok = Dedup.tokenRows(df, idCol, textCol)
+    val aggs = langs.map { l =>
+      sum(when(col("t").isin(markers(l): _*), 1).otherwise(0)).as(s"h_$l")
+    } :+ count(lit(1)).as("n")
+    val hits = tok.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    val pred = array_max(array(langs.map { l =>
+      struct((coalesce(col(s"h_$l"), lit(0L)).cast(DoubleType) /
+        greatest(coalesce(col("n"), lit(0L)), lit(1))).as("score"),
+        lit(l).as("lang"))
+    }: _*))
+    df.select(col(idCol).as("id")).join(hits, Seq("id"), "left_outer")
+      .select(col("id"), pred.getField("lang").as("pred"), pred.getField("score").as("score"))
+  }
+
   /** Quality signals: char/token counts, mean token length, uppercase and
     * digit-punctuation ratios, stopword ratio, distinct-token ratio.
     * A downstream filter thresholds these (e.g. Gopher-style rules).

@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.graph.{GraphBuilder, NodeType}
+import graft.model.{ColumnDef, TableDef}
+import graft.sources.Csv
+
+/** Property-based invariants (SURVEY.md §5.2.3) over seeded ScalaCheck
+  * generators: upsert determinism under reordering/repartitioning, dedup
+  * idempotence, set-operation algebra, timestamp-decomposition roundtrip.
+  */
+class PropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.pureApply(Gen.Parameters.default, Seed(seed))
+
+  private val rowGen: Gen[List[(Long, Long, String)]] =
+    Gen.listOfN(60, for {
+      k <- Gen.choose(0L, 9L) // few keys → many duplicates
+      v <- Gen.choose(0L, 100L)
+      s <- Gen.oneOf("a", "b", "c", "")
+    } yield (k, v, s))
+
+  test("last-wins node upsert is deterministic under row order and partitioning") {
+    (1 to 5).foreach { seed =>
+      val rows = sample(rowGen, seed)
+      val nt = NodeType("T", "k", Seq("v", "s"), Seq("t"))
+      def build(data: List[(Long, Long, String)], parts: Int) =
+        GraphBuilder.buildNodes(
+          _ => data.toDF("k", "v", "s").repartition(parts), nt)
+          .orderBy("k").collect().toSeq
+      val a = build(rows, 1)
+      val b = build(scala.util.Random.javaRandomToRandom(new java.util.Random(seed)).shuffle(rows), 7)
+      assert(a == b, s"seed=$seed")
+    }
+  }
+
+  test("exact dedup is idempotent; dedup result has unique keys") {
+    (1 to 5).foreach { seed =>
+      val rows = sample(rowGen, seed + 100)
+      val df = rows.toDF("k", "v", "s")
+      val once = df.dropDuplicates(Seq("k"))
+      assert(once.dropDuplicates(Seq("k")).count() == once.count())
+      assert(once.count() == rows.map(_._1).distinct.size)
+    }
+  }
+
+  test("set algebra: (A union B) except B subset-of A; intersect is symmetric-size") {
+    (1 to 5).foreach { seed =>
+      val a = sample(Gen.listOfN(40, Gen.choose(0L, 30L)), seed + 200).toDF("x")
+      val b = sample(Gen.listOfN(40, Gen.choose(0L, 30L)), seed + 300).toDF("x")
+      val exceptRows = a.union(b).except(b).as[Long].collect().toSet
+      val aSet = a.as[Long].collect().toSet
+      val bSet = b.as[Long].collect().toSet
+      assert(exceptRows.subsetOf(aSet))
+      assert(exceptRows == aSet.diff(bSet)) // SQL EXCEPT is set difference
+      val i1 = a.intersect(b).as[Long].collect().toSet
+      val i2 = b.intersect(a).as[Long].collect().toSet
+      assert(i1 == i2 && i1 == aSet.intersect(bSet))
+    }
+  }
+
+  test("timestamp decomposition roundtrips to second precision") {
+    val tsGen = Gen.choose(0L, 4102444800L) // 1970..2100
+    (1 to 5).foreach { seed =>
+      val secs = sample(Gen.listOfN(30, tsGen), seed + 400)
+      val df = secs.map(s => Tuple1(new Timestamp(s * 1000L).toString)).toDF("d")
+      val norm = Csv.normalize(df, TableDef("t", Seq(ColumnDef("d", "TIMESTAMP")))).df
+      val rebuilt = norm.select(
+        unix_timestamp(make_timestamp(
+          col("d_year"), col("d_month"), col("d_day"),
+          col("d_hour"), col("d_minute"), col("d_second"))).as("s"))
+        .as[Long].collect().toSeq.sorted
+      assert(rebuilt == secs.sorted, s"seed=$seed")
+    }
+  }
+}

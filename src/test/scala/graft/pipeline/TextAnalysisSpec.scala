@@ -21,6 +21,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(preds(3L) == "fr")
   }
 
+  test("languageIdDf agrees with the per-column languageId on real docs") {
+    val docs = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val viaCol = docs.select($"doc_id".as("id"),
+        TextAnalysis.languageId($"text").getField("lang").as("pred"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val viaDf = TextAnalysis.languageIdDf(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaDf == viaCol)
+  }
+
   test("qualityFeatures computes exact ratios") {
     val df = Seq((1L, "the the cat cat")).toDF("id", "text")
     val r = TextAnalysis.qualityFeatures(df, "text").head()
