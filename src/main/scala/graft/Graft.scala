@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.cypher.CypherEngine
+import graft.graph.{GraphBuilder, GraphSchema, GraphStore}
+import graft.model.{Modeler, RelationalCatalog}
+import graft.rca.Rca
+import graft.sources.{Csv, Tables}
+
+/** User-facing facade — the engine's analogue of the reference's pipeline
+  * API (reference: final/app.py:41-164 — /upload_sqlite, /generate_schema
+  * (ERD + modeling + viz), /inject_nodes, /inject_relationships,
+  * /query_graph, /stream_rca), as one immutable pipeline object instead of
+  * stateful HTTP endpoints:
+  *
+  * {{{
+  * val g = Graft.fromCsv(spark, "/data/bike", bikeCatalog) // upload+export
+  * g.erdText; g.erdDot; g.schemaJson                        // generate_erd/viz
+  * val built = g.build()                                    // inject_*
+  * built.query("MATCH (o:Order)-[c:ORDER_ITEMS]->(p:Product) RETURN ...")
+  * built.save("/graphs/bike"); Graft.load(spark, "/graphs/bike", built.schema)
+  * built.rca("why did revenue dip?", planner)               // stream_rca
+  * }}}
+  */
+final case class Graft(
+    spark: SparkSession,
+    catalog: Option[RelationalCatalog],
+    tables: Map[String, DataFrame],
+    schema: GraphSchema,
+    store: Option[GraphStore]) {
+
+  /** ERD text of the ingested relational schema (S10). */
+  def erdText: String = catalog.map(_.erdText).getOrElse("")
+
+  /** ERD as Graphviz DOT (S11). */
+  def erdDot: String = catalog.map(_.erdDot).getOrElse("")
+
+  /** Modeled property-graph schema as vis-network JSON (S12). */
+  def schemaJson: String = Modeler.schemaJson(schema)
+
+  /** Build node + edge stores (the reference's /inject_nodes +
+    * /inject_relationships, as one declarative job graph).
+    */
+  def build(): Graft =
+    copy(store = Some(GraphBuilder.buildAll(tables(_), schema)))
+
+  private def built: GraphStore =
+    store.getOrElse(sys.error("call build() (or load) before querying"))
+
+  /** Run a Cypher query against the built graph (/query_graph). */
+  def query(cypher: String): DataFrame = CypherEngine(built).run(cypher)
+
+  /** Graph statistics report (nodes by label, edges by type). */
+  def describe(): DataFrame = built.describe(spark)
+
+  /** Bounded multi-query RCA loop (/stream_rca); planner/summarizer are
+    * pluggable — see [[graft.rca.Rca]].
+    */
+  def rca(question: String, planner: Rca.Planner,
+      summarize: Rca.Summarizer = Rca.defaultSummary): (Rca.Trace, String) =
+    Rca.run(CypherEngine(built), question, planner, summarize)
+
+  /** Persist the graph store as per-label/type Parquet datasets. */
+  def save(path: String): Graft = { built.save(path); this }
+}
+
+object Graft {
+
+  /** Ingest a directory of per-table CSVs with declared-type normalization
+    * and timestamp expansion, then model the graph deterministically
+    * (the reference's /upload_sqlite + /generate_schema).
+    */
+  def fromCsv(spark: SparkSession, dir: String, catalog: RelationalCatalog): Graft = {
+    val (tables, repl) = Csv.loadCatalog(spark, dir, catalog)
+    val expanded = catalog.withReplacements(repl)
+    Graft(spark, Some(expanded), tables, Modeler.model(expanded), None)
+  }
+
+  /** Ingest Parquet tables with an explicit graph schema (the engine's
+    * native format; used for the testdata star schema).
+    */
+  def fromParquet(spark: SparkSession, dir: String,
+      schema: GraphSchema = GraphSchema.testdata): Graft =
+    Graft(spark, None,
+      (schema.nodes.flatMap(_.tables) ++ schema.edges.map(_.table)).distinct
+        .map(t => t -> Tables.load(spark, dir, t)).toMap,
+      schema, None)
+
+  /** Reopen a saved graph store. */
+  def load(spark: SparkSession, path: String, schema: GraphSchema): Graft =
+    Graft(spark, None, Map.empty, schema, Some(GraphStore.load(spark, path, schema)))
+}

@@ -1,0 +1,42 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.graph.GraphSchema
+
+/** Facade test: the reference's whole endpoint pipeline in one flow —
+  * ingest → ERD/schema emitters → build → query → save → load → query
+  * (same results from the reopened store) → RCA.
+  */
+class GraftSpec extends SparkSpec {
+
+  test("full pipeline on testdata with save/load roundtrip") {
+    val g = Graft.fromParquet(spark, "/root/testdata/sf0.001").build()
+
+    val q = """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+               RETURN n.n_name AS n_name, count(c) AS cnt ORDER BY n_name"""
+    val direct = g.query(q).collect().toSeq
+    assert(direct.nonEmpty)
+
+    // graph statistics (the reference's count audits)
+    val stats = g.describe().collect()
+    assert(stats.exists(r => r.getString(0) == "node" && r.getString(1) == "Customer" && r.getLong(2) > 0))
+    assert(stats.exists(r => r.getString(0) == "edge" && r.getString(1) == "CONTAINS" && r.getLong(2) > 0))
+
+    // save → load → same query, same answer
+    val dir = Files.createTempDirectory("graft_graph").toString
+    g.save(dir)
+    val reopened = Graft.load(spark, dir, GraphSchema.testdata)
+    assert(reopened.query(q).collect().toSeq == direct)
+
+    // schema JSON is emitted for the viz layer
+    assert(g.schemaJson.contains("\"CONTAINS\""))
+
+    // RCA loop over the same store
+    val script = Iterator(q)
+    val (trace, summary) = g.rca("customer distribution?",
+      planner = _ => if (script.hasNext) Some(script.next()) else None)
+    assert(trace.steps.size == 1 && trace.steps.head.error.isEmpty)
+    assert(summary.contains("customer distribution?"))
+  }
+}
