@@ -176,6 +176,31 @@ object GraphQueries {
        |SELECT id AS node, CAST(MIN(dist) AS INTEGER) AS dist FROM bfs
        |GROUP BY id ORDER BY node""".stripMargin
 
+  // ------------------------------------------- Q56/Q57 PageRank + triangles
+  /** G11: PageRank over the sampled bipartite graph — float-iterative, so
+    * rows-only (SURVEY.md §2.12 bench-only family); top-20 by rank with a
+    * deterministic node tiebreak.
+    */
+  private def q56(s: SparkSession, dir: String): DataFrame =
+    GraphAnalytics.pageRank(s, bipartiteEdges(s, dir, Some(97)), iters = 10)
+      .orderBy(col("rank").desc, col("node")).limit(20)
+
+  /** G12: triangle count. A bipartite graph has none by construction, so
+    * close customer–customer triangles instead: connect customers sharing a
+    * part (via the sampled bipartite edges), then count triangles.
+    */
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val e = bipartiteEdges(s, dir, Some(97))
+    val byPart = e.select(col("dst").as("part"), col("src").as("cust"))
+    val custPairs = byPart.as("a").join(byPart.as("b"), "part")
+      .filter(col("a.cust") < col("b.cust"))
+      .select(col("a.cust").as("src"), col("b.cust").as("dst"))
+      .distinct()
+    GraphAnalytics.triangleCount(s, custPairs)
+      .agg(sum(col("triangles")).as("triangle_ends"),
+        count(lit(1)).as("nodes"))
+  }
+
   // ------------------------------------------------------------------ registry
 
   val defs: Map[String, Q] = Map(
@@ -184,7 +209,9 @@ object GraphQueries {
     "q32_2hop_region" -> q32 _,
     "q32b_3hop_parttype" -> q32b _,
     "q33_connected_components" -> q33 _,
-    "q34_bfs_distance" -> q34 _
+    "q34_bfs_distance" -> q34 _,
+    "q56_pagerank" -> q56 _,
+    "q57_triangles" -> q57 _
   )
 
   val oracle: Map[String, String] = Map(
