@@ -86,6 +86,28 @@ object Csv {
     Normalized(out, repl)
   }
 
+  /** Derive a catalog from CSV headers: every column TEXT-typed unless
+    * listed in `types`, with PK/FK metadata supplied by the caller (headers
+    * can't carry constraints — the reference gets them from SQLite PRAGMAs,
+    * final/erd_text.py:27-29).
+    */
+  def catalogFromHeaders(
+      spark: SparkSession,
+      dir: String,
+      tables: Seq[String],
+      pks: Map[String, Seq[String]] = Map.empty,
+      fks: Map[String, Seq[graft.model.ForeignKey]] = Map.empty,
+      types: Map[String, Map[String, String]] = Map.empty): graft.model.RelationalCatalog =
+    graft.model.RelationalCatalog(tables.map { t =>
+      val header = read(spark, s"$dir/$t.csv").columns
+      graft.model.TableDef(
+        name = t,
+        columns = header.toSeq.map(c =>
+          graft.model.ColumnDef(c, types.getOrElse(t, Map.empty).getOrElse(c, "TEXT"))),
+        primaryKeys = pks.getOrElse(t, Nil),
+        foreignKeys = fks.getOrElse(t, Nil))
+    })
+
   /** Read + normalize every table of a catalog from `dir/<table>.csv`.
     * Returns the loaded tables and the full replacements map
     * (table → column → expanded columns).
