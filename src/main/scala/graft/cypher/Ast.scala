@@ -59,9 +59,14 @@ object Ast {
       skip: Option[Long] = None,
       limit: Option[Long] = None)
 
+  /** One MATCH / OPTIONAL MATCH clause (comma-separated paths). */
+  final case class MatchClause(paths: Seq[PathPat], optional: Boolean)
+
   final case class Query(
-      patterns: Seq[PathPat],
+      matches: Seq[MatchClause],
       where: Option[Expr],
       withStage: Option[Projection],
-      ret: Projection)
+      ret: Projection) {
+    def patterns: Seq[PathPat] = matches.filterNot(_.optional).flatMap(_.paths)
+  }
 }

@@ -115,9 +115,12 @@ final case class CypherEngine(store: GraphStore) {
     chains.reduce(_.unionByName(_))
   }
 
-  /** Bind all patterns into one DataFrame. */
-  private def assemble(patterns: Seq[PathPat]): (DataFrame, Ctx) = {
-    val labels = collection.mutable.Map[String, String]()
+  /** Bind all patterns into one DataFrame. `seedLabels` carries label
+    * bindings from an enclosing pattern (OPTIONAL MATCH sub-assembly).
+    */
+  private def assemble(patterns: Seq[PathPat],
+      seedLabels: Map[String, String] = Map.empty): (DataFrame, Ctx) = {
+    val labels = collection.mutable.Map[String, String](seedLabels.toSeq: _*)
     val bound = collection.mutable.Set[String]()
     val relVars = collection.mutable.Set[String]()
     var varCounter = 0
@@ -216,6 +219,38 @@ final case class CypherEngine(store: GraphStore) {
     }
 
     (df, Ctx(labels.toMap, relVars.toSet))
+  }
+
+  /** Attach one OPTIONAL MATCH clause: assemble its paths independently
+    * (seeded with the enclosing labels) and LEFT-join on the shared
+    * variables' node keys. Unmatched rows carry nulls for the optional
+    * variables — `count(optVar)` then counts only matches, Cypher's
+    * semantics. The enclosing WHERE applies post-join (predicates on
+    * optional variables filter null rows unless guarded with IS NULL —
+    * standard Cypher gotcha, same here).
+    */
+  private def attachOptional(main: DataFrame, ctx: Ctx, paths: Seq[PathPat]): (DataFrame, Ctx) = {
+    val patVars: Set[String] =
+      paths.flatMap(p => p.head.variable.toSeq ++ p.hops.flatMap(_._2.variable)).toSet
+    val shared = patVars.filter(ctx.labels.contains)
+    if (shared.isEmpty)
+      throw CypherException("OPTIONAL MATCH must share at least one variable with the preceding MATCH")
+    val (sub, subCtx) = assemble(paths, ctx.labels.view.filterKeys(shared).toMap)
+    def keyColOf(v: String, c: Ctx): String = s"${v}__${store.schema.node(c.labels(v)).key}"
+    val sfx = "__opt"
+    val subR = sub.columns.foldLeft(sub)((d, c) => d.withColumnRenamed(c, c + sfx))
+    val cond = shared.map(v => col(keyColOf(v, ctx)) === col(keyColOf(v, subCtx) + sfx))
+      .reduce(_ && _)
+    var joined = main.join(subR, cond, "left_outer")
+    subR.columns.foreach { c =>
+      val orig = c.dropRight(sfx.length)
+      if (shared.exists(v => orig.startsWith(s"${v}__"))) joined = joined.drop(c)
+      else joined = joined.withColumnRenamed(c, orig)
+    }
+    val newVars = patVars -- shared
+    (joined, Ctx(
+      ctx.labels ++ subCtx.labels.view.filterKeys(newVars).toMap,
+      ctx.rels ++ subCtx.rels))
   }
 
   // ------------------------------------------------------------ expressions
@@ -402,7 +437,10 @@ final case class CypherEngine(store: GraphStore) {
   // ------------------------------------------------------------------ main
 
   def compile(q: Query): DataFrame = {
-    val (df0, ctx) = assemble(q.patterns)
+    val mandatory = assemble(q.patterns)
+    val (df0, ctx) = q.matches.filter(_.optional).foldLeft(mandatory) {
+      case ((df, c), clause) => attachOptional(df, c, clause.paths)
+    }
     val df1 = q.where.map(w => df0.filter(column(w, ctx))).getOrElse(df0)
     val (df2, ctx2) = q.withStage match {
       case Some(w) => project(df1, w, ctx)

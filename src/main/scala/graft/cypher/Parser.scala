@@ -96,22 +96,30 @@ object Parser {
       case t => throw ParseException(s"expected identifier, found $t")
     }
 
-    private val keywords = Set("match", "where", "with", "return", "order", "by",
-      "limit", "skip", "as", "and", "or", "not", "distinct", "in", "is", "null",
-      "asc", "desc", "ascending", "descending", "true", "false", "exists")
+    private val keywords = Set("match", "optional", "where", "with", "return",
+      "order", "by", "limit", "skip", "as", "and", "or", "not", "distinct", "in",
+      "is", "null", "asc", "desc", "ascending", "descending", "true", "false",
+      "exists")
 
     // ---------------------------------------------------------------- query
     def query(): Query = {
-      var patterns = Seq.empty[PathPat]
+      var matches = Seq.empty[MatchClause]
       eatKw("MATCH")
-      patterns ++= patternList()
-      while (tryKw("MATCH")) patterns ++= patternList()
+      matches :+= MatchClause(patternList(), optional = false)
+      var more = true
+      while (more) {
+        if (tryKw("MATCH")) matches :+= MatchClause(patternList(), optional = false)
+        else if (isKw("OPTIONAL")) {
+          eatKw("OPTIONAL"); eatKw("MATCH")
+          matches :+= MatchClause(patternList(), optional = true)
+        } else more = false
+      }
       val where = if (tryKw("WHERE")) Some(expr()) else None
       val withStage = if (tryKw("WITH")) Some(projection(allowWhere = true)) else None
       eatKw("RETURN")
       val ret = projection(allowWhere = false)
       peek match {
-        case EOF => Query(patterns, where, withStage, ret)
+        case EOF => Query(matches, where, withStage, ret)
         case t => throw ParseException(s"trailing input: $t")
       }
     }

@@ -104,6 +104,22 @@ object GraphBuilder {
     def dropped: Long = afterClean - committed
   }
 
+  /** Compute the reference's per-relationship audit numbers for one edge
+    * type: raw rows, rows surviving null-drop + pair-dedup, and rows that
+    * passed FK validation (= the built edge set). Runs three counts — an
+    * explicit audit action, not part of the lazy build.
+    */
+  def edgeMetrics(tables: String => DataFrame, et: EdgeType, built: DataFrame): EdgeMetrics = {
+    val raw = tables(et.table)
+    val cleaned = raw
+      .select(col(et.keyS), col(et.keyT))
+      .na.drop("any", Seq(et.keyS, et.keyT))
+    val afterClean =
+      if (et.pairsUnique) cleaned.count()
+      else cleaned.dropDuplicates(Seq(et.keyS, et.keyT)).count()
+    EdgeMetrics(raw.count(), afterClean, built.count())
+  }
+
   /** Build the whole declared graph from any table provider. */
   def buildAll(tables: String => DataFrame, schema: GraphSchema): GraphStore = {
     val nodes = schema.nodes.map(nt => nt.name -> buildNodes(tables, nt)).toMap

@@ -124,6 +124,37 @@ class CypherSpec extends SparkSpec {
     assert(shared == direct)
   }
 
+  // ------------------------------------------------------- OPTIONAL MATCH
+
+  test("OPTIONAL MATCH keeps unmatched rows; count ignores nulls") {
+    import org.apache.spark.sql.functions._
+    val viaCypher = engine.run(
+      """MATCH (c:Customer)
+        OPTIONAL MATCH (c)<-[:PLACED_BY]-(o:Order)
+        RETURN c.c_custkey AS ck, count(o) AS cnt ORDER BY ck""").collect()
+    val direct = store.nodes("Customer")
+      .join(store.edges("PLACED_BY").withColumnRenamed("o_custkey", "ck2"),
+        col("c_custkey") === col("ck2"), "left_outer")
+      .groupBy(col("c_custkey").as("ck"))
+      .agg(count(col("o_orderkey")).as("cnt"))
+      .orderBy("ck").collect()
+    assert(viaCypher.toSeq == direct.toSeq)
+    // an impossible optional pattern keeps every row with count 0
+    val none = engine.run(
+      """MATCH (c:Customer)
+        OPTIONAL MATCH (c)<-[:PLACED_BY]-(o:Order {o_orderstatus: 'ZZ'})
+        RETURN c.c_custkey AS ck, count(o) AS cnt ORDER BY ck""").collect()
+    assert(none.length == store.nodes("Customer").count())
+    assert(none.forall(_.getLong(1) == 0L))
+  }
+
+  test("OPTIONAL MATCH without a shared variable is rejected") {
+    assertThrows[CypherEngine.CypherException](
+      engine.run(
+        """MATCH (c:Customer) OPTIONAL MATCH (s:Supplier)-[:SUPP_IN_NATION]->(n:Nation)
+          RETURN count(c) AS cnt"""))
+  }
+
   // ------------------------------------------------------ var-length paths
 
   private lazy val chainStore: GraphStore = {

@@ -56,6 +56,22 @@ class GraphBuilderSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 10L), (2L, 11L)))
   }
 
+  test("edge metrics report input/cleaned/committed/dropped counts") {
+    val edges = Seq(
+      (Some(1L), Some(10L)), (Some(1L), Some(10L)), // dup pair
+      (Some(2L), None), // null dst
+      (Some(9L), Some(10L)), // dangling src
+      (Some(2L), Some(11L))).toDF("s", "d")
+    val src = Seq(1L, 2L).toDF("sk")
+    val dst = Seq(10L, 11L).toDF("dk")
+    val et = EdgeType("E", "S", "D", "s", "d", Nil, "e")
+    val t = tables(Map("e" -> edges))
+    val built = GraphBuilder.buildEdges(t, et, src, dst, "sk", "dk")
+    val m = GraphBuilder.edgeMetrics(t, et, built)
+    assert(m == GraphBuilder.EdgeMetrics(input = 5, afterClean = 3, committed = 2))
+    assert(m.dropped == 1) // the dangling (9,10) edge
+  }
+
   test("graph store describe counts nodes and edges per label") {
     val dir = "/root/testdata/sf0.001"
     val store = GraphBuilder.buildAll(spark, dir)
