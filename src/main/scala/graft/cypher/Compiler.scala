@@ -29,6 +29,33 @@ final case class CypherEngine(store: GraphStore) {
 
   def run(query: String): DataFrame = compile(Parser.parse(query))
 
+  /** Validation gate without execution — the engine's analogue of the
+    * reference's `EXPLAIN {cypher}` syntax/plan check (reference:
+    * final/langraph_neo4j3.py:321-324): parse errors, schema-resolution
+    * errors, and Catalyst analysis errors, as messages (empty = valid).
+    */
+  def validate(query: String): Seq[String] =
+    try {
+      compile(Parser.parse(query)).queryExecution.analyzed
+      Nil
+    } catch {
+      case e: Parser.ParseException => Seq(s"syntax: ${e.msg}")
+      case e: CypherException => Seq(s"schema: ${e.msg}")
+      case e: Exception => Seq(s"analysis: ${e.getMessage}")
+    }
+
+  /** Filter-value existence probe — the reference checks every literal
+    * string filter against the store before executing (reference:
+    * final/langraph_neo4j3.py:344-369: `MATCH (n:L) WHERE toLower(n.p) =
+    * toLower($v) RETURN 'yes' LIMIT 1`). Case-insensitive, LIMIT 1 so the
+    * scan short-circuits.
+    */
+  def probeValue(label: String, prop: String, value: String): Boolean = {
+    val df = store.nodes.getOrElse(label, throw CypherException(s"unknown node label: $label"))
+    df.filter(lower(col(prop).cast(StringType)) === value.toLowerCase)
+      .limit(1).count() > 0
+  }
+
   /** Variable bindings: node variable → label, plus the set of relationship
     * variables (whose properties are addressable but which cannot be
     * returned bare).

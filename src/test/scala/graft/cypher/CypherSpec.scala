@@ -206,6 +206,21 @@ class CypherSpec extends SparkSpec {
     }
   }
 
+  test("validate() reports syntax/schema errors without executing") {
+    assert(engine.validate(
+      "MATCH (c:Customer)-[:IN_NATION]->(n:Nation) RETURN count(c) AS cnt").isEmpty)
+    assert(engine.validate("MATCH (c:Customer RETURN c").exists(_.startsWith("syntax:")))
+    assert(engine.validate("MATCH (x:Nope) RETURN count(x) AS c").exists(_.startsWith("schema:")))
+    assert(engine.validate(
+      "MATCH (c:Customer) RETURN c.no_such_prop AS p").nonEmpty)
+  }
+
+  test("probeValue: case-insensitive existence check with short-circuit") {
+    val aRegion = store.nodes("Region").select("r_name").head().getString(0)
+    assert(engine.probeValue("Region", "r_name", aRegion.toLowerCase))
+    assert(!engine.probeValue("Region", "r_name", "no such region"))
+  }
+
   test("DISTINCT and SKIP/LIMIT pagination") {
     val all = engine.run(
       "MATCH (n:Nation) RETURN DISTINCT n.n_regionkey AS rk ORDER BY rk").collect()
