@@ -82,10 +82,21 @@ object GraphBuilder {
     val selected = tables(et.table)
       .select((Seq(et.keyS, et.keyT) ++ et.properties).map(col): _*)
       .na.drop("any", Seq(et.keyS, et.keyT))
-    // pair dedup is skipped when the catalog proves (keyS, keyT) unique
+    // Pair dedup is skipped when the catalog proves (keyS, keyT) unique.
+    // With edge properties, `dropDuplicates` would keep a PARTITION-DEPENDENT
+    // row for a duplicated pair — the kept row is made deterministic the
+    // same way node dedup is: last-wins ordered by the property values.
     val raw =
       if (et.pairsUnique) selected
-      else selected.dropDuplicates(Seq(et.keyS, et.keyT))
+      else if (et.properties.isEmpty) selected.dropDuplicates(Seq(et.keyS, et.keyT))
+      else {
+        val w = Window.partitionBy(et.keyS, et.keyT)
+          .orderBy(et.properties.map(c => col(c).desc_nulls_last): _*)
+        selected
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .drop("__rn")
+      }
     // FK-edge special case: when the src node set is built 1:1 from this
     // same table keyed by keyS, the src-side membership check is a
     // tautology — drop the join, keep only the real FK validation

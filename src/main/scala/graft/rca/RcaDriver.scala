@@ -54,6 +54,27 @@ object Rca {
     (trace, summarize(trace))
   }
 
+  /** Multi-hypothesis RCA: each named hypothesis runs its own bounded loop
+    * CONCURRENTLY — Spark schedules jobs from parallel driver threads fairly
+    * across the cluster, so independent hypothesis branches overlap instead
+    * of serializing (the reference's multi-agent variant,
+    * final/experimenting_new/rca_multiagent.ipynb; SURVEY.md §3.3).
+    */
+  def runParallel(
+      engine: CypherEngine,
+      question: String,
+      hypotheses: Map[String, Planner],
+      summarize: Summarizer = defaultSummary,
+      maxRounds: Int = MaxRounds): Map[String, (Trace, String)] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val futures = hypotheses.map { case (name, planner) =>
+      name -> Future(run(engine, s"$question [$name]", planner, summarize, maxRounds))
+    }
+    futures.map { case (name, f) => name -> Await.result(f, Duration.Inf) }
+  }
+
   /** Default summarizer: a readable trace report (the reference's summary
     * node is an LLM call — pluggable via `summarize`).
     */

@@ -56,6 +56,21 @@ class GraphBuilderSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 10L), (2L, 11L)))
   }
 
+  test("edge dedup with properties is deterministic under partitioning") {
+    val src = Seq(1L).toDF("sk")
+    val dst = Seq(10L).toDF("dk")
+    val et = EdgeType("E", "S", "D", "s", "d", Seq("w"), "e")
+    def build(rows: Seq[(Long, Long, Long)], parts: Int) =
+      GraphBuilder.buildEdges(
+        tables(Map("e" -> rows.toDF("s", "d", "w").repartition(parts))),
+        et, src, dst, "sk", "dk").collect().toSeq
+    val rows = Seq((1L, 10L, 5L), (1L, 10L, 9L), (1L, 10L, 2L))
+    val a = build(rows, 1)
+    val b = build(rows.reverse, 5)
+    assert(a == b)
+    assert(a.head.getLong(2) == 9L) // max property wins (desc_nulls_last)
+  }
+
   test("edge metrics report input/cleaned/committed/dropped counts") {
     val edges = Seq(
       (Some(1L), Some(10L)), (Some(1L), Some(10L)), // dup pair

@@ -28,6 +28,23 @@ class RcaSpec extends SparkSpec {
     assert(trace.steps.size == Rca.MaxRounds)
   }
 
+  test("parallel hypotheses run concurrently and keep separate traces") {
+    def onceThenStop(q: String): Rca.Planner = {
+      val it = Iterator(q)
+      _ => if (it.hasNext) Some(it.next()) else None
+    }
+    val results = Rca.runParallel(engine, "what drives volume?", Map(
+      "by-nation" -> onceThenStop(
+        "MATCH (c:Customer)-[:IN_NATION]->(n:Nation) RETURN n.n_name AS nn, count(c) AS cnt ORDER BY cnt DESC LIMIT 3"),
+      "by-status" -> onceThenStop(
+        "MATCH (o:Order) RETURN o.o_orderstatus AS st, count(o) AS cnt ORDER BY cnt DESC")))
+    assert(results.keySet == Set("by-nation", "by-status"))
+    results.foreach { case (name, (trace, summary)) =>
+      assert(trace.steps.size == 1 && trace.steps.head.error.isEmpty, name)
+      assert(summary.contains(s"[$name]"))
+    }
+  }
+
   test("a failing query is recorded as an error step, not a crash") {
     val script = Iterator(
       "MATCH (x:Nope) RETURN count(x) AS c",
