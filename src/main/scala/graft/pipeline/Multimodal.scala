@@ -78,6 +78,27 @@ object Multimodal {
     }
   }
 
+  /** Resize: payload-preserving metadata transform clamping both dimensions
+    * to `maxDim` while keeping aspect ratio (integer arithmetic —
+    * deterministic). A real implementation would re-encode the payload in
+    * the same mapPartitions shape as [[extractFeatures]]; the STUB keeps the
+    * payload bytes and rewrites the declared dimensions, which is the
+    * Spark-side contract (schema in = schema out, payload column untouched
+    * so the scan/shuffle cost model is realistic).
+    */
+  def resize(media: Dataset[MediaRow], maxDim: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val longest = math.max(r.meta_width, r.meta_height)
+        if (longest <= maxDim) r
+        else r.copy(
+          meta_width = math.max(1, r.meta_width * maxDim / longest),
+          meta_height = math.max(1, r.meta_height * maxDim / longest))
+      }
+    }
+  }
+
   /** Synthesize a deterministic media table from any keyed DataFrame — used
     * by tests and bench to exercise the plumbing without real media.
     * Payload bytes derive from the key via repeated sha2, metadata from

@@ -23,6 +23,19 @@ class MultimodalSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("resize clamps to maxDim preserving aspect ratio and payload") {
+    val media = Multimodal.synthesize(spark, 100)
+    val resized = Multimodal.resize(media, maxDim = 32).collect()
+    val orig = media.collect().map(r => r.media_id -> r).toMap
+    resized.foreach { r =>
+      assert(math.max(r.meta_width, r.meta_height) <= 32)
+      val o = orig(r.media_id)
+      assert(r.payload.sameElements(o.payload)) // payload untouched
+      if (math.max(o.meta_width, o.meta_height) <= 32)
+        assert(r.meta_width == o.meta_width && r.meta_height == o.meta_height)
+    }
+  }
+
   test("featureStats aggregates per kind") {
     val stats = Multimodal.featureStats(
       Multimodal.extractFeatures(Multimodal.synthesize(spark, 30)))
