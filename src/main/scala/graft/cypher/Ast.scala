@@ -65,7 +65,7 @@ object Ast {
   final case class Query(
       matches: Seq[MatchClause],
       where: Option[Expr],
-      withStage: Option[Projection],
+      withStages: Seq[Projection],
       ret: Projection) {
     def patterns: Seq[PathPat] = matches.filterNot(_.optional).flatMap(_.paths)
   }

@@ -469,9 +469,8 @@ final case class CypherEngine(store: GraphStore) {
       case ((df, c), clause) => attachOptional(df, c, clause.paths)
     }
     val df1 = q.where.map(w => df0.filter(column(w, ctx))).getOrElse(df0)
-    val (df2, ctx2) = q.withStage match {
-      case Some(w) => project(df1, w, ctx)
-      case None => (df1, ctx)
+    val (df2, ctx2) = q.withStages.foldLeft((df1, ctx)) {
+      case ((df, c), stage) => project(df, stage, c)
     }
     project(df2, q.ret, ctx2)._1
   }

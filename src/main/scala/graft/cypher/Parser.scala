@@ -115,11 +115,12 @@ object Parser {
         } else more = false
       }
       val where = if (tryKw("WHERE")) Some(expr()) else None
-      val withStage = if (tryKw("WITH")) Some(projection(allowWhere = true)) else None
+      var withStages = Seq.empty[Projection]
+      while (tryKw("WITH")) withStages :+= projection(allowWhere = true)
       eatKw("RETURN")
       val ret = projection(allowWhere = false)
       peek match {
-        case EOF => Query(matches, where, withStage, ret)
+        case EOF => Query(matches, where, withStages, ret)
         case t => throw ParseException(s"trailing input: $t")
       }
     }

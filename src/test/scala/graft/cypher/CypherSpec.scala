@@ -103,6 +103,24 @@ class CypherSpec extends SparkSpec {
     assert(years == years.sorted)
   }
 
+  test("chained WITH stages: aggregate then re-aggregate") {
+    // orders per customer → distribution of those counts
+    val rows = engine.run(
+      """MATCH (o:Order)-[:PLACED_BY]->(c:Customer)
+        WITH c.c_custkey AS ck, count(o) AS n_orders
+        WITH n_orders, count(ck) AS n_customers
+        RETURN n_orders, n_customers ORDER BY n_orders""").collect()
+    assert(rows.nonEmpty)
+    val viaSql = {
+      import org.apache.spark.sql.functions._
+      store.edges("PLACED_BY")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n_orders"))
+        .groupBy("n_orders").agg(count(lit(1)).as("n_customers"))
+        .orderBy("n_orders").collect()
+    }
+    assert(rows.toSeq == viaSql.toSeq)
+  }
+
   test("carried node variable stays addressable after WITH") {
     val rows = engine.run(
       """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
