@@ -1,7 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -43,23 +42,23 @@ object GraphBuilder {
     val withNullPad = nt.properties.foldLeft(merged) { (df, p) =>
       if (df.columns.contains(p)) df else df.withColumn(p, lit(null))
     }
-    // Deterministic last-wins: order duplicates by every property value so
-    // the kept row does not depend on partitioning (the reference's outcome
-    // depends on nondeterministic batch arrival order — a defect we fix).
-    // When the catalog proves the key unique (declared PK, single table)
-    // the whole dedup shuffle is skipped — the dominant cost of a node
-    // build at scale.
-    val ordCols: Seq[Column] = nt.properties.map(c => col(c).desc_nulls_last)
+    // Deterministic last-wins: keep the row with the lexicographically
+    // greatest property tuple, so the outcome does not depend on
+    // partitioning (the reference's depends on nondeterministic batch
+    // arrival order — a defect we fix). Implemented as max(struct(props))
+    // — a HASH aggregate with map-side partial combine — rather than a
+    // row_number window, which would force a full sort shuffle; struct
+    // comparison orders nulls smallest, so max prefers non-null values,
+    // matching a desc_nulls_last ranking. When the catalog proves the key
+    // unique (declared PK, single table), dedup is skipped entirely.
     val deduped =
       if (nt.keyUnique && nt.tables.size == 1) withNullPad
-      else if (ordCols.isEmpty) withNullPad.dropDuplicates(Seq(nt.key))
-      else {
-        val w = Window.partitionBy(nt.key).orderBy(ordCols: _*)
+      else if (nt.properties.isEmpty) withNullPad.dropDuplicates(Seq(nt.key))
+      else
         withNullPad
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
-          .drop("__rn")
-      }
+          .groupBy(col(nt.key))
+          .agg(max(struct(nt.properties.map(col): _*)).as("__s"))
+          .select(col(nt.key) +: nt.properties.map(p => col(s"__s.$p").as(p)): _*)
     deduped
       .filter(col(nt.key).isNotNull)
       .select((nt.key +: nt.properties).map(col): _*)
@@ -85,18 +84,17 @@ object GraphBuilder {
     // Pair dedup is skipped when the catalog proves (keyS, keyT) unique.
     // With edge properties, `dropDuplicates` would keep a PARTITION-DEPENDENT
     // row for a duplicated pair — the kept row is made deterministic the
-    // same way node dedup is: last-wins ordered by the property values.
+    // same way node dedup is: last-wins via max(struct(props)), a hash
+    // aggregate with map-side combine (no sort shuffle).
     val raw =
       if (et.pairsUnique) selected
       else if (et.properties.isEmpty) selected.dropDuplicates(Seq(et.keyS, et.keyT))
-      else {
-        val w = Window.partitionBy(et.keyS, et.keyT)
-          .orderBy(et.properties.map(c => col(c).desc_nulls_last): _*)
+      else
         selected
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
-          .drop("__rn")
-      }
+          .groupBy(col(et.keyS), col(et.keyT))
+          .agg(max(struct(et.properties.map(col): _*)).as("__s"))
+          .select(Seq(col(et.keyS), col(et.keyT)) ++
+            et.properties.map(p => col(s"__s.$p").as(p)): _*)
     // FK-edge special case: when the src node set is built 1:1 from this
     // same table keyed by keyS, the src-side membership check is a
     // tautology — drop the join, keep only the real FK validation
