@@ -31,9 +31,22 @@ final case class GraphStore(
     parts.reduce(_.unionByName(_)).orderBy("kind", "name")
   }
 
+  /** Persist per-label/type Parquet datasets, key-sorted within partitions
+    * (the reference sorts before write for locality,
+    * final/inject_relationship.py:696, final/inject_node.py:425; for us the
+    * payoff is parquet min/max statistics on the keys → row-group pruning
+    * for key-range scans at any scale).
+    */
   def save(root: String): Unit = {
-    nodes.foreach { case (n, df) => df.write.mode("overwrite").parquet(s"$root/nodes/$n") }
-    edges.foreach { case (n, df) => df.write.mode("overwrite").parquet(s"$root/edges/$n") }
+    nodes.foreach { case (n, df) =>
+      df.sortWithinPartitions(schema.node(n).key)
+        .write.mode("overwrite").parquet(s"$root/nodes/$n")
+    }
+    edges.foreach { case (n, df) =>
+      val et = schema.edge(n)
+      df.sortWithinPartitions(et.keyS, et.keyT)
+        .write.mode("overwrite").parquet(s"$root/edges/$n")
+    }
   }
 }
 
