@@ -61,6 +61,18 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  // ----------------------------------------------------------- Q58 IVF ANN
+  /** IVF-flat ANN (k-means coarse quantizer, nprobe cells probed) for the
+    * same query set as q49/q50 — recall vs the brute-force baseline is the
+    * quality metric.
+    */
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
+      k = 3, nlist = 16, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   // -------------------------------------------- Q51 embedding cosine near-dup
   private def q51(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDup(T(s, dir, "embeddings"), "vec_id", "embedding",
@@ -100,6 +112,7 @@ object PipelineQueries {
     "q48_simhash_neardup" -> q48 _,
     "q49_ann_bruteforce" -> q49 _,
     "q50_ann_lsh" -> q50 _,
+    "q58_ann_ivf" -> q58 _,
     "q51_cosine_neardup" -> q51 _,
     "q52_language_id" -> q52 _,
     "q53_quality_fingerprint" -> q53 _,

@@ -84,6 +84,58 @@ object Similarity {
       .select("query_id", "corpus_id", "cos", "rank")
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer (MLlib, fixed
+    * seed → deterministic) partitions the corpus into `nlist` cells; each
+    * query probes its `nprobe` nearest cells and exact cosine re-ranks only
+    * those candidates. The scanned fraction is ≈ nprobe/nlist of the
+    * corpus — the classic IVF-flat trade (higher nprobe → higher recall).
+    *
+    * Scale posture: centroids are driver-side small (nlist × dim) and
+    * broadcast into the assignment join; the corpus is scanned once to
+    * assign cells (in practice the assignment is precomputed and stored
+    * alongside the embeddings — the cell column is just a partition key).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val train = corpus.select(
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10).fit(train)
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+
+    // squared euclidean to each centroid; nlist is small → broadcast cross
+    def dist2(v: Column, c: Column): Column =
+      aggregate(zip_with(v, c, (x, y) => { val d = x.cast(DoubleType) - y; d * d }),
+        lit(0d), _ + _)
+    def assign(df: DataFrame, id: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(id).orderBy(col("d2"), col("cell"))
+      df.crossJoin(broadcast(centroids))
+        .select(col(id), col(vecCol), col("cell"),
+          dist2(col(vecCol), col("centroid")).as("d2"))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= keep)
+        .drop("d2", "crank")
+    }
+
+    val corpusCells = assign(corpus.select(col(idCol).as("corpus_id"), col(vecCol)), "corpus_id", 1)
+      .withColumnRenamed(vecCol, "cv")
+    val queryCells = assign(queries.select(col(idCol).as("query_id"), col(vecCol)), "query_id", nprobe)
+      .withColumnRenamed(vecCol, "qv")
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
+    corpusCells.join(broadcast(queryCells), Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cos", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs (X dedup family): all pairs whose
     * cosine ≥ `threshold`, found via LSH blocking + exact verification.
     */

@@ -43,6 +43,27 @@ class SimilaritySpec extends SparkSpec {
     assert(sigs(0L) != sigs(3L), "opposite vectors flip every sign bit")
   }
 
+  test("ivfTopK: deterministic, exact cosines, reasonable recall vs brute force") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf1 = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 3,
+      nlist = 8, nprobe = 4).collect()
+    val ivf2 = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 3,
+      nlist = 8, nprobe = 4).collect()
+    assert(ivf1.toSeq == ivf2.toSeq) // fixed-seed determinism
+    val found = ivf1.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = found.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+    // cosines of found pairs must equal the exact computation (re-rank is exact)
+    val exactCos = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivf1.foreach { r =>
+      assert(math.abs(r.getDouble(2) - exactCos((r.getLong(0), r.getLong(1)))) < 1e-12)
+    }
+  }
+
   test("cosineNearDup finds the planted pair via LSH blocking") {
     val pairs = Similarity.cosineNearDup(vecs, "vec_id", "embedding",
       threshold = 0.99, bits = 4)
