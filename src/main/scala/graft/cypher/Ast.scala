@@ -62,11 +62,18 @@ object Ast {
   /** One MATCH / OPTIONAL MATCH clause (comma-separated paths). */
   final case class MatchClause(paths: Seq[PathPat], optional: Boolean)
 
-  final case class Query(
+  /** One reading stage: MATCH clauses (possibly none after the first
+    * stage), an optional WHERE, and — unless it is the final stage — a
+    * WITH projection. `MATCH … WITH … MATCH … RETURN` chains are stages.
+    */
+  final case class Stage(
       matches: Seq[MatchClause],
       where: Option[Expr],
-      withStages: Seq[Projection],
-      ret: Projection) {
-    def patterns: Seq[PathPat] = matches.filterNot(_.optional).flatMap(_.paths)
+      projection: Option[Projection])
+
+  final case class Query(stages: Seq[Stage], ret: Projection) {
+    def patterns: Seq[PathPat] =
+      stages.flatMap(_.matches.filterNot(_.optional).flatMap(_.paths))
+    def where: Option[Expr] = stages.headOption.flatMap(_.where)
   }
 }

@@ -143,16 +143,24 @@ final case class CypherEngine(store: GraphStore) {
   }
 
   /** Bind all patterns into one DataFrame. `seedLabels` carries label
-    * bindings from an enclosing pattern (OPTIONAL MATCH sub-assembly).
+    * bindings from an enclosing pattern (OPTIONAL MATCH sub-assembly);
+    * `initial` continues an existing frame (MATCH after WITH) — its seeded
+    * variables are already bound, their columns present in the frame.
     */
   private def assemble(patterns: Seq[PathPat],
-      seedLabels: Map[String, String] = Map.empty): (DataFrame, Ctx) = {
+      seedLabels: Map[String, String] = Map.empty,
+      initial: Option[(DataFrame, Ctx)] = None): (DataFrame, Ctx) = {
     val labels = collection.mutable.Map[String, String](seedLabels.toSeq: _*)
     val bound = collection.mutable.Set[String]()
     val relVars = collection.mutable.Set[String]()
+    initial.foreach { case (_, c) =>
+      labels ++= c.labels
+      bound ++= c.labels.keys
+      relVars ++= c.rels
+    }
     var varCounter = 0
     def freshVar(prefix: String): String = { varCounter += 1; s"__$prefix$varCounter" }
-    var df: DataFrame = null
+    var df: DataFrame = initial.map(_._1).orNull
 
     def keyColName(v: String): String =
       s"${v}__${store.schema.node(labels(v)).key}"
@@ -464,15 +472,26 @@ final case class CypherEngine(store: GraphStore) {
   // ------------------------------------------------------------------ main
 
   def compile(q: Query): DataFrame = {
-    val mandatory = assemble(q.patterns)
-    val (df0, ctx) = q.matches.filter(_.optional).foldLeft(mandatory) {
-      case ((df, c), clause) => attachOptional(df, c, clause.paths)
+    var state: Option[(DataFrame, Ctx)] = None
+    q.stages.foreach { st =>
+      val mandatory = st.matches.filterNot(_.optional).flatMap(_.paths)
+      if (mandatory.isEmpty && state.isEmpty)
+        throw CypherException("query must start with a MATCH pattern")
+      if (mandatory.nonEmpty)
+        state = Some(assemble(mandatory, initial = state))
+      var (df, ctx) = state.get
+      st.matches.filter(_.optional).foreach { cl =>
+        val (d2, c2) = attachOptional(df, ctx, cl.paths)
+        df = d2; ctx = c2
+      }
+      st.where.foreach(w => df = df.filter(column(w, ctx)))
+      st.projection.foreach { p =>
+        val (d2, c2) = project(df, p, ctx)
+        df = d2; ctx = c2
+      }
+      state = Some((df, ctx))
     }
-    val df1 = q.where.map(w => df0.filter(column(w, ctx))).getOrElse(df0)
-    val (df2, ctx2) = q.withStages.foldLeft((df1, ctx)) {
-      case ((df, c), stage) => project(df, stage, c)
-    }
-    project(df2, q.ret, ctx2)._1
+    project(state.get._1, q.ret, state.get._2)._1
   }
 }
 

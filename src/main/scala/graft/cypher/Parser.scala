@@ -103,24 +103,29 @@ object Parser {
 
     // ---------------------------------------------------------------- query
     def query(): Query = {
-      var matches = Seq.empty[MatchClause]
-      eatKw("MATCH")
-      matches :+= MatchClause(patternList(), optional = false)
-      var more = true
-      while (more) {
-        if (tryKw("MATCH")) matches :+= MatchClause(patternList(), optional = false)
-        else if (isKw("OPTIONAL")) {
-          eatKw("OPTIONAL"); eatKw("MATCH")
-          matches :+= MatchClause(patternList(), optional = true)
-        } else more = false
+      var stages = Seq.empty[Stage]
+      var ret: Projection = null
+      if (!isKw("MATCH")) eatKw("MATCH") // first stage must read a pattern
+      while (ret == null) {
+        var clauses = Seq.empty[MatchClause]
+        var more = true
+        while (more) {
+          if (tryKw("MATCH")) clauses :+= MatchClause(patternList(), optional = false)
+          else if (isKw("OPTIONAL")) {
+            eatKw("OPTIONAL"); eatKw("MATCH")
+            clauses :+= MatchClause(patternList(), optional = true)
+          } else more = false
+        }
+        val where = if (tryKw("WHERE")) Some(expr()) else None
+        if (tryKw("WITH")) stages :+= Stage(clauses, where, Some(projection(allowWhere = true)))
+        else {
+          eatKw("RETURN")
+          stages :+= Stage(clauses, where, None)
+          ret = projection(allowWhere = false)
+        }
       }
-      val where = if (tryKw("WHERE")) Some(expr()) else None
-      var withStages = Seq.empty[Projection]
-      while (tryKw("WITH")) withStages :+= projection(allowWhere = true)
-      eatKw("RETURN")
-      val ret = projection(allowWhere = false)
       peek match {
-        case EOF => Query(matches, where, withStages, ret)
+        case EOF => Query(stages, ret)
         case t => throw ParseException(s"trailing input: $t")
       }
     }

@@ -121,6 +121,26 @@ class CypherSpec extends SparkSpec {
     assert(rows.toSeq == viaSql.toSeq)
   }
 
+  test("MATCH after WITH: top-k then expand (RCA shape)") {
+    import org.apache.spark.sql.functions._
+    // top-2 nations by customer count, then expand to their region names
+    val rows = engine.run(
+      """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+        WITH n, count(c) AS cnt ORDER BY cnt DESC, n.n_nationkey LIMIT 2
+        MATCH (n)-[:IN_REGION]->(r:Region)
+        RETURN r.r_name AS r_name, n.n_name AS n_name, cnt
+        ORDER BY cnt DESC, n_name""").collect()
+    assert(rows.length == 2)
+    val direct = store.nodes("Customer")
+      .groupBy("c_nationkey").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("c_nationkey")).limit(2)
+      .join(store.nodes("Nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(store.nodes("Region"), col("n_regionkey") === col("r_regionkey"))
+      .select("r_name", "n_name", "cnt")
+      .orderBy(col("cnt").desc, col("n_name")).collect()
+    assert(rows.toSeq == direct.toSeq)
+  }
+
   test("carried node variable stays addressable after WITH") {
     val rows = engine.run(
       """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
