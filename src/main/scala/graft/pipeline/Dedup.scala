@@ -158,6 +158,24 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
 
+  /** End-to-end MinHash dedup: candidates → exact-Jaccard verification →
+    * TRANSITIVE duplicate groups (connected components over the verified
+    * pair graph — A≈B≈C collapses as one group even when A,C never pair) →
+    * keep the minimum id per group. Returns the deduplicated corpus.
+    */
+  def dedupByMinhash(df: DataFrame, idCol: String, textCol: String,
+      jaccardThreshold: Double = 0.8, k: Int = 64, bands: Int = 16): DataFrame = {
+    val cands = minhashCandidates(df, idCol, textCol, k, bands)
+    val dups = verifyJaccard(df, cands, idCol, textCol)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+    val groups = graft.graph.GraphAnalytics.connectedComponents(df.sparkSession, dups)
+    val losers = groups
+      .filter(col("node") =!= col("component")) // component id = min member id
+      .select(col("node").as("__loser"))
+    df.join(losers, col(idCol) === col("__loser"), "left_anti")
+  }
+
   /** SimHash: 64-bit fingerprint — bit j of the hash of each token votes
     * +1/-1; fingerprint bit j = sign of the vote sum. Computed per-document
     * with higher-order functions (aggregate over tokens), no UDF.

@@ -25,6 +25,18 @@ class DedupSpec extends SparkSpec {
     assert(!cands.contains((4L, 5L)), "unrelated docs must not be candidates")
   }
 
+  test("dedupByMinhash keeps one canonical doc per transitive dup group") {
+    val out = Dedup.dedupByMinhash(docs, "doc_id", "text", jaccardThreshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 1≈2 (exact) and 1≈3 (near) collapse to the min id 1; 4 and 5 survive
+    assert(out == Set(1L, 4L, 5L))
+    // idempotent: running again removes nothing more
+    val again = Dedup.dedupByMinhash(
+        docs.filter(col("doc_id").isin(out.toSeq: _*)), "doc_id", "text", 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == out)
+  }
+
   test("verifyJaccard: exact dup has jaccard 1.0; near dup is high; ") {
     val cands = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
     val j = Dedup.verifyJaccard(docs, cands, "doc_id", "text")
