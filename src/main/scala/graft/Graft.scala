@@ -6,7 +6,7 @@ import graft.cypher.CypherEngine
 import graft.graph.{GraphBuilder, GraphSchema, GraphStore}
 import graft.model.{Modeler, RelationalCatalog}
 import graft.rca.Rca
-import graft.sources.{Csv, Tables}
+import graft.sources.{Csv, Sqlite, Tables}
 
 /** User-facing facade — the engine's analogue of the reference's pipeline
   * API (reference: final/app.py:41-164 — /upload_sqlite, /generate_schema
@@ -75,6 +75,24 @@ object Graft {
     val (tables, repl) = Csv.loadCatalog(spark, dir, catalog)
     val expanded = catalog.withReplacements(repl)
     Graft(spark, Some(expanded), tables, Modeler.model(expanded), None)
+  }
+
+  /** Ingest a SQLite database file directly (the reference's primary
+    * upload format, /upload_sqlite): native file parsing discovers tables
+    * and the PK/FK catalog, then models deterministically. Timestamp-typed
+    * columns go through the same six-column expansion as the CSV path.
+    */
+  def fromSqlite(spark: SparkSession, path: String): Graft = {
+    val db = Sqlite.read(spark, path)
+    val normalized = db.tables.map { case (name, df) =>
+      name -> Csv.normalize(df, db.catalog.table(name))
+    }
+    val repl = normalized.collect {
+      case (n, x) if x.replacements.nonEmpty => n -> x.replacements
+    }.toMap
+    val expanded = db.catalog.withReplacements(repl)
+    Graft(spark, Some(expanded), normalized.map { case (n, x) => n -> x.df },
+      Modeler.model(expanded), None)
   }
 
   /** Ingest Parquet tables with an explicit graph schema (the engine's

@@ -32,6 +32,9 @@ object Csv {
     spark.read
       .option("header", "true")
       .option("mode", "PERMISSIVE")
+      // RFC-4180 doubled-quote escaping ("" inside a quoted field), the
+      // convention pandas' to_csv writes; Spark's default escape is \
+      .option("escape", "\"")
       .csv(path)
 
   /** CSV sink: one header'd CSV dataset per table

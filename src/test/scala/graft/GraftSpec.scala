@@ -10,6 +10,20 @@ import graft.graph.GraphSchema
   */
 class GraftSpec extends SparkSpec {
 
+  test("fromSqlite: upload-to-answer in two calls (the reference's flagship flow)") {
+    val g = Graft.fromSqlite(spark, "/root/reference/final/bike.sqlite").build()
+    assert(g.erdText.contains("Table: orders"))
+    assert(g.erdText.contains("customer_id -> customers.customer_id"))
+    // order_date is declared TEXT in this DB → parse in the query, the
+    // notebook's own shape (date(order.order_date).year)
+    val rows = g.query(
+      """MATCH (o:Order)-[ci:ORDER_ITEMS]->(p:Product)
+        WITH year(date(o.order_date)) AS yr, sum(ci.list_price * ci.quantity * (1 - ci.discount)) AS revenue
+        RETURN yr, revenue ORDER BY yr""").collect()
+    val got = rows.map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got(2017) - 3447208.2425) < 0.01)
+  }
+
   test("full pipeline on testdata with save/load roundtrip") {
     val g = Graft.fromParquet(spark, "/root/testdata/sf0.001").build()
 
