@@ -239,7 +239,13 @@ object Sqlite {
 
   // ----------------------------------------------------------- public API
 
-  final case class Database(catalog: RelationalCatalog, tables: Map[String, DataFrame])
+  /** `skipped`: tables the reader cannot decode (e.g. WITHOUT ROWID),
+    * with reasons — one bad table must not sink the whole upload.
+    */
+  final case class Database(
+      catalog: RelationalCatalog,
+      tables: Map[String, DataFrame],
+      skipped: Map[String, String] = Map.empty)
 
   /** Read every table of a SQLite file into DataFrames typed by declared
     * affinity (INT→long, REAL/DECIMAL→double, BLOB→binary, else string;
@@ -259,7 +265,7 @@ object Sqlite {
     val defs = master.map { case (_, _, sql) => parseCreateTable(sql) }
     val catalog = RelationalCatalog(defs)
 
-    val tables = master.map { case (name, rootpage, _) =>
+    val attempts = master.map { case (name, rootpage, _) =>
       val td = catalog.table(name)
       val rowidAlias: Option[Int] = td.columns.zipWithIndex.collectFirst {
         case (c, i) if td.primaryKeys == Seq(c.name) &&
@@ -289,20 +295,26 @@ object Sqlite {
         case (b: Array[Byte], StringType) => new String(b, "UTF-8")
         case _ => null
       }
-      val rows = db.walk(rootpage).map { case (rowid, rec) =>
-        val vals = db.record(rec)
-        val padded = td.columns.indices.map { i =>
-          val raw =
-            if (rowidAlias.contains(i)) rowid
-            else if (i < vals.length) vals(i)
-            else null
-          coerce(raw, schema(i).dataType)
-        }
-        Row.fromSeq(padded)
-      }.toSeq
-      name -> spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, math.max(1, rows.size / 50000)), schema)
-    }.toMap
-    Database(catalog, tables)
+      try {
+        val rows = db.walk(rootpage).map { case (rowid, rec) =>
+          val vals = db.record(rec)
+          val padded = td.columns.indices.map { i =>
+            val raw =
+              if (rowidAlias.contains(i)) rowid
+              else if (i < vals.length) vals(i)
+              else null
+            coerce(raw, schema(i).dataType)
+          }
+          Row.fromSeq(padded)
+        }.toSeq
+        Right(name -> spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, math.max(1, rows.size / 50000)), schema))
+      } catch {
+        case e: IllegalArgumentException => Left(name -> e.getMessage)
+      }
+    }
+    Database(catalog,
+      attempts.collect { case Right(t) => t }.toMap,
+      attempts.collect { case Left(s) => s }.toMap)
   }
 }

@@ -65,6 +65,27 @@ class SqliteSpec extends SparkSpec {
     want.foreach { case (y, v) => assert(math.abs(got(y) - v) < 0.01, s"$y: ${got(y)} vs $v") }
   }
 
+  test("edge cases: overflow pages, blobs, rowid gaps, interior b-trees") {
+    val db = Sqlite.read(spark, "src/test/resources/edgecases.sqlite")
+    val rows = db.tables("mixed").orderBy("id").collect()
+    assert(rows.length == 203) // 3 kept specials + 200 bulk (one deleted)
+    val r1 = rows.find(_.getLong(0) == 1L).get
+    assert(r1.getString(1).length == 9003 && r1.getString(1).endsWith("END")) // overflow chain
+    assert(r1.getDouble(2) == 3.14159)
+    assert(r1.getLong(3) == -42L) // negative int
+    assert(r1.getAs[Array[Byte]](4).length == 256)
+    assert(r1.isNullAt(5))
+    val r7 = rows.find(_.getLong(0) == 7L).get
+    assert(r7.getLong(3) == (1L << 40)) // 48-bit serial int
+    assert(r7.getAs[Array[Byte]](4).isEmpty)
+    assert(!rows.exists(_.getLong(0) == 3L)) // deleted row really gone
+    assert(rows.find(_.getLong(0) == 9L).get.getDouble(2) == 1e308)
+    // WITHOUT ROWID tables are skipped with a clear reason, not garbage —
+    // and don't sink the rest of the upload
+    assert(!db.tables.contains("norowid"))
+    assert(db.skipped("norowid").contains("WITHOUT ROWID"))
+  }
+
   test("sales_master database reads and models too") {
     val sales = Sqlite.read(spark, "/root/reference/final/sales_master.sqlite")
     assert(sales.tables.keySet == Set(
