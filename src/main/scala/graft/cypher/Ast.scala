@@ -25,6 +25,13 @@ object Ast {
   final case class Not(e: Expr) extends Expr
   final case class IsNull(e: Expr, negated: Boolean) extends Expr
   final case class InList(e: Expr, list: Seq[Expr]) extends Expr
+  /** generic `CASE WHEN c THEN r ... ELSE d END` or simple
+    * `CASE subj WHEN v THEN r ... END`
+    */
+  final case class CaseExpr(
+      subject: Option[Expr],
+      branches: Seq[(Expr, Expr)],
+      orElse: Option[Expr]) extends Expr
 
   sealed trait Direction
   case object Out extends Direction // -[]->

@@ -298,6 +298,9 @@ final case class CypherEngine(store: GraphStore) {
     case Not(x) => containsAgg(x)
     case IsNull(x, _) => containsAgg(x)
     case InList(x, xs) => containsAgg(x) || xs.exists(containsAgg)
+    case CaseExpr(s, bs, d) =>
+      s.exists(containsAgg) || d.exists(containsAgg) ||
+        bs.exists { case (c, r) => containsAgg(c) || containsAgg(r) }
     case _ => false
   }
 
@@ -338,6 +341,14 @@ final case class CypherEngine(store: GraphStore) {
       case Fn("count", Seq(Var(v)), _) if ctx.rels.contains(v) =>
         count(lit(1)) // count(r): a rel var has no value column; count rows
       case Fn(name, args, distinct) => function(name, args.map(c), distinct, args, ctx)
+      case CaseExpr(subject, branches, orElse) =>
+        val conds = subject match {
+          case Some(s) => branches.map { case (v, r) => (c(s) === c(v), c(r)) }
+          case None => branches.map { case (cond, r) => (c(cond), c(r)) }
+        }
+        val base = when(conds.head._1, conds.head._2)
+        val chained = conds.tail.foldLeft(base) { case (acc, (cond, r)) => acc.when(cond, r) }
+        orElse.map(d => chained.otherwise(c(d))).getOrElse(chained)
     }
     c(e)
   }
@@ -421,6 +432,10 @@ final case class CypherEngine(store: GraphStore) {
     case Not(x) => s"NOT ${genName(x)}"
     case IsNull(x, neg) => s"${genName(x)} IS ${if (neg) "NOT " else ""}NULL"
     case InList(x, xs) => s"${genName(x)} IN [${xs.map(genName).mkString(", ")}]"
+    case CaseExpr(s, bs, d) =>
+      "CASE " + s.map(x => genName(x) + " ").getOrElse("") +
+        bs.map { case (c, r) => s"WHEN ${genName(c)} THEN ${genName(r)}" }.mkString(" ") +
+        d.map(x => s" ELSE ${genName(x)}").getOrElse("") + " END"
   }
 
   /** Apply a WITH/RETURN stage. Bare node variables (`WITH o, ...`) carry

@@ -99,7 +99,7 @@ object Parser {
     private val keywords = Set("match", "optional", "where", "with", "return",
       "order", "by", "limit", "skip", "as", "and", "or", "not", "distinct", "in",
       "is", "null", "asc", "desc", "ascending", "descending", "true", "false",
-      "exists")
+      "exists", "case", "when", "then", "else", "end")
 
     // ---------------------------------------------------------------- query
     def query(): Query = {
@@ -324,10 +324,24 @@ object Parser {
       e
     }
 
+    private def caseExpr(): Expr = {
+      val subject = if (!isKw("WHEN")) Some(expr()) else None
+      val branches = Seq.newBuilder[(Expr, Expr)]
+      while (tryKw("WHEN")) {
+        val cond = expr()
+        eatKw("THEN")
+        branches += ((cond, expr()))
+      }
+      val orElse = if (tryKw("ELSE")) Some(expr()) else None
+      eatKw("END")
+      CaseExpr(subject, branches.result(), orElse)
+    }
+
     private def primary(): Expr = next() match {
       case Num(s) => if (s.contains('.')) Lit(s.toDouble) else Lit(s.toLong)
       case Str(s) => Lit(s)
       case Sym("(") => val e = expr(); eatSym(")"); e
+      case Ident(s) if s.equalsIgnoreCase("case") => caseExpr()
       case Ident(s) if s.equalsIgnoreCase("null") => Lit(null)
       case Ident(s) if s.equalsIgnoreCase("true") => Lit(true)
       case Ident(s) if s.equalsIgnoreCase("false") => Lit(false)

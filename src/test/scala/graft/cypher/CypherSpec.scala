@@ -259,6 +259,21 @@ class CypherSpec extends SparkSpec {
     assert(!engine.probeValue("Region", "r_name", "no such region"))
   }
 
+  test("CASE expressions: searched and simple forms") {
+    val rows = engine.run(
+      """MATCH (o:Order)
+        RETURN CASE WHEN o.o_totalprice > 100000 THEN 'big' ELSE 'small' END AS bucket,
+               count(o) AS cnt ORDER BY bucket""").collect()
+    assert(rows.map(_.getString(0)).toSeq.sorted == rows.map(_.getString(0)).toSeq)
+    assert(rows.map(_.getLong(1)).sum == store.nodes("Order").count())
+    val simple = engine.run(
+      """MATCH (o:Order)
+        RETURN CASE o.o_orderstatus WHEN 'F' THEN 'final' WHEN 'O' THEN 'open' ELSE 'other' END AS st,
+               count(o) AS cnt ORDER BY st""").collect()
+    assert(simple.map(_.getString(0)).toSet.subsetOf(Set("final", "open", "other")))
+    assert(simple.map(_.getLong(1)).sum == store.nodes("Order").count())
+  }
+
   test("DISTINCT and SKIP/LIMIT pagination") {
     val all = engine.run(
       "MATCH (n:Nation) RETURN DISTINCT n.n_regionkey AS rk ORDER BY rk").collect()
