@@ -1,8 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.operators.{AnalyticQueries, CypherQueries, GraphQueries, PipelineQueries, RelationalQueries, StreamAnalogQueries, TextQueries}
 
@@ -14,21 +12,19 @@ import graft.operators.{AnalyticQueries, CypherQueries, GraphQueries, PipelineQu
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001 — the reference's
-    * revenue-per-year shape (final/experimenting_new/notebook1.ipynb:844):
-    * 1-hop graph traversal Order→LineItem with a grouped revenue aggregate.
+  /** Flagship query on /root/testdata/sf0.001 — the reference's full
+    * pipeline in one call: build the property graph from the relational
+    * tables, then run its revenue-per-year query shape
+    * (final/experimenting_new/notebook1.ipynb:844) through the
+    * Cypher-subset compiler: 1-hop Order→Part traversal, per-year grouped
+    * revenue aggregate, ordered.
     */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
-    val li = graft.sources.Tables.load(spark, dir, "lineitem")
-    val o = graft.sources.Tables.load(spark, dir, "orders")
-    val d = DecimalType(18, 4)
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(year(col("o_orderdate")).as("order_year"))
-      .agg(sum(col("l_extendedprice").cast(d) * (lit(BigDecimal(1)).cast(d) - col("l_discount").cast(d)))
-        .cast(d).as("revenue"))
-      .orderBy("order_year")
-  }
+  def entry(spark: SparkSession): DataFrame =
+    Graft.fromParquet(spark, "/root/testdata/sf0.001").build().query(
+      """MATCH (o:Order)-[l:CONTAINS]->(p:Part)
+        WITH year(o.o_orderdate) AS order_year,
+             sum(l.l_extendedprice * l.l_quantity) AS revenue
+        RETURN order_year, revenue ORDER BY order_year""")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
