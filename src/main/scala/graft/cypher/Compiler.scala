@@ -473,8 +473,20 @@ final case class CypherEngine(store: GraphStore) {
     val newCtx = Ctx(ctx.labels.filter { case (v, _) => carried.contains(v) }, Set.empty)
     stage.where.foreach(w => out = out.filter(column(w, newCtx)))
     if (stage.orderBy.nonEmpty) {
+      // a sort key that IS one of the projected items (aliased or not —
+      // `ORDER BY count(o)`, `ORDER BY c.c_name`) sorts by that output
+      // column; anything else resolves against the carried context
+      val byOutput: Map[Expr, String] = plain.map(i => i.expr -> outName(i)).toMap
+      def outCol(name: String) = col(s"`${name.replace("`", "``")}`")
       val sorts = stage.orderBy.map { s =>
-        val c = column(s.expr, newCtx)
+        val c = byOutput.get(s.expr) match {
+          case Some(name) => outCol(name)
+          case None =>
+            s.expr match {
+              case Var(v) if byOutput.values.exists(_ == v) => outCol(v)
+              case e => column(e, newCtx)
+            }
+        }
         if (s.asc) c.asc else c.desc
       }
       out = out.orderBy(sorts: _*)

@@ -10,6 +10,11 @@ object Parser {
 
   final case class ParseException(msg: String) extends RuntimeException(msg)
 
+  /** Depth cap substituted for an open var-length upper bound (`*` / `*n..`);
+    * matches the closure compiler's enforced maximum.
+    */
+  val MaxVarLength = 10
+
   // ----------------------------------------------------------------- tokens
   private sealed trait Tok
   private case class Ident(s: String) extends Tok // identifiers + keywords, original case
@@ -52,7 +57,19 @@ object Parser {
         val sb = new StringBuilder
         i += 1
         while (i < n && q(i) != c) {
-          if (q(i) == '\\' && i + 1 < n) { sb += q(i + 1); i += 2 }
+          if (q(i) == '\\' && i + 1 < n) {
+            q(i + 1) match {
+              case 'n' => sb += '\n'; i += 2
+              case 't' => sb += '\t'; i += 2
+              case 'r' => sb += '\r'; i += 2
+              case 'b' => sb += '\b'; i += 2
+              case 'f' => sb += '\f'; i += 2
+              case 'u' if i + 5 < n =>
+                sb += Integer.parseInt(q.substring(i + 2, i + 6), 16).toChar
+                i += 6
+              case other => sb += other; i += 2 // \' \" \\ and any literal
+            }
+          }
           else { sb += q(i); i += 1 }
         }
         if (i >= n) throw ParseException("unterminated string literal")
@@ -189,17 +206,20 @@ object Parser {
         }
         if (trySym(":")) label = Some(ident())
         if (trySym("*")) {
+          // Cypher: `*` = 1..unbounded, `*n` = exactly n, `*n..` = n..∞,
+          // `*..m` = 1..m. "Unbounded" is capped at the engine's max depth
+          // (the closure compiler enforces the same bound).
           val lo = peek match {
-            case Num(s) => pos += 1; s.toInt
-            case _ => 1
+            case Num(s) => pos += 1; Some(s.toInt)
+            case _ => None
           }
           val hi =
             if (trySym("..")) peek match {
-              case Num(s) => pos += 1; s.toInt
-              case _ => lo
+              case Num(s) => pos += 1; Some(s.toInt)
+              case _ => None // open upper bound
             }
-            else lo
-          varLength = Some((lo, hi))
+            else lo // `*n` exact; bare `*` open
+          varLength = Some((lo.getOrElse(1), hi.getOrElse(MaxVarLength)))
         }
         if (isSym("{")) props = propMap()
         eatSym("]")
@@ -309,7 +329,14 @@ object Parser {
       l
     }
     private def unary(): Expr =
-      if (trySym("-")) Bin("*", Lit(-1L), unary()) else postfix()
+      if (trySym("-")) unary() match {
+        // constant-fold so negative literals stay literals (property maps
+        // and IN lists only accept Lit)
+        case Lit(l: Long) => Lit(-l)
+        case Lit(d: Double) => Lit(-d)
+        case e => Bin("*", Lit(-1L), e)
+      }
+      else postfix()
 
     /** primary with `.prop` chains: `v.p` → Prop; `fn(..).year` → Fn("year", fn). */
     private def postfix(): Expr = {

@@ -165,6 +165,15 @@ object Dedup {
     */
   def dedupByMinhash(df: DataFrame, idCol: String, textCol: String,
       jaccardThreshold: Double = 0.8, k: Int = 64, bands: Int = 16): DataFrame = {
+    // transitive grouping runs through the Long-vertex graph layer, and
+    // "keep the minimum id" needs an ordered id — require an integral id
+    // up front rather than silently null-casting strings later
+    df.schema(idCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"dedupByMinhash needs an integral id column; $idCol is $other " +
+          "(derive one first, e.g. monotonically_increasing_id or xxhash64)")
+    }
     val cands = minhashCandidates(df, idCol, textCol, k, bands)
     val dups = verifyJaccard(df, cands, idCol, textCol)
       .filter(col("jaccard") >= jaccardThreshold)

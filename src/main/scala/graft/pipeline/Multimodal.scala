@@ -111,7 +111,7 @@ object Multimodal {
         col("id").as("media_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (pmod(col("id"), lit(3)) + 1).cast(IntegerType)).as("kind"),
-        unbase64(base64(sha2(col("id").cast(StringType), 256).cast(BinaryType))).as("payload"),
+        sha2(col("id").cast(StringType), 256).cast(BinaryType).as("payload"),
         (pmod(col("id"), lit(64)) + 16).cast(IntegerType).as("meta_width"),
         (pmod(col("id"), lit(48)) + 16).cast(IntegerType).as("meta_height"),
         (pmod(col("id"), lit(30)) + 1).cast(IntegerType).as("meta_frames"))

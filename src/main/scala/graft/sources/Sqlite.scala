@@ -272,10 +272,13 @@ object Sqlite {
           c.sqlType.toUpperCase.trim == "INTEGER" => i
       }
       def affinity(t: String): DataType = {
+        // must mirror Csv.normalize's declared-type mapping exactly (INT and
+        // NUMERIC → long; DEC/REAL/FLOA/DOUB → double) so a database read
+        // directly and its CSV export produce identical schemas
         val u = t.toUpperCase
-        if (u.contains("INT")) LongType
+        if (u.contains("INT") || u.contains("NUMERIC")) LongType
         else if (u.contains("DEC") || u.contains("REAL") || u.contains("FLOA") ||
-          u.contains("DOUB") || u.contains("NUMERIC")) DoubleType
+          u.contains("DOUB")) DoubleType
         else if (u.contains("BLOB")) BinaryType
         else StringType
       }

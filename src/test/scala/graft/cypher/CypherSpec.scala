@@ -40,6 +40,32 @@ class CypherSpec extends SparkSpec {
     assert(q.patterns.head.head.props == Seq(("age", Lit(30L))))
   }
 
+  test("parser: bare *, open bounds, negative literals, string escapes") {
+    def vl(q: String) = Parser.parse(q).patterns.head.hops.head._1.varLength
+    assert(vl("MATCH (a:P)-[:R*]->(b:P) RETURN a.x AS x") == Some((1, Parser.MaxVarLength)))
+    assert(vl("MATCH (a:P)-[:R*2..]->(b:P) RETURN a.x AS x") == Some((2, Parser.MaxVarLength)))
+    assert(vl("MATCH (a:P)-[:R*..4]->(b:P) RETURN a.x AS x") == Some((1, 4)))
+    assert(vl("MATCH (a:P)-[:R*3]->(b:P) RETURN a.x AS x") == Some((3, 3)))
+    // negative literals survive as literals (usable in maps and IN lists)
+    val q = Parser.parse("MATCH (a:P {v: -7}) WHERE a.x IN [-1, 2.5, -2.5] RETURN a.x AS x")
+    assert(q.patterns.head.head.props == Seq(("v", Lit(-7L))))
+    // escapes decode
+    val s = Parser.parse("MATCH (a:P) WHERE a.t = 'l1\\nl2\\u0041' RETURN a.t AS t")
+    val lit = s.stages.head.where.get.asInstanceOf[Bin].r.asInstanceOf[Lit]
+    assert(lit.value == "l1\nl2A")
+  }
+
+  test("ORDER BY unaliased properties and aggregates in RETURN") {
+    val byProp = engine.run(
+      "MATCH (r:Region) RETURN r.r_name ORDER BY r.r_name").collect()
+    assert(byProp.map(_.getString(0)).toSeq == byProp.map(_.getString(0)).toSeq.sorted)
+    val byAgg = engine.run(
+      """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+        RETURN n.n_name, count(c) ORDER BY count(c) DESC, n.n_name LIMIT 3""").collect()
+    assert(byAgg.length == 3)
+    assert(byAgg.map(_.getLong(1)).toSeq == byAgg.map(_.getLong(1)).toSeq.sortBy(-_))
+  }
+
   test("parser: rejects trailing junk and unterminated strings") {
     assertThrows[Parser.ParseException](Parser.parse("MATCH (a:X) RETURN a.b extra"))
     assertThrows[Parser.ParseException](Parser.parse("MATCH (a:X) RETURN 'oops"))

@@ -35,6 +35,11 @@ class DedupSpec extends SparkSpec {
         docs.filter(col("doc_id").isin(out.toSeq: _*)), "doc_id", "text", 0.5)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(again == out)
+    // non-integral id columns are rejected up front, not null-cast later
+    val strIds = docs.withColumn("doc_id", concat(lit("doc-"), col("doc_id")))
+    val e = intercept[IllegalArgumentException](
+      Dedup.dedupByMinhash(strIds, "doc_id", "text"))
+    assert(e.getMessage.contains("integral id"))
   }
 
   test("verifyJaccard: exact dup has jaccard 1.0; near dup is high; ") {
