@@ -51,6 +51,12 @@ final case class Graft(
   /** Run a Cypher query against the built graph (/query_graph). */
   def query(cypher: String): DataFrame = CypherEngine(built).run(cypher)
 
+  /** Parameterized Cypher: `$name` placeholders bind to `params` values;
+    * `Seq`/`Array` values bind lists (for `IN $ids` / `UNWIND $ids`).
+    */
+  def query(cypher: String, params: Map[String, Any]): DataFrame =
+    CypherEngine(built).run(cypher, params)
+
   /** Graph statistics report (nodes by label, edges by type). */
   def describe(): DataFrame = built.describe(spark)
 

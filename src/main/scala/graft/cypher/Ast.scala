@@ -21,10 +21,20 @@ object Ast {
   /** function call; `distinct` for `count(DISTINCT x)` */
   final case class Fn(name: String, args: Seq[Expr], distinct: Boolean = false) extends Expr
   /** binary op: + - * / % = <> < <= > >= AND OR */
+  /** binary op: + - * / % = <> < <= > >= AND OR, plus the string predicates
+    * `startswith`/`endswith`/`contains`/`=~` (Cypher `STARTS WITH` etc.)
+    */
   final case class Bin(op: String, l: Expr, r: Expr) extends Expr
   final case class Not(e: Expr) extends Expr
   final case class IsNull(e: Expr, negated: Boolean) extends Expr
-  final case class InList(e: Expr, list: Seq[Expr]) extends Expr
+  /** `x IN coll` — coll is a [[ListLit]], [[Param]], or any list-valued expr */
+  final case class In(e: Expr, coll: Expr) extends Expr
+  /** `[e1, e2, …]` list literal */
+  final case class ListLit(items: Seq[Expr]) extends Expr
+  /** `$name` query parameter, bound at run time (reference:
+    * final/langraph_neo4j3.py:359-363 executes parameterized probes)
+    */
+  final case class Param(name: String) extends Expr
   /** generic `CASE WHEN c THEN r ... ELSE d END` or simple
     * `CASE subj WHEN v THEN r ... END`
     */
@@ -66,21 +76,27 @@ object Ast {
       skip: Option[Long] = None,
       limit: Option[Long] = None)
 
-  /** One MATCH / OPTIONAL MATCH clause (comma-separated paths). */
-  final case class MatchClause(paths: Seq[PathPat], optional: Boolean)
+  /** A reading clause: MATCH / OPTIONAL MATCH / UNWIND, in written order. */
+  sealed trait Reading
 
-  /** One reading stage: MATCH clauses (possibly none after the first
+  /** One MATCH / OPTIONAL MATCH clause (comma-separated paths). */
+  final case class MatchClause(paths: Seq[PathPat], optional: Boolean) extends Reading
+
+  /** `UNWIND expr AS alias` — one row per list element. */
+  final case class UnwindClause(expr: Expr, alias: String) extends Reading
+
+  /** One reading stage: reading clauses (possibly none after the first
     * stage), an optional WHERE, and — unless it is the final stage — a
     * WITH projection. `MATCH … WITH … MATCH … RETURN` chains are stages.
     */
   final case class Stage(
-      matches: Seq[MatchClause],
+      reads: Seq[Reading],
       where: Option[Expr],
       projection: Option[Projection])
 
   final case class Query(stages: Seq[Stage], ret: Projection) {
     def patterns: Seq[PathPat] =
-      stages.flatMap(_.matches.filterNot(_.optional).flatMap(_.paths))
+      stages.flatMap(_.reads.collect { case MatchClause(paths, false) => paths }.flatten)
     def where: Option[Expr] = stages.headOption.flatMap(_.where)
   }
 }

@@ -29,6 +29,14 @@ final case class CypherEngine(store: GraphStore) {
 
   def run(query: String): DataFrame = compile(Parser.parse(query))
 
+  /** Parameterized execution — `$name` placeholders bind to `params`
+    * values (the reference's probes run parameterized Cypher, reference:
+    * final/langraph_neo4j3.py:359-363). A `Seq`/`Array` value binds a list
+    * (usable with `IN $ids` and `UNWIND $ids`).
+    */
+  def run(query: String, params: Map[String, Any]): DataFrame =
+    compile(bindParams(Parser.parse(query), params))
+
   /** Validation gate without execution — the engine's analogue of the
     * reference's `EXPLAIN {cypher}` syntax/plan check (reference:
     * final/langraph_neo4j3.py:321-324): parse errors, schema-resolution
@@ -297,11 +305,56 @@ final case class CypherEngine(store: GraphStore) {
     case Bin(_, l, r) => containsAgg(l) || containsAgg(r)
     case Not(x) => containsAgg(x)
     case IsNull(x, _) => containsAgg(x)
-    case InList(x, xs) => containsAgg(x) || xs.exists(containsAgg)
+    case In(x, coll) => containsAgg(x) || containsAgg(coll)
+    case ListLit(xs) => xs.exists(containsAgg)
     case CaseExpr(s, bs, d) =>
       s.exists(containsAgg) || d.exists(containsAgg) ||
         bs.exists { case (c, r) => containsAgg(c) || containsAgg(r) }
     case _ => false
+  }
+
+  // ------------------------------------------------------------ parameters
+
+  /** Substitute `$name` placeholders with literal values before compiling —
+    * a `Seq`/`Array` binds as a list literal, anything else as a scalar.
+    */
+  private def bindParams(q: Query, params: Map[String, Any]): Query = {
+    def go(e: Expr): Expr = e match {
+      case Param(n) => params.get(n) match {
+        case Some(xs: Seq[_]) => ListLit(xs.map(v => Lit(v)))
+        case Some(xs: Array[_]) => ListLit(xs.toSeq.map(v => Lit(v)))
+        case Some(v) => Lit(v)
+        case None => throw CypherException(s"missing parameter: $$$n")
+      }
+      case Fn(n, args, d) => Fn(n, args.map(go), d)
+      case Bin(op, l, r) => Bin(op, go(l), go(r))
+      case Not(x) => Not(go(x))
+      case IsNull(x, neg) => IsNull(go(x), neg)
+      case In(x, coll) => In(go(x), go(coll))
+      case ListLit(xs) => ListLit(xs.map(go))
+      case CaseExpr(s, bs, d) =>
+        CaseExpr(s.map(go), bs.map { case (c, r) => (go(c), go(r)) }, d.map(go))
+      case other => other // Prop / Var / Lit
+    }
+    def goNode(n: NodePat) = n.copy(props = n.props.map { case (k, v) => (k, go(v)) })
+    def goRel(r: RelPat) = r.copy(props = r.props.map { case (k, v) => (k, go(v)) })
+    def goPath(p: PathPat) =
+      PathPat(goNode(p.head), p.hops.map { case (r, n) => (goRel(r), goNode(n)) })
+    def goProj(p: Projection) = p.copy(
+      items = p.items.map(i => i.copy(expr = go(i.expr))),
+      where = p.where.map(go),
+      orderBy = p.orderBy.map(s => s.copy(expr = go(s.expr))))
+    Query(
+      q.stages.map { st =>
+        Stage(
+          st.reads.map {
+            case MatchClause(paths, opt) => MatchClause(paths.map(goPath), opt)
+            case UnwindClause(e, a) => UnwindClause(go(e), a)
+          },
+          st.where.map(go),
+          st.projection.map(goProj))
+      },
+      goProj(q.ret))
   }
 
   private def literal(e: Expr): Column = e match {
@@ -337,7 +390,14 @@ final case class CypherEngine(store: GraphStore) {
       case Bin(op, l, r) => binop(op, c(l), c(r))
       case Not(x) => !c(x)
       case IsNull(x, neg) => if (neg) c(x).isNotNull else c(x).isNull
-      case InList(x, xs) => c(x).isin(xs.map(rawLiteral): _*)
+      // literal IN list → isin (Catalyst folds to an In predicate it can
+      // push down); any other list-valued expr → array_contains
+      case In(x, ListLit(xs)) if xs.forall(_.isInstanceOf[Lit]) =>
+        c(x).isin(xs.map(rawLiteral): _*)
+      case In(x, coll) => array_contains(c(coll), c(x))
+      case ListLit(xs) => array(xs.map(c): _*)
+      case Param(n) => throw CypherException(
+        s"unbound parameter $$$n — pass params to run(query, params)")
       case Fn("count", Seq(Var(v)), _) if ctx.rels.contains(v) =>
         count(lit(1)) // count(r): a rel var has no value column; count rows
       case Fn(name, args, distinct) => function(name, args.map(c), distinct, args, ctx)
@@ -367,6 +427,14 @@ final case class CypherEngine(store: GraphStore) {
     case ">=" => l >= r
     case "and" => l && r
     case "or" => l || r
+    // Cypher string predicates (reference relies on case-insensitive string
+    // matching in its validation probe, final/langraph_neo4j3.py:359-363)
+    case "startswith" => l.startsWith(r)
+    case "endswith" => l.endsWith(r)
+    case "contains" => l.contains(r)
+    // Cypher `=~` matches the ENTIRE string (Neo4j semantics); Spark's
+    // regexp_like is a substring match, so anchor the pattern
+    case "=~" => regexp_like(l, concat(lit("^(?:"), r, lit(")$")))
     case other => throw CypherException(s"unsupported operator: $other")
   }
 
@@ -431,7 +499,9 @@ final case class CypherEngine(store: GraphStore) {
     case Bin(op, l, r) => s"${genName(l)} $op ${genName(r)}"
     case Not(x) => s"NOT ${genName(x)}"
     case IsNull(x, neg) => s"${genName(x)} IS ${if (neg) "NOT " else ""}NULL"
-    case InList(x, xs) => s"${genName(x)} IN [${xs.map(genName).mkString(", ")}]"
+    case In(x, coll) => s"${genName(x)} IN ${genName(coll)}"
+    case ListLit(xs) => s"[${xs.map(genName).mkString(", ")}]"
+    case Param(n) => s"$$$n"
     case CaseExpr(s, bs, d) =>
       "CASE " + s.map(x => genName(x) + " ").getOrElse("") +
         bs.map { case (c, r) => s"WHEN ${genName(c)} THEN ${genName(r)}" }.mkString(" ") +
@@ -501,16 +571,31 @@ final case class CypherEngine(store: GraphStore) {
   def compile(q: Query): DataFrame = {
     var state: Option[(DataFrame, Ctx)] = None
     q.stages.foreach { st =>
-      val mandatory = st.matches.filterNot(_.optional).flatMap(_.paths)
-      if (mandatory.isEmpty && state.isEmpty)
-        throw CypherException("query must start with a MATCH pattern")
-      if (mandatory.nonEmpty)
-        state = Some(assemble(mandatory, initial = state))
-      var (df, ctx) = state.get
-      st.matches.filter(_.optional).foreach { cl =>
-        val (d2, c2) = attachOptional(df, ctx, cl.paths)
-        df = d2; ctx = c2
+      // reading clauses apply in written order: MATCH extends the frame by
+      // pattern joins, OPTIONAL MATCH left-joins, UNWIND explodes a list
+      // into rows (one output row per element, Cypher semantics — an empty
+      // or null list yields no rows)
+      st.reads.foreach {
+        case MatchClause(paths, false) =>
+          state = Some(assemble(paths, initial = state))
+        case MatchClause(paths, true) =>
+          val (df, ctx) = state.getOrElse(
+            throw CypherException("OPTIONAL MATCH cannot start a query"))
+          state = Some(attachOptional(df, ctx, paths))
+        case UnwindClause(e, alias) =>
+          state = Some(state match {
+            case Some((df, ctx)) =>
+              (df.withColumn(alias, explode(column(e, ctx))), ctx)
+            case None =>
+              val spark = store.nodes.values.headOption.map(_.sparkSession)
+                .getOrElse(throw CypherException("empty graph store"))
+              val emptyCtx = Ctx(Map.empty, Set.empty)
+              (spark.range(1).select(explode(column(e, emptyCtx)).as(alias)), emptyCtx)
+          })
       }
+      if (state.isEmpty)
+        throw CypherException("query must start with a MATCH pattern or UNWIND")
+      var (df, ctx) = state.get
       st.where.foreach(w => df = df.filter(column(w, ctx)))
       st.projection.foreach { p =>
         val (d2, c2) = project(df, p, ctx)

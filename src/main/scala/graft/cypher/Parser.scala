@@ -21,10 +21,11 @@ object Parser {
   private case class Num(s: String) extends Tok
   private case class Str(s: String) extends Tok
   private case class Sym(s: String) extends Tok
+  private case class ParamT(s: String) extends Tok // $name
   private case object EOF extends Tok
 
   private val symbols = List( // longest first
-    "<=", ">=", "<>", "->", "<-", "..", "(", ")", "[", "]", "{", "}",
+    "=~", "<=", ">=", "<>", "->", "<-", "..", "(", ")", "[", "]", "{", "}",
     ":", ",", ".", "-", ">", "<", "=", "+", "*", "/", "%")
 
   private def tokenize(q: String): Vector[Tok] = {
@@ -53,6 +54,12 @@ object Parser {
           while (i < n && q(i).isDigit) i += 1
         }
         out += Num(q.substring(s, i))
+      } else if (c == '$') {
+        val s = i + 1
+        i += 1
+        while (i < n && (q(i).isLetterOrDigit || q(i) == '_')) i += 1
+        if (i == s) throw ParseException("expected parameter name after '$'")
+        out += ParamT(q.substring(s, i))
       } else if (c == '\'' || c == '"') {
         val sb = new StringBuilder
         i += 1
@@ -122,15 +129,19 @@ object Parser {
     def query(): Query = {
       var stages = Seq.empty[Stage]
       var ret: Projection = null
-      if (!isKw("MATCH")) eatKw("MATCH") // first stage must read a pattern
+      // first stage must read something (a pattern or an unwound list)
+      if (!isKw("MATCH") && !isKw("UNWIND")) eatKw("MATCH")
       while (ret == null) {
-        var clauses = Seq.empty[MatchClause]
+        var clauses = Seq.empty[Reading]
         var more = true
         while (more) {
           if (tryKw("MATCH")) clauses :+= MatchClause(patternList(), optional = false)
           else if (isKw("OPTIONAL")) {
             eatKw("OPTIONAL"); eatKw("MATCH")
             clauses :+= MatchClause(patternList(), optional = true)
+          } else if (tryKw("UNWIND")) {
+            val e = expr(); eatKw("AS")
+            clauses :+= UnwindClause(e, ident())
           } else more = false
         }
         val where = if (tryKw("WHERE")) Some(expr()) else None
@@ -294,6 +305,14 @@ object Parser {
       peek match {
         case Sym(op @ ("=" | "<>" | "<" | "<=" | ">" | ">=")) =>
           pos += 1; Bin(op, l, addExpr())
+        case Sym("=~") =>
+          pos += 1; Bin("=~", l, addExpr())
+        case Ident(s) if s.equalsIgnoreCase("starts") =>
+          pos += 1; eatKw("WITH"); Bin("startswith", l, addExpr())
+        case Ident(s) if s.equalsIgnoreCase("ends") =>
+          pos += 1; eatKw("WITH"); Bin("endswith", l, addExpr())
+        case Ident(s) if s.equalsIgnoreCase("contains") =>
+          pos += 1; Bin("contains", l, addExpr())
         case Ident(s) if s.equalsIgnoreCase("is") =>
           pos += 1
           val neg = tryKw("NOT")
@@ -301,11 +320,7 @@ object Parser {
           IsNull(l, neg)
         case Ident(s) if s.equalsIgnoreCase("in") =>
           pos += 1
-          eatSym("[")
-          val b = Seq.newBuilder[Expr]
-          if (!isSym("]")) { b += expr(); while (trySym(",")) b += expr() }
-          eatSym("]")
-          InList(l, b.result())
+          In(l, addExpr()) // `[…]` literal, `$param`, or a list-valued expr
         case _ => l
       }
     }
@@ -367,7 +382,13 @@ object Parser {
     private def primary(): Expr = next() match {
       case Num(s) => if (s.contains('.')) Lit(s.toDouble) else Lit(s.toLong)
       case Str(s) => Lit(s)
+      case ParamT(s) => Param(s)
       case Sym("(") => val e = expr(); eatSym(")"); e
+      case Sym("[") => // list literal
+        val b = Seq.newBuilder[Expr]
+        if (!isSym("]")) { b += expr(); while (trySym(",")) b += expr() }
+        eatSym("]")
+        ListLit(b.result())
       case Ident(s) if s.equalsIgnoreCase("case") => caseExpr()
       case Ident(s) if s.equalsIgnoreCase("null") => Lit(null)
       case Ident(s) if s.equalsIgnoreCase("true") => Lit(true)
@@ -383,6 +404,10 @@ object Parser {
         eatSym(")")
         Fn(s.toLowerCase, args.result(), distinct)
       case Ident(s) if !keywords.contains(s.toLowerCase) => Var(s)
+      // a keyword used as a bound variable is unambiguous when a property
+      // access follows — text2cypher output routinely binds `order`
+      // (reference: final/experimenting_new/notebook1.ipynb:844)
+      case Ident(s) if isSym(".") => Var(s)
       case t => throw ParseException(s"unexpected token in expression: $t")
     }
   }

@@ -19,6 +19,9 @@ object CypherQueries {
   private def cy(query: String): Q = (s, dir) =>
     CypherEngine(GraphBuilder.buildAll(s, dir)).run(query)
 
+  private def cyp(query: String, params: Map[String, Any]): Q = (s, dir) =>
+    CypherEngine(GraphBuilder.buildAll(s, dir)).run(query, params)
+
   val defs: Map[String, Q] = Map(
     "q60_cypher_count_by_nation" -> cy(
       """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
@@ -43,7 +46,28 @@ object CypherQueries {
          RETURN count(c) AS cnt"""),
     "q65_cypher_distinct_propmatch" -> cy(
       """MATCH (o:Order {o_orderstatus: 'O'})-[:PLACED_BY]->(c:Customer)
-         RETURN DISTINCT c.c_nationkey AS nk ORDER BY nk""")
+         RETURN DISTINCT c.c_nationkey AS nk ORDER BY nk"""),
+    // string predicates (STARTS WITH / CONTAINS / ENDS WITH / =~) — the
+    // reference's open text2cypher surface leans on string matching
+    // (final/langraph_neo4j3.py:154-221,359-363)
+    "q66_cypher_string_pred" -> cy(
+      """MATCH (p:Part)
+         WHERE (p.p_type STARTS WITH 'STAND' AND p.p_name CONTAINS 'bolt')
+            OR p.p_name ENDS WITH 'gear'
+            OR p.p_name =~ '(red|blue) widget'
+         RETURN p.p_brand AS brand, count(p) AS cnt ORDER BY brand"""),
+    // UNWIND a list literal into rows, then correlate with a pattern
+    "q67_cypher_unwind" -> cy(
+      """UNWIND [0, 1, 2] AS rk
+         MATCH (n:Nation)
+         WHERE n.n_regionkey = rk
+         RETURN rk, count(n) AS cnt ORDER BY rk"""),
+    // parameterized execution ($param placeholders bound at run time)
+    "q68_cypher_param" -> cyp(
+      """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+         WHERE n.n_name = $nation AND c.c_acctbal >= $minbal
+         RETURN count(c) AS cnt""",
+      Map("nation" -> "NATION_7", "minbal" -> 0L))
   )
 
   val oracle: Map[String, String] = Map(
@@ -74,6 +98,21 @@ object CypherQueries {
     "q65_cypher_distinct_propmatch" ->
       """SELECT DISTINCT c.c_nationkey AS nk
          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-         WHERE o.o_orderstatus = 'O' ORDER BY 1"""
+         WHERE o.o_orderstatus = 'O' ORDER BY 1""",
+    "q66_cypher_string_pred" ->
+      """SELECT p_brand AS brand, count(*) AS cnt FROM part
+         WHERE (p_type LIKE 'STAND%' AND p_name LIKE '%bolt%')
+            OR p_name LIKE '%gear'
+            OR regexp_full_match(p_name, '(red|blue) widget')
+         GROUP BY 1 ORDER BY 1""",
+    "q67_cypher_unwind" ->
+      """SELECT CAST(t.rk AS BIGINT) AS rk, count(*) AS cnt
+         FROM (VALUES (0), (1), (2)) t(rk)
+         JOIN nation ON n_regionkey = t.rk
+         GROUP BY 1 ORDER BY 1""",
+    "q68_cypher_param" ->
+      """SELECT count(*) AS cnt
+         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE n.n_name = 'NATION_7' AND c.c_acctbal >= 0"""
   )
 }

@@ -300,6 +300,89 @@ class CypherSpec extends SparkSpec {
     assert(simple.map(_.getLong(1)).sum == store.nodes("Order").count())
   }
 
+  // --------------------------------------- string predicates / params / UNWIND
+
+  test("string predicates: STARTS WITH / CONTAINS / ENDS WITH / =~") {
+    import org.apache.spark.sql.functions._
+    val viaCypher = engine.run(
+      """MATCH (p:Part)
+        WHERE p.p_name STARTS WITH 'red'
+           OR (p.p_name CONTAINS 'bolt' AND p.p_type ENDS WITH 'DARD')
+           OR p.p_name =~ '(hot|old) gear'
+        RETURN count(p) AS cnt""").collect().head.getLong(0)
+    val direct = store.nodes("Part").filter(
+      col("p_name").startsWith("red") ||
+        (col("p_name").contains("bolt") && col("p_type").endsWith("DARD")) ||
+        col("p_name").rlike("^(?:(hot|old) gear)$")).count()
+    assert(viaCypher == direct && viaCypher > 0)
+    // =~ matches the WHOLE string (Neo4j semantics), not a substring
+    val substr = engine.run(
+      "MATCH (p:Part) WHERE p.p_name =~ 'red' RETURN count(p) AS cnt")
+      .collect().head.getLong(0)
+    assert(substr == 0)
+  }
+
+  test("parameters: scalar and list binding; missing param rejected") {
+    val aNation = store.nodes("Nation").select("n_name").head().getString(0)
+    val scalar = engine.run(
+      """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+        WHERE n.n_name = $nation RETURN count(c) AS cnt""",
+      Map("nation" -> aNation)).collect().head.getLong(0)
+    val direct = engine.run(
+      s"""MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+         WHERE n.n_name = '$aNation' RETURN count(c) AS cnt""")
+      .collect().head.getLong(0)
+    assert(scalar == direct && scalar > 0)
+    // a Seq param binds a list usable with IN
+    val listed = engine.run(
+      "MATCH (n:Nation) WHERE n.n_regionkey IN $rks RETURN count(n) AS cnt",
+      Map("rks" -> Seq(0L, 1L))).collect().head.getLong(0)
+    val directIn = engine.run(
+      "MATCH (n:Nation) WHERE n.n_regionkey IN [0, 1] RETURN count(n) AS cnt")
+      .collect().head.getLong(0)
+    assert(listed == directIn && listed > 0)
+    assertThrows[CypherEngine.CypherException](
+      engine.run("MATCH (n:Nation) WHERE n.n_name = $nope RETURN count(n) AS c",
+        Map.empty[String, Any]))
+    // property-map position binds too
+    val viaMap = engine.run(
+      "MATCH (o:Order {o_orderstatus: $st}) RETURN count(o) AS cnt",
+      Map("st" -> "F")).collect().head.getLong(0)
+    assert(viaMap > 0)
+  }
+
+  test("UNWIND: leading list, param list, correlation, post-MATCH") {
+    val rows = engine.run("UNWIND [3, 1, 2] AS x RETURN x ORDER BY x").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val viaParam = engine.run("UNWIND $xs AS x RETURN count(x) AS cnt",
+      Map("xs" -> Seq(10L, 20L))).collect().head.getLong(0)
+    assert(viaParam == 2L)
+    // correlated with a pattern: one group per unwound element
+    val corr = engine.run(
+      """UNWIND [0, 1] AS rk
+        MATCH (n:Nation) WHERE n.n_regionkey = rk
+        RETURN rk, count(n) AS cnt ORDER BY rk""").collect()
+    assert(corr.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    assert(corr.forall(_.getLong(1) > 0))
+    // UNWIND after MATCH multiplies rows
+    val mult = engine.run(
+      "MATCH (r:Region) UNWIND [1, 2] AS i RETURN count(i) AS cnt")
+      .collect().head.getLong(0)
+    assert(mult == 2 * store.nodes("Region").count())
+  }
+
+  test("keyword-named variable + date().year postfix (notebook spelling)") {
+    val viaPostfix = engine.run(
+      """MATCH (order:Order)-[l:CONTAINS]->(p:Part)
+        WITH toString(date(order.o_orderdate).year) AS yr, count(l) AS cnt
+        RETURN yr, cnt ORDER BY yr""").collect()
+    val viaFn = engine.run(
+      """MATCH (o:Order)-[l:CONTAINS]->(p:Part)
+        WITH toString(year(o.o_orderdate)) AS yr, count(l) AS cnt
+        RETURN yr, cnt ORDER BY yr""").collect()
+    assert(viaPostfix.nonEmpty && viaPostfix.toSeq == viaFn.toSeq)
+  }
+
   test("DISTINCT and SKIP/LIMIT pagination") {
     val all = engine.run(
       "MATCH (n:Nation) RETURN DISTINCT n.n_regionkey AS rk ORDER BY rk").collect()

@@ -139,6 +139,52 @@ class GoldenE2ESpec extends SparkSpec {
     want.foreach { case (y, v) => assert(math.abs(got(y) - v) < 0.01, s"year $y: ${got(y)} vs $v") }
   }
 
+  test("golden: notebook's recorded flagship Cypher runs VERBATIM") {
+    // The exact query string the reference's text2cypher run recorded
+    // (final/experimenting_new/notebook1.ipynb:844) — binds `order` (a
+    // keyword) as a variable and spells the year extraction
+    // `date(order.order_date).year`. The graph it ran against kept the raw
+    // date property, so load with order_date as TEXT (explicit-catalog
+    // surface) and name the junction edge CONTAINS_ITEM as the notebook's
+    // LLM modeling pass did.
+    import graft.graph.{EdgeType, GraphSchema, NodeType}
+    val dir = "/root/reference/final/bike_files"
+    val cat = RelationalCatalog(Seq(
+      TableDef("orders",
+        Seq("order_id" -> "INTEGER", "customer_id" -> "INTEGER",
+          "order_status" -> "INTEGER", "order_date" -> "TEXT")
+          .map((ColumnDef.apply _).tupled),
+        primaryKeys = Seq("order_id")),
+      TableDef("order_items",
+        Seq("order_id" -> "INTEGER", "item_id" -> "INTEGER", "product_id" -> "INTEGER",
+          "quantity" -> "INTEGER", "list_price" -> "DECIMAL", "discount" -> "DECIMAL")
+          .map((ColumnDef.apply _).tupled),
+        primaryKeys = Seq("order_id", "item_id")),
+      TableDef("products",
+        Seq("product_id" -> "INTEGER", "product_name" -> "TEXT")
+          .map((ColumnDef.apply _).tupled),
+        primaryKeys = Seq("product_id"))))
+    val (tables, _) = Csv.loadCatalog(spark, dir, cat)
+    val schema = GraphSchema(
+      nodes = Seq(
+        NodeType("Order", "order_id", Seq("order_date"), Seq("orders"), keyUnique = true),
+        NodeType("Product", "product_id", Seq("product_name"), Seq("products"), keyUnique = true)),
+      edges = Seq(
+        EdgeType("CONTAINS_ITEM", "Order", "Product", "order_id", "product_id",
+          Seq("quantity", "list_price", "discount"), "order_items")))
+    val store = GraphBuilder.buildAll(tables(_), schema)
+    val verbatim =
+      "MATCH (order:Order)-[ci:CONTAINS_ITEM]->(product:Product)\n" +
+        "WITH toString(date(order.order_date).year) AS year, " +
+        "SUM((ci.list_price * ci.quantity) * (1 - ci.discount)) AS revenue\n" +
+        "RETURN year, revenue\nORDER BY year"
+    val rows = CypherEngine(store).run(verbatim).collect()
+    val got = rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = Map("2016" -> 2427378.5276, "2017" -> 3447208.2425, "2018" -> 1814529.7875)
+    assert(got.keySet == want.keySet)
+    want.foreach { case (y, v) => assert(math.abs(got(y) - v) < 0.01, s"year $y: ${got(y)} vs $v") }
+  }
+
   test("golden: sales_master SALES per year (RCA notebook values)") {
     val dir = "/root/reference/final/sales_master_files"
     val (tables, _) = Csv.loadCatalog(spark, dir, salesCatalog)
