@@ -3,25 +3,39 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
+
+import graft.functions.DotProduct
 
 /** Approximate-nearest-neighbor search over embedding columns
   * (`array<float>`; BASELINE.json north_star, SURVEY.md §2.10 X5/X6).
   *
   * Two paths:
   *  - brute-force cosine top-k (the exactness baseline): query-set ⨯ corpus
-  *    join with a codegen'd dot product (zip_with + aggregate higher-order
-  *    functions — no UDF), then windowed top-k;
+  *    join with a NATIVE codegen'd dot-product kernel
+  *    ([[graft.functions.DotProduct]] — a Catalyst expression with
+  *    `doGenCode`, not a higher-order-function lambda tree, which would
+  *    evaluate interpreted per candidate pair), then windowed top-k;
   *  - LSH-bucketed (the 100 TB path): random-hyperplane signatures from
   *    deterministic per-dimension hash weights; candidates only from
   *    matching buckets, then exact re-rank. Probing b buckets bounds the
   *    scanned fraction at b/2^bits of the corpus.
+  *
+  * Signature computation is the explode + map-side-combinable-SUM shape
+  * (same reasoning as [[Dedup.minhashSignatures]]): per-row
+  * `aggregate`/`zip_with` lambdas are NOT whole-stage-codegen'd, and a
+  * bits×dim lambda tree per row dominates at scale. The exploded shape
+  * keeps every operator inside codegen and shuffles only `bits` partial
+  * sums per document.
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ as a single codegen'd expression (double accumulation). */
+  /** Σ aᵢ·bᵢ — native codegen'd kernel (double accumulation, element
+    * order; null on length mismatch, matching null-padded zip semantics).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y), lit(0d), _ + _)
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -53,7 +67,13 @@ object Similarity {
   private def hashWeight(h: Int, dIdx: Column): Column =
     (xxhash64(lit(h), dIdx).cast(DoubleType) / lit(Long.MaxValue.toDouble))
 
-  /** `bits`-bit sign-LSH signature of a vector. */
+  /** `bits`-bit sign-LSH signature as a per-row expression. CAUTION: the
+    * `aggregate`/`zip_with` lambdas here evaluate INTERPRETED (HOFs are not
+    * whole-stage-codegen'd) and the shingle array is re-walked once per
+    * hyperplane — bits×dim lambda evaluations per row. Kept as the
+    * reference semantics for tests and ad-hoc Column use; every engine
+    * path uses [[lshSignatures]], which computes identical bits at scale.
+    */
   def lshSignature(vec: Column, bits: Int): Column = {
     val sigBits = (0 until bits).map { h =>
       val proj = aggregate(
@@ -64,16 +84,46 @@ object Similarity {
     sigBits.reduce[Column]((a, b) => a.bitwiseOR(b))
   }
 
+  /** Sign-LSH signatures as a DataFrame `[idCol, sig: bigint]` — identical
+    * bits to [[lshSignature]] (same weights, same left-to-right double
+    * accumulation) computed in the scale shape: posexplode the vector,
+    * take `bits` conditional SUMs per document (map-side combinable: the
+    * shuffle carries `bits` doubles per doc), fold the signs into one
+    * long. Whole-stage codegen end to end — no lambda evaluation.
+    * Documents with an empty vector get signature 0L, matching the
+    * per-row variant (whose fold null-poisons on the empty array, turning
+    * every `when(proj >= 0, …)` bit into the otherwise-0 branch).
+    */
+  def lshSignatures(df: DataFrame, idCol: String, vecCol: String, bits: Int): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits must be in 1..64 (got $bits)")
+    val emptySig = 0L
+    val ex = df.select(col(idCol), posexplode(col(vecCol)).as(Seq("d", "x")))
+    val projs = (0 until bits).map { h =>
+      sum(col("x").cast(DoubleType) * hashWeight(h, col("d"))).as(s"_p$h")
+    }
+    val sigCol = (0 until bits).map { h =>
+      when(col(s"_p$h") >= 0, shiftleft(lit(1L), h)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    val sigs = ex.groupBy(idCol).agg(projs.head, projs.tail: _*)
+      .select(col(idCol), sigCol.as("sig"))
+    df.select(col(idCol)).join(sigs, Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("sig"), lit(emptySig)).as("sig"))
+  }
+
   /** LSH-bucketed ANN top-k: candidates share the full signature bucket;
     * exact cosine re-ranks within candidates. Recall is tuned by `bits`
-    * (fewer bits → bigger buckets → higher recall, more work).
+    * (fewer bits → bigger buckets → higher recall, more work). The
+    * signature join is an id-equi join against the signature aggregation's
+    * own hash partitioning, so the corpus shuffles once on id.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, bits: Int = 12): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
-      lshSignature(col(vecCol), bits).as("sig"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshSignature(col(vecCol), bits).as("sig"))
+    val c = corpus.select(col(idCol), col(vecCol))
+      .join(lshSignatures(corpus, idCol, vecCol, bits), Seq(idCol))
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("cv"), col("sig"))
+    val q = queries.select(col(idCol), col(vecCol))
+      .join(lshSignatures(queries, idCol, vecCol, bits), Seq(idCol))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("sig"))
     val scored = c.join(broadcast(q), Seq("sig"))
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"), cosine(col("qv"), col("cv")).as("cos"))
@@ -90,29 +140,37 @@ object Similarity {
     * those candidates. The scanned fraction is ≈ nprobe/nlist of the
     * corpus — the classic IVF-flat trade (higher nprobe → higher recall).
     *
-    * Scale posture: centroids are driver-side small (nlist × dim) and
+    * Scale posture: the quantizer trains on a bounded SAMPLE
+    * (`fitSampleCap` vectors — centroid quality saturates long before 1M
+    * training points; fitting the full corpus would iterate over 100 TB
+    * ×maxIter). Centroids are driver-side small (nlist × dim) and
     * broadcast into the assignment join; the corpus is scanned once to
     * assign cells (in practice the assignment is precomputed and stored
     * alongside the embeddings — the cell column is just a partition key).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      k: Int, nlist: Int = 16, nprobe: Int = 4, fitSampleCap: Long = 1000000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
 
-    val train = corpus.select(
+    val total = corpus.count()
+    val trainSrc =
+      if (total > fitSampleCap)
+        corpus.sample(withReplacement = false, fitSampleCap.toDouble / total, seed = 42L)
+      else corpus
+    val train = trainSrc.select(
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10).fit(train)
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
       .toDF("cell", "centroid")
 
-    // squared euclidean to each centroid; nlist is small → broadcast cross
+    // squared euclidean via the codegen'd dot kernel:
+    // |v-c|² = v·v − 2·v·c + c·c ; nlist is small → broadcast cross
     def dist2(v: Column, c: Column): Column =
-      aggregate(zip_with(v, c, (x, y) => { val d = x.cast(DoubleType) - y; d * d }),
-        lit(0d), _ + _)
+      dot(v, v) - lit(2d) * dot(v, c) + dot(c, c)
     def assign(df: DataFrame, id: String, keep: Int): DataFrame = {
       val w = Window.partitionBy(id).orderBy(col("d2"), col("cell"))
       df.crossJoin(broadcast(centroids))
@@ -141,8 +199,9 @@ object Similarity {
     */
   def cosineNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int = 10): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshSignature(col(vecCol), bits).as("sig"))
+    val v = df.select(col(idCol), col(vecCol))
+      .join(lshSignatures(df, idCol, vecCol, bits), Seq(idCol))
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col("sig"))
     val l = v.select(col("sig"), col("id").as("id_a"), col("v").as("va"))
     val r = v.select(col("sig"), col("id").as("id_b"), col("v").as("vb"))
     l.join(r, Seq("sig"))

@@ -64,6 +64,38 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("native dot kernel: nulls on length mismatch, codegen'd in the plan") {
+    val odd = Seq(
+      (0L, Seq(1.0f, 2.0f), Seq(3.0f, 4.0f)),
+      (1L, Seq(1.0f, 2.0f), Seq(3.0f)) // length mismatch → null
+    ).toDF("id", "a", "b")
+    val rows = odd.select($"id", Similarity.dot($"a", $"b").as("d"))
+      .orderBy("id").collect()
+    assert(rows(0).getDouble(1) == 11.0)
+    assert(rows(1).isNullAt(1))
+    // the kernel must live inside a WholeStageCodegen span, not fall back
+    // (use a real scan — a local relation constant-folds to LocalTableScan)
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val plan = emb.select(Similarity.dot(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    // the `*(n)` prefix marks operators inside a WholeStageCodegen span
+    val dotLine = plan.linesIterator.find(_.contains("graft_dot")).get.trim
+    assert(dotLine.startsWith("*("), plan)
+  }
+
+  test("lshSignatures (scale shape) is bit-identical to the per-row formula") {
+    import org.apache.spark.sql.types._
+    val withEmpty = vecs.unionByName(
+      Seq((99L, Seq.empty[Float])).toDF("vec_id", "embedding"))
+    val perRow = withEmpty
+      .select($"vec_id", Similarity.lshSignature($"embedding", 8).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exploded = Similarity.lshSignatures(withEmpty, "vec_id", "embedding", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exploded == perRow)
+    assert(exploded(99L) == 0L) // empty vec: null-poisoned fold → 0, both shapes
+  }
+
   test("cosineNearDup finds the planted pair via LSH blocking") {
     val pairs = Similarity.cosineNearDup(vecs, "vec_id", "embedding",
       threshold = 0.99, bits = 4)
