@@ -116,28 +116,63 @@ object Dedup {
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
-  /** All unordered element pairs within each group: groupBy(keys) → sorted
-    * collect_set → combination expansion. One shuffle, and the grouped
-    * values are computed ONCE — a bucket self-join would recompute the
-    * upstream signature plan for each join side (only the bottom exchange
-    * is reusable) and shuffle it twice. Pair count is quadratic in bucket
-    * size by LSH design (buckets are small for non-degenerate inputs).
+  /** Default bucket-size cap for pair expansion — above it, a bucket emits
+    * star pairs instead of all pairs (see [[bucketPairs]]).
     */
-  private def bucketPairs(df: DataFrame, keys: Seq[String], payload: Column): DataFrame =
-    df.groupBy(keys.map(col): _*).agg(array_sort(collect_set(payload)).as("xs"))
+  val DefaultBucketCap = 256
+
+  /** Unordered candidate pairs within each group: groupBy(keys) → sorted
+    * collect_set → expansion. One shuffle, and the grouped values are
+    * computed ONCE — a bucket self-join would recompute the upstream
+    * signature plan for each join side (only the bottom exchange is
+    * reusable) and shuffle it twice.
+    *
+    * Degenerate-bucket guard: pair count is quadratic in bucket size by LSH
+    * design (buckets are small for non-honest inputs), but a hot bucket —
+    * e.g. millions of identical boilerplate docs sharing a signature —
+    * would expand quadratically inside ONE task. Buckets larger than `cap`
+    * therefore emit STAR pairs (every member paired with the bucket's
+    * minimum element, n−1 pairs) instead of all pairs. For
+    * connected-component dedup the star keeps exactly the same groups (all
+    * members stay transitively connected through the representative); the
+    * loss is only direct near-dup pairs between non-identical members of a
+    * hot bucket, and hot buckets are overwhelmingly identical content. No
+    * silent truncation: the number of capped buckets and the max bucket
+    * size are published as observed metrics (`capped_buckets`,
+    * `max_bucket_size` — pass an [[org.apache.spark.sql.Observation]] to
+    * read them after the action, e.g. to log or alert on cap hits).
+    */
+  private def bucketPairs(df: DataFrame, keys: Seq[String], payload: Column,
+      cap: Int, obs: Option[org.apache.spark.sql.Observation]): DataFrame = {
+    require(cap >= 2, s"bucket cap must be >= 2 (got $cap)")
+    val grouped0 = df.groupBy(keys.map(col): _*).agg(array_sort(collect_set(payload)).as("xs"))
       .filter(size(col("xs")) > 1)
-      .select(explode(flatten(transform(col("xs"), (a, i) =>
-        transform(slice(col("xs"), i + lit(2), size(col("xs"))),
-          b => struct(a.as("a"), b.as("b")))))).as("p"))
+    val capped = sum(when(size(col("xs")) > cap, 1L).otherwise(0L)).as("capped_buckets")
+    val maxSize = coalesce(max(size(col("xs"))), lit(0)).as("max_bucket_size")
+    val grouped = obs match {
+      case Some(o) => grouped0.observe(o, capped, maxSize)
+      case None => grouped0.observe(s"graft_bucket_stats_${keys.mkString("_")}", capped, maxSize)
+    }
+    val allPairs = flatten(transform(col("xs"), (a, i) =>
+      transform(slice(col("xs"), i + lit(2), size(col("xs"))),
+        b => struct(a.as("a"), b.as("b")))))
+    val starPairs = transform(slice(col("xs"), lit(2), size(col("xs")) - 1),
+      b => struct(element_at(col("xs"), 1).as("a"), b.as("b")))
+    grouped
+      .select(explode(when(size(col("xs")) <= cap, allPairs).otherwise(starPairs)).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
+  }
 
   /** Candidate near-duplicate pairs from LSH bucket co-membership
-    * (id_a < id_b, deduplicated across bands).
+    * (id_a < id_b, deduplicated across bands). `cap` bounds per-bucket
+    * expansion (see [[bucketPairs]]); pass `obs` to read the
+    * `capped_buckets` / `max_bucket_size` metrics after the action.
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 64, bands: Int = 16): DataFrame = {
+      k: Int = 64, bands: Int = 16, cap: Int = DefaultBucketCap,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val b = lshBuckets(df, idCol, textCol, k, bands)
-    bucketPairs(b, Seq("band", "bucket"), col("id"))
+    bucketPairs(b, Seq("band", "bucket"), col("id"), cap, obs)
       .select(col("a").as("id_a"), col("b").as("id_b"))
       .distinct()
   }
@@ -178,7 +213,19 @@ object Dedup {
     val dups = verifyJaccard(df, cands, idCol, textCol)
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-    val groups = graft.graph.GraphAnalytics.connectedComponents(df.sparkSession, dups)
+    // Docs with no tokens produce no shingles, hence no signature and no
+    // bucket — the MinHash path alone would never group them even though
+    // they are exact duplicates of one another. Pair every empty doc with
+    // the minimum empty id (star — CC-equivalent to the full clique).
+    val empties = df
+      .filter(coalesce(col(textCol), lit("")).rlike("^ *$"))
+      .select(col(idCol).cast("long").as("eid"))
+    val emptyDups = empties
+      .crossJoin(broadcast(empties.agg(min(col("eid")).as("emin"))))
+      .filter(col("eid") =!= col("emin"))
+      .select(col("emin").as("src"), col("eid").as("dst"))
+    val groups = graft.graph.GraphAnalytics.connectedComponents(
+      df.sparkSession, dups.unionByName(emptyDups))
     val losers = groups
       .filter(col("node") =!= col("component")) // component id = min member id
       .select(col("node").as("__loser"))
@@ -245,7 +292,8 @@ object Dedup {
       .withColumn("block", shiftrightunsigned(col("sig"), 64 - blockBits))
     // One block per doc → a given (id_a, id_b) pair can only arise once;
     // no cross-band dedup needed (unlike MinHash banding).
-    bucketPairs(withSig, Seq("block"), struct(col("id"), col("sig")))
+    bucketPairs(withSig, Seq("block"), struct(col("id"), col("sig")),
+      DefaultBucketCap, None)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming(col("a.sig"), col("b.sig")).as("hamming"))
       .filter(col("hamming") <= maxHamming)

@@ -42,6 +42,39 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("integral id"))
   }
 
+  test("degenerate hot bucket: 10k identical docs cap to star pairs, still collapse") {
+    import org.apache.spark.sql.Observation
+    // 10k identical docs + the normal corpus: without the cap, one bucket
+    // expands ~50M pairs inside a single task; with it, the bucket emits
+    // n-1 star pairs and reports the cap hit via observed metrics
+    val flood = spark.range(1000L, 11000L)
+      .select(col("id").as("doc_id"), lit("boilerplate disclaimer text repeated verbatim in every scraped page footer").as("text"))
+    val corpus = docs.unionByName(flood)
+    val obs = Observation("dedup_cap")
+    val cands = Dedup.minhashCandidates(corpus, "doc_id", "text", obs = Some(obs))
+    val candCount = cands.count()
+    val metrics = obs.get
+    assert(metrics("capped_buckets").asInstanceOf[Long] >= 1L, metrics.toString)
+    assert(metrics("max_bucket_size").asInstanceOf[Int] == 10000, metrics.toString)
+    // star expansion: the flood contributes ~9999 pairs per band, not ~50M
+    assert(candCount < 100000, s"candidate count $candCount suggests quadratic expansion")
+    // end to end: every flood doc collapses into one survivor
+    val out = Dedup.dedupByMinhash(corpus, "doc_id", "text", jaccardThreshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.count(_ >= 1000L) == 1, "flood must collapse to exactly one survivor")
+    assert(out.intersect(Set(1L, 4L, 5L)) == Set(1L, 4L, 5L))
+  }
+
+  test("empty/whitespace docs are grouped as exact duplicates of each other") {
+    val withEmpties = docs.unionByName(Seq(
+      (10L, ""), (11L, "   "), (12L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text"))
+    val out = Dedup.dedupByMinhash(withEmpties, "doc_id", "text", jaccardThreshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the three token-less docs collapse to min id 10; rest unchanged
+    assert(out == Set(1L, 4L, 5L, 10L))
+  }
+
   test("verifyJaccard: exact dup has jaccard 1.0; near dup is high; ") {
     val cands = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
     val j = Dedup.verifyJaccard(docs, cands, "doc_id", "text")
