@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy, VertexId}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -15,28 +15,36 @@ import org.apache.spark.storage.StorageLevel
   * vertex ids (e.g. part ids offset by 10^9) before handing them in. Results
   * come back as DataFrames so the rest of the engine stays declarative.
   *
-  * Scale note: GraphX partitions edges via `partitionBy(EdgePartition2D)`
-  * on a real cluster; at 100 TB the bipartite projections built from fact
-  * tables should be pre-deduplicated (the builders do) so edge multiplicity
-  * never inflates the RDD.
+  * Scale note: every entry point takes `edgePartitions` — when set, edges
+  * are re-partitioned with `EdgePartition2D` (√n×√n vertex-block grid, the
+  * strategy that bounds replication at 2·√numParts per vertex) before
+  * iterating; the right setting on a real cluster is ≈ the executor-core
+  * count. Left `None` locally: measured twice at local[8]/local[32], the
+  * re-partition pass cost more than it saved at sf0.1. At 100 TB the
+  * bipartite projections built from fact tables should also be
+  * pre-deduplicated (the builders do) so edge multiplicity never inflates
+  * the RDD.
   */
 object GraphAnalytics {
 
-  private def toGraph(edges: DataFrame, undirected: Boolean): Graph[Int, Int] = {
+  private[graph] def toGraph(edges: DataFrame, undirected: Boolean,
+      edgePartitions: Option[Int] = None): Graph[Int, Int] = {
     val edgeRDD = edges.select("src", "dst").rdd.flatMap { r =>
       val e = Edge(r.getLong(0), r.getLong(1), 1)
       if (undirected) Iterator(e, Edge(r.getLong(1), r.getLong(0), 1)) else Iterator(e)
     }
-    Graph.fromEdges(edgeRDD, 0, StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+    val g = Graph.fromEdges(edgeRDD, 0, StorageLevel.MEMORY_AND_DISK, StorageLevel.MEMORY_AND_DISK)
+    edgePartitions.fold(g)(n => g.partitionBy(PartitionStrategy.EdgePartition2D, n))
   }
 
   /** Connected components (Pregel min-label propagation). Output:
     * (node: Long, component: Long) where component = min vertex id in the
     * component — deterministic.
     */
-  def connectedComponents(spark: SparkSession, edges: DataFrame): DataFrame = {
+  def connectedComponents(spark: SparkSession, edges: DataFrame,
+      edgePartitions: Option[Int] = None): DataFrame = {
     import spark.implicits._
-    toGraph(edges, undirected = true)
+    toGraph(edges, undirected = true, edgePartitions)
       .connectedComponents()
       .vertices
       .map { case (id, comp) => (id, comp) }
@@ -46,9 +54,10 @@ object GraphAnalytics {
   /** BFS hop distance from `source`, bounded at `maxDepth` hops (Pregel).
     * Output: (node: Long, dist: Int) for reached nodes only.
     */
-  def bfs(spark: SparkSession, edges: DataFrame, source: Long, maxDepth: Int): DataFrame = {
+  def bfs(spark: SparkSession, edges: DataFrame, source: Long, maxDepth: Int,
+      edgePartitions: Option[Int] = None): DataFrame = {
     import spark.implicits._
-    val g = toGraph(edges, undirected = true)
+    val g = toGraph(edges, undirected = true, edgePartitions)
       .mapVertices((id, _) => if (id == source) 0 else Int.MaxValue)
     val res = g.pregel(Int.MaxValue, maxIterations = maxDepth)(
       (_, d, nd) => math.min(d, nd),
@@ -64,9 +73,10 @@ object GraphAnalytics {
   }
 
   /** PageRank (bench-only — float-iterative, not oracle-hashable). */
-  def pageRank(spark: SparkSession, edges: DataFrame, iters: Int = 10): DataFrame = {
+  def pageRank(spark: SparkSession, edges: DataFrame, iters: Int = 10,
+      edgePartitions: Option[Int] = None): DataFrame = {
     import spark.implicits._
-    toGraph(edges, undirected = false)
+    toGraph(edges, undirected = false, edgePartitions)
       .staticPageRank(iters)
       .vertices
       .map { case (id, pr) => (id, pr) }

@@ -59,24 +59,77 @@ object Modeler {
   def nodeKey(t: TableDef): String =
     t.primaryKeys.headOption.getOrElse(t.columns.head.name)
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.model.Modeler")
+
+  /** A PK name specific enough to identify an entity across tables —
+    * generic names (`id`, `key`, …) would merge unrelated tables.
+    */
+  private def isEntityKey(pk: String): Boolean =
+    !Set("id", "key", "pk", "rowid", "uid").contains(pk.toLowerCase)
+
+  /** Entity tables sharing the same single-column PK name AND declared type
+    * describe one entity split across tables (the reference's LLM merges
+    * these into one node with `tables: [a, b]`, exercised by
+    * final/inject_node.py:390-403's multi-table outer merge). Returns the
+    * merge groups, ≥2 tables each, in catalog order.
+    */
+  def mergeGroups(entities: Seq[TableDef]): Seq[Seq[TableDef]] =
+    entities
+      .filter(t => t.primaryKeys.size == 1 && isEntityKey(t.primaryKeys.head))
+      .groupBy(t => (t.primaryKeys.head,
+        t.columns.find(_.name == t.primaryKeys.head).map(_.sqlType.toUpperCase).getOrElse("")))
+      .values.filter(_.size >= 2).toSeq
+      .sortBy(_.head.name)
+
   def model(catalog: RelationalCatalog): GraphSchema = {
     val (junctions, entities) = catalog.tables.partition(isJunction)
-    val nodeByTable: Map[String, NodeType] = entities.map { t =>
-      val key = nodeKey(t)
-      t.name -> NodeType(
-        name = nodeName(t.name),
+
+    val groups = mergeGroups(entities)
+    val groupedTables: Set[String] = groups.flatten.map(_.name).toSet
+    val mergedNodes: Map[String, NodeType] = groups.flatMap { g =>
+      val key = g.head.primaryKeys.head
+      // name from the shared key (customer_id → Customer): the key is the
+      // entity's identity; no member table name is privileged
+      val merged = NodeType(
+        name = stripIdSuffix(key).capitalize,
         key = key,
-        properties = t.columns.map(_.name).filterNot(_ == key),
-        tables = Seq(t.name),
-        // a declared single-column PK proves uniqueness → builder skips
-        // the dedup shuffle
-        keyUnique = t.primaryKeys.size == 1)
+        properties = g.flatMap(_.columns.map(_.name)).distinct.filterNot(_ == key),
+        tables = g.map(_.name),
+        // each member's PK is unique but the outer merge can still pad —
+        // multi-table nodes always go through the builder's dedup
+        keyUnique = false)
+      g.map(t => t.name -> merged)
     }.toMap
+
+    val nodeByTable: Map[String, NodeType] = mergedNodes ++
+      entities.filterNot(t => groupedTables(t.name)).map { t =>
+        val key = nodeKey(t)
+        t.name -> NodeType(
+          name = nodeName(t.name),
+          key = key,
+          properties = t.columns.map(_.name).filterNot(_ == key),
+          tables = Seq(t.name),
+          // a declared single-column PK proves uniqueness → builder skips
+          // the dedup shuffle
+          keyUnique = t.primaryKeys.size == 1)
+      }.toMap
 
     val fkEdges = entities.flatMap { t =>
       t.foreignKeys.flatMap { fk =>
-        nodeByTable.get(fk.table).map { target =>
-          EdgeType(
+        nodeByTable.get(fk.table).flatMap { target =>
+          // a same-group FK ON THE SHARED KEY (one merge member referencing
+          // another) is the merge join itself, not an edge; genuine
+          // self-references on other columns (manager_id → staffs) stay
+          if ((target eq nodeByTable(t.name)) && fk.from == target.key) None
+          // an FK declared against a non-key unique column (legal in
+          // SQLite) cannot join the target's node key — emitting the edge
+          // would validate against the wrong column and silently drop
+          // every row, so skip it loudly instead (ADVICE r1)
+          else if (fk.to.nonEmpty && fk.to != target.key) {
+            log.warn(s"skipping FK edge ${t.name}.${fk.from} -> ${fk.table}.${fk.to}: " +
+              s"references non-key column (node ${target.name} is keyed by ${target.key})")
+            None
+          } else Some(EdgeType(
             label = s"${t.name.toUpperCase}_HAS_${stripIdSuffix(fk.from).toUpperCase}",
             src = nodeByTable(t.name).name,
             dst = target.name,
@@ -85,7 +138,7 @@ object Modeler {
             properties = Nil,
             table = t.name,
             // keyS is the row PK → one edge per row, pairs unique
-            pairsUnique = t.primaryKeys.size == 1)
+            pairsUnique = t.primaryKeys.size == 1))
         }
       }
     }
@@ -109,7 +162,8 @@ object Modeler {
       }
     }
 
-    GraphSchema(nodeByTable.values.toSeq.sortBy(_.name), (fkEdges ++ junctionEdges).sortBy(_.label))
+    GraphSchema(nodeByTable.values.toSeq.distinct.sortBy(_.name),
+      (fkEdges ++ junctionEdges).sortBy(_.label))
   }
 
   /** Schema-graph JSON for interactive visualization — `{nodes, edges}` in

@@ -30,6 +30,60 @@ class GraphBuilderSpec extends SparkSpec {
     assert(out(0).isNullAt(2))
   }
 
+  test("modeler-driven multi-table node: same PK name+type merges via J1 path") {
+    import graft.model.{ColumnDef, ForeignKey, RelationalCatalog, TableDef}
+    import graft.model.Modeler
+    // users + user_profiles share single PK user_id INTEGER → one User node
+    val cat = RelationalCatalog(Seq(
+      TableDef("users",
+        Seq(ColumnDef("user_id", "INTEGER"), ColumnDef("name", "TEXT")),
+        primaryKeys = Seq("user_id")),
+      TableDef("user_profiles",
+        Seq(ColumnDef("user_id", "INTEGER"), ColumnDef("bio", "TEXT")),
+        primaryKeys = Seq("user_id")),
+      TableDef("events",
+        Seq(ColumnDef("event_id", "INTEGER"), ColumnDef("user_id", "INTEGER")),
+        primaryKeys = Seq("event_id"),
+        foreignKeys = Seq(ForeignKey("user_id", "users", "user_id")))))
+    val schema = Modeler.model(cat)
+    val user = schema.node("User")
+    assert(user.tables == Seq("users", "user_profiles"))
+    assert(user.key == "user_id")
+    assert(user.properties.toSet == Set("name", "bio"))
+    assert(!schema.nodes.exists(n => n.name == "User_profile"))
+    // FK from events resolves to the MERGED node
+    assert(schema.edge("EVENTS_HAS_USER").dst == "User")
+    // build: outer merge + null padding across the two member tables
+    val users = Seq((1L, "ann"), (2L, "bo")).toDF("user_id", "name")
+    val profiles = Seq((2L, "likes spark"), (3L, "likes ducks")).toDF("user_id", "bio")
+    val events = Seq((10L, 1L)).toDF("event_id", "user_id")
+    val store = GraphBuilder.buildAll(
+      tables(Map("users" -> users, "user_profiles" -> profiles, "events" -> events)), schema)
+    val rows = store.nodes("User").orderBy("user_id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows(0).getString(1) == "ann" && rows(0).isNullAt(2)) // no profile
+    assert(rows(1).getString(1) == "bo" && rows(1).getString(2) == "likes spark")
+    assert(rows(2).isNullAt(1) && rows(2).getString(2) == "likes ducks") // profile-only
+  }
+
+  test("modeler skips FK edges declared against a non-key target column") {
+    import graft.model.{ColumnDef, ForeignKey, RelationalCatalog, TableDef}
+    import graft.model.Modeler
+    // orders references customers.email (UNIQUE but not the PK): joining it
+    // against customer_id would silently drop every edge — skip instead
+    val cat = RelationalCatalog(Seq(
+      TableDef("customers",
+        Seq(ColumnDef("customer_id", "INTEGER"), ColumnDef("email", "TEXT")),
+        primaryKeys = Seq("customer_id")),
+      TableDef("orders",
+        Seq(ColumnDef("order_id", "INTEGER"), ColumnDef("cust_email", "TEXT")),
+        primaryKeys = Seq("order_id"),
+        foreignKeys = Seq(ForeignKey("cust_email", "customers", "email")))))
+    val schema = Modeler.model(cat)
+    assert(schema.nodes.map(_.name).toSet == Set("Customer", "Order"))
+    assert(schema.edges.isEmpty, schema.edges.map(_.label).mkString(","))
+  }
+
   test("node build: last-wins dedup is deterministic and drops null keys") {
     val t = Seq(
       (Some(1L), "x", 5L), (Some(1L), "y", 9L), // dup key: max-prop row wins

@@ -59,6 +59,14 @@ class SakilaSpec extends SparkSpec {
     assert(schema.nodes.exists(_.name == "Payment"))
     assert(schema.nodes.exists(_.name == "Rental"))
     assert(!schema.nodes.exists(_.name == "Film_actor"))
+    // film + film_text share PK film_id (same declared type) → ONE Film
+    // node sourced from both tables (the reference's LLM merges split
+    // entities the same way, final/inject_node.py:390-403)
+    val film = schema.node("Film")
+    assert(film.tables == Seq("film", "film_text"))
+    assert(!schema.nodes.exists(_.name == "Film_text"))
+    assert(film.properties.contains("language_id")) // from film
+    assert(film.key == "film_id")
     // every label unique
     val labels = schema.edges.map(_.label)
     assert(labels.distinct.size == labels.size)
@@ -70,9 +78,10 @@ class SakilaSpec extends SparkSpec {
     val (loaded, _) = Csv.loadCatalog(spark, dir, catalog)
     val schema = Modeler.model(catalog)
     val store = GraphBuilder.buildAll(loaded(_), schema)
-    // every node store non-empty (film_text ships header-only in the
-    // fixture — its trigger-populated rows never made the export)
-    schema.nodes.filterNot(_.tables == Seq("film_text")).foreach { nt =>
+    // every node store non-empty — including the merged Film node, whose
+    // film_text member ships header-only in the fixture (outer merge keeps
+    // the film rows and null-pads the missing film_text columns)
+    schema.nodes.foreach { nt =>
       assert(store.nodes(nt.name).limit(1).count() == 1, s"empty node store ${nt.name}")
     }
     // actors per category via the two junction edges through Film
