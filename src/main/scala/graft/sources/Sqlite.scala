@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.file.{Files, Paths}
 
+import scala.util.control.NonFatal
+
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
@@ -262,11 +264,24 @@ object Sqlite {
           if t == "table" && !name.startsWith("sqlite_") =>
         (name, rootpage.toInt, sql)
     }.toSeq
-    val defs = master.map { case (_, _, sql) => parseCreateTable(sql) }
-    val catalog = RelationalCatalog(defs)
+    // CREATE VIRTUAL TABLE rows are type='table' in sqlite_master but have
+    // no b-tree of their own (rootpage 0) and module-specific DDL —
+    // walking rootpage 0 would compute a negative page offset, and
+    // parseCreateTable would mis-read the module args as columns. Skip
+    // them up front with a reason (their real shadow tables still read).
+    val (virtualTables, realTables) = master.partition { case (_, rootpage, sql) =>
+      rootpage < 1 ||
+        sql.replaceAll("\\s+", " ").trim.toUpperCase.startsWith("CREATE VIRTUAL TABLE")
+    }
+    // DDL parsing is per-table fallible too — one exotic CREATE TABLE must
+    // not sink the whole upload (same contract as the page-walk below)
+    val parsed = realTables.map { case (name, rootpage, sql) =>
+      try Right((name, rootpage, parseCreateTable(sql)))
+      catch { case NonFatal(e) => Left(name -> s"DDL parse failed: $e") }
+    }
+    val catalog = RelationalCatalog(parsed.collect { case Right((_, _, td)) => td })
 
-    val attempts = master.map { case (name, rootpage, _) =>
-      val td = catalog.table(name)
+    val attempts = parsed.collect { case Right((name, rootpage, td)) =>
       val rowidAlias: Option[Int] = td.columns.zipWithIndex.collectFirst {
         case (c, i) if td.primaryKeys == Seq(c.name) &&
           c.sqlType.toUpperCase.trim == "INTEGER" => i
@@ -313,11 +328,18 @@ object Sqlite {
         Right(name -> spark.createDataFrame(
           spark.sparkContext.parallelize(rows, math.max(1, rows.size / 50000)), schema))
       } catch {
-        case e: IllegalArgumentException => Left(name -> e.getMessage)
+        // NonFatal, not just IllegalArgumentException: corrupt pages can
+        // surface as ArrayIndexOutOfBounds etc. — degrade to a skipped
+        // table, never a failed upload
+        case NonFatal(e) => Left(name -> e.toString)
       }
     }
     Database(catalog,
       attempts.collect { case Right(t) => t }.toMap,
-      attempts.collect { case Left(s) => s }.toMap)
+      attempts.collect { case Left(s) => s }.toMap ++
+        parsed.collect { case Left(s) => s }.toMap ++
+        virtualTables.map { case (name, _, _) =>
+          name -> "virtual table (no b-tree payload; shadow tables read separately)"
+        }.toMap)
   }
 }

@@ -84,11 +84,24 @@ object Streams {
         upsertBatch(spark, batch, storePath, keyCol)
       }
 
-  /** One idempotent last-wins merge of `batch` into the store. */
+  /** One idempotent last-wins merge of `batch` into the store.
+    *
+    * Failure posture (r1 ADVICE): only a genuinely MISSING store path is
+    * treated as "first batch" — any other read error (corruption,
+    * transient FS failure) propagates instead of silently discarding all
+    * previously upserted rows. The swap keeps the previous generation at
+    * `<store>__old` until the new one is in place: a crash mid-swap
+    * leaves either the old store at the path, or the old store at
+    * `__old` (restored automatically on the next call) — never nothing.
+    */
   def upsertBatch(spark: SparkSession, batch: DataFrame, storePath: String, keyCol: String): Unit = {
-    val existing =
-      try Some(spark.read.parquet(storePath))
-      catch { case _: Exception => None }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(storePath), spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(storePath)
+    val old = new org.apache.hadoop.fs.Path(storePath + "__old")
+    // self-heal a crash that happened between the two renames below
+    if (!fs.exists(dst) && fs.exists(old)) fs.rename(old, dst)
+    val existing = if (fs.exists(dst)) Some(spark.read.parquet(storePath)) else None
     val all = existing match {
       case Some(e) => e.unionByName(batch, allowMissingColumns = true)
       case None => batch
@@ -99,12 +112,11 @@ object Streams {
       .filter(col("__rn") === 1)
       .drop("__rn")
     // write to a temp dir then swap — the source may be the store itself
-    val tmp = storePath + "__tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(storePath)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val tmp = new org.apache.hadoop.fs.Path(storePath + "__tmp")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(old, true) // leftover from a prior completed swap
+    if (fs.exists(dst)) fs.rename(dst, old)
+    fs.rename(tmp, dst)
+    fs.delete(old, true)
   }
 }

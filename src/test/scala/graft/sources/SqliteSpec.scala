@@ -86,6 +86,20 @@ class SqliteSpec extends SparkSpec {
     assert(db.skipped("norowid").contains("WITHOUT ROWID"))
   }
 
+  test("virtual tables are skipped with a reason; the rest of the db reads") {
+    // fts5 virtual table: type='table' in sqlite_master with rootpage 0 —
+    // walking it would compute a negative page offset, and its DDL has no
+    // column list. It must degrade to a skipped entry, not sink the upload.
+    val db = Sqlite.read(spark, "src/test/resources/virtual.sqlite")
+    assert(!db.tables.contains("ft"))
+    assert(db.skipped("ft").contains("virtual table"))
+    val plain = db.tables("plain").orderBy("id").collect()
+    assert(plain.map(_.getString(1)).toSeq == Seq("hello world", "spark engine"))
+    // fts5's real shadow tables still read (or skip individually) without
+    // affecting plain tables
+    assert(db.tables.contains("ft_config") || db.skipped.contains("ft_config"))
+  }
+
   test("sales_master database reads and models too") {
     val sales = Sqlite.read(spark, "/root/reference/final/sales_master.sqlite")
     assert(sales.tables.keySet == Set(

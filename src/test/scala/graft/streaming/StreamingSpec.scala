@@ -120,4 +120,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.getAs[String]("event_type") == "upgrade")
     assert(rows(1).getAs[String]("event_type") == "view")
   }
+
+  test("T7 upsert swap: crash state self-heals and read errors propagate") {
+    import spark.implicits._
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def batch(rows: (Long, String, Timestamp, Double)*) =
+      rows.toDF("user_id", "event_type", "ts", "value")
+
+    // simulate a crash between the two swap renames: the store sits at
+    // __old and the path itself is missing — the next upsert must restore
+    // it and merge, not start from scratch
+    val store = Files.createTempDirectory("graft_heal").toString + "/nodes"
+    Streams.upsertBatch(spark, batch((1L, "click", ts(0), 1.0)), store, "user_id")
+    fs.rename(new org.apache.hadoop.fs.Path(store),
+      new org.apache.hadoop.fs.Path(store + "__old"))
+    Streams.upsertBatch(spark, batch((2L, "view", ts(1), 2.0)), store, "user_id")
+    val healed = spark.read.parquet(store).orderBy("user_id").collect()
+    assert(healed.length == 2, "pre-crash rows must survive the healed swap")
+
+    // a store path that EXISTS but fails to read must throw — treating it
+    // as 'first batch' would silently discard all previously upserted rows
+    val broken = Files.createTempDirectory("graft_broken").toString + "/nodes"
+    Files.createDirectories(java.nio.file.Paths.get(broken))
+    Files.write(java.nio.file.Paths.get(broken, "part-00000.parquet"),
+      "not a parquet file".getBytes)
+    assertThrows[Exception](
+      Streams.upsertBatch(spark, batch((3L, "click", ts(2), 3.0)), broken, "user_id"))
+  }
 }
