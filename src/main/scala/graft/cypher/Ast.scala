@@ -35,6 +35,11 @@ object Ast {
     * final/langraph_neo4j3.py:359-363 executes parameterized probes)
     */
   final case class Param(name: String) extends Expr
+  /** `exists((a)-[:R]->(b))` pattern predicate — true when the pattern has
+    * at least one match from the bound row. Only valid as a top-level AND
+    * conjunct of a WHERE (possibly under NOT).
+    */
+  final case class PatternPred(path: PathPat) extends Expr
   /** generic `CASE WHEN c THEN r ... ELSE d END` or simple
     * `CASE subj WHEN v THEN r ... END`
     */
@@ -94,7 +99,14 @@ object Ast {
       where: Option[Expr],
       projection: Option[Projection])
 
-  final case class Query(stages: Seq[Stage], ret: Projection) {
+  /** `union`: an optional `UNION [ALL]` continuation — the chained query's
+    * own `union` continues the chain. Branch outputs must be union-compatible
+    * by column name; a trailing ORDER BY/SKIP/LIMIT on the LAST branch
+    * applies to the whole union (Neo4j disallows branch-level ORDER BY, so
+    * the trailing one is unambiguous).
+    */
+  final case class Query(stages: Seq[Stage], ret: Projection,
+      union: Option[(Boolean, Query)] = None) {
     def patterns: Seq[PathPat] =
       stages.flatMap(_.reads.collect { case MatchClause(paths, false) => paths }.flatten)
     def where: Option[Expr] = stages.headOption.flatMap(_.where)

@@ -334,6 +334,7 @@ final case class CypherEngine(store: GraphStore) {
       case ListLit(xs) => ListLit(xs.map(go))
       case CaseExpr(s, bs, d) =>
         CaseExpr(s.map(go), bs.map { case (c, r) => (go(c), go(r)) }, d.map(go))
+      case PatternPred(p) => PatternPred(goPath(p))
       case other => other // Prop / Var / Lit
     }
     def goNode(n: NodePat) = n.copy(props = n.props.map { case (k, v) => (k, go(v)) })
@@ -354,7 +355,8 @@ final case class CypherEngine(store: GraphStore) {
           st.where.map(go),
           st.projection.map(goProj))
       },
-      goProj(q.ret))
+      goProj(q.ret),
+      q.union.map { case (all, next) => (all, bindParams(next, params)) })
   }
 
   private def literal(e: Expr): Column = e match {
@@ -398,6 +400,9 @@ final case class CypherEngine(store: GraphStore) {
       case ListLit(xs) => array(xs.map(c): _*)
       case Param(n) => throw CypherException(
         s"unbound parameter $$$n — pass params to run(query, params)")
+      case PatternPred(_) => throw CypherException(
+        "pattern predicates (exists((a)-[]->(b))) are only supported as " +
+          "top-level AND conditions of a WHERE clause")
       case Fn("count", Seq(Var(v)), _) if ctx.rels.contains(v) =>
         count(lit(1)) // count(r): a rel var has no value column; count rows
       case Fn(name, args, distinct) => function(name, args.map(c), distinct, args, ctx)
@@ -470,6 +475,7 @@ final case class CypherEngine(store: GraphStore) {
     case "year" => year(args.head)
     case "month" => month(args.head)
     case "day" => dayofmonth(args.head)
+    case "exists" => args.head.isNotNull // legacy property-existence form
     case "trim" => trim(args.head)
     case "substring" => // Cypher substring(s, start[, len]) is 0-based
       if (args.size == 3) args.head.substr(args(1) + lit(1), args(2))
@@ -502,6 +508,7 @@ final case class CypherEngine(store: GraphStore) {
     case In(x, coll) => s"${genName(x)} IN ${genName(coll)}"
     case ListLit(xs) => s"[${xs.map(genName).mkString(", ")}]"
     case Param(n) => s"$$$n"
+    case PatternPred(_) => "exists(pattern)"
     case CaseExpr(s, bs, d) =>
       "CASE " + s.map(x => genName(x) + " ").getOrElse("") +
         bs.map { case (c, r) => s"WHEN ${genName(c)} THEN ${genName(r)}" }.mkString(" ") +
@@ -568,7 +575,91 @@ final case class CypherEngine(store: GraphStore) {
 
   // ------------------------------------------------------------------ main
 
-  def compile(q: Query): DataFrame = {
+  /** Compile, including any `UNION [ALL]` chain: branches compile
+    * independently and combine by column name; Cypher's bare UNION
+    * deduplicates. A trailing ORDER BY/SKIP/LIMIT on the last branch
+    * applies to the whole union and must reference output columns.
+    */
+  def compile(q: Query): DataFrame = q.union match {
+    case None => compileSingle(q)
+    case Some(_) =>
+      var branches = Seq.empty[Query]
+      var flags = Seq.empty[Boolean]
+      var cur: Option[Query] = Some(q)
+      while (cur.isDefined) {
+        branches :+= cur.get
+        cur.get.union.foreach { case (all, _) => flags :+= all }
+        cur = cur.get.union.map(_._2)
+      }
+      if (flags.distinct.size > 1)
+        throw CypherException("cannot mix UNION and UNION ALL in one query")
+      val all = flags.head
+      val last = branches.last
+      val lastStripped =
+        last.copy(ret = last.ret.copy(orderBy = Nil, skip = None, limit = None))
+      var out = (branches.init :+ lastStripped).map(compileSingle).reduce(_.unionByName(_))
+      if (!all) out = out.distinct()
+      def outName(i: Item): String = i.alias.getOrElse(genName(i.expr))
+      def outCol(name: String) = col(s"`${name.replace("`", "``")}`")
+      val byOutput: Map[Expr, String] = last.ret.items.map(i => i.expr -> outName(i)).toMap
+      val names = last.ret.items.map(outName).toSet
+      if (last.ret.orderBy.nonEmpty) {
+        val sorts = last.ret.orderBy.map { s =>
+          val c = byOutput.get(s.expr).map(outCol).getOrElse(s.expr match {
+            case Var(v) if names(v) => outCol(v)
+            case _ => throw CypherException(
+              "ORDER BY after UNION must reference output columns")
+          })
+          if (s.asc) c.asc else c.desc
+        }
+        out = out.orderBy(sorts: _*)
+      }
+      last.ret.skip.foreach(n => out = out.offset(n.toInt))
+      last.ret.limit.foreach(n => out = out.limit(n.toInt))
+      out
+  }
+
+  /** Predicate split: pattern predicates must be top-level AND conjuncts
+    * (optionally under NOT) — they compile to semi/anti joins, not Columns.
+    */
+  private def splitWhere(w: Expr): (Seq[(PathPat, Boolean)], Seq[Expr]) = {
+    def conjuncts(e: Expr): Seq[Expr] = e match {
+      case Bin("and", l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val pats = Seq.newBuilder[(PathPat, Boolean)]
+    val plain = Seq.newBuilder[Expr]
+    conjuncts(w).foreach {
+      case PatternPred(p) => pats += ((p, false))
+      case Not(PatternPred(p)) => pats += ((p, true))
+      case other => plain += other // nested PatternPred → clear error in column()
+    }
+    (pats.result(), plain.result())
+  }
+
+  /** `exists((a)-[:R]->(b))` → LEFT SEMI join of the bound frame against
+    * the independently assembled sub-pattern on the shared variables' node
+    * keys (anti for the negation). The sub-pattern never widens the row —
+    * Cypher existence semantics, and at scale the semi join keeps only the
+    * key columns of the subquery side moving.
+    */
+  private def applyPatternPred(main: DataFrame, ctx: Ctx, path: PathPat,
+      negated: Boolean): DataFrame = {
+    val patVars = (path.head.variable.toSeq ++ path.hops.flatMap(_._2.variable)).toSet
+    val shared = patVars.filter(ctx.labels.contains)
+    if (shared.isEmpty)
+      throw CypherException(
+        "exists() pattern must share at least one variable with the enclosing MATCH")
+    val (sub, subCtx) = assemble(Seq(path), ctx.labels.view.filterKeys(shared).toMap)
+    def keyColOf(v: String, c: Ctx): String = s"${v}__${store.schema.node(c.labels(v)).key}"
+    val sfx = "__ex"
+    val subR = sub.columns.foldLeft(sub)((d, c) => d.withColumnRenamed(c, c + sfx))
+    val cond = shared.map(v => col(keyColOf(v, ctx)) === col(keyColOf(v, subCtx) + sfx))
+      .reduce(_ && _)
+    main.join(subR, cond, if (negated) "left_anti" else "left_semi")
+  }
+
+  private def compileSingle(q: Query): DataFrame = {
     var state: Option[(DataFrame, Ctx)] = None
     q.stages.foreach { st =>
       // reading clauses apply in written order: MATCH extends the frame by
@@ -596,7 +687,13 @@ final case class CypherEngine(store: GraphStore) {
       if (state.isEmpty)
         throw CypherException("query must start with a MATCH pattern or UNWIND")
       var (df, ctx) = state.get
-      st.where.foreach(w => df = df.filter(column(w, ctx)))
+      st.where.foreach { w =>
+        val (patternPreds, plain) = splitWhere(w)
+        patternPreds.foreach { case (p, negated) =>
+          df = applyPatternPred(df, ctx, p, negated)
+        }
+        plain.foreach(p => df = df.filter(column(p, ctx)))
+      }
       st.projection.foreach { p =>
         val (d2, c2) = project(df, p, ctx)
         df = d2; ctx = c2

@@ -152,7 +152,10 @@ object Parser {
           ret = projection(allowWhere = false)
         }
       }
-      peek match {
+      if (tryKw("UNION")) {
+        val all = tryKw("ALL")
+        Query(stages, ret, Some((all, query()))) // recursion consumes to EOF
+      } else peek match {
         case EOF => Query(stages, ret)
         case t => throw ParseException(s"trailing input: $t")
       }
@@ -389,6 +392,12 @@ object Parser {
         if (!isSym("]")) { b += expr(); while (trySym(",")) b += expr() }
         eatSym("]")
         ListLit(b.result())
+      case Ident(s) if s.equalsIgnoreCase("exists") && isSym("(") =>
+        // exists((a)-[:R]->(b)) → pattern predicate;
+        // exists(x.prop) → property-existence (IS NOT NULL)
+        eatSym("(")
+        if (isSym("(")) { val p = pathPattern(); eatSym(")"); PatternPred(p) }
+        else { val e = expr(); eatSym(")"); Fn("exists", Seq(e)) }
       case Ident(s) if s.equalsIgnoreCase("case") => caseExpr()
       case Ident(s) if s.equalsIgnoreCase("null") => Lit(null)
       case Ident(s) if s.equalsIgnoreCase("true") => Lit(true)

@@ -67,7 +67,27 @@ object CypherQueries {
       """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
          WHERE n.n_name = $nation AND c.c_acctbal >= $minbal
          RETURN count(c) AS cnt""",
-      Map("nation" -> "NATION_7", "minbal" -> 0L))
+      Map("nation" -> "NATION_7", "minbal" -> 0L)),
+    // UNION of two full queries (deduplicating; trailing ORDER BY applies
+    // to the whole union)
+    "q69_cypher_union" -> cy(
+      """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+         WHERE n.n_name = 'NATION_3' RETURN c.c_name AS name
+         UNION
+         MATCH (s:Supplier)-[:SUPP_IN_NATION]->(n:Nation)
+         WHERE n.n_name = 'NATION_3' RETURN s.s_name AS name
+         ORDER BY name"""),
+    // pattern predicate → semi join
+    "q70_cypher_exists" -> cy(
+      """MATCH (c:Customer)
+         WHERE exists((c)<-[:PLACED_BY]-(o:Order {o_orderstatus: 'F'}))
+           AND c.c_acctbal > 0
+         RETURN count(c) AS cnt"""),
+    // negated pattern predicate → anti join
+    "q71_cypher_not_exists" -> cy(
+      """MATCH (c:Customer)
+         WHERE NOT exists((c)<-[:PLACED_BY]-(o:Order))
+         RETURN count(c) AS cnt""")
   )
 
   val oracle: Map[String, String] = Map(
@@ -113,6 +133,21 @@ object CypherQueries {
     "q68_cypher_param" ->
       """SELECT count(*) AS cnt
          FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-         WHERE n.n_name = 'NATION_7' AND c.c_acctbal >= 0"""
+         WHERE n.n_name = 'NATION_7' AND c.c_acctbal >= 0""",
+    "q69_cypher_union" ->
+      """SELECT c_name AS name FROM customer
+         JOIN nation ON c_nationkey = n_nationkey WHERE n_name = 'NATION_3'
+         UNION
+         SELECT s_name AS name FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_3'
+         ORDER BY name""",
+    "q70_cypher_exists" ->
+      """SELECT count(*) AS cnt FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+           AND c.c_acctbal > 0""",
+    "q71_cypher_not_exists" ->
+      """SELECT count(*) AS cnt FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"""
   )
 }

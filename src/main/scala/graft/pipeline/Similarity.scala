@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 
-import graft.functions.DotProduct
+import graft.functions.{CosineSimilarity, DotProduct}
 
 /** Approximate-nearest-neighbor search over embedding columns
   * (`array<float>`; BASELINE.json north_star, SURVEY.md §2.10 X5/X6).
@@ -40,8 +40,12 @@ object Similarity {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Fused single-pass cosine — bit-identical to
+    * `dot(a, b) / (norm(a) * norm(b))` but walks each array once instead
+    * of three times per candidate pair.
+    */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
 
   /** Exact cosine top-k: for each query row, the k nearest corpus rows.
     * The corpus side is the big one; queries are broadcast, so the corpus

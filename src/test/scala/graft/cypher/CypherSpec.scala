@@ -383,6 +383,55 @@ class CypherSpec extends SparkSpec {
     assert(viaPostfix.nonEmpty && viaPostfix.toSeq == viaFn.toSeq)
   }
 
+  test("UNION deduplicates, UNION ALL keeps, trailing ORDER BY binds to union") {
+    val dup = engine.run(
+      """MATCH (r:Region) RETURN r.r_name AS name
+        UNION
+        MATCH (r:Region) RETURN r.r_name AS name
+        ORDER BY name""").collect()
+    assert(dup.length == store.nodes("Region").count())
+    assert(dup.map(_.getString(0)).toSeq == dup.map(_.getString(0)).toSeq.sorted)
+    val dupAll = engine.run(
+      """MATCH (r:Region) RETURN r.r_name AS name
+        UNION ALL
+        MATCH (r:Region) RETURN r.r_name AS name""").collect()
+    assert(dupAll.length == 2 * store.nodes("Region").count())
+    assertThrows[CypherEngine.CypherException](engine.run(
+      """MATCH (r:Region) RETURN r.r_name AS name
+        UNION
+        MATCH (r:Region) RETURN r.r_name AS name
+        UNION ALL
+        MATCH (r:Region) RETURN r.r_name AS name"""))
+  }
+
+  test("exists() pattern predicate compiles to semi/anti join") {
+    import org.apache.spark.sql.functions._
+    val withOrders = engine.run(
+      """MATCH (c:Customer)
+        WHERE exists((c)<-[:PLACED_BY]-(o:Order)) RETURN count(c) AS cnt""")
+      .collect().head.getLong(0)
+    val withoutOrders = engine.run(
+      """MATCH (c:Customer)
+        WHERE NOT exists((c)<-[:PLACED_BY]-(o:Order)) RETURN count(c) AS cnt""")
+      .collect().head.getLong(0)
+    assert(withOrders + withoutOrders == store.nodes("Customer").count())
+    val direct = store.nodes("Customer")
+      .join(store.edges("PLACED_BY").select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_semi").count()
+    assert(withOrders == direct && withOrders > 0)
+    // anti join with an impossible sub-pattern keeps every row
+    val impossible = engine.run(
+      """MATCH (c:Customer)
+        WHERE NOT exists((c)<-[:PLACED_BY]-(o:Order {o_orderstatus: 'ZZ'}))
+        RETURN count(c) AS cnt""").collect().head.getLong(0)
+    assert(impossible == store.nodes("Customer").count())
+    // property-existence form still works
+    val propForm = engine.run(
+      "MATCH (c:Customer) WHERE exists(c.c_name) RETURN count(c) AS cnt")
+      .collect().head.getLong(0)
+    assert(propForm == store.nodes("Customer").count())
+  }
+
   test("DISTINCT and SKIP/LIMIT pagination") {
     val all = engine.run(
       "MATCH (n:Nation) RETURN DISTINCT n.n_regionkey AS rk ORDER BY rk").collect()

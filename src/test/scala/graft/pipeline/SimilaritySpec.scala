@@ -83,6 +83,23 @@ class SimilaritySpec extends SparkSpec {
     assert(dotLine.startsWith("*("), plan)
   }
 
+  test("fused cosine kernel is bit-identical to the composed dot/norm form") {
+    val emb = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .limit(50)
+    val pairs = emb.select($"vec_id".as("ia"), $"embedding".as("va"))
+      .crossJoin(emb.select($"vec_id".as("ib"), $"embedding".as("vb")))
+    val mismatches = pairs.select(
+      Similarity.cosine($"va", $"vb").as("fused"),
+      (Similarity.dot($"va", $"vb") /
+        (Similarity.norm($"va") * Similarity.norm($"vb"))).as("composed"))
+      .filter(!($"fused" <=> $"composed")) // null-safe exact-bits comparison
+      .count()
+    assert(mismatches == 0)
+    // zero-norm vector → null (matching non-ANSI divide), not NaN
+    val z = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    assert(z.select(Similarity.cosine($"a", $"b")).head().isNullAt(0))
+  }
+
   test("lshSignatures (scale shape) is bit-identical to the per-row formula") {
     import org.apache.spark.sql.types._
     val withEmpty = vecs.unionByName(
