@@ -90,14 +90,39 @@ object Ast {
   /** `UNWIND expr AS alias` — one row per list element. */
   final case class UnwindClause(expr: Expr, alias: String) extends Reading
 
-  /** One reading stage: reading clauses (possibly none after the first
-    * stage), an optional WHERE, and — unless it is the final stage — a
+  // ------------------------------------------------------------ write AST
+  // The write subset covers exactly what the reference's injection pipeline
+  // emits (reference: final/inject_node.py:350-358 `UNWIND $rows MERGE
+  // (n:L {key: row.key}) SET n += {…}`; final/inject_relationship.py:636-644
+  // `MATCH (s) … MATCH (t) … MERGE (s)-[r:L]->(t)`) plus CREATE and
+  // [DETACH] DELETE for completeness.
+
+  /** One item of a SET clause. */
+  sealed trait SetItem
+  /** `SET v += {k: e, …}` — merge the map into the entity's properties. */
+  final case class SetPlus(variable: String, map: Seq[(String, Expr)]) extends SetItem
+  /** `SET v.prop = expr`. */
+  final case class SetProp(variable: String, prop: String, value: Expr) extends SetItem
+
+  /** A writing clause: CREATE / MERGE / SET / DELETE, in written order. */
+  sealed trait WriteClause
+  /** `CREATE (…)-[:…]->(…), …` — unconditional insert. */
+  final case class CreateClause(paths: Seq[PathPat]) extends WriteClause
+  /** `MERGE (n:L {…})` or `MERGE (s)-[r:L {…}]->(t)` — match-or-create. */
+  final case class MergeClause(path: PathPat) extends WriteClause
+  final case class SetClause(items: Seq[SetItem]) extends WriteClause
+  /** `[DETACH] DELETE v, …` */
+  final case class DeleteClause(vars: Seq[String], detach: Boolean) extends WriteClause
+
+  /** One stage: reading clauses (possibly none after the first stage), an
+    * optional WHERE, write clauses, and — unless it is the final stage — a
     * WITH projection. `MATCH … WITH … MATCH … RETURN` chains are stages.
     */
   final case class Stage(
       reads: Seq[Reading],
       where: Option[Expr],
-      projection: Option[Projection])
+      projection: Option[Projection],
+      writes: Seq[WriteClause] = Nil)
 
   /** `union`: an optional `UNION [ALL]` continuation — the chained query's
     * own `union` continues the chain. Branch outputs must be union-compatible

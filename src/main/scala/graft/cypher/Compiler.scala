@@ -1,10 +1,12 @@
 package graft.cypher
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import scala.jdk.CollectionConverters._
 
-import graft.graph.{EdgeType, GraphStore}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.graph.{EdgeType, GraphStore, GraphWriter}
 import Ast._
 
 /** Cypher-subset → DataFrame compiler.
@@ -17,6 +19,13 @@ import Ast._
   * aggregate. Catalyst then does what Neo4j's planner did: join ordering,
   * predicate pushdown, broadcast selection.
   *
+  * Write clauses (`CREATE` / `MERGE` / `SET` / `DELETE`) — the reference's
+  * injection pipeline emits exactly these (final/inject_node.py:350-358,
+  * final/inject_relationship.py:636-644) — run through [[CypherEngine.execute]],
+  * which returns the RETURN rows plus a NEW immutable [[GraphStore]]; the
+  * mutation itself is a lazy [[graft.graph.GraphWriter]] plan (one join per
+  * clause), never driver iteration.
+  *
   * Scale posture: each pattern hop is an equi-join on node keys — dimension
   * node stores broadcast automatically; the fact-side edge store never
   * round-trips the driver. Var-length paths compile to a bounded union of
@@ -27,15 +36,35 @@ final case class CypherEngine(store: GraphStore) {
 
   import CypherEngine._
 
-  def run(query: String): DataFrame = compile(Parser.parse(query))
+  def run(query: String): DataFrame = run(query, Map.empty[String, Any])
 
   /** Parameterized execution — `$name` placeholders bind to `params`
     * values (the reference's probes run parameterized Cypher, reference:
     * final/langraph_neo4j3.py:359-363). A `Seq`/`Array` value binds a list
-    * (usable with `IN $ids` and `UNWIND $ids`).
+    * (usable with `IN $ids` and `UNWIND $ids`); a `Seq[Map[String, Any]]`
+    * binds a row batch (usable with `UNWIND $rows AS row`, the reference's
+    * injection shape).
     */
-  def run(query: String, params: Map[String, Any]): DataFrame =
-    compile(bindParams(Parser.parse(query), params))
+  def run(query: String, params: Map[String, Any]): DataFrame = {
+    val q = bindParams(Parser.parse(query), params)
+    if (hasWrites(q))
+      throw CypherException(
+        "write clauses (CREATE/MERGE/SET/DELETE) mutate the store — use execute()")
+    new Interp(store, params).top(q)
+  }
+
+  /** Execute a query that may contain write clauses. Returns the RETURN
+    * rows (a query with no RETURN yields one `rows` count row) plus the
+    * updated store. The store update is lazy — persist with
+    * [[GraphStore.save]] or keep composing; a long chain of writes should
+    * be checkpointed by saving, exactly like any iterative Spark lineage.
+    */
+  def execute(query: String, params: Map[String, Any] = Map.empty): WriteResult = {
+    val q = bindParams(Parser.parse(query), params)
+    val in = new Interp(store, params)
+    val df = in.top(q)
+    WriteResult(in.store, df)
+  }
 
   /** Validation gate without execution — the engine's analogue of the
     * reference's `EXPLAIN {cypher}` syntax/plan check (reference:
@@ -44,7 +73,7 @@ final case class CypherEngine(store: GraphStore) {
     */
   def validate(query: String): Seq[String] =
     try {
-      compile(Parser.parse(query)).queryExecution.analyzed
+      new Interp(store, Map.empty).top(Parser.parse(query)).queryExecution.analyzed
       Nil
     } catch {
       case e: Parser.ParseException => Seq(s"syntax: ${e.msg}")
@@ -63,264 +92,36 @@ final case class CypherEngine(store: GraphStore) {
     df.filter(lower(col(prop).cast(StringType)) === value.toLowerCase)
       .limit(1).count() > 0
   }
+}
 
-  /** Variable bindings: node variable → label, plus the set of relationship
-    * variables (whose properties are addressable but which cannot be
-    * returned bare).
+object CypherEngine {
+  final case class CypherException(msg: String) extends RuntimeException(msg)
+
+  /** Result of [[CypherEngine.execute]]: the RETURN rows and the updated
+    * (immutable) store.
     */
-  private final case class Ctx(labels: Map[String, String], rels: Set[String]) {
-    def nodeLabel(v: String): Option[String] = labels.get(v)
-  }
+  final case class WriteResult(store: GraphStore, result: DataFrame)
 
-  // ------------------------------------------------------------ resolution
-
-  /** A hop normalized to schema direction: `srcVar` is the pattern variable
-    * sitting on the edge type's source side (after any direction flip).
+  /** A bound relationship variable: its edge label and which pattern
+    * variables sit on the schema-forward source/target sides.
     */
-  private final case class ResolvedHop(
-      edge: EdgeType,
-      relVar: String,
-      srcVar: String,
-      dstVar: String,
-      varLength: Option[(Int, Int)],
-      relProps: Seq[(String, Expr)])
+  private final case class RelInfo(label: String, srcVar: String, dstVar: String)
 
-  /** Infer the unique edge type + orientation for a hop; flip the pattern
-    * when its arrow contradicts the schema (direction correction, G7/R12).
-    */
-  private def resolveHop(
-      u: NodePat, rel: RelPat, v: NodePat,
-      labels: collection.mutable.Map[String, String],
-      uVar: String, vVar: String): (EdgeType, Boolean) = {
-    val candidates = rel.label match {
-      case Some(l) =>
-        val e = store.schema.edges.filter(_.label == l)
-        if (e.isEmpty) throw CypherException(s"unknown relationship type: $l")
-        e
-      case None => store.schema.edges
-    }
-    val lu = labels.get(uVar).orElse(u.label)
-    val lv = labels.get(vVar).orElse(v.label)
-    def fits(want: Option[String], actual: String) = want.forall(_ == actual)
-    val forward = candidates.filter(e => fits(lu, e.src) && fits(lv, e.dst))
-    val backward = candidates.filter(e => fits(lv, e.src) && fits(lu, e.dst))
-    val (et, flipped) = rel.dir match {
-      case Out | Undirected =>
-        if (forward.nonEmpty) (only(forward, rel), false)
-        else if (backward.nonEmpty) (only(backward, rel), true)
-        else throw CypherException(s"no relationship fits ($lu)-[${rel.label.getOrElse("")}]->($lv)")
-      case In => // (u)<-[r]-(v): schema-forward means v→u
-        if (backward.nonEmpty) (only(backward, rel), true)
-        else if (forward.nonEmpty) (only(forward, rel), false)
-        else throw CypherException(s"no relationship fits ($lu)<-[${rel.label.getOrElse("")}]-($lv)")
-    }
-    if (!flipped) { labels(uVar) = et.src; labels(vVar) = et.dst }
-    else { labels(uVar) = et.dst; labels(vVar) = et.src }
-    (et, flipped)
-  }
-
-  private def only(es: Seq[EdgeType], rel: RelPat): EdgeType =
-    if (es.size == 1) es.head
-    else throw CypherException(
-      s"ambiguous relationship ${rel.label.getOrElse("(untyped)")}: matches ${es.map(_.label).mkString(", ")}")
-
-  // ------------------------------------------------------------- assembly
-
-  private def nodeDf(variable: String, label: String): DataFrame = {
-    val df = store.nodes.getOrElse(label, throw CypherException(s"unknown node label: $label"))
-    df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"${variable}__$c"))
-  }
-
-  /** (src,dst) pairs reachable in lo..hi hops of `et` — bounded var-length
-    * closure as a union of join chains (one row per path, Cypher semantics).
-    */
-  private def closure(et: EdgeType, lo: Int, hi: Int): DataFrame = {
-    if (lo < 1 || hi < lo || hi > 10)
-      throw CypherException(s"var-length bounds out of range: *$lo..$hi")
-    if (hi > 1 && et.src != et.dst)
-      throw CypherException(s"var-length over ${et.label} needs ${et.src}=${et.dst}")
-    val e = store.edges(et.label).select(col(et.keyS).as("__cs"), col(et.keyT).as("__cd"))
-    val chains = (lo to hi).map { n =>
-      (2 to n).foldLeft(e) { (acc, _) =>
-        acc.join(e.withColumnRenamed("__cs", "__m").withColumnRenamed("__cd", "__cd2"),
-            col("__cd") === col("__m"))
-          .select(col("__cs"), col("__cd2").as("__cd"))
-      }
-    }
-    chains.reduce(_.unionByName(_))
-  }
-
-  /** Bind all patterns into one DataFrame. `seedLabels` carries label
-    * bindings from an enclosing pattern (OPTIONAL MATCH sub-assembly);
-    * `initial` continues an existing frame (MATCH after WITH) — its seeded
-    * variables are already bound, their columns present in the frame.
-    */
-  private def assemble(patterns: Seq[PathPat],
-      seedLabels: Map[String, String] = Map.empty,
-      initial: Option[(DataFrame, Ctx)] = None): (DataFrame, Ctx) = {
-    val labels = collection.mutable.Map[String, String](seedLabels.toSeq: _*)
-    val bound = collection.mutable.Set[String]()
-    val relVars = collection.mutable.Set[String]()
-    initial.foreach { case (_, c) =>
-      labels ++= c.labels
-      bound ++= c.labels.keys
-      relVars ++= c.rels
-    }
-    var varCounter = 0
-    def freshVar(prefix: String): String = { varCounter += 1; s"__$prefix$varCounter" }
-    var df: DataFrame = initial.map(_._1).orNull
-
-    def keyColName(v: String): String =
-      s"${v}__${store.schema.node(labels(v)).key}"
-
-    def propFilters(variable: String, props: Seq[(String, Expr)]): Unit =
-      props.foreach { case (k, v) =>
-        df = df.filter(col(s"${variable}__$k") === literal(v))
-      }
-
-    /** Bind a node standalone (head of a path, or shared var re-check). */
-    def bindHead(variable: String, pat: NodePat): Unit = {
-      if (!bound(variable)) {
-        val label = labels.getOrElse(variable,
-          pat.label.getOrElse(throw CypherException(
-            s"cannot infer label for ($variable) — annotate it or use a typed relationship")))
-        labels(variable) = label
-        val nd = nodeDf(variable, label)
-        df = if (df == null) nd else df.crossJoin(nd)
-        bound += variable
-      }
-      propFilters(variable, pat.props)
-    }
-
-    /** Bind a node by joining on an existing key column in `df`. */
-    def bindJoined(variable: String, pat: NodePat, joinKey: String): Unit = {
-      val label = labels.getOrElse(variable,
-        pat.label.getOrElse(throw CypherException(s"cannot infer label for ($variable)")))
-      labels(variable) = label
-      df = df.join(nodeDf(variable, label), col(joinKey) === col(s"${variable}__${store.schema.node(label).key}"))
-      bound += variable
-      propFilters(variable, pat.props)
-    }
-
-    patterns.foreach { path =>
-      val headVar = path.head.variable.getOrElse(freshVar("n"))
-      // resolve the chain first so labels are inferred before any binding
-      var prevPat = path.head
-      var prevVar = headVar
-      val resolved = path.hops.map { case (rel, node) =>
-        val nodeVar = node.variable.getOrElse(freshVar("n"))
-        val (et, flipped) = resolveHop(prevPat, rel, node, labels, prevVar, nodeVar)
-        val relVar = rel.variable.getOrElse(freshVar("r"))
-        relVars += relVar
-        val hop =
-          if (!flipped) ResolvedHop(et, relVar, prevVar, nodeVar, rel.varLength, rel.props)
-          else ResolvedHop(et, relVar, nodeVar, prevVar, rel.varLength, rel.props)
-        prevPat = node
-        prevVar = nodeVar
-        (hop, node, nodeVar)
-      }
-
-      bindHead(headVar, path.head)
-
-      resolved.foreach { case (hop, nodePat, nodeVar) =>
-        // the hop end already in `df` is the anchor; the other end joins in
-        val anchorVar = if (bound(hop.srcVar)) hop.srcVar else hop.dstVar
-        val otherVar = if (anchorVar == hop.srcVar) hop.dstVar else hop.srcVar
-        if (!bound(anchorVar))
-          throw CypherException(s"pattern hop with no bound endpoint: $anchorVar")
-
-        hop.varLength match {
-          case Some((lo, hi)) =>
-            if (hop.relProps.nonEmpty)
-              throw CypherException("relationship properties are not supported on var-length patterns")
-            val cl = closure(hop.edge, lo, hi)
-            val (anchorSide, otherSide) =
-              if (anchorVar == hop.srcVar) ("__cs", "__cd") else ("__cd", "__cs")
-            df = df.join(cl, col(keyColName(anchorVar)) === col(anchorSide))
-            if (bound(otherVar)) df = df.filter(col(otherSide) === col(keyColName(otherVar)))
-            else bindJoined(otherVar, nodePat, otherSide)
-            df = df.drop("__cs", "__cd")
-          case None =>
-            val srcName = s"${hop.relVar}__srckey"
-            val dstName = s"${hop.relVar}__dstkey"
-            val ed0 = store.edges(hop.edge.label)
-            val ed = hop.edge.properties.foldLeft(
-              ed0.withColumnRenamed(hop.edge.keyS, srcName)
-                .withColumnRenamed(hop.edge.keyT, dstName)
-            )((d, p) => d.withColumnRenamed(p, s"${hop.relVar}__$p"))
-            val (anchorSide, otherSide) =
-              if (anchorVar == hop.srcVar) (srcName, dstName) else (dstName, srcName)
-            df = df.join(ed, col(keyColName(anchorVar)) === col(anchorSide))
-            hop.relProps.foreach { case (k, v) =>
-              df = df.filter(col(s"${hop.relVar}__$k") === literal(v))
-            }
-            if (bound(otherVar)) df = df.filter(col(otherSide) === col(keyColName(otherVar)))
-            else bindJoined(otherVar, nodePat, otherSide)
-            df = df.drop(srcName, dstName)
-        }
-      }
-    }
-
-    (df, Ctx(labels.toMap, relVars.toSet))
-  }
-
-  /** Attach one OPTIONAL MATCH clause: assemble its paths independently
-    * (seeded with the enclosing labels) and LEFT-join on the shared
-    * variables' node keys. Unmatched rows carry nulls for the optional
-    * variables — `count(optVar)` then counts only matches, Cypher's
-    * semantics. The enclosing WHERE applies post-join (predicates on
-    * optional variables filter null rows unless guarded with IS NULL —
-    * standard Cypher gotcha, same here).
-    */
-  private def attachOptional(main: DataFrame, ctx: Ctx, paths: Seq[PathPat]): (DataFrame, Ctx) = {
-    val patVars: Set[String] =
-      paths.flatMap(p => p.head.variable.toSeq ++ p.hops.flatMap(_._2.variable)).toSet
-    val shared = patVars.filter(ctx.labels.contains)
-    if (shared.isEmpty)
-      throw CypherException("OPTIONAL MATCH must share at least one variable with the preceding MATCH")
-    val (sub, subCtx) = assemble(paths, ctx.labels.view.filterKeys(shared).toMap)
-    def keyColOf(v: String, c: Ctx): String = s"${v}__${store.schema.node(c.labels(v)).key}"
-    val sfx = "__opt"
-    val subR = sub.columns.foldLeft(sub)((d, c) => d.withColumnRenamed(c, c + sfx))
-    val cond = shared.map(v => col(keyColOf(v, ctx)) === col(keyColOf(v, subCtx) + sfx))
-      .reduce(_ && _)
-    var joined = main.join(subR, cond, "left_outer")
-    subR.columns.foreach { c =>
-      val orig = c.dropRight(sfx.length)
-      if (shared.exists(v => orig.startsWith(s"${v}__"))) joined = joined.drop(c)
-      else joined = joined.withColumnRenamed(c, orig)
-    }
-    val newVars = patVars -- shared
-    (joined, Ctx(
-      ctx.labels ++ subCtx.labels.view.filterKeys(newVars).toMap,
-      ctx.rels ++ subCtx.rels))
-  }
-
-  // ------------------------------------------------------------ expressions
-
-  private val aggFns = Set("count", "sum", "avg", "min", "max", "collect", "stdev")
-
-  private def containsAgg(e: Expr): Boolean = e match {
-    case Fn(n, args, _) => aggFns(n) || args.exists(containsAgg)
-    case Bin(_, l, r) => containsAgg(l) || containsAgg(r)
-    case Not(x) => containsAgg(x)
-    case IsNull(x, _) => containsAgg(x)
-    case In(x, coll) => containsAgg(x) || containsAgg(coll)
-    case ListLit(xs) => xs.exists(containsAgg)
-    case CaseExpr(s, bs, d) =>
-      s.exists(containsAgg) || d.exists(containsAgg) ||
-        bs.exists { case (c, r) => containsAgg(c) || containsAgg(r) }
-    case _ => false
-  }
+  private def hasWrites(q: Query): Boolean =
+    q.stages.exists(_.writes.nonEmpty) || q.union.exists { case (_, next) => hasWrites(next) }
 
   // ------------------------------------------------------------ parameters
 
   /** Substitute `$name` placeholders with literal values before compiling —
     * a `Seq`/`Array` binds as a list literal, anything else as a scalar.
+    * A `Seq[Map[_, _]]` (row batch) is left as a [[Param]] node: the
+    * interpreter binds it to a DataFrame at its `UNWIND`.
     */
   private def bindParams(q: Query, params: Map[String, Any]): Query = {
+    if (params.isEmpty) return q
     def go(e: Expr): Expr = e match {
       case Param(n) => params.get(n) match {
+        case Some(xs: Seq[_]) if xs.nonEmpty && xs.forall(_.isInstanceOf[Map[_, _]]) => e
         case Some(xs: Seq[_]) => ListLit(xs.map(v => Lit(v)))
         case Some(xs: Array[_]) => ListLit(xs.toSeq.map(v => Lit(v)))
         case Some(v) => Lit(v)
@@ -345,6 +146,15 @@ final case class CypherEngine(store: GraphStore) {
       items = p.items.map(i => i.copy(expr = go(i.expr))),
       where = p.where.map(go),
       orderBy = p.orderBy.map(s => s.copy(expr = go(s.expr))))
+    def goWrite(w: WriteClause): WriteClause = w match {
+      case CreateClause(ps) => CreateClause(ps.map(goPath))
+      case MergeClause(p) => MergeClause(goPath(p))
+      case SetClause(items) => SetClause(items.map {
+        case SetPlus(v, m) => SetPlus(v, m.map { case (k, x) => (k, go(x)) })
+        case SetProp(v, p, x) => SetProp(v, p, go(x))
+      })
+      case d: DeleteClause => d
+    }
     Query(
       q.stages.map { st =>
         Stage(
@@ -353,357 +163,929 @@ final case class CypherEngine(store: GraphStore) {
             case UnwindClause(e, a) => UnwindClause(go(e), a)
           },
           st.where.map(go),
-          st.projection.map(goProj))
+          st.projection.map(goProj),
+          st.writes.map(goWrite))
       },
       goProj(q.ret),
       q.union.map { case (all, next) => (all, bindParams(next, params)) })
   }
 
-  private def literal(e: Expr): Column = e match {
-    case Lit(null) => lit(null)
-    case Lit(v) => lit(v)
-    case Fn("date", Seq(Lit(s: String)), _) => to_date(lit(s))
-    case other => throw CypherException(s"expected literal, found $other")
-  }
+  // ------------------------------------------------------------ interpreter
 
-  private def rawLiteral(e: Expr): Any = e match {
-    case Lit(v) => v
-    case other => throw CypherException(s"expected literal, found $other")
-  }
-
-  /** Translate in pattern context: Prop → prefixed column; node Var → its
-    * key column; unknown bare Var → output column (post-WITH alias).
+  /** One query execution: compiles reads to joins and applies writes to a
+    * private store copy (`store` is mutated here, never on the engine).
     */
-  private def column(e: Expr, ctx: Ctx): Column = {
-    def c(e: Expr): Column = e match {
-      case Prop(v, p) =>
-        if (ctx.labels.contains(v) || ctx.rels.contains(v)) col(s"${v}__$p")
-        else throw CypherException(s"unbound variable: $v")
-      case Var(v) =>
-        ctx.nodeLabel(v) match {
-          case Some(label) => col(s"${v}__${store.schema.node(label).key}")
-          case None =>
-            if (ctx.rels.contains(v))
-              throw CypherException(s"relationship variable $v cannot be used as a value")
-            col(v)
-        }
-      case Lit(null) => lit(null)
-      case Lit(x) => lit(x)
-      case Bin(op, l, r) => binop(op, c(l), c(r))
-      case Not(x) => !c(x)
-      case IsNull(x, neg) => if (neg) c(x).isNotNull else c(x).isNull
-      // literal IN list → isin (Catalyst folds to an In predicate it can
-      // push down); any other list-valued expr → array_contains
-      case In(x, ListLit(xs)) if xs.forall(_.isInstanceOf[Lit]) =>
-        c(x).isin(xs.map(rawLiteral): _*)
-      case In(x, coll) => array_contains(c(coll), c(x))
-      case ListLit(xs) => array(xs.map(c): _*)
-      case Param(n) => throw CypherException(
-        s"unbound parameter $$$n — pass params to run(query, params)")
-      case PatternPred(_) => throw CypherException(
-        "pattern predicates (exists((a)-[]->(b))) are only supported as " +
-          "top-level AND conditions of a WHERE clause")
-      case Fn("count", Seq(Var(v)), _) if ctx.rels.contains(v) =>
-        count(lit(1)) // count(r): a rel var has no value column; count rows
-      case Fn(name, args, distinct) => function(name, args.map(c), distinct, args, ctx)
-      case CaseExpr(subject, branches, orElse) =>
-        val conds = subject match {
-          case Some(s) => branches.map { case (v, r) => (c(s) === c(v), c(r)) }
-          case None => branches.map { case (cond, r) => (c(cond), c(r)) }
-        }
-        val base = when(conds.head._1, conds.head._2)
-        val chained = conds.tail.foldLeft(base) { case (acc, (cond, r)) => acc.when(cond, r) }
-        orElse.map(d => chained.otherwise(c(d))).getOrElse(chained)
+  private final class Interp(var store: GraphStore, params: Map[String, Any]) {
+
+    private def spark: SparkSession =
+      store.nodes.values.headOption.orElse(store.edges.values.headOption)
+        .map(_.sparkSession).getOrElse(SparkSession.active)
+
+    /** Variable bindings: node variable → label, relationship variable →
+      * its edge binding, plus "plain" variables (UNWIND aliases and WITH
+      * output columns) whose struct fields are addressable as `v.field`.
+      */
+    private final case class Ctx(
+        labels: Map[String, String],
+        rels: Map[String, RelInfo],
+        plains: Set[String] = Set.empty) {
+      def nodeLabel(v: String): Option[String] = labels.get(v)
     }
-    c(e)
-  }
 
-  private def binop(op: String, l: Column, r: Column): Column = op match {
-    case "+" => l + r
-    case "-" => l - r
-    case "*" => l * r
-    case "/" => l / r
-    case "%" => l % r
-    case "=" => l === r
-    case "<>" => l =!= r
-    case "<" => l < r
-    case "<=" => l <= r
-    case ">" => l > r
-    case ">=" => l >= r
-    case "and" => l && r
-    case "or" => l || r
-    // Cypher string predicates (reference relies on case-insensitive string
-    // matching in its validation probe, final/langraph_neo4j3.py:359-363)
-    case "startswith" => l.startsWith(r)
-    case "endswith" => l.endsWith(r)
-    case "contains" => l.contains(r)
-    // Cypher `=~` matches the ENTIRE string (Neo4j semantics); Spark's
-    // regexp_like is a substring match, so anchor the pattern
-    case "=~" => regexp_like(l, concat(lit("^(?:"), r, lit(")$")))
-    case other => throw CypherException(s"unsupported operator: $other")
-  }
+    // ---------------------------------------------------------- resolution
 
-  private def function(name: String, args: Seq[Column], distinct: Boolean,
-      rawArgs: Seq[Expr], ctx: Ctx): Column = name match {
-    case "count" =>
-      if (args.isEmpty) count(lit(1))
-      else if (distinct) count_distinct(args.head, args.tail: _*)
-      else count(args.head)
-    case "sum" => sum(args.head)
-    case "avg" => avg(args.head)
-    case "min" => min(args.head)
-    case "max" => max(args.head)
-    case "collect" =>
-      // Cypher's collect() is unordered; sorted for determinism (SURVEY A17)
-      if (distinct) array_sort(collect_set(args.head)) else array_sort(collect_list(args.head))
-    case "stdev" => stddev(args.head)
-    case "tolower" | "lower" => lower(args.head)
-    case "toupper" | "upper" => upper(args.head)
-    case "tostring" => args.head.cast(StringType)
-    case "tointeger" => args.head.cast("long")
-    case "tofloat" => args.head.cast("double")
-    case "size" | "length" =>
-      if (isStringTyped(rawArgs.head, ctx)) length(args.head) else size(args.head)
-    case "abs" => abs(args.head)
-    case "round" => round(args.head)
-    case "ceil" => ceil(args.head)
-    case "floor" => floor(args.head)
-    case "sqrt" => sqrt(args.head)
-    case "coalesce" => coalesce(args: _*)
-    case "date" => to_date(args.head)
-    case "datetime" | "timestamp" => to_timestamp(args.head)
-    case "year" => year(args.head)
-    case "month" => month(args.head)
-    case "day" => dayofmonth(args.head)
-    case "exists" => args.head.isNotNull // legacy property-existence form
-    case "trim" => trim(args.head)
-    case "substring" => // Cypher substring(s, start[, len]) is 0-based
-      if (args.size == 3) args.head.substr(args(1) + lit(1), args(2))
-      else if (args.size == 2) args.head.substr(args(1) + lit(1), length(args.head))
-      else throw CypherException("substring expects 2 or 3 arguments")
-    case other => throw CypherException(s"unsupported function: $other()")
-  }
+    /** A hop normalized to schema direction: `srcVar` is the pattern
+      * variable sitting on the edge type's source side (after any flip).
+      */
+    private final case class ResolvedHop(
+        edge: EdgeType,
+        relVar: String,
+        srcVar: String,
+        dstVar: String,
+        varLength: Option[(Int, Int)],
+        relProps: Seq[(String, Expr)])
 
-  private def isStringTyped(e: Expr, ctx: Ctx): Boolean = e match {
-    case Lit(_: String) => true
-    case Fn("tolower" | "lower" | "toupper" | "upper" | "tostring" | "trim" | "substring", _, _) => true
-    case Prop(v, p) =>
-      ctx.nodeLabel(v).exists { label =>
-        store.nodes(label).schema.fields.exists(f => f.name == p && f.dataType == StringType)
+    /** Infer the unique edge type + orientation for a hop; flip the pattern
+      * when its arrow contradicts the schema (direction correction, G7/R12).
+      */
+    private def resolveHop(
+        u: NodePat, rel: RelPat, v: NodePat,
+        labels: collection.mutable.Map[String, String],
+        uVar: String, vVar: String): (EdgeType, Boolean) = {
+      val candidates = rel.label match {
+        case Some(l) =>
+          val e = store.schema.edges.filter(_.label == l)
+          if (e.isEmpty) throw CypherException(s"unknown relationship type: $l")
+          e
+        case None => store.schema.edges
       }
-    case _ => false
-  }
-
-  // ------------------------------------------------------------ projection
-
-  private def genName(e: Expr): String = e match {
-    case Prop(v, p) => s"$v.$p"
-    case Var(v) => v
-    case Lit(x) => String.valueOf(x)
-    case Fn(n, args, d) =>
-      s"$n(${if (d) "DISTINCT " else ""}${args.map(genName).mkString(", ")})"
-    case Bin(op, l, r) => s"${genName(l)} $op ${genName(r)}"
-    case Not(x) => s"NOT ${genName(x)}"
-    case IsNull(x, neg) => s"${genName(x)} IS ${if (neg) "NOT " else ""}NULL"
-    case In(x, coll) => s"${genName(x)} IN ${genName(coll)}"
-    case ListLit(xs) => s"[${xs.map(genName).mkString(", ")}]"
-    case Param(n) => s"$$$n"
-    case PatternPred(_) => "exists(pattern)"
-    case CaseExpr(s, bs, d) =>
-      "CASE " + s.map(x => genName(x) + " ").getOrElse("") +
-        bs.map { case (c, r) => s"WHEN ${genName(c)} THEN ${genName(r)}" }.mkString(" ") +
-        d.map(x => s" ELSE ${genName(x)}").getOrElse("") + " END"
-  }
-
-  /** Apply a WITH/RETURN stage. Bare node variables (`WITH o, ...`) carry
-    * all the node's columns so later stages can still say `o.prop`; under
-    * aggregation they group by all carried columns (equivalent to grouping
-    * by node identity — properties are functionally dependent on the key).
-    */
-  private def project(df: DataFrame, stage: Projection, ctx: Ctx): (DataFrame, Ctx) = {
-    val carried = stage.items.collect {
-      case Item(Var(v), None) if ctx.labels.contains(v) => v
+      val lu = labels.get(uVar).orElse(u.label)
+      val lv = labels.get(vVar).orElse(v.label)
+      def fits(want: Option[String], actual: String) = want.forall(_ == actual)
+      val forward = candidates.filter(e => fits(lu, e.src) && fits(lv, e.dst))
+      val backward = candidates.filter(e => fits(lv, e.src) && fits(lu, e.dst))
+      val (et, flipped) = rel.dir match {
+        case Out | Undirected =>
+          if (forward.nonEmpty) (only(forward, rel), false)
+          else if (backward.nonEmpty) (only(backward, rel), true)
+          else throw CypherException(s"no relationship fits ($lu)-[${rel.label.getOrElse("")}]->($lv)")
+        case In => // (u)<-[r]-(v): schema-forward means v→u
+          if (backward.nonEmpty) (only(backward, rel), true)
+          else if (forward.nonEmpty) (only(forward, rel), false)
+          else throw CypherException(s"no relationship fits ($lu)<-[${rel.label.getOrElse("")}]-($lv)")
+      }
+      if (!flipped) { labels(uVar) = et.src; labels(vVar) = et.dst }
+      else { labels(uVar) = et.dst; labels(vVar) = et.src }
+      (et, flipped)
     }
-    val plain = stage.items.filterNot {
-      case Item(Var(v), None) => ctx.labels.contains(v)
+
+    private def only(es: Seq[EdgeType], rel: RelPat): EdgeType =
+      if (es.size == 1) es.head
+      else throw CypherException(
+        s"ambiguous relationship ${rel.label.getOrElse("(untyped)")}: matches ${es.map(_.label).mkString(", ")}")
+
+    // ----------------------------------------------------------- assembly
+
+    private def nodeDf(variable: String, label: String): DataFrame = {
+      val df = store.nodes.getOrElse(label, throw CypherException(s"unknown node label: $label"))
+      df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"${variable}__$c"))
+    }
+
+    /** (src,dst) pairs reachable in lo..hi hops of `et` — bounded var-length
+      * closure as a union of join chains (one row per path, Cypher
+      * semantics).
+      */
+    private def closure(et: EdgeType, lo: Int, hi: Int): DataFrame = {
+      if (lo < 1 || hi < lo || hi > 10)
+        throw CypherException(s"var-length bounds out of range: *$lo..$hi")
+      if (hi > 1 && et.src != et.dst)
+        throw CypherException(s"var-length over ${et.label} needs ${et.src}=${et.dst}")
+      val e = store.edges(et.label).select(col(et.keyS).as("__cs"), col(et.keyT).as("__cd"))
+      val chains = (lo to hi).map { n =>
+        (2 to n).foldLeft(e) { (acc, _) =>
+          acc.join(e.withColumnRenamed("__cs", "__m").withColumnRenamed("__cd", "__cd2"),
+              col("__cd") === col("__m"))
+            .select(col("__cs"), col("__cd2").as("__cd"))
+        }
+      }
+      chains.reduce(_.unionByName(_))
+    }
+
+    /** Bind all patterns into one DataFrame. `seedLabels` carries label
+      * bindings from an enclosing pattern (OPTIONAL MATCH sub-assembly);
+      * `initial` continues an existing frame (MATCH after WITH) — its
+      * seeded variables are already bound, their columns in the frame.
+      */
+    private def assemble(patterns: Seq[PathPat],
+        seedLabels: Map[String, String] = Map.empty,
+        initial: Option[(DataFrame, Ctx)] = None): (DataFrame, Ctx) = {
+      val labels = collection.mutable.Map[String, String](seedLabels.toSeq: _*)
+      val bound = collection.mutable.Set[String]()
+      val relVars = collection.mutable.Map[String, RelInfo]()
+      val plains = initial.map(_._2.plains).getOrElse(Set.empty[String])
+      initial.foreach { case (_, c) =>
+        labels ++= c.labels
+        bound ++= c.labels.keys
+        relVars ++= c.rels
+      }
+      var varCounter = 0
+      def freshVar(prefix: String): String = { varCounter += 1; s"__$prefix$varCounter" }
+      var df: DataFrame = initial.map(_._1).orNull
+
+      def keyColName(v: String): String =
+        s"${v}__${store.schema.node(labels(v)).key}"
+
+      def propFilters(variable: String, props: Seq[(String, Expr)]): Unit =
+        props.foreach { case (k, v) =>
+          df = df.filter(col(s"${variable}__$k") === literal(v))
+        }
+
+      /** Bind a node standalone (head of a path, or shared var re-check). */
+      def bindHead(variable: String, pat: NodePat): Unit = {
+        if (!bound(variable)) {
+          val label = labels.getOrElse(variable,
+            pat.label.getOrElse(throw CypherException(
+              s"cannot infer label for ($variable) — annotate it or use a typed relationship")))
+          labels(variable) = label
+          val nd = nodeDf(variable, label)
+          df = if (df == null) nd else df.crossJoin(nd)
+          bound += variable
+        }
+        propFilters(variable, pat.props)
+      }
+
+      /** Bind a node by joining on an existing key column in `df`. */
+      def bindJoined(variable: String, pat: NodePat, joinKey: String): Unit = {
+        val label = labels.getOrElse(variable,
+          pat.label.getOrElse(throw CypherException(s"cannot infer label for ($variable)")))
+        labels(variable) = label
+        df = df.join(nodeDf(variable, label), col(joinKey) === col(s"${variable}__${store.schema.node(label).key}"))
+        bound += variable
+        propFilters(variable, pat.props)
+      }
+
+      patterns.foreach { path =>
+        val headVar = path.head.variable.getOrElse(freshVar("n"))
+        // resolve the chain first so labels are inferred before any binding
+        var prevPat = path.head
+        var prevVar = headVar
+        val resolved = path.hops.map { case (rel, node) =>
+          val nodeVar = node.variable.getOrElse(freshVar("n"))
+          val (et, flipped) = resolveHop(prevPat, rel, node, labels, prevVar, nodeVar)
+          val relVar = rel.variable.getOrElse(freshVar("r"))
+          val hop =
+            if (!flipped) ResolvedHop(et, relVar, prevVar, nodeVar, rel.varLength, rel.props)
+            else ResolvedHop(et, relVar, nodeVar, prevVar, rel.varLength, rel.props)
+          relVars(relVar) = RelInfo(et.label, hop.srcVar, hop.dstVar)
+          prevPat = node
+          prevVar = nodeVar
+          (hop, node, nodeVar)
+        }
+
+        bindHead(headVar, path.head)
+
+        resolved.foreach { case (hop, nodePat, nodeVar) =>
+          // the hop end already in `df` is the anchor; the other joins in
+          val anchorVar = if (bound(hop.srcVar)) hop.srcVar else hop.dstVar
+          val otherVar = if (anchorVar == hop.srcVar) hop.dstVar else hop.srcVar
+          if (!bound(anchorVar))
+            throw CypherException(s"pattern hop with no bound endpoint: $anchorVar")
+
+          hop.varLength match {
+            case Some((lo, hi)) =>
+              if (hop.relProps.nonEmpty)
+                throw CypherException("relationship properties are not supported on var-length patterns")
+              val cl = closure(hop.edge, lo, hi)
+              val (anchorSide, otherSide) =
+                if (anchorVar == hop.srcVar) ("__cs", "__cd") else ("__cd", "__cs")
+              df = df.join(cl, col(keyColName(anchorVar)) === col(anchorSide))
+              if (bound(otherVar)) df = df.filter(col(otherSide) === col(keyColName(otherVar)))
+              else bindJoined(otherVar, nodePat, otherSide)
+              df = df.drop("__cs", "__cd")
+            case None =>
+              val srcName = s"${hop.relVar}__srckey"
+              val dstName = s"${hop.relVar}__dstkey"
+              val ed0 = store.edges(hop.edge.label)
+              val ed = hop.edge.properties.foldLeft(
+                ed0.withColumnRenamed(hop.edge.keyS, srcName)
+                  .withColumnRenamed(hop.edge.keyT, dstName)
+              )((d, p) => d.withColumnRenamed(p, s"${hop.relVar}__$p"))
+              val (anchorSide, otherSide) =
+                if (anchorVar == hop.srcVar) (srcName, dstName) else (dstName, srcName)
+              df = df.join(ed, col(keyColName(anchorVar)) === col(anchorSide))
+              hop.relProps.foreach { case (k, v) =>
+                df = df.filter(col(s"${hop.relVar}__$k") === literal(v))
+              }
+              if (bound(otherVar)) df = df.filter(col(otherSide) === col(keyColName(otherVar)))
+              else bindJoined(otherVar, nodePat, otherSide)
+              df = df.drop(srcName, dstName)
+          }
+        }
+      }
+
+      (df, Ctx(labels.toMap, relVars.toMap, plains))
+    }
+
+    /** Attach one OPTIONAL MATCH clause: assemble its paths independently
+      * (seeded with the enclosing labels) and LEFT-join on the shared
+      * variables' node keys. Unmatched rows carry nulls for the optional
+      * variables — `count(optVar)` then counts only matches, Cypher's
+      * semantics. The enclosing WHERE applies post-join (predicates on
+      * optional variables filter null rows unless guarded with IS NULL —
+      * standard Cypher gotcha, same here).
+      */
+    private def attachOptional(main: DataFrame, ctx: Ctx, paths: Seq[PathPat]): (DataFrame, Ctx) = {
+      val patVars: Set[String] =
+        paths.flatMap(p => p.head.variable.toSeq ++ p.hops.flatMap(_._2.variable)).toSet
+      val shared = patVars.filter(ctx.labels.contains)
+      if (shared.isEmpty)
+        throw CypherException("OPTIONAL MATCH must share at least one variable with the preceding MATCH")
+      val (sub, subCtx) = assemble(paths, ctx.labels.view.filterKeys(shared).toMap)
+      def keyColOf(v: String, c: Ctx): String = s"${v}__${store.schema.node(c.labels(v)).key}"
+      val sfx = "__opt"
+      val subR = sub.columns.foldLeft(sub)((d, c) => d.withColumnRenamed(c, c + sfx))
+      val cond = shared.map(v => col(keyColOf(v, ctx)) === col(keyColOf(v, subCtx) + sfx))
+        .reduce(_ && _)
+      var joined = main.join(subR, cond, "left_outer")
+      subR.columns.foreach { c =>
+        val orig = c.dropRight(sfx.length)
+        if (shared.exists(v => orig.startsWith(s"${v}__"))) joined = joined.drop(c)
+        else joined = joined.withColumnRenamed(c, orig)
+      }
+      val newVars = patVars -- shared
+      (joined, Ctx(
+        ctx.labels ++ subCtx.labels.view.filterKeys(newVars).toMap,
+        ctx.rels ++ subCtx.rels,
+        ctx.plains))
+    }
+
+    // ---------------------------------------------------------- expressions
+
+    private val aggFns = Set("count", "sum", "avg", "min", "max", "collect", "stdev")
+
+    private def containsAgg(e: Expr): Boolean = e match {
+      case Fn(n, args, _) => aggFns(n) || args.exists(containsAgg)
+      case Bin(_, l, r) => containsAgg(l) || containsAgg(r)
+      case Not(x) => containsAgg(x)
+      case IsNull(x, _) => containsAgg(x)
+      case In(x, coll) => containsAgg(x) || containsAgg(coll)
+      case ListLit(xs) => xs.exists(containsAgg)
+      case CaseExpr(s, bs, d) =>
+        s.exists(containsAgg) || d.exists(containsAgg) ||
+          bs.exists { case (c, r) => containsAgg(c) || containsAgg(r) }
       case _ => false
     }
-    val hasAgg = plain.exists(i => containsAgg(i.expr))
 
-    def outName(i: Item): String = i.alias.getOrElse(genName(i.expr))
-    val carriedCols: Seq[Column] = carried.flatMap { v =>
-      store.nodes(ctx.labels(v)).columns.map(c => col(s"${v}__$c"))
+    private def literal(e: Expr): Column = e match {
+      case Lit(null) => lit(null)
+      case Lit(v) => lit(v)
+      case Fn("date", Seq(Lit(s: String)), _) => to_date(lit(s))
+      case other => throw CypherException(s"expected literal, found $other")
     }
 
-    var out: DataFrame =
-      if (!hasAgg) {
-        df.select(carriedCols ++ plain.map(i => column(i.expr, ctx).as(outName(i))): _*)
-      } else {
-        val (aggs, keys) = plain.partition(i => containsAgg(i.expr))
-        val keyCols = carriedCols ++ keys.map(i => column(i.expr, ctx).as(outName(i)))
-        val aggCols = aggs.map(i => column(i.expr, ctx).as(outName(i)))
-        if (keyCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
-        else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
-      }
-    if (stage.distinct) out = out.distinct()
+    private def rawLiteral(e: Expr): Any = e match {
+      case Lit(v) => v
+      case other => throw CypherException(s"expected literal, found $other")
+    }
 
-    val newCtx = Ctx(ctx.labels.filter { case (v, _) => carried.contains(v) }, Set.empty)
-    stage.where.foreach(w => out = out.filter(column(w, newCtx)))
-    if (stage.orderBy.nonEmpty) {
-      // a sort key that IS one of the projected items (aliased or not —
-      // `ORDER BY count(o)`, `ORDER BY c.c_name`) sorts by that output
-      // column; anything else resolves against the carried context
-      val byOutput: Map[Expr, String] = plain.map(i => i.expr -> outName(i)).toMap
-      def outCol(name: String) = col(s"`${name.replace("`", "``")}`")
-      val sorts = stage.orderBy.map { s =>
-        val c = byOutput.get(s.expr) match {
-          case Some(name) => outCol(name)
-          case None =>
-            s.expr match {
-              case Var(v) if byOutput.values.exists(_ == v) => outCol(v)
-              case e => column(e, newCtx)
-            }
+    /** Translate in pattern context: Prop → prefixed column (struct field
+      * for plain variables); node Var → its key column; unknown bare Var →
+      * output column (post-WITH alias).
+      */
+    private def column(e: Expr, ctx: Ctx): Column = {
+      def c(e: Expr): Column = e match {
+        case Prop(v, p) =>
+          if (ctx.labels.contains(v) || ctx.rels.contains(v)) col(s"${v}__$p")
+          else if (ctx.plains.contains(v)) col(v).getField(p)
+          else throw CypherException(s"unbound variable: $v")
+        case Var(v) =>
+          ctx.nodeLabel(v) match {
+            case Some(label) => col(s"${v}__${store.schema.node(label).key}")
+            case None =>
+              if (ctx.rels.contains(v))
+                throw CypherException(s"relationship variable $v cannot be used as a value")
+              col(v)
+          }
+        case Lit(null) => lit(null)
+        case Lit(x) => lit(x)
+        case Bin(op, l, r) => binop(op, c(l), c(r))
+        case Not(x) => !c(x)
+        case IsNull(x, neg) => if (neg) c(x).isNotNull else c(x).isNull
+        // literal IN list → isin (Catalyst folds to an In predicate it can
+        // push down); any other list-valued expr → array_contains
+        case In(x, ListLit(xs)) if xs.forall(_.isInstanceOf[Lit]) =>
+          c(x).isin(xs.map(rawLiteral): _*)
+        case In(x, coll) => array_contains(c(coll), c(x))
+        case ListLit(xs) => array(xs.map(c): _*)
+        case Param(n) => throw CypherException(
+          s"unbound parameter $$$n — pass params to run(query, params)")
+        case PatternPred(_) => throw CypherException(
+          "pattern predicates (exists((a)-[]->(b))) are only supported as " +
+            "top-level AND conditions of a WHERE clause")
+        case Fn("count", Seq(Var(v)), _) if ctx.rels.contains(v) =>
+          count(lit(1)) // count(r): a rel var has no value column; count rows
+        case Fn(name, args, distinct) => function(name, args.map(c), distinct, args, ctx)
+        case CaseExpr(subject, branches, orElse) =>
+          val conds = subject match {
+            case Some(s) => branches.map { case (v, r) => (c(s) === c(v), c(r)) }
+            case None => branches.map { case (cond, r) => (c(cond), c(r)) }
+          }
+          val base = when(conds.head._1, conds.head._2)
+          val chained = conds.tail.foldLeft(base) { case (acc, (cond, r)) => acc.when(cond, r) }
+          orElse.map(d => chained.otherwise(c(d))).getOrElse(chained)
+      }
+      c(e)
+    }
+
+    private def binop(op: String, l: Column, r: Column): Column = op match {
+      case "+" => l + r
+      case "-" => l - r
+      case "*" => l * r
+      case "/" => l / r
+      case "%" => l % r
+      case "=" => l === r
+      case "<>" => l =!= r
+      case "<" => l < r
+      case "<=" => l <= r
+      case ">" => l > r
+      case ">=" => l >= r
+      case "and" => l && r
+      case "or" => l || r
+      // Cypher string predicates (reference relies on case-insensitive
+      // string matching in its probe, final/langraph_neo4j3.py:359-363)
+      case "startswith" => l.startsWith(r)
+      case "endswith" => l.endsWith(r)
+      case "contains" => l.contains(r)
+      // Cypher `=~` matches the ENTIRE string (Neo4j semantics); Spark's
+      // regexp_like is a substring match, so anchor the pattern
+      case "=~" => regexp_like(l, concat(lit("^(?:"), r, lit(")$")))
+      case other => throw CypherException(s"unsupported operator: $other")
+    }
+
+    private def function(name: String, args: Seq[Column], distinct: Boolean,
+        rawArgs: Seq[Expr], ctx: Ctx): Column = name match {
+      case "count" =>
+        if (args.isEmpty) count(lit(1))
+        else if (distinct) count_distinct(args.head, args.tail: _*)
+        else count(args.head)
+      case "sum" => sum(args.head)
+      case "avg" => avg(args.head)
+      case "min" => min(args.head)
+      case "max" => max(args.head)
+      case "collect" =>
+        // Cypher collect() is unordered; sorted for determinism (SURVEY A17)
+        if (distinct) array_sort(collect_set(args.head)) else array_sort(collect_list(args.head))
+      case "stdev" => stddev(args.head)
+      case "tolower" | "lower" => lower(args.head)
+      case "toupper" | "upper" => upper(args.head)
+      case "tostring" => args.head.cast(StringType)
+      case "tointeger" => args.head.cast("long")
+      case "tofloat" => args.head.cast("double")
+      case "size" | "length" =>
+        if (isStringTyped(rawArgs.head, ctx)) length(args.head) else size(args.head)
+      case "abs" => abs(args.head)
+      case "round" => round(args.head)
+      case "ceil" => ceil(args.head)
+      case "floor" => floor(args.head)
+      case "sqrt" => sqrt(args.head)
+      case "coalesce" => coalesce(args: _*)
+      case "date" => to_date(args.head)
+      case "datetime" | "timestamp" => to_timestamp(args.head)
+      case "year" => year(args.head)
+      case "month" => month(args.head)
+      case "day" => dayofmonth(args.head)
+      case "exists" => args.head.isNotNull // legacy property-existence form
+      case "trim" => trim(args.head)
+      case "substring" => // Cypher substring(s, start[, len]) is 0-based
+        if (args.size == 3) args.head.substr(args(1) + lit(1), args(2))
+        else if (args.size == 2) args.head.substr(args(1) + lit(1), length(args.head))
+        else throw CypherException("substring expects 2 or 3 arguments")
+      case other => throw CypherException(s"unsupported function: $other()")
+    }
+
+    private def isStringTyped(e: Expr, ctx: Ctx): Boolean = e match {
+      case Lit(_: String) => true
+      case Fn("tolower" | "lower" | "toupper" | "upper" | "tostring" | "trim" | "substring", _, _) => true
+      case Prop(v, p) =>
+        ctx.nodeLabel(v).exists { label =>
+          store.nodes(label).schema.fields.exists(f => f.name == p && f.dataType == StringType)
         }
-        if (s.asc) c.asc else c.desc
-      }
-      out = out.orderBy(sorts: _*)
+      case _ => false
     }
-    stage.skip.foreach(n => out = out.offset(n.toInt))
-    stage.limit.foreach(n => out = out.limit(n.toInt))
-    (out, newCtx)
-  }
 
-  // ------------------------------------------------------------------ main
+    // ---------------------------------------------------------- projection
 
-  /** Compile, including any `UNION [ALL]` chain: branches compile
-    * independently and combine by column name; Cypher's bare UNION
-    * deduplicates. A trailing ORDER BY/SKIP/LIMIT on the last branch
-    * applies to the whole union and must reference output columns.
-    */
-  def compile(q: Query): DataFrame = q.union match {
-    case None => compileSingle(q)
-    case Some(_) =>
-      var branches = Seq.empty[Query]
-      var flags = Seq.empty[Boolean]
-      var cur: Option[Query] = Some(q)
-      while (cur.isDefined) {
-        branches :+= cur.get
-        cur.get.union.foreach { case (all, _) => flags :+= all }
-        cur = cur.get.union.map(_._2)
+    private def genName(e: Expr): String = e match {
+      case Prop(v, p) => s"$v.$p"
+      case Var(v) => v
+      case Lit(x) => String.valueOf(x)
+      case Fn(n, args, d) =>
+        s"$n(${if (d) "DISTINCT " else ""}${args.map(genName).mkString(", ")})"
+      case Bin(op, l, r) => s"${genName(l)} $op ${genName(r)}"
+      case Not(x) => s"NOT ${genName(x)}"
+      case IsNull(x, neg) => s"${genName(x)} IS ${if (neg) "NOT " else ""}NULL"
+      case In(x, coll) => s"${genName(x)} IN ${genName(coll)}"
+      case ListLit(xs) => s"[${xs.map(genName).mkString(", ")}]"
+      case Param(n) => s"$$$n"
+      case PatternPred(_) => "exists(pattern)"
+      case CaseExpr(s, bs, d) =>
+        "CASE " + s.map(x => genName(x) + " ").getOrElse("") +
+          bs.map { case (c, r) => s"WHEN ${genName(c)} THEN ${genName(r)}" }.mkString(" ") +
+          d.map(x => s" ELSE ${genName(x)}").getOrElse("") + " END"
+    }
+
+    /** Apply a WITH/RETURN stage. Bare node variables (`WITH o, ...`) carry
+      * all the node's columns so later stages can still say `o.prop`; under
+      * aggregation they group by all carried columns (equivalent to grouping
+      * by node identity — properties are functionally dependent on the key).
+      */
+    private def project(df: DataFrame, stage: Projection, ctx: Ctx): (DataFrame, Ctx) = {
+      val carried = stage.items.collect {
+        case Item(Var(v), None) if ctx.labels.contains(v) => v
       }
-      if (flags.distinct.size > 1)
-        throw CypherException("cannot mix UNION and UNION ALL in one query")
-      val all = flags.head
-      val last = branches.last
-      val lastStripped =
-        last.copy(ret = last.ret.copy(orderBy = Nil, skip = None, limit = None))
-      var out = (branches.init :+ lastStripped).map(compileSingle).reduce(_.unionByName(_))
-      if (!all) out = out.distinct()
+      val plain = stage.items.filterNot {
+        case Item(Var(v), None) => ctx.labels.contains(v)
+        case _ => false
+      }
+      val hasAgg = plain.exists(i => containsAgg(i.expr))
+
       def outName(i: Item): String = i.alias.getOrElse(genName(i.expr))
-      def outCol(name: String) = col(s"`${name.replace("`", "``")}`")
-      val byOutput: Map[Expr, String] = last.ret.items.map(i => i.expr -> outName(i)).toMap
-      val names = last.ret.items.map(outName).toSet
-      if (last.ret.orderBy.nonEmpty) {
-        val sorts = last.ret.orderBy.map { s =>
-          val c = byOutput.get(s.expr).map(outCol).getOrElse(s.expr match {
-            case Var(v) if names(v) => outCol(v)
-            case _ => throw CypherException(
-              "ORDER BY after UNION must reference output columns")
-          })
+      val carriedCols: Seq[Column] = carried.flatMap { v =>
+        store.nodes(ctx.labels(v)).columns.map(c => col(s"${v}__$c"))
+      }
+
+      var out: DataFrame =
+        if (!hasAgg) {
+          df.select(carriedCols ++ plain.map(i => column(i.expr, ctx).as(outName(i))): _*)
+        } else {
+          val (aggs, keys) = plain.partition(i => containsAgg(i.expr))
+          val keyCols = carriedCols ++ keys.map(i => column(i.expr, ctx).as(outName(i)))
+          val aggCols = aggs.map(i => column(i.expr, ctx).as(outName(i)))
+          if (keyCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
+          else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
+        }
+      if (stage.distinct) out = out.distinct()
+
+      val newCtx = Ctx(
+        ctx.labels.filter { case (v, _) => carried.contains(v) },
+        Map.empty,
+        plain.map(outName).toSet)
+      stage.where.foreach(w => out = out.filter(column(w, newCtx)))
+      if (stage.orderBy.nonEmpty) {
+        // a sort key that IS one of the projected items (aliased or not —
+        // `ORDER BY count(o)`, `ORDER BY c.c_name`) sorts by that output
+        // column; anything else resolves against the carried context
+        val byOutput: Map[Expr, String] = plain.map(i => i.expr -> outName(i)).toMap
+        def outCol(name: String) = col(s"`${name.replace("`", "``")}`")
+        val sorts = stage.orderBy.map { s =>
+          val c = byOutput.get(s.expr) match {
+            case Some(name) => outCol(name)
+            case None =>
+              s.expr match {
+                case Var(v) if byOutput.values.exists(_ == v) => outCol(v)
+                case e => column(e, newCtx)
+              }
+          }
           if (s.asc) c.asc else c.desc
         }
         out = out.orderBy(sorts: _*)
       }
-      last.ret.skip.foreach(n => out = out.offset(n.toInt))
-      last.ret.limit.foreach(n => out = out.limit(n.toInt))
-      out
-  }
-
-  /** Predicate split: pattern predicates must be top-level AND conjuncts
-    * (optionally under NOT) — they compile to semi/anti joins, not Columns.
-    */
-  private def splitWhere(w: Expr): (Seq[(PathPat, Boolean)], Seq[Expr]) = {
-    def conjuncts(e: Expr): Seq[Expr] = e match {
-      case Bin("and", l, r) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
+      stage.skip.foreach(n => out = out.offset(n.toInt))
+      stage.limit.foreach(n => out = out.limit(n.toInt))
+      (out, newCtx)
     }
-    val pats = Seq.newBuilder[(PathPat, Boolean)]
-    val plain = Seq.newBuilder[Expr]
-    conjuncts(w).foreach {
-      case PatternPred(p) => pats += ((p, false))
-      case Not(PatternPred(p)) => pats += ((p, true))
-      case other => plain += other // nested PatternPred → clear error in column()
+
+    // --------------------------------------------------------------- writes
+
+    private var anonCounter = 0
+    private def anonVar(): String = { anonCounter += 1; s"__w$anonCounter" }
+
+    private def nodeKeyCol(v: String, ctx: Ctx): Column =
+      col(s"${v}__${store.schema.node(ctx.labels(v)).key}")
+
+    /** `MERGE (n:L {merge props}) [SET n += {…} / SET n.p = e]*` fused into
+      * one [[GraphWriter.mergeNodes]] upsert, then `n` binds by joining the
+      * frame against the UPDATED node store on the merge props (so `n`
+      * carries post-SET values, matched or created — Neo4j semantics).
+      * A SET of a merge-key column is ignored: the merge value is
+      * authoritative (the reference's `SET n += {key: row.key, …}` re-sets
+      * the key to the identical value, final/inject_node.py:353-356).
+      */
+    private def mergeNodeWrite(df: DataFrame, ctx: Ctx, pat: NodePat,
+        sets: Seq[(String, Expr)]): (DataFrame, Ctx) = {
+      val v = pat.variable.getOrElse(
+        throw CypherException("MERGE node pattern needs a variable"))
+      if (ctx.labels.contains(v))
+        throw CypherException(s"MERGE variable $v is already bound")
+      val label = pat.label.getOrElse(
+        throw CypherException("MERGE node pattern needs a label"))
+      if (pat.props.isEmpty)
+        throw CypherException("MERGE node pattern needs at least one merge property")
+      val mergeKeys = pat.props.map(_._1)
+      val setCols = collection.mutable.LinkedHashMap[String, Expr]()
+      sets.foreach { case (k, e) => if (!mergeKeys.contains(k)) setCols(k) = e }
+      val incoming = df.select(
+        pat.props.map { case (p, e) => column(e, ctx).as(p) } ++
+          setCols.map { case (p, e) => column(e, ctx).as(p) }: _*)
+      store = GraphWriter.mergeNodes(store, label, incoming, mergeKeys)
+      val nd = nodeDf(v, label)
+      val cond = pat.props.map { case (p, e) => column(e, ctx) <=> col(s"${v}__$p") }
+        .reduce(_ && _)
+      (df.join(nd, cond), ctx.copy(labels = ctx.labels + (v -> label)))
     }
-    (pats.result(), plain.result())
-  }
 
-  /** `exists((a)-[:R]->(b))` → LEFT SEMI join of the bound frame against
-    * the independently assembled sub-pattern on the shared variables' node
-    * keys (anti for the negation). The sub-pattern never widens the row —
-    * Cypher existence semantics, and at scale the semi join keeps only the
-    * key columns of the subquery side moving.
-    */
-  private def applyPatternPred(main: DataFrame, ctx: Ctx, path: PathPat,
-      negated: Boolean): DataFrame = {
-    val patVars = (path.head.variable.toSeq ++ path.hops.flatMap(_._2.variable)).toSet
-    val shared = patVars.filter(ctx.labels.contains)
-    if (shared.isEmpty)
-      throw CypherException(
-        "exists() pattern must share at least one variable with the enclosing MATCH")
-    val (sub, subCtx) = assemble(Seq(path), ctx.labels.view.filterKeys(shared).toMap)
-    def keyColOf(v: String, c: Ctx): String = s"${v}__${store.schema.node(c.labels(v)).key}"
-    val sfx = "__ex"
-    val subR = sub.columns.foldLeft(sub)((d, c) => d.withColumnRenamed(c, c + sfx))
-    val cond = shared.map(v => col(keyColOf(v, ctx)) === col(keyColOf(v, subCtx) + sfx))
-      .reduce(_ && _)
-    main.join(subR, cond, if (negated) "left_anti" else "left_semi")
-  }
-
-  private def compileSingle(q: Query): DataFrame = {
-    var state: Option[(DataFrame, Ctx)] = None
-    q.stages.foreach { st =>
-      // reading clauses apply in written order: MATCH extends the frame by
-      // pattern joins, OPTIONAL MATCH left-joins, UNWIND explodes a list
-      // into rows (one output row per element, Cypher semantics — an empty
-      // or null list yields no rows)
-      st.reads.foreach {
-        case MatchClause(paths, false) =>
-          state = Some(assemble(paths, initial = state))
-        case MatchClause(paths, true) =>
-          val (df, ctx) = state.getOrElse(
-            throw CypherException("OPTIONAL MATCH cannot start a query"))
-          state = Some(attachOptional(df, ctx, paths))
-        case UnwindClause(e, alias) =>
-          state = Some(state match {
-            case Some((df, ctx)) =>
-              (df.withColumn(alias, explode(column(e, ctx))), ctx)
-            case None =>
-              val spark = store.nodes.values.headOption.map(_.sparkSession)
-                .getOrElse(throw CypherException("empty graph store"))
-              val emptyCtx = Ctx(Map.empty, Set.empty)
-              (spark.range(1).select(explode(column(e, emptyCtx)).as(alias)), emptyCtx)
-          })
+    /** `MERGE (s)-[r:L {props}]->(t)` / CREATE equivalent: both endpoints
+      * must be bound node variables; one row per frame row becomes an edge
+      * (MERGE skips rows whose full written pattern already exists — one
+      * anti join). Orientation corrects against the schema like reads do.
+      */
+    private def mergeEdgeWrite(df: DataFrame, ctx: Ctx, path: PathPat,
+        create: Boolean): (DataFrame, Ctx) = {
+      val (rel, dstPat) = path.hops.head
+      val aVar = path.head.variable.getOrElse(
+        throw CypherException("relationship write needs named endpoints"))
+      val bVar = dstPat.variable.getOrElse(
+        throw CypherException("relationship write needs named endpoints"))
+      Seq(aVar, bVar).foreach(x =>
+        if (!ctx.labels.contains(x))
+          throw CypherException(s"relationship write endpoint $x is not a bound node"))
+      val label = rel.label.getOrElse(
+        throw CypherException("relationship write needs a relationship type"))
+      val (s0, d0) = rel.dir match {
+        case Out => (aVar, bVar)
+        case In => (bVar, aVar)
+        case Undirected =>
+          throw CypherException("relationship write needs a direction (-[]-> or <-[]-)")
       }
-      if (state.isEmpty)
-        throw CypherException("query must start with a MATCH pattern or UNWIND")
-      var (df, ctx) = state.get
-      st.where.foreach { w =>
-        val (patternPreds, plain) = splitWhere(w)
-        patternPreds.foreach { case (p, negated) =>
-          df = applyPatternPred(df, ctx, p, negated)
+      val (sLabel, dLabel) = (ctx.labels(s0), ctx.labels(d0))
+      // schema orientation wins over the written arrow (direction
+      // correction, same rule as reads)
+      val (keyS, keyT, srcVar, dstVar) = store.schema.edges.find(_.label == label) match {
+        case Some(et) =>
+          if (et.src == sLabel && et.dst == dLabel) (et.keyS, et.keyT, s0, d0)
+          else if (et.src == dLabel && et.dst == sLabel) (et.keyS, et.keyT, d0, s0)
+          else throw CypherException(
+            s"relationship $label connects ${et.src}→${et.dst}, not $sLabel→$dLabel")
+        case None =>
+          val ks = store.schema.node(sLabel).key
+          val kt0 = store.schema.node(dLabel).key
+          (ks, if (kt0 == ks) kt0 + "_dst" else kt0, s0, d0)
+      }
+      val incoming = df.select(
+        nodeKeyCol(srcVar, ctx).as(keyS) +: nodeKeyCol(dstVar, ctx).as(keyT) +:
+          rel.props.map { case (p, e) => column(e, ctx).as(p) }: _*)
+      store = GraphWriter.mergeEdges(store, label, ctx.labels(srcVar), ctx.labels(dstVar),
+        keyS, keyT, incoming, create)
+      rel.variable match {
+        case Some(rv) =>
+          val d = rel.props.foldLeft(df) { case (acc, (p, e)) =>
+            acc.withColumn(s"${rv}__$p", column(e, ctx))
+          }
+          (d, ctx.copy(rels = ctx.rels + (rv -> RelInfo(label, srcVar, dstVar))))
+        case None => (df, ctx)
+      }
+    }
+
+    /** `CREATE (n:L {…})` — one node per frame row, no matching. Binds `n`
+      * column-wise from the written properties (cheaper than a join: a
+      * created node's properties are exactly what the row wrote).
+      */
+    private def createNodeWrite(df: DataFrame, ctx: Ctx, pat: NodePat): (DataFrame, Ctx) = {
+      val v = pat.variable.getOrElse(anonVar())
+      if (ctx.labels.contains(v))
+        throw CypherException(s"CREATE variable $v is already bound")
+      val label = pat.label.getOrElse(
+        throw CypherException("CREATE node pattern needs a label"))
+      if (pat.props.isEmpty)
+        throw CypherException("CREATE node pattern needs at least one property")
+      val incoming = df.select(pat.props.map { case (p, e) => column(e, ctx).as(p) }: _*)
+      store = GraphWriter.createNodes(store, label, incoming)
+      val nt = store.schema.node(label)
+      val given = pat.props.toMap
+      val d = (nt.key +: nt.properties).foldLeft(df) { (acc, c) =>
+        acc.withColumn(s"${v}__$c", given.get(c).map(column(_, ctx)).getOrElse(lit(null)))
+      }
+      (d, ctx.copy(labels = ctx.labels + (v -> label)))
+    }
+
+    /** One CREATE path: create unbound nodes, then create each hop edge. */
+    private def createPath(df0: DataFrame, ctx0: Ctx, path: PathPat): (DataFrame, Ctx) = {
+      var df = df0
+      var ctx = ctx0
+      def ensure(pat: NodePat): NodePat = {
+        val withVar = pat.variable match {
+          case Some(_) => pat
+          case None => pat.copy(variable = Some(anonVar()))
         }
-        plain.foreach(p => df = df.filter(column(p, ctx)))
+        if (!ctx.labels.contains(withVar.variable.get)) {
+          val (d2, c2) = createNodeWrite(df, ctx, withVar)
+          df = d2; ctx = c2
+        }
+        withVar
       }
-      st.projection.foreach { p =>
-        val (d2, c2) = project(df, p, ctx)
+      val head = ensure(path.head)
+      var prev = head
+      path.hops.foreach { case (rel, node) =>
+        val n = ensure(node)
+        val (d2, c2) = mergeEdgeWrite(df, ctx, PathPat(prev, Seq((rel, n))), create = true)
         df = d2; ctx = c2
+        prev = n
       }
-      state = Some((df, ctx))
+      (df, ctx)
     }
-    project(state.get._1, q.ret, state.get._2)._1
-  }
-}
 
-object CypherEngine {
-  final case class CypherException(msg: String) extends RuntimeException(msg)
+    /** Standalone SET on an already-bound node variable: upsert the store
+      * on the node key, refresh the frame's columns in place.
+      */
+    private def standaloneSet(df: DataFrame, ctx: Ctx, item: SetItem): (DataFrame, Ctx) = {
+      val (v, pairs) = item match {
+        case SetPlus(x, m) => (x, m)
+        case SetProp(x, p, e) => (x, Seq((p, e)))
+      }
+      val label = ctx.labels.getOrElse(v,
+        throw CypherException(s"SET target $v is not a bound node variable"))
+      val nt = store.schema.node(label)
+      val incoming = df.select(
+        col(s"${v}__${nt.key}").as(nt.key) +:
+          pairs.map { case (p, e) => column(e, ctx).as(p) }: _*)
+      store = GraphWriter.mergeNodes(store, label, incoming, Seq(nt.key))
+      val d = pairs.foldLeft(df) { case (acc, (p, e)) =>
+        acc.withColumn(s"${v}__$p", column(e, ctx))
+      }
+      (d, ctx)
+    }
+
+    /** `[DETACH] DELETE v` — node or relationship variable. The frame keeps
+      * the deleted bindings (Neo4j semantics); only the store shrinks.
+      */
+    private def deleteVar(df: DataFrame, ctx: Ctx, v: String, detach: Boolean): Unit =
+      ctx.labels.get(v) match {
+        case Some(label) =>
+          val key = store.schema.node(label).key
+          val keys = df.select(col(s"${v}__$key").as(key)).distinct()
+          store = GraphWriter.deleteNodes(store, label, keys, detach)
+        case None => ctx.rels.get(v) match {
+          case Some(RelInfo(label, sV, dV)) =>
+            val et = store.schema.edge(label)
+            val pairs = df.select(
+              nodeKeyCol(sV, ctx).as(et.keyS), nodeKeyCol(dV, ctx).as(et.keyT)).distinct()
+            store = GraphWriter.deleteEdges(store, label, pairs)
+          case None => throw CypherException(s"cannot DELETE unbound variable $v")
+        }
+      }
+
+    /** Apply a stage's write clauses in order, fusing `MERGE node` with the
+      * SET clauses that immediately follow it and target only its variable
+      * (the reference's injection shape, final/inject_node.py:350-358).
+      */
+    private def applyWrites(df0: DataFrame, ctx0: Ctx,
+        writes: Seq[WriteClause]): (DataFrame, Ctx) = {
+      var df = df0
+      var ctx = ctx0
+      var i = 0
+      while (i < writes.length) {
+        writes(i) match {
+          case MergeClause(path) if path.hops.isEmpty =>
+            val v = path.head.variable.getOrElse(
+              throw CypherException("MERGE node pattern needs a variable"))
+            val sets = Seq.newBuilder[(String, Expr)]
+            var j = i + 1
+            var fusing = true
+            while (fusing && j < writes.length) writes(j) match {
+              case SetClause(items) if items.forall {
+                    case SetPlus(x, _) => x == v
+                    case SetProp(x, _, _) => x == v
+                  } =>
+                items.foreach {
+                  case SetPlus(_, m) => sets ++= m
+                  case SetProp(_, p, e) => sets += ((p, e))
+                }
+                j += 1
+              case _ => fusing = false
+            }
+            val (d2, c2) = mergeNodeWrite(df, ctx, path.head, sets.result())
+            df = d2; ctx = c2
+            i = j
+          case MergeClause(path) if path.hops.size == 1 =>
+            val (d2, c2) = mergeEdgeWrite(df, ctx, path, create = false)
+            df = d2; ctx = c2
+            i += 1
+          case MergeClause(_) =>
+            throw CypherException(
+              "MERGE supports a single node or a single-relationship pattern")
+          case CreateClause(paths) =>
+            paths.foreach { p =>
+              val (d2, c2) = createPath(df, ctx, p)
+              df = d2; ctx = c2
+            }
+            i += 1
+          case SetClause(items) =>
+            items.foreach { item =>
+              val (d2, c2) = standaloneSet(df, ctx, item)
+              df = d2; ctx = c2
+            }
+            i += 1
+          case DeleteClause(vars, detach) =>
+            vars.foreach(v => deleteVar(df, ctx, v, detach))
+            i += 1
+        }
+      }
+      (df, ctx)
+    }
+
+    // -------------------------------------------------------------- main
+
+    /** A `$rows`-style parameter bound to this UNWIND? (left unsubstituted
+      * by bindParams; becomes a DataFrame here).
+      */
+    private def rowsParam(e: Expr): Option[Seq[Map[String, Any]]] = e match {
+      case Param(n) => params.get(n).collect {
+        case xs: Seq[_] if xs.nonEmpty && xs.forall(_.isInstanceOf[Map[_, _]]) =>
+          xs.map(_.asInstanceOf[Map[String, Any]])
+      }
+      case _ => None
+    }
+
+    /** Build the one-struct-column frame for `UNWIND $rows AS row`. Schema
+      * is inferred per field from the first non-null value (Long, Double,
+      * Boolean, Date, Timestamp, else String). This surface is driver-side
+      * by nature — the reference batches rows through its driver the same
+      * way (final/inject_node.py:241-306); the scale path is the
+      * DataFrame-native [[graft.graph.GraphWriter]] API.
+      */
+    private def rowsDf(alias: String, rows: Seq[Map[String, Any]]): DataFrame = {
+      val keys: Seq[String] = rows.flatMap(_.keys).distinct
+      def dt(x: Any): DataType = x match {
+        case _: Int | _: Long | _: Short | _: Byte => LongType
+        case _: Double | _: Float => DoubleType
+        case _: Boolean => BooleanType
+        case _: java.sql.Date => DateType
+        case _: java.sql.Timestamp => TimestampType
+        case _ => StringType
+      }
+      def coerce(x: Any): Any = x match {
+        case i: Int => i.toLong
+        case s: Short => s.toLong
+        case b: Byte => b.toLong
+        case f: Float => f.toDouble
+        case other => other
+      }
+      val inner = StructType(keys.map { k =>
+        StructField(k,
+          rows.iterator.flatMap(_.get(k)).find(_ != null).map(dt).getOrElse(StringType))
+      })
+      val data: java.util.List[Row] =
+        rows.map(m => Row(Row(keys.map(k => coerce(m.get(k).orNull)): _*))).asJava
+      spark.createDataFrame(data, StructType(Seq(StructField(alias, inner, nullable = false))))
+    }
+
+    /** Compile, including any `UNION [ALL]` chain: branches compile
+      * independently and combine by column name; Cypher's bare UNION
+      * deduplicates. A trailing ORDER BY/SKIP/LIMIT on the last branch
+      * applies to the whole union and must reference output columns.
+      */
+    def top(q: Query): DataFrame = q.union match {
+      case None => compileSingle(q)
+      case Some(_) =>
+        if (hasWrites(q))
+          throw CypherException("UNION is not supported in write queries")
+        var branches = Seq.empty[Query]
+        var flags = Seq.empty[Boolean]
+        var cur: Option[Query] = Some(q)
+        while (cur.isDefined) {
+          branches :+= cur.get
+          cur.get.union.foreach { case (all, _) => flags :+= all }
+          cur = cur.get.union.map(_._2)
+        }
+        if (flags.distinct.size > 1)
+          throw CypherException("cannot mix UNION and UNION ALL in one query")
+        val all = flags.head
+        val last = branches.last
+        val lastStripped =
+          last.copy(ret = last.ret.copy(orderBy = Nil, skip = None, limit = None))
+        var out = (branches.init :+ lastStripped).map(compileSingle).reduce(_.unionByName(_))
+        if (!all) out = out.distinct()
+        def outName(i: Item): String = i.alias.getOrElse(genName(i.expr))
+        def outCol(name: String) = col(s"`${name.replace("`", "``")}`")
+        val byOutput: Map[Expr, String] = last.ret.items.map(i => i.expr -> outName(i)).toMap
+        val names = last.ret.items.map(outName).toSet
+        if (last.ret.orderBy.nonEmpty) {
+          val sorts = last.ret.orderBy.map { s =>
+            val c = byOutput.get(s.expr).map(outCol).getOrElse(s.expr match {
+              case Var(v) if names(v) => outCol(v)
+              case _ => throw CypherException(
+                "ORDER BY after UNION must reference output columns")
+            })
+            if (s.asc) c.asc else c.desc
+          }
+          out = out.orderBy(sorts: _*)
+        }
+        last.ret.skip.foreach(n => out = out.offset(n.toInt))
+        last.ret.limit.foreach(n => out = out.limit(n.toInt))
+        out
+    }
+
+    /** Predicate split: pattern predicates must be top-level AND conjuncts
+      * (optionally under NOT) — they compile to semi/anti joins.
+      */
+    private def splitWhere(w: Expr): (Seq[(PathPat, Boolean)], Seq[Expr]) = {
+      def conjuncts(e: Expr): Seq[Expr] = e match {
+        case Bin("and", l, r) => conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
+      }
+      val pats = Seq.newBuilder[(PathPat, Boolean)]
+      val plain = Seq.newBuilder[Expr]
+      conjuncts(w).foreach {
+        case PatternPred(p) => pats += ((p, false))
+        case Not(PatternPred(p)) => pats += ((p, true))
+        case other => plain += other // nested PatternPred → clear error in column()
+      }
+      (pats.result(), plain.result())
+    }
+
+    /** `exists((a)-[:R]->(b))` → LEFT SEMI join of the bound frame against
+      * the independently assembled sub-pattern on the shared variables'
+      * node keys (anti for the negation). The sub-pattern never widens the
+      * row — Cypher existence semantics, and at scale the semi join keeps
+      * only the key columns of the subquery side moving.
+      */
+    private def applyPatternPred(main: DataFrame, ctx: Ctx, path: PathPat,
+        negated: Boolean): DataFrame = {
+      val patVars = (path.head.variable.toSeq ++ path.hops.flatMap(_._2.variable)).toSet
+      val shared = patVars.filter(ctx.labels.contains)
+      if (shared.isEmpty)
+        throw CypherException(
+          "exists() pattern must share at least one variable with the enclosing MATCH")
+      val (sub, subCtx) = assemble(Seq(path), ctx.labels.view.filterKeys(shared).toMap)
+      def keyColOf(v: String, c: Ctx): String = s"${v}__${store.schema.node(c.labels(v)).key}"
+      val sfx = "__ex"
+      val subR = sub.columns.foldLeft(sub)((d, c) => d.withColumnRenamed(c, c + sfx))
+      val cond = shared.map(v => col(keyColOf(v, ctx)) === col(keyColOf(v, subCtx) + sfx))
+        .reduce(_ && _)
+      main.join(subR, cond, if (negated) "left_anti" else "left_semi")
+    }
+
+    private def compileSingle(q: Query): DataFrame = {
+      var state: Option[(DataFrame, Ctx)] = None
+      q.stages.foreach { st =>
+        // reading clauses apply in written order: MATCH extends the frame
+        // by pattern joins, OPTIONAL MATCH left-joins, UNWIND explodes a
+        // list into rows (one output row per element; a row-batch param
+        // becomes a one-struct-column frame cross-joined in)
+        st.reads.foreach {
+          case MatchClause(paths, false) =>
+            state = Some(assemble(paths, initial = state))
+          case MatchClause(paths, true) =>
+            val (df, ctx) = state.getOrElse(
+              throw CypherException("OPTIONAL MATCH cannot start a query"))
+            state = Some(attachOptional(df, ctx, paths))
+          case UnwindClause(e, alias) =>
+            state = Some(rowsParam(e) match {
+              case Some(rows) =>
+                val rdf = rowsDf(alias, rows)
+                state match {
+                  case Some((df, ctx)) =>
+                    (df.crossJoin(rdf), ctx.copy(plains = ctx.plains + alias))
+                  case None => (rdf, Ctx(Map.empty, Map.empty, Set(alias)))
+                }
+              case None =>
+                state match {
+                  case Some((df, ctx)) =>
+                    (df.withColumn(alias, explode(column(e, ctx))),
+                      ctx.copy(plains = ctx.plains + alias))
+                  case None =>
+                    val emptyCtx = Ctx(Map.empty, Map.empty)
+                    (spark.range(1).select(explode(column(e, emptyCtx)).as(alias)),
+                      Ctx(Map.empty, Map.empty, Set(alias)))
+                }
+            })
+        }
+        if (state.isEmpty) {
+          if (st.writes.nonEmpty)
+            // write-only start (`CREATE (n:L {…})`): a one-row empty frame
+            state = Some((spark.range(1).select(), Ctx(Map.empty, Map.empty)))
+          else
+            throw CypherException("query must start with a MATCH pattern or UNWIND")
+        }
+        var (df, ctx) = state.get
+        st.where.foreach { w =>
+          val (patternPreds, plain) = splitWhere(w)
+          patternPreds.foreach { case (p, negated) =>
+            df = applyPatternPred(df, ctx, p, negated)
+          }
+          plain.foreach(p => df = df.filter(column(p, ctx)))
+        }
+        if (st.writes.nonEmpty) {
+          val (d2, c2) = applyWrites(df, ctx, st.writes)
+          df = d2; ctx = c2
+        }
+        st.projection.foreach { p =>
+          val (d2, c2) = project(df, p, ctx)
+          df = d2; ctx = c2
+        }
+        state = Some((df, ctx))
+      }
+      project(state.get._1, q.ret, state.get._2)._1
+    }
+  }
 }

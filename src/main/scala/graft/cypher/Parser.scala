@@ -123,15 +123,18 @@ object Parser {
     private val keywords = Set("match", "optional", "where", "with", "return",
       "order", "by", "limit", "skip", "as", "and", "or", "not", "distinct", "in",
       "is", "null", "asc", "desc", "ascending", "descending", "true", "false",
-      "exists", "case", "when", "then", "else", "end")
+      "exists", "case", "when", "then", "else", "end", "unwind",
+      "create", "merge", "set", "delete", "detach")
 
     // ---------------------------------------------------------------- query
     def query(): Query = {
       var stages = Seq.empty[Stage]
       var ret: Projection = null
-      // first stage must read something (a pattern or an unwound list)
-      if (!isKw("MATCH") && !isKw("UNWIND")) eatKw("MATCH")
-      while (ret == null) {
+      // first stage must read or write something
+      if (!isKw("MATCH") && !isKw("UNWIND") && !isKw("CREATE") && !isKw("MERGE"))
+        eatKw("MATCH")
+      var done = false
+      while (!done) {
         var clauses = Seq.empty[Reading]
         var more = true
         while (more) {
@@ -145,12 +148,21 @@ object Parser {
           } else more = false
         }
         val where = if (tryKw("WHERE")) Some(expr()) else None
-        if (tryKw("WITH")) stages :+= Stage(clauses, where, Some(projection(allowWhere = true)))
-        else {
-          eatKw("RETURN")
-          stages :+= Stage(clauses, where, None)
+        val writes = writeClauses()
+        if (tryKw("WITH"))
+          stages :+= Stage(clauses, where, Some(projection(allowWhere = true)), writes)
+        else if (tryKw("RETURN")) {
+          stages :+= Stage(clauses, where, None, writes)
           ret = projection(allowWhere = false)
-        }
+          done = true
+        } else if (peek == EOF && writes.nonEmpty) {
+          // a write query needs no RETURN (reference injection scripts end
+          // on MERGE/SET); synthesize `RETURN count(*) AS rows` so every
+          // execution yields a summary row
+          stages :+= Stage(clauses, where, None, writes)
+          ret = Projection(Seq(Item(Fn("count", Nil), Some("rows"))), distinct = false)
+          done = true
+        } else eatKw("RETURN") // error with the expected-keyword message
       }
       if (tryKw("UNION")) {
         val all = tryKw("ALL")
@@ -159,6 +171,38 @@ object Parser {
         case EOF => Query(stages, ret)
         case t => throw ParseException(s"trailing input: $t")
       }
+    }
+
+    private def writeClauses(): Seq[WriteClause] = {
+      val b = Seq.newBuilder[WriteClause]
+      var more = true
+      while (more) {
+        if (tryKw("CREATE")) b += CreateClause(patternList())
+        else if (tryKw("MERGE")) b += MergeClause(pathPattern())
+        else if (tryKw("SET")) {
+          val items = Seq.newBuilder[SetItem]
+          def one(): Unit = {
+            val v = ident()
+            if (trySym(".")) {
+              val p = ident(); eatSym("="); items += SetProp(v, p, expr())
+            } else {
+              eatSym("+"); eatSym("=") // `SET n = {…}` (replace-all) unsupported
+              items += SetPlus(v, propMap())
+            }
+          }
+          one()
+          while (trySym(",")) one()
+          b += SetClause(items.result())
+        } else if (isKw("DELETE") || isKw("DETACH")) {
+          val detach = tryKw("DETACH")
+          eatKw("DELETE")
+          val vars = Seq.newBuilder[String]
+          vars += ident()
+          while (trySym(",")) vars += ident()
+          b += DeleteClause(vars.result(), detach)
+        } else more = false
+      }
+      b.result()
     }
 
     def patternList(): Seq[PathPat] = {

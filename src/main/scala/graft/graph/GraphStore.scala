@@ -51,6 +51,12 @@ final case class GraphStore(
 }
 
 object GraphStore {
+  /** A store with no labels — the starting point for building a graph
+    * purely through Cypher write clauses ([[graft.cypher.CypherEngine]]
+    * `.execute`) or [[GraphWriter]].
+    */
+  def empty: GraphStore = GraphStore(GraphSchema(Nil, Nil), Map.empty, Map.empty)
+
   def load(spark: SparkSession, root: String, schema: GraphSchema): GraphStore =
     GraphStore(
       schema,

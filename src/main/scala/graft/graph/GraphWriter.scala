@@ -1,0 +1,213 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph mutation primitives — the DataFrame-native core behind the Cypher
+  * write clauses (`CREATE` / `MERGE` / `SET` / `DELETE`), and the scale path
+  * in their own right.
+  *
+  * The reference mutates Neo4j with driver-batched parameterized Cypher
+  * (reference: final/inject_node.py:350-358, final/inject_relationship.py:
+  * 636-644, with hand-rolled chunking/retry at inject_relationship.py:33-337).
+  * Here every mutation is a declarative plan over the immutable store: an
+  * upsert is one full-outer join on the merge keys, a merge-insert is one
+  * anti join, a delete is one anti join — each a single shuffle on the key,
+  * broadcastable when the incoming side is small. Nothing round-trips the
+  * driver, so the same code path handles 25 rows or 25 billion.
+  *
+  * Determinism: duplicate merge keys inside one incoming batch collapse
+  * last-wins via `max(struct(props))` — the same partition-independent rule
+  * [[GraphBuilder.buildNodes]] uses (the reference's batch-arrival-order
+  * dependence is a defect we fix, SURVEY.md §7.4.2).
+  */
+object GraphWriter {
+
+  /** Null-pad `df` so it has every column in `cols`, in that order. */
+  private def conform(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val padded = cols.foldLeft(df)((d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null)))
+    padded.select(cols.map(col): _*)
+  }
+
+  /** Deterministic last-wins dedup of `incoming` on `keys`. */
+  private def dedupOn(incoming: DataFrame, keys: Seq[String]): DataFrame = {
+    val others = incoming.columns.filterNot(keys.contains).toSeq
+    if (others.isEmpty) incoming.dropDuplicates(keys)
+    else
+      incoming
+        .groupBy(keys.map(col): _*)
+        .agg(max(struct(others.map(col): _*)).as("__s"))
+        .select(keys.map(col) ++ others.map(p => col(s"__s.$p").as(p)): _*)
+  }
+
+  /** MERGE-upsert `incoming` rows into the label's node store: rows whose
+    * merge keys match an existing node overwrite exactly the incoming
+    * columns (Cypher `SET n += {…}` — an explicit incoming null overwrites,
+    * Neo4j's property-removal semantics); unmatched rows become new nodes,
+    * null-padded on properties they don't carry. A label absent from the
+    * schema is created, keyed by the single merge column.
+    *
+    * One shuffle: the full-outer join on the merge keys (the incoming side
+    * broadcasts when small). Incoming batches are deduped last-wins first.
+    */
+  def mergeNodes(
+      store: GraphStore,
+      label: String,
+      incoming: DataFrame,
+      mergeKeys: Seq[String]): GraphStore = {
+    require(mergeKeys.nonEmpty, "mergeNodes needs at least one merge key")
+    mergeKeys.foreach(k => require(incoming.columns.contains(k), s"incoming lacks merge key $k"))
+    val dd = dedupOn(incoming, mergeKeys)
+    store.nodes.get(label) match {
+      case None =>
+        if (mergeKeys.size != 1)
+          throw new IllegalArgumentException(
+            s"MERGE creating new label $label must use a single key property, got ${mergeKeys.mkString(", ")}")
+        val key = mergeKeys.head
+        val nt = NodeType(label, key,
+          properties = dd.columns.filterNot(_ == key).toSeq, keyUnique = true)
+        store.copy(
+          schema = store.schema.copy(nodes = store.schema.nodes :+ nt),
+          nodes = store.nodes + (label -> dd.filter(col(key).isNotNull)))
+      case Some(existing) =>
+        val setCols = dd.columns.filterNot(mergeKeys.contains).toSeq
+        val allCols = (existing.columns ++ dd.columns).distinct.toSeq
+        val pfx = "__w_"
+        val r = dd.columns.foldLeft(dd)((d, c) => d.withColumnRenamed(c, pfx + c))
+          .withColumn("__w__m", lit(true))
+        val cond = mergeKeys.map(k => col(k) <=> col(pfx + k)).reduce(_ && _)
+        val out = allCols.map { c =>
+          if (mergeKeys.contains(c)) coalesce(col(c), col(pfx + c)).as(c)
+          else if (setCols.contains(c) && existing.columns.contains(c))
+            when(col("__w__m"), col(pfx + c)).otherwise(col(c)).as(c)
+          else if (setCols.contains(c)) col(pfx + c).as(c) // brand-new property
+          else col(c).as(c) // untouched existing property (null for created)
+        }
+        val merged = existing.join(r, cond, "full_outer").select(out: _*)
+        val nt0 = store.schema.node(label)
+        val nt = nt0.copy(
+          properties = allCols.filterNot(_ == nt0.key),
+          keyUnique = nt0.keyUnique && mergeKeys == Seq(nt0.key))
+        store.copy(
+          schema = store.schema.copy(nodes =
+            store.schema.nodes.map(n => if (n.name == label) nt else n)),
+          nodes = store.nodes + (label -> merged))
+    }
+  }
+
+  /** CREATE — unconditional append of node rows (no matching, no dedup;
+    * Neo4j `CREATE` semantics). Key uniqueness can no longer be assumed.
+    */
+  def createNodes(store: GraphStore, label: String, incoming: DataFrame): GraphStore =
+    store.nodes.get(label) match {
+      case None =>
+        val key = incoming.columns.head
+        val nt = NodeType(label, key,
+          properties = incoming.columns.filterNot(_ == key).toSeq, keyUnique = false)
+        store.copy(
+          schema = store.schema.copy(nodes = store.schema.nodes :+ nt),
+          nodes = store.nodes + (label -> incoming))
+      case Some(existing) =>
+        val allCols = (existing.columns ++ incoming.columns).distinct.toSeq
+        val nt0 = store.schema.node(label)
+        val nt = nt0.copy(properties = allCols.filterNot(_ == nt0.key), keyUnique = false)
+        store.copy(
+          schema = store.schema.copy(nodes =
+            store.schema.nodes.map(n => if (n.name == label) nt else n)),
+          nodes = store.nodes +
+            (label -> conform(existing, allCols).unionByName(conform(incoming, allCols))))
+    }
+
+  /** MERGE (create=false) or CREATE (create=true) edge rows. `incoming`
+    * must carry the key columns named `keyS`/`keyT` plus any pattern
+    * properties. MERGE matches on (src, dst, given properties) — null-safe,
+    * one anti join — and appends only rows with no existing match; CREATE
+    * appends unconditionally. An unknown label registers a new [[EdgeType]].
+    */
+  def mergeEdges(
+      store: GraphStore,
+      label: String,
+      srcLabel: String,
+      dstLabel: String,
+      keyS: String,
+      keyT: String,
+      incoming: DataFrame,
+      create: Boolean = false): GraphStore = {
+    val inProps = incoming.columns.filterNot(c => c == keyS || c == keyT).toSeq
+    store.edges.get(label) match {
+      case None =>
+        val et = EdgeType(label, srcLabel, dstLabel, keyS, keyT, inProps,
+          pairsUnique = false)
+        val rows = if (create) incoming else incoming.dropDuplicates()
+        store.copy(
+          schema = store.schema.copy(edges = store.schema.edges :+ et),
+          edges = store.edges + (label -> rows))
+      case Some(existing) =>
+        val et0 = store.schema.edge(label)
+        require(keyS == et0.keyS && keyT == et0.keyT,
+          s"edge $label key columns are ${et0.keyS}/${et0.keyT}")
+        val allCols = (existing.columns ++ incoming.columns).distinct.toSeq
+        val ex = conform(existing, allCols)
+        val in = conform(incoming, allCols)
+        val added =
+          if (create) in
+          else {
+            // MERGE matches the full written pattern: keys + given props
+            val matchCols = Seq(keyS, keyT) ++ inProps
+            val pfx = "__e_"
+            val exKeys = ex.select(matchCols.map(c => col(c).as(pfx + c)): _*)
+            val cond = matchCols.map(c => col(c) <=> col(pfx + c)).reduce(_ && _)
+            in.dropDuplicates().join(exKeys, cond, "left_anti")
+          }
+        val et = et0.copy(
+          properties = allCols.filterNot(c => c == keyS || c == keyT),
+          pairsUnique = false)
+        store.copy(
+          schema = store.schema.copy(edges =
+            store.schema.edges.map(e => if (e.label == label) et else e)),
+          edges = store.edges + (label -> ex.unionByName(added)))
+    }
+  }
+
+  /** DELETE nodes whose key appears in `keys` (a one-column frame named by
+    * the node key). With `detach`, incident edges of every type go too —
+    * Neo4j `DETACH DELETE`. Without it, edges are left untouched (Neo4j
+    * raises on still-connected nodes; validating that here would force an
+    * eager action per delete, so the check is the store audit's job —
+    * [[GraphStore.describe]] surfaces dangling edges).
+    */
+  def deleteNodes(
+      store: GraphStore,
+      label: String,
+      keys: DataFrame,
+      detach: Boolean): GraphStore = {
+    val nt = store.schema.node(label)
+    val nodes0 = store.nodes(label)
+    val remaining = nodes0.join(keys, Seq(nt.key), "left_anti")
+      .select(nodes0.columns.map(col): _*) // a USING anti join reorders cols
+    val edges =
+      if (!detach) store.edges
+      else store.schema.edges.foldLeft(store.edges) { (es, et) =>
+        val before = es(et.label)
+        var df = before
+        if (et.src == label)
+          df = df.join(keys.withColumnRenamed(nt.key, et.keyS), Seq(et.keyS), "left_anti")
+        if (et.dst == label)
+          df = df.join(keys.withColumnRenamed(nt.key, et.keyT), Seq(et.keyT), "left_anti")
+        es + (et.label -> df.select(before.columns.map(col): _*))
+      }
+    store.copy(nodes = store.nodes + (label -> remaining), edges = edges)
+  }
+
+  /** DELETE edges matching the (src, dst) pairs (columns named as the edge
+    * type's keyS/keyT).
+    */
+  def deleteEdges(store: GraphStore, label: String, pairs: DataFrame): GraphStore = {
+    val et = store.schema.edge(label)
+    val before = store.edges(label)
+    store.copy(edges = store.edges +
+      (label -> before.join(pairs, Seq(et.keyS, et.keyT), "left_anti")
+        .select(before.columns.map(col): _*)))
+  }
+}

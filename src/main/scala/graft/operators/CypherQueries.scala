@@ -1,9 +1,11 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.cypher.CypherEngine
-import graft.graph.GraphBuilder
+import graft.graph.{GraphBuilder, GraphStore}
+import graft.sources.Tables
 
 /** Oracle-checked queries executed THROUGH the Cypher-subset compiler
   * (SURVEY.md §3.1 redesign): each runs a Cypher text against the
@@ -21,6 +23,45 @@ object CypherQueries {
 
   private def cyp(query: String, params: Map[String, Any]): Q = (s, dir) =>
     CypherEngine(GraphBuilder.buildAll(s, dir)).run(query, params)
+
+  /** A store built from an EMPTY graph purely through the reference's
+    * verbatim injection Cypher (node shape: final/inject_node.py:351-358;
+    * relationship shape: final/inject_relationship.py:636-644) — the
+    * `$rows` batches are driver-collected exactly like the reference's
+    * pandas batching, sized to the dimension tables (region 5 + nation 25
+    * rows at every SF). Exercises UNWIND-rows params, MERGE upsert, fused
+    * SET +=, the MATCH/WITH/MATCH/WITH/MERGE relationship chain, and
+    * dynamic label/edge-type registration end to end.
+    */
+  private def injectedStore(s: SparkSession, dir: String): GraphStore = {
+    def rowsOf(table: String, cols: Seq[String]): Seq[Map[String, Any]] =
+      Tables.load(s, dir, table).select(cols.map(col): _*).collect()
+        .map(r => cols.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap).toSeq
+    val regionRows = rowsOf("region", Seq("r_regionkey", "r_name"))
+    val nationRows = rowsOf("nation", Seq("n_nationkey", "n_name", "n_regionkey"))
+    var st = CypherEngine(GraphStore.empty).execute(
+      """UNWIND $rows AS row
+        MERGE (n:Region {r_regionkey: row.r_regionkey})
+        SET n += {
+            r_regionkey: row.r_regionkey, r_name: row.r_name
+        }
+        RETURN count(n) as processed""", Map("rows" -> regionRows)).store
+    st = CypherEngine(st).execute(
+      """UNWIND $rows AS row
+        MERGE (n:Nation {n_nationkey: row.n_nationkey})
+        SET n += {
+            n_nationkey: row.n_nationkey, n_name: row.n_name, n_regionkey: row.n_regionkey
+        }
+        RETURN count(n) as processed""", Map("rows" -> nationRows)).store
+    CypherEngine(st).execute(
+      """UNWIND $rows AS row
+        MATCH (s:Nation) WHERE s.n_nationkey = row.n_nationkey
+        WITH s, row
+        MATCH (t:Region) WHERE t.r_regionkey = row.n_regionkey
+        WITH s, t, row
+        MERGE (s)-[r:IN_REGION]->(t)
+        RETURN count(r) as relationships_created""", Map("rows" -> nationRows)).store
+  }
 
   val defs: Map[String, Q] = Map(
     "q60_cypher_count_by_nation" -> cy(
@@ -87,7 +128,23 @@ object CypherQueries {
     "q71_cypher_not_exists" -> cy(
       """MATCH (c:Customer)
          WHERE NOT exists((c)<-[:PLACED_BY]-(o:Order))
-         RETURN count(c) AS cnt""")
+         RETURN count(c) AS cnt"""),
+    // write clauses: graph built from empty purely through the reference's
+    // verbatim injection Cypher, then read back through a pattern
+    "q72_cypher_merge_inject" -> ((s, dir) =>
+      CypherEngine(injectedStore(s, dir)).run(
+        """MATCH (n:Nation)-[:IN_REGION]->(r:Region)
+           RETURN r.r_name AS r_name, count(n) AS cnt ORDER BY r_name""")),
+    // DETACH DELETE: remove region-0 nations, read the remaining histogram
+    // through the (also pruned) edge set
+    "q73_cypher_detach_delete" -> ((s, dir) => {
+      val pruned = CypherEngine(injectedStore(s, dir)).execute(
+        """MATCH (n:Nation)-[:IN_REGION]->(r:Region {r_regionkey: 0})
+           DETACH DELETE n""").store
+      CypherEngine(pruned).run(
+        """MATCH (n:Nation)-[e:IN_REGION]->(r:Region)
+           RETURN r.r_regionkey AS rk, count(n) AS cnt ORDER BY rk""")
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -148,6 +205,15 @@ object CypherQueries {
            AND c.c_acctbal > 0""",
     "q71_cypher_not_exists" ->
       """SELECT count(*) AS cnt FROM customer c
-         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"""
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+    "q72_cypher_merge_inject" ->
+      """SELECT r.r_name AS r_name, count(*) AS cnt
+         FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+         GROUP BY 1 ORDER BY 1""",
+    "q73_cypher_detach_delete" ->
+      """SELECT n.n_regionkey AS rk, count(*) AS cnt
+         FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+         WHERE r.r_regionkey <> 0
+         GROUP BY 1 ORDER BY 1"""
   )
 }
