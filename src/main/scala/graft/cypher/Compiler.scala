@@ -484,6 +484,20 @@ object CypherEngine {
             "top-level AND conditions of a WHERE clause")
         case Fn("count", Seq(Var(v)), _) if ctx.rels.contains(v) =>
           count(lit(1)) // count(r): a rel var has no value column; count rows
+        // graph introspection — resolved from the binding context, so they
+        // compile to literals/columns, not lookups (free at any scale)
+        case Fn("labels", Seq(Var(v)), _) if ctx.labels.contains(v) =>
+          array(lit(ctx.labels(v)))
+        case Fn("type", Seq(Var(v)), _) if ctx.rels.contains(v) =>
+          lit(ctx.rels(v).label)
+        case Fn("id", Seq(Var(v)), _) if ctx.labels.contains(v) =>
+          col(s"${v}__${store.schema.node(ctx.labels(v)).key}")
+        case Fn("keys", Seq(Var(v)), _) if ctx.labels.contains(v) =>
+          val nt = store.schema.node(ctx.labels(v))
+          array((nt.key +: nt.properties).map(lit(_)): _*)
+        case Fn("properties", Seq(Var(v)), _) if ctx.labels.contains(v) =>
+          val nt = store.schema.node(ctx.labels(v))
+          struct((nt.key +: nt.properties).map(p => col(s"${v}__$p").as(p)): _*)
         case Fn(name, args, distinct) => function(name, args.map(c), distinct, args, ctx)
         case CaseExpr(subject, branches, orElse) =>
           val conds = subject match {
@@ -556,16 +570,52 @@ object CypherEngine {
       case "day" => dayofmonth(args.head)
       case "exists" => args.head.isNotNull // legacy property-existence form
       case "trim" => trim(args.head)
+      case "ltrim" => ltrim(args.head)
+      case "rtrim" => rtrim(args.head)
       case "substring" => // Cypher substring(s, start[, len]) is 0-based
         if (args.size == 3) args.head.substr(args(1) + lit(1), args(2))
         else if (args.size == 2) args.head.substr(args(1) + lit(1), length(args.head))
         else throw CypherException("substring expects 2 or 3 arguments")
+      // Cypher split() takes a LITERAL delimiter; Spark's split() takes a
+      // regex, so the delimiter is quoted
+      case "split" => rawArgs(1) match {
+        case Lit(s: String) => split(args.head, java.util.regex.Pattern.quote(s))
+        case _ => throw CypherException("split() needs a literal delimiter")
+      }
+      case "replace" => replace(args(0), args(1), args(2))
+      case "left" => left(args(0), args(1))
+      case "right" => right(args(0), args(1))
+      case "reverse" => reverse(args.head)
+      case "toboolean" => args.head.cast("boolean")
+      case "sign" => signum(args.head)
+      case "exp" => exp(args.head)
+      case "log" => log(args.head) // Cypher log() is the natural log
+      case "log10" => log10(args.head)
+      case "sin" => sin(args.head)
+      case "cos" => cos(args.head)
+      case "tan" => tan(args.head)
+      case "asin" => asin(args.head)
+      case "acos" => acos(args.head)
+      case "atan" => atan(args.head)
+      case "atan2" => atan2(args(0), args(1))
+      case "pi" => lit(math.Pi)
+      case "e" => lit(math.E)
+      case "degrees" => degrees(args.head)
+      case "radians" => radians(args.head)
+      // list functions
+      case "head" => element_at(args.head, 1)
+      case "last" => element_at(args.head, -1)
+      case "tail" => slice(args.head, lit(2), greatest(size(args.head) - 1, lit(0)))
+      case "range" => // Cypher range(a, b[, step]) is inclusive, like sequence
+        if (args.size == 3) sequence(args(0), args(1), args(2))
+        else sequence(args(0), args(1))
       case other => throw CypherException(s"unsupported function: $other()")
     }
 
     private def isStringTyped(e: Expr, ctx: Ctx): Boolean = e match {
       case Lit(_: String) => true
-      case Fn("tolower" | "lower" | "toupper" | "upper" | "tostring" | "trim" | "substring", _, _) => true
+      case Fn("tolower" | "lower" | "toupper" | "upper" | "tostring" | "trim"
+        | "substring" | "replace" | "left" | "right" | "ltrim" | "rtrim", _, _) => true
       case Prop(v, p) =>
         ctx.nodeLabel(v).exists { label =>
           store.nodes(label).schema.fields.exists(f => f.name == p && f.dataType == StringType)

@@ -129,6 +129,21 @@ object CypherQueries {
       """MATCH (c:Customer)
          WHERE NOT exists((c)<-[:PLACED_BY]-(o:Order))
          RETURN count(c) AS cnt"""),
+    // scalar string/math function breadth over a node scan
+    "q74_cypher_string_fns" -> cy(
+      """MATCH (p:Part)
+         WHERE p.p_partkey <= 100
+         RETURN p.p_partkey AS pk,
+                head(split(p.p_name, ' ')) AS first_word,
+                replace(p.p_brand, 'BRAND_', 'B') AS brand2,
+                left(p.p_type, 5) AS t5,
+                reverse(p.p_name) AS rev,
+                toInteger(sign(p.p_partkey - 50)) AS sgn
+         ORDER BY pk"""),
+    // graph introspection functions compile to context literals/columns
+    "q75_cypher_introspect" -> cy(
+      """MATCH (n:Nation)-[r:IN_REGION]->(rg:Region)
+         RETURN head(labels(n)) AS lbl, type(r) AS typ, count(id(n)) AS cnt"""),
     // write clauses: graph built from empty purely through the reference's
     // verbatim injection Cypher, then read back through a pattern
     "q72_cypher_merge_inject" -> ((s, dir) =>
@@ -206,6 +221,17 @@ object CypherQueries {
     "q71_cypher_not_exists" ->
       """SELECT count(*) AS cnt FROM customer c
          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""",
+    "q74_cypher_string_fns" ->
+      """SELECT p_partkey AS pk,
+                split_part(p_name, ' ', 1) AS first_word,
+                replace(p_brand, 'BRAND_', 'B') AS brand2,
+                left(p_type, 5) AS t5,
+                reverse(p_name) AS rev,
+                CAST(sign(p_partkey - 50) AS BIGINT) AS sgn
+         FROM part WHERE p_partkey <= 100 ORDER BY pk""",
+    "q75_cypher_introspect" ->
+      """SELECT 'Nation' AS lbl, 'IN_REGION' AS typ, count(*) AS cnt
+         FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey""",
     "q72_cypher_merge_inject" ->
       """SELECT r.r_name AS r_name, count(*) AS cnt
          FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey

@@ -439,4 +439,45 @@ class CypherSpec extends SparkSpec {
       "MATCH (n:Nation) RETURN DISTINCT n.n_regionkey AS rk ORDER BY rk SKIP 1 LIMIT 2").collect()
     assert(page.toSeq == all.toSeq.slice(1, 3))
   }
+
+  test("graph introspection: labels/type/id/keys/properties") {
+    val row = engine.run(
+      """MATCH (n:Nation)-[r:IN_REGION]->(rg:Region)
+         WHERE n.n_nationkey = 3
+         RETURN labels(n) AS lbls, type(r) AS typ, id(n) AS nid, keys(rg) AS ks""")
+      .collect().head
+    assert(row.getSeq[String](0) == Seq("Nation"))
+    assert(row.getString(1) == "IN_REGION")
+    assert(row.getAs[Number](2).longValue == 3L)
+    assert(row.getSeq[String](3) == Seq("r_regionkey", "r_name"))
+    // properties(n) carries every node column as a struct
+    val props = engine.run(
+      """MATCH (n:Nation) WHERE n.n_nationkey = 3
+         RETURN properties(n) AS ps""").collect().head.getStruct(0)
+    assert(props.fieldIndex("n_name") >= 0 &&
+      props.getAs[Number](props.fieldIndex("n_nationkey")).longValue == 3L)
+  }
+
+  test("scalar function breadth: string, math, list") {
+    val r = engine.run(
+      """MATCH (n:Nation) WHERE n.n_nationkey = 7
+         RETURN head(split(n.n_name, '_')) AS hd,
+                last(split(n.n_name, '_')) AS lst,
+                replace(n.n_name, 'NATION', 'N') AS rep,
+                left(n.n_name, 6) AS l6, right(n.n_name, 1) AS r1,
+                reverse('ab') AS rev,
+                toInteger(sign(-3)) AS sgn,
+                toInteger(round(exp(log(5.0)))) AS five,
+                size(range(1, 10)) AS ten,
+                tail([1, 2, 3]) AS tl""").collect().head
+    assert(r.getString(0) == "NATION")
+    assert(r.getString(1) == "7")
+    assert(r.getString(2) == "N_7")
+    assert((r.getString(3), r.getString(4)) == ("NATION", "7"))
+    assert(r.getString(5) == "ba")
+    assert(r.getLong(6) == -1L)
+    assert(r.getLong(7) == 5L)
+    assert(r.getInt(8) == 10)
+    assert(r.getSeq[Long](9) == Seq(2L, 3L))
+  }
 }
