@@ -90,6 +90,13 @@ object Ast {
   /** `UNWIND expr AS alias` — one row per list element. */
   final case class UnwindClause(expr: Expr, alias: String) extends Reading
 
+  /** `MATCH p = shortestPath((a:L {…})-[:R*lo..hi]->(b:L))` — binds `p` so
+    * `length(p)` is the minimum hop count between each (a, b) pair within
+    * the bounds. One relationship pattern only; the var-length bounds
+    * default to `*1..MaxVarLength`.
+    */
+  final case class ShortestPathClause(pathVar: String, path: PathPat) extends Reading
+
   // ------------------------------------------------------------ write AST
   // The write subset covers exactly what the reference's injection pipeline
   // emits (reference: final/inject_node.py:350-358 `UNWIND $rows MERGE

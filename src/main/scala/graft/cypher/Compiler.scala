@@ -5,6 +5,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
 
 import graft.graph.{EdgeType, GraphStore, GraphWriter}
 import Ast._
@@ -161,6 +162,7 @@ object CypherEngine {
           st.reads.map {
             case MatchClause(paths, opt) => MatchClause(paths.map(goPath), opt)
             case UnwindClause(e, a) => UnwindClause(go(e), a)
+            case ShortestPathClause(pv, p) => ShortestPathClause(pv, goPath(p))
           },
           st.where.map(go),
           st.projection.map(goProj),
@@ -188,7 +190,8 @@ object CypherEngine {
     private final case class Ctx(
         labels: Map[String, String],
         rels: Map[String, RelInfo],
-        plains: Set[String] = Set.empty) {
+        plains: Set[String] = Set.empty,
+        paths: Set[String] = Set.empty) {
       def nodeLabel(v: String): Option[String] = labels.get(v)
     }
 
@@ -283,6 +286,7 @@ object CypherEngine {
       val bound = collection.mutable.Set[String]()
       val relVars = collection.mutable.Map[String, RelInfo]()
       val plains = initial.map(_._2.plains).getOrElse(Set.empty[String])
+      val pathVars = initial.map(_._2.paths).getOrElse(Set.empty[String])
       initial.foreach { case (_, c) =>
         labels ++= c.labels
         bound ++= c.labels.keys
@@ -383,7 +387,120 @@ object CypherEngine {
         }
       }
 
-      (df, Ctx(labels.toMap, relVars.toMap, plains))
+      (df, Ctx(labels.toMap, relVars.toMap, plains, pathVars))
+    }
+
+    /** `MATCH p = shortestPath((a)-[:R*lo..hi]->(b))` — minimum hop count
+      * between each endpoint pair, as a multi-source BFS over the edge set:
+      * level n's frontier is level n-1's frontier joined one hop forward,
+      * anti-joined against everything already reached (so each pair is
+      * found at its minimum distance and never re-expanded — the same
+      * frontier discipline as [[graft.graph.GraphAnalytics]]'s Pregel BFS,
+      * expressed as DataFrame joins because the source set here is every
+      * bound `a`, not one root). Each frontier persists MEMORY_AND_DISK:
+      * level n is read twice (expansion + anti join) and the plan would
+      * otherwise double per level. Bounds are capped like var-length
+      * patterns, so depth is explicit in the plan.
+      */
+    private def shortestPathRead(state: Option[(DataFrame, Ctx)], pv: String,
+        path: PathPat): (DataFrame, Ctx) = {
+      if (path.hops.size != 1)
+        throw CypherException("shortestPath expects a single relationship pattern")
+      val (rel, dstPat) = path.hops.head
+      val aVar = path.head.variable.getOrElse(
+        throw CypherException("shortestPath endpoints need variables"))
+      val bVar = dstPat.variable.getOrElse(
+        throw CypherException("shortestPath endpoints need variables"))
+      val (lo, hi) = rel.varLength.getOrElse((1, Parser.MaxVarLength))
+      val label = rel.label.getOrElse(
+        throw CypherException("shortestPath needs a relationship type"))
+      val et = store.schema.edges.find(_.label == label).getOrElse(
+        throw CypherException(s"unknown relationship type: $label"))
+      // bind the start endpoint (with its label/prop filters) into the frame
+      val (df1, ctx1) = assemble(Seq(PathPat(path.head, Nil)), initial = state)
+      val aLabel = ctx1.labels(aVar)
+      val wantB = ctx1.labels.get(bVar).orElse(dstPat.label)
+      val fitsFwd = et.src == aLabel && wantB.forall(_ == et.dst)
+      val fitsBwd = et.dst == aLabel && wantB.forall(_ == et.src)
+      if (!fitsFwd && !fitsBwd)
+        throw CypherException(
+          s"no relationship fits shortestPath(($aLabel)-[$label]-(${wantB.getOrElse("?")}))")
+      // self-edge types honor the written arrow; otherwise the schema
+      // orientation decides (direction correction, same rule as reads)
+      val along = if (fitsFwd && fitsBwd) rel.dir != Ast.In else fitsFwd
+      val bLabel = if (along) et.dst else et.src
+      val dist = distDf(et, lo, hi,
+        undirected = rel.dir == Undirected, reversed = !along)
+      var df = df1.join(dist,
+        col(s"${aVar}__${store.schema.node(aLabel).key}") === col("__ds"))
+      var ctx2 = ctx1
+      if (ctx1.labels.contains(bVar)) {
+        df = df.filter(col("__dd") === col(s"${bVar}__${store.schema.node(ctx1.labels(bVar)).key}"))
+      } else {
+        df = df.join(nodeDf(bVar, bLabel),
+          col("__dd") === col(s"${bVar}__${store.schema.node(bLabel).key}"))
+        ctx2 = ctx1.copy(labels = ctx1.labels + (bVar -> bLabel))
+      }
+      dstPat.props.foreach { case (k, v) =>
+        df = df.filter(col(s"${bVar}__$k") === literal(v))
+      }
+      df = df.withColumn(s"${pv}__len", col("__len")).drop("__ds", "__dd", "__len")
+      (df, ctx2.copy(paths = ctx2.paths + pv))
+    }
+
+    /** Minimum-hop (src, dst, len) pairs within lo..hi over one edge type. */
+    private def distDf(et: EdgeType, lo: Int, hi: Int,
+        undirected: Boolean, reversed: Boolean): DataFrame = {
+      if (lo < 1 || hi < lo || hi > 10)
+        throw CypherException(s"shortestPath bounds out of range: *$lo..$hi")
+      if (hi > 1 && et.src != et.dst)
+        throw CypherException(s"shortestPath over ${et.label} needs ${et.src}=${et.dst}")
+      val raw = store.edges(et.label)
+      val fwd = raw.select(col(et.keyS).as("__ds"), col(et.keyT).as("__dd"))
+      val bwd = raw.select(col(et.keyT).as("__ds"), col(et.keyS).as("__dd"))
+      val base = if (undirected) fwd.unionByName(bwd) else if (reversed) bwd else fwd
+      val e0 = base.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      def oneHop(from: DataFrame): DataFrame = from.join(
+          e0.withColumnRenamed("__ds", "__m").withColumnRenamed("__dd", "__dd2"),
+          col("__dd") === col("__m"))
+        .select(col("__ds"), col("__dd2").as("__dd")).distinct()
+      if (lo == 1) {
+        var dist = e0.withColumn("__len", lit(1L))
+        var frontier = e0
+        var n = 2
+        var exhausted = false
+        while (n <= hi && !exhausted) {
+          // localCheckpoint (eager) truncates lineage: each level's anti
+          // join references the whole reached-set union, so without the cut
+          // the logical plan doubles per level and planning itself OOMs
+          // long before the data does. The checkpoint also lets the loop
+          // stop as soon as a frontier comes back empty.
+          val fresh = oneHop(frontier)
+            .join(dist.select("__ds", "__dd"), Seq("__ds", "__dd"), "left_anti")
+            .localCheckpoint(true)
+          if (fresh.isEmpty) exhausted = true
+          else {
+            dist = dist.unionByName(fresh.withColumn("__len", lit(n.toLong)))
+            frontier = fresh
+          }
+          n += 1
+        }
+        dist
+      } else {
+        // a lower bound > 1 asks for the shortest path NO SHORTER than lo —
+        // pairs whose true distance is below lo must still surface at their
+        // shortest admissible length, so BFS's reached-set pruning doesn't
+        // apply; enumerate each admissible length instead (walk semantics,
+        // per-level distinct keeps growth bounded by the closure size)
+        var cur = e0
+        for (_ <- 2 to lo) cur = oneHop(cur)
+        var dist = cur.withColumn("__len", lit(lo.toLong))
+        for (n <- lo + 1 to hi) {
+          cur = oneHop(cur)
+          dist = dist.unionByName(cur.withColumn("__len", lit(n.toLong)))
+        }
+        dist.groupBy("__ds", "__dd").agg(min("__len").as("__len"))
+      }
     }
 
     /** Attach one OPTIONAL MATCH clause: assemble its paths independently
@@ -416,7 +533,8 @@ object CypherEngine {
       (joined, Ctx(
         ctx.labels ++ subCtx.labels.view.filterKeys(newVars).toMap,
         ctx.rels ++ subCtx.rels,
-        ctx.plains))
+        ctx.plains,
+        ctx.paths))
     }
 
     // ---------------------------------------------------------- expressions
@@ -484,6 +602,8 @@ object CypherEngine {
             "top-level AND conditions of a WHERE clause")
         case Fn("count", Seq(Var(v)), _) if ctx.rels.contains(v) =>
           count(lit(1)) // count(r): a rel var has no value column; count rows
+        case Fn("length" | "size", Seq(Var(v)), _) if ctx.paths.contains(v) =>
+          col(s"${v}__len") // length(p) of a shortestPath binding
         // graph introspection — resolved from the binding context, so they
         // compile to literals/columns, not lookups (free at any scale)
         case Fn("labels", Seq(Var(v)), _) if ctx.labels.contains(v) =>
@@ -1089,6 +1209,8 @@ object CypherEngine {
             val (df, ctx) = state.getOrElse(
               throw CypherException("OPTIONAL MATCH cannot start a query"))
             state = Some(attachOptional(df, ctx, paths))
+          case ShortestPathClause(pv, p) =>
+            state = Some(shortestPathRead(state, pv, p))
           case UnwindClause(e, alias) =>
             state = Some(rowsParam(e) match {
               case Some(rows) =>

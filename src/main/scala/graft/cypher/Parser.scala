@@ -96,6 +96,7 @@ object Parser {
   private final class P(toks: Vector[Tok]) {
     private var pos = 0
     def peek: Tok = toks(pos)
+    def peek2: Tok = if (pos + 1 < toks.length) toks(pos + 1) else EOF
     def next(): Tok = { val t = toks(pos); pos += 1; t }
 
     def isKw(kw: String): Boolean = peek match {
@@ -138,7 +139,7 @@ object Parser {
         var clauses = Seq.empty[Reading]
         var more = true
         while (more) {
-          if (tryKw("MATCH")) clauses :+= MatchClause(patternList(), optional = false)
+          if (tryKw("MATCH")) clauses :+= matchBody()
           else if (isKw("OPTIONAL")) {
             eatKw("OPTIONAL"); eatKw("MATCH")
             clauses :+= MatchClause(patternList(), optional = true)
@@ -171,6 +172,22 @@ object Parser {
         case EOF => Query(stages, ret)
         case t => throw ParseException(s"trailing input: $t")
       }
+    }
+
+    /** The body of a MATCH: either a pattern list or the path-function form
+      * `p = shortestPath((…)-[…]->(…))`.
+      */
+    private def matchBody(): Reading = (peek, peek2) match {
+      case (Ident(pv), Sym("=")) if !keywords.contains(pv.toLowerCase) =>
+        next(); next()
+        val fn = ident()
+        if (!fn.equalsIgnoreCase("shortestPath"))
+          throw ParseException(s"unsupported path function: $fn")
+        eatSym("(")
+        val p = pathPattern()
+        eatSym(")")
+        ShortestPathClause(pv, p)
+      case _ => MatchClause(patternList(), optional = false)
     }
 
     private def writeClauses(): Seq[WriteClause] = {

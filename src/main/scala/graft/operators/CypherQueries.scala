@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 import graft.cypher.CypherEngine
-import graft.graph.{GraphBuilder, GraphStore}
+import graft.graph.{GraphBuilder, GraphStore, GraphWriter}
 import graft.sources.Tables
 
 /** Oracle-checked queries executed THROUGH the Cypher-subset compiler
@@ -144,6 +144,21 @@ object CypherQueries {
     "q75_cypher_introspect" -> cy(
       """MATCH (n:Nation)-[r:IN_REGION]->(rg:Region)
          RETURN head(labels(n)) AS lbl, type(r) AS typ, count(id(n)) AS cnt"""),
+    // shortestPath over a derived self-label graph: nations in a ring with
+    // +1 and +5 jumps — genuine BFS (min over mixed-step walks), checked
+    // against a DuckDB recursive CTE
+    "q76_cypher_shortest_path" -> ((s, dir) => {
+      val nation = Tables.load(s, dir, "nation")
+      val k = col("n_nationkey")
+      var st = GraphWriter.mergeNodes(GraphStore.empty, "Nation",
+        nation.select(k, col("n_name")), Seq("n_nationkey"))
+      val hops = nation.select(k.as("src"), ((k + 1) % 25).as("dst"))
+        .unionByName(nation.select(k.as("src"), ((k + 5) % 25).as("dst")))
+      st = GraphWriter.mergeEdges(st, "HOP", "Nation", "Nation", "src", "dst", hops)
+      CypherEngine(st).run(
+        """MATCH p = shortestPath((a:Nation {n_nationkey: 0})-[:HOP*1..10]->(b:Nation))
+           RETURN toInteger(b.n_nationkey) AS dst, length(p) AS len ORDER BY dst""")
+    }),
     // write clauses: graph built from empty purely through the reference's
     // verbatim injection Cypher, then read back through a pattern
     "q72_cypher_merge_inject" -> ((s, dir) =>
@@ -232,6 +247,19 @@ object CypherQueries {
     "q75_cypher_introspect" ->
       """SELECT 'Nation' AS lbl, 'IN_REGION' AS typ, count(*) AS cnt
          FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey""",
+    "q76_cypher_shortest_path" ->
+      """WITH RECURSIVE hops AS (
+           SELECT n_nationkey AS src, (n_nationkey + 1) % 25 AS dst FROM nation
+           UNION ALL
+           SELECT n_nationkey AS src, (n_nationkey + 5) % 25 AS dst FROM nation
+         ), bfs(dst, len) AS (
+           SELECT dst, 1 AS len FROM hops WHERE src = 0
+           UNION ALL
+           SELECT h.dst, b.len + 1 FROM bfs b JOIN hops h ON h.src = b.dst
+           WHERE b.len < 10
+         )
+         SELECT CAST(dst AS BIGINT) AS dst, CAST(min(len) AS BIGINT) AS len
+         FROM bfs GROUP BY 1 ORDER BY 1""",
     "q72_cypher_merge_inject" ->
       """SELECT r.r_name AS r_name, count(*) AS cnt
          FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey

@@ -440,6 +440,42 @@ class CypherSpec extends SparkSpec {
     assert(page.toSeq == all.toSeq.slice(1, 3))
   }
 
+  test("shortestPath: minimum hops, direction, bounds, undirected") {
+    spark // empty-store writes resolve the session via SparkSession.active
+    // ring with a shortcut: 1→2→3→4 and 1→4
+    val st0 = CypherEngine(GraphStore.empty).execute(
+      "UNWIND $rows AS row MERGE (n:SP {sid: row.sid}) SET n += {sid: row.sid}",
+      Map("rows" -> Seq(1L, 2L, 3L, 4L).map(i => Map[String, Any]("sid" -> i)))).store
+    val st = CypherEngine(st0).execute(
+      """UNWIND $rows AS row
+         MATCH (s:SP) WHERE s.sid = row.a
+         WITH s, row
+         MATCH (t:SP) WHERE t.sid = row.b
+         MERGE (s)-[r:STEP]->(t)""",
+      Map("rows" -> Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+        .map { case (a, b) => Map[String, Any]("a" -> a, "b" -> b) })).store
+    val e = CypherEngine(st)
+    val fromOne = e.run(
+      """MATCH p = shortestPath((a:SP {sid: 1})-[:STEP*1..5]->(b:SP))
+         RETURN b.sid AS dst, length(p) AS len ORDER BY dst""").collect()
+    assert(fromOne.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, 1L), (3L, 2L), (4L, 1L))) // shortcut beats the 3-hop chain
+    // lower bound excludes the direct edge: 1→4 must go the long way
+    val lo2 = e.run(
+      """MATCH p = shortestPath((a:SP {sid: 1})-[:STEP*2..5]->(b:SP {sid: 4}))
+         RETURN length(p) AS len""").collect()
+    assert(lo2.map(_.getLong(0)).toSeq == Seq(3L))
+    // undirected reaches backwards in one hop
+    val undir = e.run(
+      """MATCH p = shortestPath((a:SP {sid: 4})-[:STEP*1..5]-(b:SP {sid: 3}))
+         RETURN length(p) AS len""").collect()
+    assert(undir.map(_.getLong(0)).toSeq == Seq(1L))
+    // directed from 4: nothing reachable
+    assert(e.run(
+      """MATCH p = shortestPath((a:SP {sid: 4})-[:STEP*1..5]->(b:SP))
+         RETURN b.sid AS dst""").collect().isEmpty)
+  }
+
   test("graph introspection: labels/type/id/keys/properties") {
     val row = engine.run(
       """MATCH (n:Nation)-[r:IN_REGION]->(rg:Region)
