@@ -31,6 +31,14 @@ object Ast {
   final case class In(e: Expr, coll: Expr) extends Expr
   /** `[e1, e2, …]` list literal */
   final case class ListLit(items: Seq[Expr]) extends Expr
+  /** `[x IN coll WHERE pred | proj]` list comprehension (both parts optional) */
+  final case class ListComp(variable: String, coll: Expr,
+      where: Option[Expr], proj: Option[Expr]) extends Expr
+  /** `reduce(acc = init, x IN coll | expr)` */
+  final case class ReduceExpr(acc: String, init: Expr,
+      variable: String, coll: Expr, step: Expr) extends Expr
+  /** `list[idx]` — 0-based positive, negative from the end (Cypher) */
+  final case class Index(coll: Expr, idx: Expr) extends Expr
   /** `$name` query parameter, bound at run time (reference:
     * final/langraph_neo4j3.py:359-363 executes parameterized probes)
     */
@@ -115,8 +123,13 @@ object Ast {
   sealed trait WriteClause
   /** `CREATE (…)-[:…]->(…), …` — unconditional insert. */
   final case class CreateClause(paths: Seq[PathPat]) extends WriteClause
-  /** `MERGE (n:L {…})` or `MERGE (s)-[r:L {…}]->(t)` — match-or-create. */
-  final case class MergeClause(path: PathPat) extends WriteClause
+  /** `MERGE (n:L {…})` or `MERGE (s)-[r:L {…}]->(t)` — match-or-create,
+    * with optional `ON CREATE SET` / `ON MATCH SET` companions whose
+    * expressions may reference the merge variable's current properties
+    * (`ON MATCH SET n.cnt = n.cnt + 1`).
+    */
+  final case class MergeClause(path: PathPat,
+      onCreate: Seq[SetItem] = Nil, onMatch: Seq[SetItem] = Nil) extends WriteClause
   final case class SetClause(items: Seq[SetItem]) extends WriteClause
   /** `[DETACH] DELETE v, …` */
   final case class DeleteClause(vars: Seq[String], detach: Boolean) extends WriteClause

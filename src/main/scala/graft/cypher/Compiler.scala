@@ -134,6 +134,10 @@ object CypherEngine {
       case IsNull(x, neg) => IsNull(go(x), neg)
       case In(x, coll) => In(go(x), go(coll))
       case ListLit(xs) => ListLit(xs.map(go))
+      case ListComp(v, coll, w, pr) => ListComp(v, go(coll), w.map(go), pr.map(go))
+      case ReduceExpr(a, init, v, coll, step) =>
+        ReduceExpr(a, go(init), v, go(coll), go(step))
+      case Index(coll, i) => Index(go(coll), go(i))
       case CaseExpr(s, bs, d) =>
         CaseExpr(s.map(go), bs.map { case (c, r) => (go(c), go(r)) }, d.map(go))
       case PatternPred(p) => PatternPred(goPath(p))
@@ -147,13 +151,14 @@ object CypherEngine {
       items = p.items.map(i => i.copy(expr = go(i.expr))),
       where = p.where.map(go),
       orderBy = p.orderBy.map(s => s.copy(expr = go(s.expr))))
+    def goSet(s: SetItem): SetItem = s match {
+      case SetPlus(v, m) => SetPlus(v, m.map { case (k, x) => (k, go(x)) })
+      case SetProp(v, p, x) => SetProp(v, p, go(x))
+    }
     def goWrite(w: WriteClause): WriteClause = w match {
       case CreateClause(ps) => CreateClause(ps.map(goPath))
-      case MergeClause(p) => MergeClause(goPath(p))
-      case SetClause(items) => SetClause(items.map {
-        case SetPlus(v, m) => SetPlus(v, m.map { case (k, x) => (k, go(x)) })
-        case SetProp(v, p, x) => SetProp(v, p, go(x))
-      })
+      case MergeClause(p, oc, om) => MergeClause(goPath(p), oc.map(goSet), om.map(goSet))
+      case SetClause(items) => SetClause(items.map(goSet))
       case d: DeleteClause => d
     }
     Query(
@@ -191,7 +196,11 @@ object CypherEngine {
         labels: Map[String, String],
         rels: Map[String, RelInfo],
         plains: Set[String] = Set.empty,
-        paths: Set[String] = Set.empty) {
+        paths: Set[String] = Set.empty,
+        /** plain variables known to hold LISTS OF STRINGS (drives the
+          * size()=string-length dispatch inside comprehension lambdas)
+          */
+        strLists: Set[String] = Set.empty) {
       def nodeLabel(v: String): Option[String] = labels.get(v)
     }
 
@@ -548,6 +557,11 @@ object CypherEngine {
       case IsNull(x, _) => containsAgg(x)
       case In(x, coll) => containsAgg(x) || containsAgg(coll)
       case ListLit(xs) => xs.exists(containsAgg)
+      case ListComp(_, coll, w, pr) =>
+        containsAgg(coll) || w.exists(containsAgg) || pr.exists(containsAgg)
+      case ReduceExpr(_, init, _, coll, step) =>
+        containsAgg(init) || containsAgg(coll) || containsAgg(step)
+      case Index(coll, i) => containsAgg(coll) || containsAgg(i)
       case CaseExpr(s, bs, d) =>
         s.exists(containsAgg) || d.exists(containsAgg) ||
           bs.exists { case (c, r) => containsAgg(c) || containsAgg(r) }
@@ -570,8 +584,34 @@ object CypherEngine {
       * for plain variables); node Var → its key column; unknown bare Var →
       * output column (post-WITH alias).
       */
-    private def column(e: Expr, ctx: Ctx): Column = {
+    private def column(e: Expr, ctx: Ctx): Column = columnL(e, ctx, Map.empty)
+
+    /** [[column]] with lambda-variable scope — comprehension/reduce bodies
+      * bind their iteration variables to Spark higher-order-function
+      * arguments. (HOF lambdas evaluate interpreted, outside codegen — fine
+      * here: these operate on small per-row lists in the Cypher surface,
+      * not the bulk-vector hot path, which uses the reshaped pipelines.)
+      */
+    private def columnL(e: Expr, ctx: Ctx, lam: Map[String, Column],
+        lamStr: Set[String] = Set.empty): Column = {
       def c(e: Expr): Column = e match {
+        case Var(v) if lam.contains(v) => lam(v)
+        case Prop(v, p) if lam.contains(v) => lam(v).getField(p)
+        case ListComp(x, coll, where, proj) =>
+          var cc = c(coll)
+          val ls = if (elemIsString(coll, ctx, lamStr)) lamStr + x else lamStr - x
+          where.foreach(w => cc = filter(cc, el => columnL(w, ctx, lam + (x -> el), ls)))
+          proj.foreach(pr => cc = transform(cc, el => columnL(pr, ctx, lam + (x -> el), ls)))
+          cc
+        case ReduceExpr(acc, init, x, coll, step) =>
+          val ls = if (elemIsString(coll, ctx, lamStr)) lamStr + x else lamStr - x
+          aggregate(c(coll), c(init),
+            (a, el) => columnL(step, ctx, lam + (acc -> a) + (x -> el), ls))
+        case Index(coll, idx) =>
+          // Cypher is 0-based from the front, negative from the back;
+          // element_at is 1-based from the front, negative from the back
+          val i = c(idx)
+          element_at(c(coll), when(i >= 0, i + 1).otherwise(i).cast("int"))
         case Prop(v, p) =>
           if (ctx.labels.contains(v) || ctx.rels.contains(v)) col(s"${v}__$p")
           else if (ctx.plains.contains(v)) col(v).getField(p)
@@ -618,7 +658,8 @@ object CypherEngine {
         case Fn("properties", Seq(Var(v)), _) if ctx.labels.contains(v) =>
           val nt = store.schema.node(ctx.labels(v))
           struct((nt.key +: nt.properties).map(p => col(s"${v}__$p").as(p)): _*)
-        case Fn(name, args, distinct) => function(name, args.map(c), distinct, args, ctx)
+        case Fn(name, args, distinct) =>
+          function(name, args.map(c), distinct, args, ctx, lamStr)
         case CaseExpr(subject, branches, orElse) =>
           val conds = subject match {
             case Some(s) => branches.map { case (v, r) => (c(s) === c(v), c(r)) }
@@ -657,7 +698,7 @@ object CypherEngine {
     }
 
     private def function(name: String, args: Seq[Column], distinct: Boolean,
-        rawArgs: Seq[Expr], ctx: Ctx): Column = name match {
+        rawArgs: Seq[Expr], ctx: Ctx, lamStr: Set[String] = Set.empty): Column = name match {
       case "count" =>
         if (args.isEmpty) count(lit(1))
         else if (distinct) count_distinct(args.head, args.tail: _*)
@@ -676,7 +717,7 @@ object CypherEngine {
       case "tointeger" => args.head.cast("long")
       case "tofloat" => args.head.cast("double")
       case "size" | "length" =>
-        if (isStringTyped(rawArgs.head, ctx)) length(args.head) else size(args.head)
+        if (isStringTyped(rawArgs.head, ctx, lamStr)) length(args.head) else size(args.head)
       case "abs" => abs(args.head)
       case "round" => round(args.head)
       case "ceil" => ceil(args.head)
@@ -732,8 +773,26 @@ object CypherEngine {
       case other => throw CypherException(s"unsupported function: $other()")
     }
 
-    private def isStringTyped(e: Expr, ctx: Ctx): Boolean = e match {
+    /** Do elements of this list-valued expr read as strings? (drives the
+      * size()=string-length vs array-size dispatch for lambda variables)
+      */
+    private def elemIsString(coll: Expr, ctx: Ctx, lamStr: Set[String]): Boolean = coll match {
+      case Fn("split", _, _) => true
+      case Fn("keys" | "labels", _, _) => true
+      case Var(v) => ctx.strLists.contains(v)
+      case ListLit(xs) => xs.nonEmpty && xs.forall {
+        case Lit(_: String) => true
+        case _ => false
+      }
+      case ListComp(_, c2, _, None) => elemIsString(c2, ctx, lamStr)
+      case ListComp(_, _, _, Some(pr)) => isStringTyped(pr, ctx, lamStr)
+      case _ => false
+    }
+
+    private def isStringTyped(e: Expr, ctx: Ctx, lamStr: Set[String] = Set.empty): Boolean = e match {
       case Lit(_: String) => true
+      case Var(v) if lamStr.contains(v) => true
+      case Index(Fn("split", _, _), _) => true // split(s, d)[i] is a string
       case Fn("tolower" | "lower" | "toupper" | "upper" | "tostring" | "trim"
         | "substring" | "replace" | "left" | "right" | "ltrim" | "rtrim", _, _) => true
       case Prop(v, p) =>
@@ -756,6 +815,12 @@ object CypherEngine {
       case IsNull(x, neg) => s"${genName(x)} IS ${if (neg) "NOT " else ""}NULL"
       case In(x, coll) => s"${genName(x)} IN ${genName(coll)}"
       case ListLit(xs) => s"[${xs.map(genName).mkString(", ")}]"
+      case ListComp(v, coll, w, pr) =>
+        s"[$v IN ${genName(coll)}${w.map(x => s" WHERE ${genName(x)}").getOrElse("")}" +
+          s"${pr.map(x => s" | ${genName(x)}").getOrElse("")}]"
+      case ReduceExpr(a, init, v, coll, step) =>
+        s"reduce($a = ${genName(init)}, $v IN ${genName(coll)} | ${genName(step)})"
+      case Index(coll, i) => s"${genName(coll)}[${genName(i)}]"
       case Param(n) => s"$$$n"
       case PatternPred(_) => "exists(pattern)"
       case CaseExpr(s, bs, d) =>
@@ -799,7 +864,9 @@ object CypherEngine {
       val newCtx = Ctx(
         ctx.labels.filter { case (v, _) => carried.contains(v) },
         Map.empty,
-        plain.map(outName).toSet)
+        plain.map(outName).toSet,
+        Set.empty,
+        plain.filter(i => elemIsString(i.expr, ctx, Set.empty)).map(outName).toSet)
       stage.where.foreach(w => out = out.filter(column(w, newCtx)))
       if (stage.orderBy.nonEmpty) {
         // a sort key that IS one of the projected items (aliased or not —
@@ -833,16 +900,21 @@ object CypherEngine {
     private def nodeKeyCol(v: String, ctx: Ctx): Column =
       col(s"${v}__${store.schema.node(ctx.labels(v)).key}")
 
-    /** `MERGE (n:L {merge props}) [SET n += {…} / SET n.p = e]*` fused into
-      * one [[GraphWriter.mergeNodes]] upsert, then `n` binds by joining the
-      * frame against the UPDATED node store on the merge props (so `n`
-      * carries post-SET values, matched or created — Neo4j semantics).
+    /** `MERGE (n:L {merge props}) [SET n += {…} / SET n.p = e]*` with
+      * optional `ON CREATE SET` / `ON MATCH SET`, fused into one
+      * [[GraphWriter.mergeNodes]] upsert. The frame first LEFT-joins the
+      * CURRENT node store on the merge props, which both binds `n` and
+      * yields a matched marker — so ON MATCH expressions may reference the
+      * node's current properties (`ON MATCH SET n.cnt = n.cnt + 1`,
+      * standard Cypher counters). Post-write values are recomputed onto the
+      * frame column-wise (no second join against the updated store).
       * A SET of a merge-key column is ignored: the merge value is
       * authoritative (the reference's `SET n += {key: row.key, …}` re-sets
       * the key to the identical value, final/inject_node.py:353-356).
       */
     private def mergeNodeWrite(df: DataFrame, ctx: Ctx, pat: NodePat,
-        sets: Seq[(String, Expr)]): (DataFrame, Ctx) = {
+        sets: Seq[(String, Expr)], onCreate: Seq[(String, Expr)],
+        onMatch: Seq[(String, Expr)]): (DataFrame, Ctx) = {
       val v = pat.variable.getOrElse(
         throw CypherException("MERGE node pattern needs a variable"))
       if (ctx.labels.contains(v))
@@ -852,16 +924,56 @@ object CypherEngine {
       if (pat.props.isEmpty)
         throw CypherException("MERGE node pattern needs at least one merge property")
       val mergeKeys = pat.props.map(_._1)
-      val setCols = collection.mutable.LinkedHashMap[String, Expr]()
-      sets.foreach { case (k, e) => if (!mergeKeys.contains(k)) setCols(k) = e }
-      val incoming = df.select(
+      def toMap(xs: Seq[(String, Expr)]) = {
+        val m = collection.mutable.LinkedHashMap[String, Expr]()
+        xs.foreach { case (k, e) => if (!mergeKeys.contains(k)) m(k) = e }
+        m
+      }
+      val setMap = toMap(sets)
+      val ocMap = toMap(onCreate)
+      val omMap = toMap(onMatch)
+      val touched = (setMap.keys ++ ocMap.keys ++ omMap.keys).toSeq.distinct
+      val mark = s"__merged_$v"
+      val existedCols: Seq[String] =
+        store.nodes.get(label).map(_.columns.toSeq).getOrElse(Nil)
+      val joined = store.nodes.get(label) match {
+        case Some(_) =>
+          val nd = nodeDf(v, label).withColumn(mark, lit(true))
+          val cond = pat.props.map { case (p, e) => column(e, ctx) <=> col(s"${v}__$p") }
+            .reduce(_ && _)
+          df.join(nd, cond, "left_outer")
+        case None => df.withColumn(mark, lit(null).cast("boolean"))
+      }
+      val ctxN = ctx.copy(labels = ctx.labels + (v -> label))
+      val matched = col(mark).isNotNull
+      def cur(p: String): Column =
+        if (existedCols.contains(p)) col(s"${v}__$p") else lit(null)
+      def valueOf(p: String): Column =
+        if (existedCols.isEmpty)
+          // brand-new label: nothing can match, and ON MATCH expressions
+          // may reference columns that don't exist yet — compile only the
+          // create branch
+          ocMap.get(p).orElse(setMap.get(p)).map(e => columnL(e, ctxN, Map.empty))
+            .getOrElse(lit(null))
+        else
+          when(matched,
+            omMap.get(p).orElse(setMap.get(p)).map(e => columnL(e, ctxN, Map.empty))
+              .getOrElse(cur(p)))
+            .otherwise(
+              ocMap.get(p).orElse(setMap.get(p)).map(e => columnL(e, ctxN, Map.empty))
+                .getOrElse(lit(null)))
+      val incoming = joined.select(
         pat.props.map { case (p, e) => column(e, ctx).as(p) } ++
-          setCols.map { case (p, e) => column(e, ctx).as(p) }: _*)
+          touched.map(p => valueOf(p).as(p)): _*)
       store = GraphWriter.mergeNodes(store, label, incoming, mergeKeys)
-      val nd = nodeDf(v, label)
-      val cond = pat.props.map { case (p, e) => column(e, ctx) <=> col(s"${v}__$p") }
-        .reduce(_ && _)
-      (df.join(nd, cond), ctx.copy(labels = ctx.labels + (v -> label)))
+      // refresh the binding in place: merge keys from the pattern exprs
+      // (covers created rows, whose store-side columns are null), touched
+      // properties from the same value expressions the store got
+      var out = joined.withColumns(
+        pat.props.map { case (p, e) => s"${v}__$p" -> column(e, ctx) }.toMap ++
+          touched.map(p => s"${v}__$p" -> valueOf(p)).toMap)
+      out = out.drop(mark)
+      (out, ctxN)
     }
 
     /** `MERGE (s)-[r:L {props}]->(t)` / CREATE equivalent: both endpoints
@@ -1013,11 +1125,23 @@ object CypherEngine {
       var df = df0
       var ctx = ctx0
       var i = 0
+      def flat(items: Seq[SetItem]): Seq[(String, Expr)] = items.map {
+        case SetPlus(_, m) => m
+        case SetProp(_, p, e) => Seq((p, e))
+      }.flatten
       while (i < writes.length) {
         writes(i) match {
-          case MergeClause(path) if path.hops.isEmpty =>
+          case MergeClause(path, onCreate, onMatch) if path.hops.isEmpty =>
             val v = path.head.variable.getOrElse(
               throw CypherException("MERGE node pattern needs a variable"))
+            def targets(items: Seq[SetItem], who: String): Unit = items.foreach {
+              case SetPlus(x, _) if x != who => throw CypherException(
+                s"ON CREATE/ON MATCH SET must target the merge variable $who")
+              case SetProp(x, _, _) if x != who => throw CypherException(
+                s"ON CREATE/ON MATCH SET must target the merge variable $who")
+              case _ => ()
+            }
+            targets(onCreate, v); targets(onMatch, v)
             val sets = Seq.newBuilder[(String, Expr)]
             var j = i + 1
             var fusing = true
@@ -1026,21 +1150,22 @@ object CypherEngine {
                     case SetPlus(x, _) => x == v
                     case SetProp(x, _, _) => x == v
                   } =>
-                items.foreach {
-                  case SetPlus(_, m) => sets ++= m
-                  case SetProp(_, p, e) => sets += ((p, e))
-                }
+                sets ++= flat(items)
                 j += 1
               case _ => fusing = false
             }
-            val (d2, c2) = mergeNodeWrite(df, ctx, path.head, sets.result())
+            val (d2, c2) = mergeNodeWrite(df, ctx, path.head, sets.result(),
+              flat(onCreate), flat(onMatch))
             df = d2; ctx = c2
             i = j
-          case MergeClause(path) if path.hops.size == 1 =>
+          case MergeClause(path, onCreate, onMatch) if path.hops.size == 1 =>
+            if (onCreate.nonEmpty || onMatch.nonEmpty)
+              throw CypherException(
+                "ON CREATE/ON MATCH SET is not supported on relationship MERGE")
             val (d2, c2) = mergeEdgeWrite(df, ctx, path, create = false)
             df = d2; ctx = c2
             i += 1
-          case MergeClause(_) =>
+          case MergeClause(_, _, _) =>
             throw CypherException(
               "MERGE supports a single node or a single-relationship pattern")
           case CreateClause(paths) =>

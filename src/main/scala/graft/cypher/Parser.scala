@@ -26,7 +26,7 @@ object Parser {
 
   private val symbols = List( // longest first
     "=~", "<=", ">=", "<>", "->", "<-", "..", "(", ")", "[", "]", "{", "}",
-    ":", ",", ".", "-", ">", "<", "=", "+", "*", "/", "%")
+    ":", ",", ".", "-", ">", "<", "=", "+", "*", "/", "%", "|")
 
   private def tokenize(q: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -125,7 +125,7 @@ object Parser {
       "order", "by", "limit", "skip", "as", "and", "or", "not", "distinct", "in",
       "is", "null", "asc", "desc", "ascending", "descending", "true", "false",
       "exists", "case", "when", "then", "else", "end", "unwind",
-      "create", "merge", "set", "delete", "detach")
+      "create", "merge", "set", "delete", "detach", "on")
 
     // ---------------------------------------------------------------- query
     def query(): Query = {
@@ -193,24 +193,38 @@ object Parser {
     private def writeClauses(): Seq[WriteClause] = {
       val b = Seq.newBuilder[WriteClause]
       var more = true
+      def setItems(): Seq[SetItem] = {
+        val items = Seq.newBuilder[SetItem]
+        def one(): Unit = {
+          val v = ident()
+          if (trySym(".")) {
+            val p = ident(); eatSym("="); items += SetProp(v, p, expr())
+          } else {
+            eatSym("+"); eatSym("=") // `SET n = {…}` (replace-all) unsupported
+            items += SetPlus(v, propMap())
+          }
+        }
+        one()
+        while (trySym(",")) one()
+        items.result()
+      }
       while (more) {
         if (tryKw("CREATE")) b += CreateClause(patternList())
-        else if (tryKw("MERGE")) b += MergeClause(pathPattern())
-        else if (tryKw("SET")) {
-          val items = Seq.newBuilder[SetItem]
-          def one(): Unit = {
-            val v = ident()
-            if (trySym(".")) {
-              val p = ident(); eatSym("="); items += SetProp(v, p, expr())
-            } else {
-              eatSym("+"); eatSym("=") // `SET n = {…}` (replace-all) unsupported
-              items += SetPlus(v, propMap())
-            }
+        else if (tryKw("MERGE")) {
+          val p = pathPattern()
+          var onCreate = Seq.empty[SetItem]
+          var onMatch = Seq.empty[SetItem]
+          while (isKw("ON")) {
+            eatKw("ON")
+            val isCreate = tryKw("CREATE")
+            if (!isCreate) eatKw("MATCH")
+            eatKw("SET")
+            if (isCreate) onCreate ++= setItems() else onMatch ++= setItems()
           }
-          one()
-          while (trySym(",")) one()
-          b += SetClause(items.result())
-        } else if (isKw("DELETE") || isKw("DETACH")) {
+          b += MergeClause(p, onCreate, onMatch)
+        }
+        else if (tryKw("SET")) b += SetClause(setItems())
+        else if (isKw("DELETE") || isKw("DETACH")) {
           val detach = tryKw("DETACH")
           eatKw("DELETE")
           val vars = Seq.newBuilder[String]
@@ -417,15 +431,24 @@ object Parser {
       }
       else postfix()
 
-    /** primary with `.prop` chains: `v.p` → Prop; `fn(..).year` → Fn("year", fn). */
+    /** primary with `.prop` chains and `[idx]` subscripts: `v.p` → Prop;
+      * `fn(..).year` → Fn("year", fn); `list[0]` → Index.
+      */
     private def postfix(): Expr = {
       var e = primary()
-      while (trySym(".")) {
-        val p = ident()
-        e = e match {
-          case Var(v) => Prop(v, p)
-          case other => Fn(p.toLowerCase, Seq(other)) // date(x).year → year(date(x))
-        }
+      var continue = true
+      while (continue) {
+        if (trySym(".")) {
+          val p = ident()
+          e = e match {
+            case Var(v) => Prop(v, p)
+            case other => Fn(p.toLowerCase, Seq(other)) // date(x).year → year(date(x))
+          }
+        } else if (trySym("[")) {
+          val i = expr()
+          eatSym("]")
+          e = Index(e, i)
+        } else continue = false
       }
       e
     }
@@ -448,11 +471,36 @@ object Parser {
       case Str(s) => Lit(s)
       case ParamT(s) => Param(s)
       case Sym("(") => val e = expr(); eatSym(")"); e
-      case Sym("[") => // list literal
-        val b = Seq.newBuilder[Expr]
-        if (!isSym("]")) { b += expr(); while (trySym(",")) b += expr() }
-        eatSym("]")
-        ListLit(b.result())
+      case Sym("[") => // list literal or `[x IN coll WHERE … | …]` comprehension
+        (peek, peek2) match {
+          case (Ident(v), Ident(kw))
+              if kw.equalsIgnoreCase("in") && !keywords.contains(v.toLowerCase) =>
+            next(); next()
+            val coll = expr()
+            val where = if (tryKw("WHERE")) Some(expr()) else None
+            val proj = if (trySym("|")) Some(expr()) else None
+            eatSym("]")
+            ListComp(v, coll, where, proj)
+          case _ =>
+            val b = Seq.newBuilder[Expr]
+            if (!isSym("]")) { b += expr(); while (trySym(",")) b += expr() }
+            eatSym("]")
+            ListLit(b.result())
+        }
+      case Ident(s) if s.equalsIgnoreCase("reduce") && isSym("(") =>
+        // reduce(acc = init, x IN coll | step)
+        eatSym("(")
+        val acc = ident()
+        eatSym("=")
+        val init = expr()
+        eatSym(",")
+        val x = ident()
+        eatKw("IN")
+        val coll = expr()
+        eatSym("|")
+        val step = expr()
+        eatSym(")")
+        ReduceExpr(acc, init, x, coll, step)
       case Ident(s) if s.equalsIgnoreCase("exists") && isSym("(") =>
         // exists((a)-[:R]->(b)) → pattern predicate;
         // exists(x.prop) → property-existence (IS NOT NULL)

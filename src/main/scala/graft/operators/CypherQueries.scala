@@ -144,6 +144,16 @@ object CypherQueries {
     "q75_cypher_introspect" -> cy(
       """MATCH (n:Nation)-[r:IN_REGION]->(rg:Region)
          RETURN head(labels(n)) AS lbl, type(r) AS typ, count(id(n)) AS cnt"""),
+    // list comprehension + reduce + indexing over per-row token lists
+    "q77_cypher_listcomp" -> cy(
+      """MATCH (p:Part)
+         WHERE p.p_partkey <= 200
+         WITH p, [w IN split(p.p_name, ' ') WHERE size(w) > 4 | toUpper(w)] AS words
+         RETURN toInteger(p.p_partkey) AS pk,
+                toInteger(size(words)) AS n_long,
+                words[0] AS first_long,
+                reduce(s = 0, w IN words | s + size(w)) AS total_chars
+         ORDER BY pk"""),
     // shortestPath over a derived self-label graph: nations in a ring with
     // +1 and +5 jumps — genuine BFS (min over mixed-step walks), checked
     // against a DuckDB recursive CTE
@@ -247,6 +257,17 @@ object CypherQueries {
     "q75_cypher_introspect" ->
       """SELECT 'Nation' AS lbl, 'IN_REGION' AS typ, count(*) AS cnt
          FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey""",
+    "q77_cypher_listcomp" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS pk,
+                CAST(len(words) AS BIGINT) AS n_long,
+                words[1] AS first_long,
+                COALESCE(CAST(list_sum(list_transform(words, w -> length(w))) AS BIGINT), 0) AS total_chars
+         FROM (SELECT p_partkey,
+                      list_transform(list_filter(string_split(p_name, ' '),
+                                                 w -> length(w) > 4),
+                                     w -> upper(w)) AS words
+               FROM part WHERE p_partkey <= 200)
+         ORDER BY pk""",
     "q76_cypher_shortest_path" ->
       """WITH RECURSIVE hops AS (
            SELECT n_nationkey AS src, (n_nationkey + 1) % 25 AS dst FROM nation

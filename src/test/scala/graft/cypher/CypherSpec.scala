@@ -440,6 +440,26 @@ class CypherSpec extends SparkSpec {
     assert(page.toSeq == all.toSeq.slice(1, 3))
   }
 
+  test("list comprehensions, reduce, and list indexing") {
+    val r = engine.run(
+      """MATCH (n:Nation) WHERE n.n_nationkey = 2
+         RETURN [x IN [1, 2, 3, 4] WHERE x % 2 = 0] AS evens,
+                [x IN [1, 2, 3] | x * 10] AS tens,
+                [x IN [1, 2, 3, 4] WHERE x > 1 | x + 100] AS both,
+                reduce(s = 0, x IN [1, 2, 3, 4] | s + x) AS total,
+                [10, 20, 30][0] AS first,
+                [10, 20, 30][-1] AS last_el,
+                [w IN split(n.n_name, '_') WHERE size(w) > 1][0] AS word""")
+      .collect().head
+    assert(r.getSeq[Long](0) == Seq(2L, 4L))
+    assert(r.getSeq[Long](1) == Seq(10L, 20L, 30L))
+    assert(r.getSeq[Long](2) == Seq(102L, 103L, 104L))
+    assert(r.getLong(3) == 10L)
+    assert(r.getLong(4) == 10L)
+    assert(r.getLong(5) == 30L)
+    assert(r.getString(6) == "NATION")
+  }
+
   test("shortestPath: minimum hops, direction, bounds, undirected") {
     spark // empty-store writes resolve the session via SparkSession.active
     // ring with a shortcut: 1→2→3→4 and 1→4

@@ -126,6 +126,26 @@ class CypherWriteSpec extends SparkSpec {
     assert(r.nodes("K").collect() === Array(Row(1L, null)))
   }
 
+  test("ON CREATE SET / ON MATCH SET with self-referential counter") {
+    val merge =
+      """UNWIND $rows AS row
+         MERGE (n:Cnt {cid: row.cid})
+         ON CREATE SET n.visits = 1, n.firstseen = row.tag
+         ON MATCH SET n.visits = n.visits + 1
+         RETURN count(n) AS processed"""
+    val s1 = CypherEngine(GraphStore.empty).execute(merge, Map("rows" -> Seq(
+      Map[String, Any]("cid" -> 1L, "tag" -> "a"),
+      Map[String, Any]("cid" -> 2L, "tag" -> "b")))).store
+    assert(s1.nodes("Cnt").orderBy("cid").collect() ===
+      Array(Row(1L, 1L, "a"), Row(2L, 1L, "b")))
+    // second batch: 1 matches (counter bumps, firstseen kept), 3 creates
+    val s2 = CypherEngine(s1).execute(merge, Map("rows" -> Seq(
+      Map[String, Any]("cid" -> 1L, "tag" -> "z"),
+      Map[String, Any]("cid" -> 3L, "tag" -> "c")))).store
+    assert(s2.nodes("Cnt").orderBy("cid").collect() ===
+      Array(Row(1L, 2L, "a"), Row(2L, 1L, "b"), Row(3L, 1L, "c")))
+  }
+
   // ----------------------------------------------------------- DELETE
 
   test("DETACH DELETE removes nodes and incident edges") {
