@@ -57,6 +57,21 @@ final case class Graft(
   def query(cypher: String, params: Map[String, Any]): DataFrame =
     CypherEngine(built).run(cypher, params)
 
+  /** Execute Cypher that may contain write clauses (CREATE/MERGE/SET/
+    * DELETE — the statements the reference's injection scripts emit,
+    * final/inject_node.py:351-358, final/inject_relationship.py:636-644).
+    * Returns the RETURN rows and a Graft whose store reflects the write.
+    */
+  def execute(cypher: String, params: Map[String, Any] = Map.empty): (DataFrame, Graft) = {
+    val r = CypherEngine(built).execute(cypher, params)
+    (r.result, copy(store = Some(r.store)))
+  }
+
+  /** Start from an empty graph (no relational ingest) and build it purely
+    * through Cypher writes / [[graft.graph.GraphWriter]].
+    */
+  def emptyGraph: Graft = copy(store = Some(GraphStore.empty))
+
   /** Graph statistics report (nodes by label, edges by type). */
   def describe(): DataFrame = built.describe(spark)
 

@@ -260,17 +260,17 @@ object RelationalQueries {
     * nondeterministic batch-arrival-order of the reference reproducible.
     */
   private def q14(s: SparkSession, dir: String): DataFrame = {
-    // Total order inside each partition: the synthetic data contains exact
-    // (orderkey, partkey, linenumber) duplicates with different measures, so
-    // break ties on the measures themselves to stay deterministic.
-    val w = Window.partitionBy("l_orderkey", "l_partkey")
-      .orderBy(col("l_linenumber").desc, col("l_quantity").desc,
-        col("l_extendedprice").desc, col("l_suppkey").desc)
+    // Deterministic winner per (orderkey, partkey): lexicographic max over
+    // (linenumber, quantity, extendedprice, suppkey) — identical to the
+    // oracle's ROW_NUMBER ... ORDER BY ... DESC pick, but as a HASH
+    // aggregate with map-side partial combine instead of a full sort
+    // shuffle (the same reshape the graph builder uses for its dedup).
     T(s, dir, "lineitem")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy("l_orderkey", "l_partkey")
+      .agg(max(struct(col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_suppkey"))).as("__w"))
       .agg(count(lit(1)).as("cnt"),
-        sum(dec4(col("l_quantity"))).cast(DoubleType).as("kept_qty"))
+        sum(dec4(col("__w.l_quantity"))).cast(DoubleType).as("kept_qty"))
   }
 
   private val q14Sql =
