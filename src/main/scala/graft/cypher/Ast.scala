@@ -80,14 +80,17 @@ object Ast {
 
   final case class Sort(expr: Expr, asc: Boolean)
 
-  /** One projection stage (`WITH` or `RETURN`). */
+  /** One projection stage (`WITH` or `RETURN`). `star` = `WITH *` /
+    * `RETURN *` — carry every bound variable, plus any explicit items.
+    */
   final case class Projection(
       items: Seq[Item],
       distinct: Boolean,
       where: Option[Expr] = None, // WITH ... WHERE (post-aggregation filter)
       orderBy: Seq[Sort] = Nil,
       skip: Option[Long] = None,
-      limit: Option[Long] = None)
+      limit: Option[Long] = None,
+      star: Boolean = false)
 
   /** A reading clause: MATCH / OPTIONAL MATCH / UNWIND, in written order. */
   sealed trait Reading

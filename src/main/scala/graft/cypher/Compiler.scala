@@ -548,7 +548,8 @@ object CypherEngine {
 
     // ---------------------------------------------------------- expressions
 
-    private val aggFns = Set("count", "sum", "avg", "min", "max", "collect", "stdev")
+    private val aggFns = Set("count", "sum", "avg", "min", "max", "collect",
+      "stdev", "stdevp", "percentilecont", "percentiledisc")
 
     private def containsAgg(e: Expr): Boolean = e match {
       case Fn(n, args, _) => aggFns(n) || args.exists(containsAgg)
@@ -703,14 +704,23 @@ object CypherEngine {
         if (args.isEmpty) count(lit(1))
         else if (distinct) count_distinct(args.head, args.tail: _*)
         else count(args.head)
-      case "sum" => sum(args.head)
-      case "avg" => avg(args.head)
+      case "sum" => if (distinct) sum_distinct(args.head) else sum(args.head)
+      case "avg" =>
+        if (distinct) sum_distinct(args.head) / count_distinct(args.head)
+        else avg(args.head)
       case "min" => min(args.head)
       case "max" => max(args.head)
       case "collect" =>
         // Cypher collect() is unordered; sorted for determinism (SURVEY A17)
         if (distinct) array_sort(collect_set(args.head)) else array_sort(collect_list(args.head))
       case "stdev" => stddev(args.head)
+      case "stdevp" => stddev_pop(args.head)
+      case "percentilecont" => percentile(args(0), args(1)) // exact, interpolated
+      case "percentiledisc" =>
+        // discrete percentile: the max of the lowest ceil(p*n) values —
+        // expressed through sorted collect + 1-based index (exact)
+        element_at(array_sort(collect_list(args(0))),
+          greatest(ceil(args(1) * count(args(0))), lit(1)).cast("int"))
       case "tolower" | "lower" => lower(args.head)
       case "toupper" | "upper" => upper(args.head)
       case "tostring" => args.head.cast(StringType)
@@ -834,7 +844,19 @@ object CypherEngine {
       * aggregation they group by all carried columns (equivalent to grouping
       * by node identity — properties are functionally dependent on the key).
       */
-    private def project(df: DataFrame, stage: Projection, ctx: Ctx): (DataFrame, Ctx) = {
+    private def project(df: DataFrame, stage0: Projection, ctx: Ctx): (DataFrame, Ctx) = {
+      // `WITH * [, items]` desugars to explicit items for every bound node
+      // variable and plain column (sorted for a deterministic column order)
+      val stage =
+        if (!stage0.star) stage0
+        else {
+          val explicit = stage0.items.collect { case Item(Var(v), None) => v }.toSet
+          val starItems =
+            (ctx.labels.keys.toSeq.sorted ++ ctx.plains.toSeq.sorted)
+              .filterNot(explicit)
+              .map(v => Item(Var(v), None))
+          stage0.copy(items = starItems ++ stage0.items)
+        }
       val carried = stage.items.collect {
         case Item(Var(v), None) if ctx.labels.contains(v) => v
       }

@@ -125,7 +125,7 @@ object Parser {
       "order", "by", "limit", "skip", "as", "and", "or", "not", "distinct", "in",
       "is", "null", "asc", "desc", "ascending", "descending", "true", "false",
       "exists", "case", "when", "then", "else", "end", "unwind",
-      "create", "merge", "set", "delete", "detach", "on")
+      "create", "merge", "set", "delete", "detach", "on", "remove")
 
     // ---------------------------------------------------------------- query
     def query(): Query = {
@@ -224,6 +224,17 @@ object Parser {
           b += MergeClause(p, onCreate, onMatch)
         }
         else if (tryKw("SET")) b += SetClause(setItems())
+        else if (tryKw("REMOVE")) {
+          // REMOVE n.p[, m.q …] — property removal is SET-to-null in the
+          // tabular store (matches our `SET += {p: null}` semantics)
+          val items = Seq.newBuilder[SetItem]
+          def one(): Unit = {
+            val v = ident(); eatSym("."); items += SetProp(v, ident(), Lit(null))
+          }
+          one()
+          while (trySym(",")) one()
+          b += SetClause(items.result())
+        }
         else if (isKw("DELETE") || isKw("DETACH")) {
           val detach = tryKw("DETACH")
           eatKw("DELETE")
@@ -333,8 +344,11 @@ object Parser {
         val alias = if (tryKw("AS")) Some(ident()) else None
         items += Item(e, alias)
       }
-      item()
-      while (trySym(",")) item()
+      // `WITH *` / `RETURN *` carries everything bound; `WITH *, expr AS a`
+      // adds items on top
+      val star = trySym("*")
+      if (!star) { item(); while (trySym(",")) item() }
+      else while (trySym(",")) item()
       val where = if (allowWhere && tryKw("WHERE")) Some(expr()) else None
       var orderBy = Seq.empty[Sort]
       if (tryKw("ORDER")) {
@@ -353,7 +367,7 @@ object Parser {
       }
       val skip = if (tryKw("SKIP")) Some(longLit()) else None
       val limit = if (tryKw("LIMIT")) Some(longLit()) else None
-      Projection(items.result(), distinct, where, orderBy, skip, limit)
+      Projection(items.result(), distinct, where, orderBy, skip, limit, star)
     }
 
     private def longLit(): Long = next() match {

@@ -144,6 +144,16 @@ object CypherQueries {
     "q75_cypher_introspect" -> cy(
       """MATCH (n:Nation)-[r:IN_REGION]->(rg:Region)
          RETURN head(labels(n)) AS lbl, type(r) AS typ, count(id(n)) AS cnt"""),
+    // WITH * star projection + percentile/distinct aggregate breadth
+    "q78_cypher_agg_breadth" -> cy(
+      """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+         WITH *
+         WHERE n.n_regionkey <= 2
+         RETURN n.n_regionkey AS rk,
+                percentileCont(c.c_nationkey, 0.5) AS med,
+                sum(DISTINCT c.c_nationkey) AS sd,
+                count(c) AS cnt
+         ORDER BY rk"""),
     // list comprehension + reduce + indexing over per-row token lists
     "q77_cypher_listcomp" -> cy(
       """MATCH (p:Part)
@@ -257,6 +267,14 @@ object CypherQueries {
     "q75_cypher_introspect" ->
       """SELECT 'Nation' AS lbl, 'IN_REGION' AS typ, count(*) AS cnt
          FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey""",
+    "q78_cypher_agg_breadth" ->
+      """SELECT n.n_regionkey AS rk,
+                quantile_cont(c.c_nationkey, 0.5) AS med,
+                CAST(SUM(DISTINCT c.c_nationkey) AS BIGINT) AS sd,
+                count(*) AS cnt
+         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         WHERE n.n_regionkey <= 2
+         GROUP BY 1 ORDER BY 1""",
     "q77_cypher_listcomp" ->
       """SELECT CAST(p_partkey AS BIGINT) AS pk,
                 CAST(len(words) AS BIGINT) AS n_long,

@@ -440,6 +440,44 @@ class CypherSpec extends SparkSpec {
     assert(page.toSeq == all.toSeq.slice(1, 3))
   }
 
+  test("WITH * carries all bound variables; REMOVE nulls a property") {
+    // WITH * keeps both nodes addressable after the projection boundary
+    val rows = engine.run(
+      """MATCH (n:Nation)-[:IN_REGION]->(r:Region)
+         WITH *
+         WHERE r.r_regionkey = 1
+         RETURN n.n_name AS nn, r.r_name AS rn ORDER BY nn""").collect()
+    assert(rows.nonEmpty && rows.forall(_.getString(1) != null))
+    // WITH *, extra item on top
+    val mixed = engine.run(
+      """MATCH (n:Nation)
+         WITH *, n.n_nationkey * 2 AS dbl
+         WHERE n.n_nationkey = 3
+         RETURN n.n_name AS nn, dbl""").collect()
+    assert(mixed.head.getLong(1) == 6L)
+    // REMOVE = SET-to-null
+    val st = CypherEngine(GraphStore.empty).execute(
+      "MERGE (n:Rm {rid: 1}) SET n += {rid: 1, tag: 'x'}").store
+    val after = CypherEngine(st).execute("MATCH (n:Rm) REMOVE n.tag").store
+    assert(after.nodes("Rm").collect() === Array(Row(1L, null)))
+  }
+
+  test("aggregate breadth: percentileCont/Disc, stDevP, DISTINCT sum/avg") {
+    val r = engine.run(
+      """MATCH (c:Customer)
+         RETURN percentileCont(c.c_nationkey, 0.5) AS med,
+                percentileDisc(c.c_nationkey, 0.5) AS medd,
+                stDevP(c.c_nationkey) AS sdp,
+                sum(DISTINCT c.c_nationkey) AS sd,
+                avg(DISTINCT c.c_nationkey) AS ad""").collect().head
+    // customers cover all 25 nations roughly uniformly
+    assert(r.getDouble(0) >= 0 && r.getDouble(0) <= 24)
+    assert(r.getAs[Number](1).longValue >= 0)
+    assert(r.getDouble(2) > 0)
+    assert(r.getAs[Number](3).longValue == (0L to 24L).sum)
+    assert(math.abs(r.getDouble(4) - 12.0) < 1e-9)
+  }
+
   test("list comprehensions, reduce, and list indexing") {
     val r = engine.run(
       """MATCH (n:Nation) WHERE n.n_nationkey = 2
