@@ -73,6 +73,35 @@ object PipelineQueries {
       .orderBy("query_id", "rank")
   }
 
+  // ------------------------------------------------------ Q79 ANN recall@k
+  /** Recall of the approximate ANN paths against the exact baseline — the
+    * completeness check a production similarity pipeline ships with: an
+    * approximate index whose recall silently degrades is worse than a slow
+    * exact scan. One row per method: (method, recall) where recall =
+    * |approx top-k ∩ exact top-k| / (k × queries), over a wider query set
+    * than q49/q50 so the measurement isn't anecdotal.
+    */
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    val emb = T(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 50)
+    val k = 5
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = k)
+      .select(col("query_id"), col("corpus_id"))
+    def recallOf(method: String, approx: DataFrame): DataFrame = {
+      val hits = approx.select(col("query_id"), col("corpus_id"))
+        .join(exact, Seq("query_id", "corpus_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      val denom = exact.agg(count(lit(1)).as("total"))
+      hits.crossJoin(denom).select(
+        lit(method).as("method"),
+        round(col("hits").cast("double") / col("total"), 4).as("recall"))
+    }
+    recallOf("lsh", Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = k, bits = 8))
+      .unionByName(recallOf("ivf",
+        Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = k, nlist = 16, nprobe = 4)))
+      .orderBy("method")
+  }
+
   // -------------------------------------------- Q51 embedding cosine near-dup
   private def q51(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDup(T(s, dir, "embeddings"), "vec_id", "embedding",
@@ -116,7 +145,8 @@ object PipelineQueries {
     "q51_cosine_neardup" -> q51 _,
     "q52_language_id" -> q52 _,
     "q53_quality_fingerprint" -> q53 _,
-    "q54_multimodal_features" -> q54 _
+    "q54_multimodal_features" -> q54 _,
+    "q79_ann_recall" -> q79 _
   )
 
   /** Engine-side sketches — no DuckDB equivalent; rows-only checks. */

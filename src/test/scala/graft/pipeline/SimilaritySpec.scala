@@ -119,4 +119,11 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  test("ann recall query reports a recall in (0, 1] per method") {
+    val rows = graft.SparkEntry.queries("q79_ann_recall")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows.keySet == Set("ivf", "lsh"))
+    rows.values.foreach(v => assert(v > 0.0 && v <= 1.0))
+  }
 }
