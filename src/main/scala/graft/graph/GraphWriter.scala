@@ -58,7 +58,9 @@ object GraphWriter {
       mergeKeys: Seq[String]): GraphStore = {
     require(mergeKeys.nonEmpty, "mergeNodes needs at least one merge key")
     mergeKeys.foreach(k => require(incoming.columns.contains(k), s"incoming lacks merge key $k"))
-    val dd = dedupOn(incoming, mergeKeys)
+    // null merge keys never land in a store (the reference's injector drops
+    // them the same way, final/inject_node.py:193-199 dropna-on-key)
+    val dd = dedupOn(incoming.na.drop("any", mergeKeys), mergeKeys)
     store.nodes.get(label) match {
       case None =>
         if (mergeKeys.size != 1)
@@ -69,12 +71,21 @@ object GraphWriter {
           properties = dd.columns.filterNot(_ == key).toSeq, keyUnique = true)
         store.copy(
           schema = store.schema.copy(nodes = store.schema.nodes :+ nt),
-          nodes = store.nodes + (label -> dd.filter(col(key).isNotNull)))
+          nodes = store.nodes + (label -> dd))
       case Some(existing) =>
-        val setCols = dd.columns.filterNot(mergeKeys.contains).toSeq
-        val allCols = (existing.columns ++ dd.columns).distinct.toSeq
+        // schema enforcement: a store column has ONE type — incoming values
+        // cast to it (else the full-outer coalesce/when would silently
+        // promote the whole column, e.g. Long key + all-null String-inferred
+        // batch → String store)
+        val existingType = existing.schema.fields.map(f => f.name -> f.dataType).toMap
+        val dd2 = dd.columns.foldLeft(dd) { (d, c) =>
+          existingType.get(c).filter(_ != d.schema(c).dataType)
+            .fold(d)(t => d.withColumn(c, col(c).cast(t)))
+        }
+        val setCols = dd2.columns.filterNot(mergeKeys.contains).toSeq
+        val allCols = (existing.columns ++ dd2.columns).distinct.toSeq
         val pfx = "__w_"
-        val r = dd.columns.foldLeft(dd)((d, c) => d.withColumnRenamed(c, pfx + c))
+        val r = dd2.columns.foldLeft(dd2)((d, c) => d.withColumnRenamed(c, pfx + c))
           .withColumn("__w__m", lit(true))
         val cond = mergeKeys.map(k => col(k) <=> col(pfx + k)).reduce(_ && _)
         val out = allCols.map { c =>

@@ -126,6 +126,18 @@ class CypherWriteSpec extends SparkSpec {
     assert(r.nodes("K").collect() === Array(Row(1L, null)))
   }
 
+  test("null merge keys never land in a store (matched or new label)") {
+    val s1 = CypherEngine(GraphStore.empty).execute(
+      "UNWIND $rows AS row MERGE (n:NK {kid: row.kid}) SET n += {kid: row.kid, v: row.v}",
+      Map("rows" -> rows(
+        Map("kid" -> 1L, "v" -> "a"), Map("kid" -> null, "v" -> "ghost")))).store
+    assert(s1.nodes("NK").collect() === Array(Row(1L, "a")))
+    val s2 = CypherEngine(s1).execute(
+      "UNWIND $rows AS row MERGE (n:NK {kid: row.kid}) SET n += {kid: row.kid, v: row.v}",
+      Map("rows" -> rows(Map("kid" -> null, "v" -> "ghost2")))).store
+    assert(s2.nodes("NK").collect() === Array(Row(1L, "a")))
+  }
+
   test("ON CREATE SET / ON MATCH SET with self-referential counter") {
     val merge =
       """UNWIND $rows AS row
