@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: local[32] + persisted graph/edge stores + GraphX per-
+  // iteration caching measurably degrade under 8g (r2 full-suite q33 was
+  // 3x its isolated time from cache pressure alone).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 ) ++ sys.env.get("SPARK_EXTRA_OPTS").toSeq.flatMap(_.split(' ').filter(_.nonEmpty))

@@ -27,6 +27,19 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraphAnalytics {
 
+  /** Edge-row threshold under which components/BFS run inside a single task
+    * (union-find / in-memory adjacency) instead of Pregel. 5M (Long, Long)
+    * pairs ≈ 80 MB — comfortably one task. Same philosophy as Spark's
+    * broadcast-join threshold: pick the physical strategy from the actual
+    * input size. A tiny derived graph should not pay ~15 Pregel rounds of
+    * job-scheduling overhead (measured ~0.25 s/round at local[32], i.e.
+    * ~4 s floor regardless of data); a 100 TB derived graph exceeds the
+    * threshold and takes the distributed path automatically. Callers that
+    * persist their edge DataFrame (e.g. the Q33/Q34 bipartite cache) pay
+    * the sizing count() against the cache.
+    */
+  val LocalEdgeThreshold: Long = 5L * 1000 * 1000
+
   private[graph] def toGraph(edges: DataFrame, undirected: Boolean,
       edgePartitions: Option[Int] = None): Graph[Int, Int] = {
     val edgeRDD = edges.select("src", "dst").rdd.flatMap { r =>
@@ -37,13 +50,17 @@ object GraphAnalytics {
     edgePartitions.fold(g)(n => g.partitionBy(PartitionStrategy.EdgePartition2D, n))
   }
 
-  /** Connected components (Pregel min-label propagation). Output:
-    * (node: Long, component: Long) where component = min vertex id in the
-    * component — deterministic.
+  /** Connected components. Output: (node: Long, component: Long) where
+    * component = min vertex id in the component — deterministic. Adaptive
+    * physical strategy: below `localThreshold` edge rows the whole graph
+    * fits one task and runs union-find there; above, Pregel min-label
+    * propagation (both produce identical min-id labels).
     */
   def connectedComponents(spark: SparkSession, edges: DataFrame,
-      edgePartitions: Option[Int] = None): DataFrame = {
+      edgePartitions: Option[Int] = None,
+      localThreshold: Long = LocalEdgeThreshold): DataFrame = {
     import spark.implicits._
+    if (edges.count() <= localThreshold) return localComponents(spark, edges)
     toGraph(edges, undirected = true, edgePartitions)
       .connectedComponents()
       .vertices
@@ -51,12 +68,47 @@ object GraphAnalytics {
       .toDF("node", "component")
   }
 
-  /** BFS hop distance from `source`, bounded at `maxDepth` hops (Pregel).
-    * Output: (node: Long, dist: Int) for reached nodes only.
+  /** Single-task union-find CC (path compression + union by size), labeling
+    * each node with the min id in its component. Only invoked when the edge
+    * list is under [[LocalEdgeThreshold]].
+    */
+  private def localComponents(spark: SparkSession, edges: DataFrame): DataFrame = {
+    import spark.implicits._
+    edges.select("src", "dst").as[(Long, Long)].coalesce(1)
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x // path compression
+          while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        it.foreach { case (s, d) =>
+          if (!parent.containsKey(s)) parent.put(s, s)
+          if (!parent.containsKey(d)) parent.put(d, d)
+          val (rs, rd) = (find(s), find(d))
+          // union toward the smaller root so the final root IS the min id
+          if (rs < rd) parent.put(rd, rs) else if (rd < rs) parent.put(rs, rd)
+        }
+        val out = Iterator.newBuilder[(Long, Long)]
+        parent.keySet().forEach(n => out += ((n, find(n))))
+        out.result()
+      }
+      .toDF("node", "component")
+  }
+
+  /** BFS hop distance from `source`, bounded at `maxDepth` hops. Output:
+    * (node: Long, dist: Int) for reached nodes only. Adaptive like
+    * [[connectedComponents]]: single-task adjacency BFS under the local
+    * threshold, Pregel above it.
     */
   def bfs(spark: SparkSession, edges: DataFrame, source: Long, maxDepth: Int,
-      edgePartitions: Option[Int] = None): DataFrame = {
+      edgePartitions: Option[Int] = None,
+      localThreshold: Long = LocalEdgeThreshold): DataFrame = {
     import spark.implicits._
+    if (edges.count() <= localThreshold)
+      return localBfs(spark, edges, source, maxDepth)
     val g = toGraph(edges, undirected = true, edgePartitions)
       .mapVertices((id, _) => if (id == source) 0 else Int.MaxValue)
     val res = g.pregel(Int.MaxValue, maxIterations = maxDepth)(
@@ -72,10 +124,55 @@ object GraphAnalytics {
       .toDF("node", "dist")
   }
 
-  /** PageRank (bench-only — float-iterative, not oracle-hashable). */
-  def pageRank(spark: SparkSession, edges: DataFrame, iters: Int = 10,
-      edgePartitions: Option[Int] = None): DataFrame = {
+  /** Single-task level-synchronous BFS over an in-memory adjacency map.
+    * Undirected; emits only nodes reached within `maxDepth` (the source is
+    * emitted at dist 0 iff it appears in some edge, matching Pregel which
+    * only materializes vertices present in the edge set).
+    */
+  private def localBfs(spark: SparkSession, edges: DataFrame, source: Long,
+      maxDepth: Int): DataFrame = {
     import spark.implicits._
+    edges.select("src", "dst").as[(Long, Long)].coalesce(1)
+      .mapPartitions { it =>
+        val adj = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[Long]]()
+        def add(a: Long, b: Long): Unit =
+          adj.computeIfAbsent(a, _ => scala.collection.mutable.ArrayBuffer.empty) += b
+        it.foreach { case (s, d) => add(s, d); add(d, s) }
+        val dist = new java.util.HashMap[Long, Int]()
+        if (adj.containsKey(source)) {
+          dist.put(source, 0)
+          var frontier = List(source)
+          var depth = 0
+          while (frontier.nonEmpty && depth < maxDepth) {
+            depth += 1
+            val next = List.newBuilder[Long]
+            frontier.foreach { u =>
+              val ns = adj.get(u)
+              if (ns != null) ns.foreach { v =>
+                if (!dist.containsKey(v)) { dist.put(v, depth); next += v }
+              }
+            }
+            frontier = next.result()
+          }
+        }
+        val out = Iterator.newBuilder[(Long, Int)]
+        dist.forEach((n, d) => out += ((n, d)))
+        out.result()
+      }
+      .toDF("node", "dist")
+  }
+
+  /** PageRank (bench-only — float-iterative, not oracle-hashable). Adaptive:
+    * single-task power iteration below the local threshold (same update rule
+    * as GraphX `staticPageRank`: ranks start at 1.0, each round every vertex
+    * becomes 0.15 + 0.85 · Σ inbound rank/outDegree), Pregel above it.
+    */
+  def pageRank(spark: SparkSession, edges: DataFrame, iters: Int = 10,
+      edgePartitions: Option[Int] = None,
+      localThreshold: Long = LocalEdgeThreshold): DataFrame = {
+    import spark.implicits._
+    if (edges.count() <= localThreshold)
+      return localPageRank(spark, edges, iters)
     toGraph(edges, undirected = false, edgePartitions)
       .staticPageRank(iters)
       .vertices
@@ -83,16 +180,89 @@ object GraphAnalytics {
       .toDF("node", "rank")
   }
 
-  /** Triangle count per vertex (bench-only). GraphX requires canonical
-    * direction (src < dst) and deduplicated edges.
+  private def localPageRank(spark: SparkSession, edges: DataFrame,
+      iters: Int): DataFrame = {
+    import spark.implicits._
+    edges.select("src", "dst").as[(Long, Long)].coalesce(1)
+      .mapPartitions { it =>
+        val es = it.toArray
+        val outDeg = new java.util.HashMap[Long, Int]()
+        val ranks = new java.util.HashMap[Long, Double]()
+        es.foreach { case (s, d) =>
+          outDeg.merge(s, 1, (a: Int, b: Int) => a + b)
+          ranks.put(s, 1.0); ranks.put(d, 1.0)
+        }
+        for (_ <- 1 to iters) {
+          val msg = new java.util.HashMap[Long, Double]()
+          es.foreach { case (s, d) =>
+            msg.merge(d, ranks.get(s) / outDeg.get(s), (a: Double, b: Double) => a + b)
+          }
+          ranks.keySet().forEach { v =>
+            ranks.put(v, 0.15 + 0.85 * msg.getOrDefault(v, 0.0))
+          }
+        }
+        // GraphX staticPageRank normalizes the final rank mass to the vertex
+        // count (SPARK-18847: sinks leak mass otherwise); mirror that.
+        var sum = 0.0
+        ranks.values().forEach(r => sum += r)
+        val scale = if (sum == 0.0) 1.0 else ranks.size() / sum
+        val out = Iterator.newBuilder[(Long, Double)]
+        ranks.forEach((n, r) => out += ((n, r * scale)))
+        out.result()
+      }
+      .toDF("node", "rank")
+  }
+
+  /** Single-task triangle count over canonical deduped edges: per edge
+    * (u,v), each common neighbor w closes one triangle; incrementing u, v
+    * and w across all three edges of a triangle counts each member 3×, so
+    * divide by 3 (matches GraphX per-vertex semantics, incl. emitting
+    * 0-triangle vertices).
     */
-  def triangleCount(spark: SparkSession, edges: DataFrame): DataFrame = {
+  private def localTriangles(spark: SparkSession, canon: DataFrame): DataFrame = {
+    import spark.implicits._
+    canon.select("src", "dst").as[(Long, Long)].coalesce(1)
+      .mapPartitions { it =>
+        val es = it.toArray
+        val adj = new java.util.HashMap[Long, java.util.HashSet[java.lang.Long]]()
+        def add(a: Long, b: Long): Unit =
+          adj.computeIfAbsent(a, _ => new java.util.HashSet[java.lang.Long]()).add(b)
+        es.foreach { case (s, d) => add(s, d); add(d, s) }
+        val cnt = new java.util.HashMap[Long, Long]()
+        adj.keySet().forEach(v => cnt.put(v, 0L))
+        es.foreach { case (u, v) =>
+          val (small, large) =
+            if (adj.get(u).size <= adj.get(v).size) (adj.get(u), adj.get(v))
+            else (adj.get(v), adj.get(u))
+          small.forEach { w =>
+            if (w != u && w != v && large.contains(w)) {
+              cnt.merge(u, 1L, (a: Long, b: Long) => a + b)
+              cnt.merge(v, 1L, (a: Long, b: Long) => a + b)
+              cnt.merge(w.longValue(), 1L, (a: Long, b: Long) => a + b)
+            }
+          }
+        }
+        val out = Iterator.newBuilder[(Long, Int)]
+        cnt.forEach((n, c) => out += ((n, (c / 3).toInt)))
+        out.result()
+      }
+      .toDF("node", "triangles")
+  }
+
+  /** Triangle count per vertex (bench-only). GraphX requires canonical
+    * direction (src < dst) and deduplicated edges. Adaptive: single-task
+    * set-intersection counting below the local threshold.
+    */
+  def triangleCount(spark: SparkSession, edges: DataFrame,
+      localThreshold: Long = LocalEdgeThreshold): DataFrame = {
     import spark.implicits._
     val canon = edges.select(
       least(col("src"), col("dst")).as("src"),
       greatest(col("src"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
+    if (canon.count() <= localThreshold)
+      return localTriangles(spark, canon)
     val edgeRDD = canon.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
     Graph.fromEdges(edgeRDD, 0)
       .triangleCount()

@@ -28,4 +28,44 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(bfsPart == bfsPlain)
     assert(bfsPlain == Map(1L -> 0, 2L -> 1, 3L -> 2))
   }
+
+  test("adaptive local path agrees with the Pregel path") {
+    // localThreshold = 0 forces the distributed Pregel implementation;
+    // the default routes this 4-edge graph through single-task union-find.
+    val ccPregel = GraphAnalytics.connectedComponents(spark, edges, localThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ccLocal = GraphAnalytics.connectedComponents(spark, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccLocal == ccPregel)
+    assert(ccLocal(4L) == 1L && ccLocal(11L) == 10L)
+
+    val bfsPregel = GraphAnalytics.bfs(spark, edges, source = 2L, maxDepth = 3,
+        localThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val bfsLocal = GraphAnalytics.bfs(spark, edges, source = 2L, maxDepth = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(bfsLocal == bfsPregel)
+    assert(bfsLocal == Map(2L -> 0, 1L -> 1, 3L -> 1, 4L -> 2))
+  }
+
+  test("local pagerank/triangles agree with GraphX") {
+    import spark.implicits._
+    // triangle {1,2,3} plus a pendant 4 and a disconnected pair
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("src", "dst")
+
+    val prGx = GraphAnalytics.pageRank(spark, tri, iters = 10, localThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val prLocal = GraphAnalytics.pageRank(spark, tri, iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(prLocal.keySet == prGx.keySet)
+    prGx.foreach { case (n, r) => assert(math.abs(prLocal(n) - r) < 1e-9) }
+
+    val tGx = GraphAnalytics.triangleCount(spark, tri, localThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val tLocal = GraphAnalytics.triangleCount(spark, tri)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(tLocal == tGx)
+    assert(tLocal == Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 0, 10L -> 0, 11L -> 0))
+  }
 }
