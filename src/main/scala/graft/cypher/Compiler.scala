@@ -406,10 +406,12 @@ object CypherEngine {
       * found at its minimum distance and never re-expanded — the same
       * frontier discipline as [[graft.graph.GraphAnalytics]]'s Pregel BFS,
       * expressed as DataFrame joins because the source set here is every
-      * bound `a`, not one root). Each frontier persists MEMORY_AND_DISK:
+      * bound `a`, not one root). Each frontier is eagerly checkpointed:
       * level n is read twice (expansion + anti join) and the plan would
-      * otherwise double per level. Bounds are capped like var-length
-      * patterns, so depth is explicit in the plan.
+      * otherwise double per level; the final distance set is checkpointed
+      * too so the scratch edge cache and frontier blocks are released per
+      * query instead of accumulating across a JVM's lifetime. Bounds are
+      * capped like var-length patterns, so depth is explicit in the plan.
       */
     private def shortestPathRead(state: Option[(DataFrame, Ctx)], pv: String,
         path: PathPat): (DataFrame, Ctx) = {
@@ -494,7 +496,14 @@ object CypherEngine {
           }
           n += 1
         }
-        dist
+        // Cut the result loose from the scratch state: checkpointing `dist`
+        // truncates its lineage, so e0 can be unpersisted here (repeated
+        // shortestPath queries in one JVM would otherwise each pin an edge
+        // copy forever) and the per-level frontier checkpoint blocks lose
+        // their last reference, letting the ContextCleaner reclaim them.
+        val out = dist.localCheckpoint(true)
+        e0.unpersist(false)
+        out
       } else {
         // a lower bound > 1 asks for the shortest path NO SHORTER than lo —
         // pairs whose true distance is below lo must still surface at their
@@ -508,7 +517,11 @@ object CypherEngine {
           cur = oneHop(cur)
           dist = dist.unionByName(cur.withColumn("__len", lit(n.toLong)))
         }
-        dist.groupBy("__ds", "__dd").agg(min("__len").as("__len"))
+        // same scratch-state release as the lo == 1 branch
+        val out = dist.groupBy("__ds", "__dd").agg(min("__len").as("__len"))
+          .localCheckpoint(true)
+        e0.unpersist(false)
+        out
       }
     }
 

@@ -127,9 +127,10 @@ object PipelineQueries {
       .orderBy("doc_id")
 
   // ------------------------------------------------- Q54 multimodal features
-  /** Synthesized media table → mapPartitions feature extraction → stats
-    * (decode is a documented deterministic stub; the Spark plumbing —
-    * schema, encoders, partition batching — is real).
+  /** Synthesized media table → mapPartitions feature extraction → stats.
+    * Image and audio decode are REAL (javax.imageio / javax.sound over the
+    * synthesized PNG/WAV payloads); only the video branch falls back to the
+    * documented deterministic FakeCodec (no video codec ships in the JDK).
     */
   private def q54(s: SparkSession, dir: String): DataFrame =
     Multimodal.featureStats(Multimodal.extractFeatures(Multimodal.synthesize(s, 300)))

@@ -159,13 +159,15 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
 
-    val total = corpus.count()
-    val trainSrc =
-      if (total > fitSampleCap)
-        corpus.sample(withReplacement = false, fitSampleCap.toDouble / total, seed = 42L)
-      else corpus
-    val train = trainSrc.select(
+    // limit() short-circuits: Spark reads only enough partitions to fill the
+    // cap, so fitting never costs a full corpus pass (the previous
+    // count()+sample needed TWO). The per-partition-prefix bias is fine for
+    // a coarse quantizer — centroid quality saturates far below the cap, and
+    // q79's recall measurement guards against drift. Below the cap this is
+    // the whole corpus, unchanged.
+    val train = corpus.select(
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+      .limit(math.min(fitSampleCap, Int.MaxValue.toLong).toInt)
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10).fit(train)
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray.toSeq) }.toSeq
@@ -198,19 +200,25 @@ object Similarity {
       .select("query_id", "corpus_id", "cos", "rank")
   }
 
-  /** Embedding-cosine near-duplicate pairs (X dedup family): all pairs whose
+  /** Embedding-cosine near-duplicate pairs (X dedup family): pairs whose
     * cosine ≥ `threshold`, found via LSH blocking + exact verification.
+    * Pair expansion goes through the capped [[Dedup.bucketPairs]] shape: a
+    * degenerate hot signature (all-zero vectors, boilerplate embeddings)
+    * would otherwise expand quadratically inside one task at scale; above
+    * `cap` members a bucket emits star pairs against its minimum id, and
+    * the `capped_buckets` / `max_bucket_size` metrics are published on
+    * `obs` — no silent truncation.
     */
   def cosineNearDup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bits: Int = 10): DataFrame = {
+      threshold: Double, bits: Int = 10, cap: Int = Dedup.DefaultBucketCap,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val v = df.select(col(idCol), col(vecCol))
       .join(lshSignatures(df, idCol, vecCol, bits), Seq(idCol))
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("sig"))
-    val l = v.select(col("sig"), col("id").as("id_a"), col("v").as("va"))
-    val r = v.select(col("sig"), col("id").as("id_b"), col("v").as("vb"))
-    l.join(r, Seq("sig"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos"))
+    // struct sorts by leading id field, so pair expansion yields id_a < id_b
+    Dedup.bucketPairs(v, Seq("sig"), struct(col("id"), col("v")), cap, obs)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

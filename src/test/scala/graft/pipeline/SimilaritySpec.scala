@@ -120,6 +120,21 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("cosineNearDup hot bucket is star-capped, not quadratic") {
+    // 40 identical vectors share one signature bucket; with cap = 8 the
+    // bucket must emit star pairs (n-1 = 39) instead of all n(n-1)/2 = 780,
+    // and the observation must report the cap hit.
+    val hot = (0L until 40L).map(i => (i, Seq(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val obs = new org.apache.spark.sql.Observation("hot_bucket")
+    val pairs = Similarity.cosineNearDup(hot, "vec_id", "embedding",
+      threshold = 0.99, bits = 4, cap = 8, obs = Some(obs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.size == 39, s"expected 39 star pairs, got ${pairs.size}")
+    assert(pairs.forall(_._1 == 0L), "star pairs anchor on the bucket minimum")
+    assert(obs.get("capped_buckets") == 1L)
+    assert(obs.get("max_bucket_size") == 40)
+  }
+
   test("ann recall query reports a recall in (0, 1] per method") {
     val rows = graft.SparkEntry.queries("q79_ann_recall")(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
