@@ -200,7 +200,9 @@ object CypherEngine {
         /** plain variables known to hold LISTS OF STRINGS (drives the
           * size()=string-length dispatch inside comprehension lambdas)
           */
-        strLists: Set[String] = Set.empty) {
+        strLists: Set[String] = Set.empty,
+        /** path variable → relationship type (for `relationships(p)`) */
+        pathRels: Map[String, String] = Map.empty) {
       def nodeLabel(v: String): Option[String] = labels.get(v)
     }
 
@@ -296,6 +298,7 @@ object CypherEngine {
       val relVars = collection.mutable.Map[String, RelInfo]()
       val plains = initial.map(_._2.plains).getOrElse(Set.empty[String])
       val pathVars = initial.map(_._2.paths).getOrElse(Set.empty[String])
+      val pathRelVars = initial.map(_._2.pathRels).getOrElse(Map.empty[String, String])
       initial.foreach { case (_, c) =>
         labels ++= c.labels
         bound ++= c.labels.keys
@@ -396,7 +399,7 @@ object CypherEngine {
         }
       }
 
-      (df, Ctx(labels.toMap, relVars.toMap, plains, pathVars))
+      (df, Ctx(labels.toMap, relVars.toMap, plains, pathVars, pathRels = pathRelVars))
     }
 
     /** `MATCH p = shortestPath((a)-[:R*lo..hi]->(b))` — minimum hop count
@@ -455,11 +458,20 @@ object CypherEngine {
       dstPat.props.foreach { case (k, v) =>
         df = df.filter(col(s"${bVar}__$k") === literal(v))
       }
-      df = df.withColumn(s"${pv}__len", col("__len")).drop("__ds", "__dd", "__len")
-      (df, ctx2.copy(paths = ctx2.paths + pv))
+      df = df.withColumn(s"${pv}__len", col("__len"))
+        .withColumn(s"${pv}__nodes", col("__path"))
+        .drop("__ds", "__dd", "__len", "__path")
+      (df, ctx2.copy(paths = ctx2.paths + pv,
+        pathRels = ctx2.pathRels + (pv -> et.label)))
     }
 
-    /** Minimum-hop (src, dst, len) pairs within lo..hi over one edge type. */
+    /** Minimum-hop (src, dst, len, path) rows within lo..hi over one edge
+      * type. `__path` is the node-key sequence of ONE shortest path per
+      * endpoint pair — deterministically the lexicographically smallest
+      * among the minimum-length paths (per-level pruning keeps the
+      * lexicographic min per pair, and prefix-wise lexicographic order is
+      * preserved under extension, so the greedy choice is the global one).
+      */
     private def distDf(et: EdgeType, lo: Int, hi: Int,
         undirected: Boolean, reversed: Boolean): DataFrame = {
       if (lo < 1 || hi < lo || hi > 10)
@@ -471,13 +483,19 @@ object CypherEngine {
       val bwd = raw.select(col(et.keyT).as("__ds"), col(et.keyS).as("__dd"))
       val base = if (undirected) fwd.unionByName(bwd) else if (reversed) bwd else fwd
       val e0 = base.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      // one hop forward, carrying the path; keep one (lexicographically
+      // minimal) path per (src, dst) so the frontier never fans out beyond
+      // the pair closure
       def oneHop(from: DataFrame): DataFrame = from.join(
           e0.withColumnRenamed("__ds", "__m").withColumnRenamed("__dd", "__dd2"),
           col("__dd") === col("__m"))
-        .select(col("__ds"), col("__dd2").as("__dd")).distinct()
+        .select(col("__ds"), col("__dd2").as("__dd"),
+          concat(col("__path"), array(col("__dd2"))).as("__path"))
+        .groupBy("__ds", "__dd").agg(min(col("__path")).as("__path"))
+      val e0p = e0.withColumn("__path", array(col("__ds"), col("__dd")))
       if (lo == 1) {
-        var dist = e0.withColumn("__len", lit(1L))
-        var frontier = e0
+        var dist = e0p.withColumn("__len", lit(1L))
+        var frontier = e0p
         var n = 2
         var exhausted = false
         while (n <= hi && !exhausted) {
@@ -510,15 +528,20 @@ object CypherEngine {
         // shortest admissible length, so BFS's reached-set pruning doesn't
         // apply; enumerate each admissible length instead (walk semantics,
         // per-level distinct keeps growth bounded by the closure size)
-        var cur = e0
+        var cur = e0p
         for (_ <- 2 to lo) cur = oneHop(cur)
         var dist = cur.withColumn("__len", lit(lo.toLong))
         for (n <- lo + 1 to hi) {
           cur = oneHop(cur)
           dist = dist.unionByName(cur.withColumn("__len", lit(n.toLong)))
         }
-        // same scratch-state release as the lo == 1 branch
-        val out = dist.groupBy("__ds", "__dd").agg(min("__len").as("__len"))
+        // same scratch-state release as the lo == 1 branch; min(struct)
+        // picks the shortest admissible length and its lexicographic-min
+        // path in one orderable aggregate
+        val out = dist.groupBy("__ds", "__dd")
+          .agg(min(struct(col("__len"), col("__path"))).as("__m"))
+          .select(col("__ds"), col("__dd"),
+            col("__m.__len").as("__len"), col("__m.__path").as("__path"))
           .localCheckpoint(true)
         e0.unpersist(false)
         out
@@ -552,11 +575,9 @@ object CypherEngine {
         else joined = joined.withColumnRenamed(c, orig)
       }
       val newVars = patVars -- shared
-      (joined, Ctx(
-        ctx.labels ++ subCtx.labels.view.filterKeys(newVars).toMap,
-        ctx.rels ++ subCtx.rels,
-        ctx.plains,
-        ctx.paths))
+      (joined, ctx.copy(
+        labels = ctx.labels ++ subCtx.labels.view.filterKeys(newVars).toMap,
+        rels = ctx.rels ++ subCtx.rels))
     }
 
     // ---------------------------------------------------------- expressions
@@ -658,6 +679,17 @@ object CypherEngine {
           count(lit(1)) // count(r): a rel var has no value column; count rows
         case Fn("length" | "size", Seq(Var(v)), _) if ctx.paths.contains(v) =>
           col(s"${v}__len") // length(p) of a shortestPath binding
+        case Fn("nodes", Seq(Var(v)), _) if ctx.paths.contains(v) =>
+          col(s"${v}__nodes") // node keys along the bound shortest path
+        case Fn("relationships", Seq(Var(v)), _) if ctx.paths.contains(v) =>
+          // derived from the node list: consecutive (src, dst) key pairs
+          // plus the single relationship type the pattern traversed
+          val ns = col(s"${v}__nodes")
+          val t = ctx.pathRels.getOrElse(v, "")
+          transform(sequence(lit(1), size(ns) - 1), i =>
+            struct(element_at(ns, i).as("src"),
+              element_at(ns, i + lit(1)).as("dst"),
+              lit(t).as("type")))
         // graph introspection — resolved from the binding context, so they
         // compile to literals/columns, not lookups (free at any scale)
         case Fn("labels", Seq(Var(v)), _) if ctx.labels.contains(v) =>

@@ -55,6 +55,20 @@ object CypherQueries {
     * SET +=, the MATCH/WITH/MATCH/WITH/MERGE relationship chain, and
     * dynamic label/edge-type registration end to end.
     */
+  /** Derived self-label ring for the shortestPath family (q76/q80): nations
+    * with +1 and +5 jumps mod 25 — genuine BFS territory (min over
+    * mixed-step walks), small enough for a DuckDB recursive-CTE oracle.
+    */
+  private def ringStore(s: SparkSession, dir: String): GraphStore = {
+    val nation = Tables.load(s, dir, "nation")
+    val k = col("n_nationkey")
+    val st = GraphWriter.mergeNodes(GraphStore.empty, "Nation",
+      nation.select(k, col("n_name")), Seq("n_nationkey"))
+    val hops = nation.select(k.as("src"), ((k + 1) % 25).as("dst"))
+      .unionByName(nation.select(k.as("src"), ((k + 5) % 25).as("dst")))
+    GraphWriter.mergeEdges(st, "HOP", "Nation", "Nation", "src", "dst", hops)
+  }
+
   private def injectedStore(s: SparkSession, dir: String): GraphStore = {
     def rowsOf(table: String, cols: Seq[String]): Seq[Map[String, Any]] =
       Tables.load(s, dir, table).select(cols.map(col): _*).collect()
@@ -189,18 +203,20 @@ object CypherQueries {
     // shortestPath over a derived self-label graph: nations in a ring with
     // +1 and +5 jumps — genuine BFS (min over mixed-step walks), checked
     // against a DuckDB recursive CTE
-    "q76_cypher_shortest_path" -> ((s, dir) => {
-      val nation = Tables.load(s, dir, "nation")
-      val k = col("n_nationkey")
-      var st = GraphWriter.mergeNodes(GraphStore.empty, "Nation",
-        nation.select(k, col("n_name")), Seq("n_nationkey"))
-      val hops = nation.select(k.as("src"), ((k + 1) % 25).as("dst"))
-        .unionByName(nation.select(k.as("src"), ((k + 5) % 25).as("dst")))
-      st = GraphWriter.mergeEdges(st, "HOP", "Nation", "Nation", "src", "dst", hops)
-      CypherEngine(st).run(
+    "q76_cypher_shortest_path" -> ((s, dir) =>
+      CypherEngine(ringStore(s, dir)).run(
         """MATCH p = shortestPath((a:Nation {n_nationkey: 0})-[:HOP*1..10]->(b:Nation))
-           RETURN toInteger(b.n_nationkey) AS dst, length(p) AS len ORDER BY dst""")
-    }),
+           RETURN toInteger(b.n_nationkey) AS dst, length(p) AS len ORDER BY dst""")),
+    // path ACCESSORS over the same ring: nodes(p) returns the node-key
+    // sequence of the (deterministic lexicographic-min) shortest path; the
+    // DuckDB oracle enumerates walks in a recursive CTE carrying the path
+    // list and picks the same representative via ORDER BY len, path
+    "q80_cypher_path_nodes" -> ((s, dir) =>
+      CypherEngine(ringStore(s, dir)).run(
+        """MATCH p = shortestPath((a:Nation {n_nationkey: 0})-[:HOP*1..10]->(b:Nation))
+           RETURN toInteger(b.n_nationkey) AS dst, length(p) AS len,
+                  [x IN nodes(p) | toInteger(x)] AS path
+           ORDER BY dst""")),
     // write clauses: graph built from empty purely through the reference's
     // verbatim injection Cypher, then read back through a pattern
     "q72_cypher_merge_inject" -> ((s, dir) =>
@@ -321,6 +337,24 @@ object CypherQueries {
          )
          SELECT CAST(dst AS BIGINT) AS dst, CAST(min(len) AS BIGINT) AS len
          FROM bfs GROUP BY 1 ORDER BY 1""",
+    "q80_cypher_path_nodes" ->
+      """WITH RECURSIVE hops AS (
+           SELECT n_nationkey AS src, (n_nationkey + 1) % 25 AS dst FROM nation
+           UNION ALL
+           SELECT n_nationkey AS src, (n_nationkey + 5) % 25 AS dst FROM nation
+         ), bfs(dst, len, path) AS (
+           SELECT dst, 1 AS len, [CAST(0 AS BIGINT), CAST(dst AS BIGINT)] AS path
+           FROM hops WHERE src = 0
+           UNION ALL
+           SELECT h.dst, b.len + 1, list_append(b.path, CAST(h.dst AS BIGINT))
+           FROM bfs b JOIN hops h ON h.src = b.dst
+           WHERE b.len < 10
+         )
+         SELECT CAST(dst AS BIGINT) AS dst, CAST(len AS BIGINT) AS len, path
+         FROM (SELECT dst, len, path,
+                      row_number() OVER (PARTITION BY dst ORDER BY len, path) AS rn
+               FROM bfs)
+         WHERE rn = 1 ORDER BY dst""",
     "q72_cypher_merge_inject" ->
       """SELECT r.r_name AS r_name, count(*) AS cnt
          FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey

@@ -532,6 +532,30 @@ class CypherSpec extends SparkSpec {
     assert(e.run(
       """MATCH p = shortestPath((a:SP {sid: 4})-[:STEP*1..5]->(b:SP))
          RETURN b.sid AS dst""").collect().isEmpty)
+
+    // nodes(p): full node-key sequence; 1→4 takes the shortcut, 1→3 chains
+    val ns = e.run(
+      """MATCH p = shortestPath((a:SP {sid: 1})-[:STEP*1..5]->(b:SP))
+         RETURN b.sid AS dst, nodes(p) AS path ORDER BY dst""").collect()
+    assert(ns.map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq ==
+      Seq(2L -> Seq(1L, 2L), 3L -> Seq(1L, 2L, 3L), 4L -> Seq(1L, 4L)))
+    // lower bound > 1: the path reported is the admissible (long-way) one
+    val ns2 = e.run(
+      """MATCH p = shortestPath((a:SP {sid: 1})-[:STEP*2..5]->(b:SP {sid: 4}))
+         RETURN nodes(p) AS path""").collect()
+    assert(ns2.map(_.getSeq[Long](0)).toSeq == Seq(Seq(1L, 2L, 3L, 4L)))
+    // relationships(p): consecutive (src, dst) pairs with the traversed type
+    val rels = e.run(
+      """MATCH p = shortestPath((a:SP {sid: 1})-[:STEP*1..5]->(b:SP {sid: 3}))
+         RETURN relationships(p) AS rels""").collect()
+    val rseq = rels.head.getSeq[org.apache.spark.sql.Row](0)
+    assert(rseq.map(r => (r.getLong(0), r.getLong(1), r.getString(2))) ==
+      Seq((1L, 2L, "STEP"), (2L, 3L, "STEP")))
+    // size(nodes(p)) composes with the list function table
+    val sz = e.run(
+      """MATCH p = shortestPath((a:SP {sid: 1})-[:STEP*1..5]->(b:SP {sid: 3}))
+         RETURN size(nodes(p)) AS n, length(p) AS len""").collect()
+    assert(sz.head.getInt(0) == 3 && sz.head.getLong(1) == 2L)
   }
 
   test("graph introspection: labels/type/id/keys/properties") {
