@@ -94,7 +94,70 @@ object Streams {
     * leaves either the old store at the path, or the old store at
     * `__old` (restored automatically on the next call) — never nothing.
     */
-  def upsertBatch(spark: SparkSession, batch: DataFrame, storePath: String, keyCol: String): Unit = {
+  def upsertBatch(spark: SparkSession, batch: DataFrame, storePath: String, keyCol: String): Unit =
+    mergeIntoStore(spark, storePath) { existing =>
+      val all = existing match {
+        case Some(e) => e.unionByName(batch, allowMissingColumns = true)
+        case None => batch
+      }
+      val w = Window.partitionBy(keyCol).orderBy(col("ts").desc_nulls_last)
+      all.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn")
+    }
+
+  /** T7b: incremental graph EDGE upsert — the relationship-side counterpart
+    * of [[incrementalUpsert]]. Each micro-batch MERGEs new relationships
+    * into the Parquet edge store: batch rows reduce to the edge identity
+    * `(srcCol, dstCol, propCols…)` and append only where no existing edge
+    * matches null-safely — the M2 anti-join merge (reference semantics:
+    * final/inject_relationship.py:636-644) applied per micro-batch.
+    * Idempotent: re-delivered events are absorbed by the anti join, so
+    * at-least-once delivery still yields exactly-once edges.
+    */
+  def incrementalEdgeUpsert(
+      events: DataFrame,
+      spark: SparkSession,
+      storePath: String,
+      srcCol: String,
+      dstCol: String,
+      propCols: Seq[String] = Nil): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertEdgeBatch(spark, batch, storePath, srcCol, dstCol, propCols)
+      }
+
+  /** One idempotent M2 merge of `batch`'s edges into the store (see
+    * [[incrementalEdgeUpsert]]); same crash-safe swap as [[upsertBatch]].
+    */
+  def upsertEdgeBatch(spark: SparkSession, batch: DataFrame, storePath: String,
+      srcCol: String, dstCol: String, propCols: Seq[String] = Nil): Unit = {
+    val idCols = srcCol +: dstCol +: propCols
+    mergeIntoStore(spark, storePath) { existing =>
+      val incoming = batch.select(idCols.map(col): _*).dropDuplicates(idCols)
+      existing match {
+        case Some(e) =>
+          val cond = idCols.map(c => incoming(c) <=> e(c)).reduce(_ && _)
+          e.unionByName(incoming.join(e, cond, "left_anti"))
+        case None => incoming
+      }
+    }
+  }
+
+  /** Crash-safe read-merge-swap around a Parquet store (shared by the node
+    * and edge upserts).
+    *
+    * Failure posture (r1 ADVICE): only a genuinely MISSING store path is
+    * treated as "first batch" — any other read error (corruption,
+    * transient FS failure) propagates instead of silently discarding all
+    * previously upserted rows. The swap keeps the previous generation at
+    * `<store>__old` until the new one is in place: a crash mid-swap
+    * leaves either the old store at the path, or the old store at
+    * `__old` (restored automatically on the next call) — never nothing.
+    */
+  private def mergeIntoStore(spark: SparkSession, storePath: String)(
+      merge: Option[DataFrame] => DataFrame): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(storePath), spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(storePath)
@@ -102,15 +165,7 @@ object Streams {
     // self-heal a crash that happened between the two renames below
     if (!fs.exists(dst) && fs.exists(old)) fs.rename(old, dst)
     val existing = if (fs.exists(dst)) Some(spark.read.parquet(storePath)) else None
-    val all = existing match {
-      case Some(e) => e.unionByName(batch, allowMissingColumns = true)
-      case None => batch
-    }
-    val w = Window.partitionBy(keyCol).orderBy(col("ts").desc_nulls_last)
-    val merged = all
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val merged = merge(existing)
     // write to a temp dir then swap — the source may be the store itself
     val tmp = new org.apache.hadoop.fs.Path(storePath + "__tmp")
     merged.write.mode("overwrite").parquet(tmp.toString)

@@ -121,6 +121,40 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1).getAs[String]("event_type") == "view")
   }
 
+  test("T7b incremental edge upsert: stream merge equals batch M2 dedup") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = Files.createTempDirectory("graft_store").toString + "/edges"
+    val stream = MemoryStream[(Long, Long, Timestamp)]
+    val q = Streams.incrementalEdgeUpsert(
+      stream.toDF().toDF("src", "dst", "ts"),
+      spark, store, srcCol = "src", dstCol = "dst").start()
+    stream.addData((1L, 2L, ts(0)), (1L, 3L, ts(1)), (1L, 2L, ts(2)))
+    q.processAllAvailable()
+    // batch 2 re-delivers (1,2) and adds (2,3): the anti join absorbs the
+    // duplicate — at-least-once delivery, exactly-once edges
+    stream.addData((1L, 2L, ts(5)), (2L, 3L, ts(6)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(store)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch equivalent: distinct edge identities over the full event log
+    val all = Seq((1L, 2L), (1L, 3L), (1L, 2L), (1L, 2L), (2L, 3L))
+    assert(got == all.distinct.toSet)
+  }
+
+  test("T7b edge upsert with property identity keeps parallel edges distinct") {
+    import spark.implicits._
+    val store = Files.createTempDirectory("graft_prop").toString + "/edges"
+    def batch(rows: (Long, Long, String)*) = rows.toDF("src", "dst", "kind")
+    Streams.upsertEdgeBatch(spark, batch((1L, 2L, "a"), (1L, 2L, "b")), store,
+      "src", "dst", propCols = Seq("kind"))
+    Streams.upsertEdgeBatch(spark, batch((1L, 2L, "a"), (1L, 2L, "c")), store,
+      "src", "dst", propCols = Seq("kind"))
+    val got = spark.read.parquet(store)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((1L, 2L, "a"), (1L, 2L, "b"), (1L, 2L, "c")))
+  }
+
   test("T7 upsert swap: crash state self-heals and read errors propagate") {
     import spark.implicits._
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
