@@ -38,10 +38,35 @@ object PipelineQueries {
   }
 
   // ---------------------------------------------------- Q48 SimHash near-dup
-  private def q48(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashCandidates(T(s, dir, "documents"), "doc_id", "text", maxHamming = 16)
-      .agg(count(lit(1)).as("candidate_pairs"),
-        min(col("hamming")).as("min_hamming"))
+  /** SimHash banded candidates + the measurement that makes the recall
+    * claim checkable (same instinct as q79): exact all-pairs Hamming over a
+    * BOUNDED doc sample is the ground truth, and `sample_recall` = fraction
+    * of true ≤maxHamming pairs the banded blocking surfaced. The all-pairs
+    * step is sample-only by construction (the candidate path itself never
+    * goes all-pairs).
+    */
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val docs = T(s, dir, "documents")
+    val maxHamming = 16
+    val cands = Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = maxHamming)
+    val stats = cands.agg(count(lit(1)).as("candidate_pairs"),
+      min(col("hamming")).as("min_hamming"))
+    val sampleIds = col("doc_id") < 200
+    val sigs = Dedup.simhashDf(docs.filter(sampleIds), "doc_id", "text")
+    val truth = sigs.select(col("id").as("id_a"), col("sig").as("sa"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sb")),
+        col("id_a") < col("id_b"))
+      .filter(Dedup.hamming(col("sa"), col("sb")) <= maxHamming)
+      .select("id_a", "id_b")
+    val found = cands.join(truth, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("found"))
+    val denom = truth.agg(count(lit(1)).as("truth_pairs"))
+    stats.crossJoin(denom).crossJoin(found)
+      .select(col("candidate_pairs"), col("min_hamming"), col("truth_pairs"),
+        round(when(col("truth_pairs") === 0, 1.0)
+          .otherwise(col("found").cast("double") / col("truth_pairs")), 4)
+          .as("sample_recall"))
+  }
 
   // ------------------------------------------------ Q49 brute-force ANN top-k
   /** Exact cosine top-3 neighbors for the first 5 vectors (baseline path). */

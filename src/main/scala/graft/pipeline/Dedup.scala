@@ -282,20 +282,43 @@ object Dedup {
   /** Hamming distance between two simhash fingerprints (bit_count of xor). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs within a DataFrame, blocked on the top
-    * `blockBits` bits to avoid all-pairs (documents differing only in low
-    * bits collide into a block; standard multi-probe would add rotations).
+  /** SimHash near-dup pairs within a DataFrame via multi-band blocking
+    * (multi-probe): the 64-bit fingerprint splits into `bands` equal bit
+    * blocks, and documents sharing ANY block value become candidates —
+    * pairs dedup across bands like MinHash banding. Pigeonhole guarantee:
+    * a pair within Hamming distance < `bands` differs in fewer blocks than
+    * there are blocks, so some block matches exactly and the pair is
+    * ALWAYS a candidate (the previous single-block probe missed near-dups
+    * whose differing bits fell inside the probed block). Above that,
+    * candidacy is probabilistic, as in any LSH scheme. `cap`/`obs` bound
+    * hot blocks exactly as in [[bucketPairs]].
     */
   def simhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 8, blockBits: Int = 12): DataFrame = {
-    val withSig = simhashDf(df, idCol, textCol)
-      .withColumn("block", shiftrightunsigned(col("sig"), 64 - blockBits))
-    // One block per doc → a given (id_a, id_b) pair can only arise once;
-    // no cross-band dedup needed (unlike MinHash banding).
-    bucketPairs(withSig, Seq("block"), struct(col("id"), col("sig")),
-      DefaultBucketCap, None)
+      maxHamming: Int = 8, bands: Int = 8, cap: Int = DefaultBucketCap,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame =
+    simhashCandidatesFromSigs(simhashDf(df, idCol, textCol), maxHamming, bands, cap, obs)
+
+  /** Banding + pair expansion half of [[simhashCandidates]], taking
+    * precomputed `[id, sig]` fingerprints (also the testing seam for
+    * planted-bit-pattern cases).
+    */
+  def simhashCandidatesFromSigs(sigs: DataFrame, maxHamming: Int = 8,
+      bands: Int = 8, cap: Int = DefaultBucketCap,
+      obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    require(bands >= 2 && 64 % bands == 0, s"bands must divide 64 (got $bands)")
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("sig"), b * width).bitwiseAND(lit(mask)).as("block"))
+    }
+    val exploded = sigs
+      .select(col("id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.block").as("block"))
+    bucketPairs(exploded, Seq("band", "block"), struct(col("id"), col("sig")), cap, obs)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming(col("a.sig"), col("b.sig")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair can surface from several matching bands
   }
 }

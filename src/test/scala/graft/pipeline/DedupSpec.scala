@@ -91,6 +91,46 @@ class DedupSpec extends SparkSpec {
     assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
   }
 
+  test("simhash banding finds near-dups differing only in HIGH bits") {
+    // the old single-probe blocked on the top 12 bits, so a pair whose few
+    // differing bits sat exactly there was invisible; with 8 bands of 8
+    // bits, any pair within hamming < 8 shares a full band (pigeonhole)
+    val base = 0x0123456789abcdefL
+    val sigs = Seq(
+      (1L, base),
+      (2L, base ^ (0x7L << 61)), // 3 bits flipped in the TOP band
+      (3L, base ^ 0x5L), // 2 bits flipped in the BOTTOM band
+      (4L, ~base) // 64 bits away — never a candidate
+    ).toDF("id", "sig")
+    val pairs = Dedup.simhashCandidatesFromSigs(sigs, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "high-bit near-dup must be found")
+    assert(pairs.contains((1L, 3L)), "low-bit near-dup must be found")
+    assert(pairs.contains((2L, 3L)), "hamming 5 pair shares 6 of 8 bands")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash banding guarantee: every pair under hamming < bands surfaces") {
+    // deterministic pseudo-random corpus of 64 sigs + planted neighbors
+    val rnd = new scala.util.Random(7)
+    val baseSigs = (0L until 64L).map(i => (i, rnd.nextLong()))
+    val planted = baseSigs.take(16).map { case (i, s) =>
+      // flip up to 7 random bit positions (hamming ≤ 7 < 8 bands)
+      val flips = Seq.fill(7)(rnd.nextInt(64)).distinct
+      (100L + i, flips.foldLeft(s)((acc, b) => acc ^ (1L << b)))
+    }
+    val sigs = (baseSigs ++ planted).toDF("id", "sig")
+    val byId = (baseSigs ++ planted).toMap
+    val found = Dedup.simhashCandidatesFromSigs(sigs, maxHamming = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = for {
+      (a, sa) <- byId.toSeq; (b, sb) <- byId.toSeq if a < b
+      if java.lang.Long.bitCount(sa ^ sb) <= 7
+    } yield (a, b)
+    assert(want.nonEmpty && want.toSet.subsetOf(found),
+      s"missing: ${want.toSet -- found}")
+  }
+
   test("shingles produce n-grams over tokens") {
     val sh = docs.filter($"doc_id" === 4L)
       .select(Dedup.shingles(col("text"), 3).as("sh"))
