@@ -1176,8 +1176,16 @@ object CypherEngine {
         case None => ctx.rels.get(v) match {
           case Some(RelInfo(label, sV, dV)) =>
             val et = store.schema.edge(label)
+            // the matched relationship's property columns are part of its
+            // identity: without them DELETE r would remove ALL parallel
+            // edges between each matched pair, including ones whose
+            // properties did not match the pattern
+            val propCols = et.properties
+              .filter(p => df.columns.contains(s"${v}__$p"))
+              .map(p => col(s"${v}__$p").as(p))
             val pairs = df.select(
-              nodeKeyCol(sV, ctx).as(et.keyS), nodeKeyCol(dV, ctx).as(et.keyT)).distinct()
+              Seq(nodeKeyCol(sV, ctx).as(et.keyS),
+                nodeKeyCol(dV, ctx).as(et.keyT)) ++ propCols: _*).distinct()
             store = GraphWriter.deleteEdges(store, label, pairs)
           case None => throw CypherException(s"cannot DELETE unbound variable $v")
         }

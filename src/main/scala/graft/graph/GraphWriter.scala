@@ -73,6 +73,16 @@ object GraphWriter {
           schema = store.schema.copy(nodes = store.schema.nodes :+ nt),
           nodes = store.nodes + (label -> dd))
       case Some(existing) =>
+        // data-integrity guard: merging an existing label on keys that do
+        // not cover ITS key would leave created (unmatched) rows with a
+        // null key — silently invisible to edge joins and id(). Refuse
+        // rather than corrupt.
+        val ntKey = store.schema.node(label).key
+        if (!mergeKeys.contains(ntKey))
+          throw new IllegalArgumentException(
+            s"MERGE on existing label $label must include its key property '$ntKey' " +
+              s"(got ${mergeKeys.mkString(", ")}): rows created by the merge would " +
+              "carry a null key and could not participate in edge joins")
         // schema enforcement: a store column has ONE type — incoming values
         // cast to it (else the full-outer coalesce/when would silently
         // promote the whole column, e.g. Long key + all-null String-inferred
@@ -211,14 +221,24 @@ object GraphWriter {
     store.copy(nodes = store.nodes + (label -> remaining), edges = edges)
   }
 
-  /** DELETE edges matching the (src, dst) pairs (columns named as the edge
-    * type's keyS/keyT).
+  /** DELETE edges matching `pairs` rows. `pairs` must carry the edge type's
+    * keyS/keyT columns and MAY carry any subset of the edge's property
+    * columns — every column present participates in the (null-safe) match,
+    * so `MATCH ()-[r:T {p:1}]->() DELETE r` removes only the parallel
+    * edges whose properties matched, not every edge between the endpoints
+    * (Neo4j deletes only the matched relationship).
     */
   def deleteEdges(store: GraphStore, label: String, pairs: DataFrame): GraphStore = {
     val et = store.schema.edge(label)
+    val matchCols = pairs.columns.toSeq
+    require(matchCols.contains(et.keyS) && matchCols.contains(et.keyT),
+      s"deleteEdges pairs for $label need ${et.keyS}/${et.keyT} columns")
     val before = store.edges(label)
+    val pfx = "__d_"
+    val p = pairs.select(matchCols.map(c => col(c).as(pfx + c)): _*)
+    val cond = matchCols.map(c => col(c) <=> col(pfx + c)).reduce(_ && _)
     store.copy(edges = store.edges +
-      (label -> before.join(pairs, Seq(et.keyS, et.keyT), "left_anti")
+      (label -> before.join(p, cond, "left_anti")
         .select(before.columns.map(col): _*)))
   }
 }

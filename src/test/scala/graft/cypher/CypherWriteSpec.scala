@@ -197,6 +197,41 @@ class CypherWriteSpec extends SparkSpec {
     assert(r.store.nodes("W").count() == 3) // nodes untouched
   }
 
+  test("DELETE r with pattern properties spares non-matching parallel edges") {
+    // two parallel CREATE'd edges between the same pair, distinguished by
+    // the kind property; deleting {kind:'a'} must keep {kind:'b'}
+    val store = CypherEngine(GraphStore.empty).execute(
+      """UNWIND $rows AS row MERGE (n:PE {pid: row.pid}) SET n += {pid: row.pid}""",
+      Map("rows" -> rows(Map("pid" -> 1L), Map("pid" -> 2L)))).store
+    val withEdges = CypherEngine(store).execute(
+      """UNWIND $rows AS row
+         MATCH (s:PE) WHERE s.pid = row.a
+         WITH s, row
+         MATCH (t:PE) WHERE t.pid = row.b
+         CREATE (s)-[r:PAR {kind: row.k}]->(t)""",
+      Map("rows" -> rows(
+        Map("a" -> 1L, "b" -> 2L, "k" -> "a"),
+        Map("a" -> 1L, "b" -> 2L, "k" -> "b")))).store
+    assert(withEdges.edges("PAR").count() == 2)
+    val r = CypherEngine(withEdges).execute(
+      "MATCH (s:PE)-[r:PAR {kind: 'a'}]->(t:PE) DELETE r")
+    val left = r.store.edges("PAR").collect()
+    assert(left.length == 1, left.mkString(","))
+    assert(left.head.getAs[String]("kind") == "b")
+  }
+
+  test("MERGE on an existing label without its key property is refused") {
+    val store = CypherEngine(GraphStore.empty).execute(
+      """UNWIND $rows AS row MERGE (n:KG {kid: row.kid}) SET n += {kid: row.kid, name: row.name}""",
+      Map("rows" -> rows(Map("kid" -> 1L, "name" -> "x")))).store
+    // merging on a non-key property would create null-key nodes (invisible
+    // to edge joins); the writer refuses instead of corrupting the store
+    val err = intercept[IllegalArgumentException] {
+      CypherEngine(store).execute("MERGE (n:KG {name: 'y'})")
+    }
+    assert(err.getMessage.contains("key property"))
+  }
+
   // ------------------------------------------------- store/engine hygiene
 
   test("execute never mutates the source engine's store") {
