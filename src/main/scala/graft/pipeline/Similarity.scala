@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 
-import graft.functions.{CosineSimilarity, DotProduct}
+import graft.functions.{CosineSimilarity, DotProduct, TopKAggregator}
 
 /** Approximate-nearest-neighbor search over embedding columns
   * (`array<float>`; BASELINE.json north_star, SURVEY.md §2.10 X5/X6).
@@ -47,9 +47,28 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Shared re-rank tail of every ANN path: keep each query's k best
+    * (cos desc, corpus_id asc) candidates via the typed [[TopKAggregator]].
+    * Unlike a window row_number — which must shuffle EVERY scored candidate
+    * to its query's partition before ranking — the aggregator's partial
+    * aggregation forwards at most k rows per query from each map task, so
+    * the shuffle is queries × k regardless of corpus size. Null scores
+    * (zero-norm / mismatched vectors) are not rankable and are dropped.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(new TopKAggregator(k))
+    scored.filter(col("cos").isNotNull)
+      .groupBy("query_id")
+      .agg(topk(col("corpus_id"), col("cos")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("corpus_id"),
+        col("t.score").as("cos"), (col("pos") + 1).as("rank"))
+  }
+
   /** Exact cosine top-k: for each query row, the k nearest corpus rows.
     * The corpus side is the big one; queries are broadcast, so the corpus
-    * is scanned once with no shuffle before the (small) top-k aggregation.
+    * is scanned once with no shuffle before the bounded top-k aggregation
+    * ([[topKPerQuery]] — the shuffle carries k rows per query).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
@@ -57,11 +76,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"), cosine(col("qv"), col("cv")).as("cos"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "corpus_id", "cos", "rank")
+    topKPerQuery(scored, k)
   }
 
   /** Deterministic random-hyperplane weights: hyperplane h, dimension d →
@@ -131,11 +146,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("sig"))
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"), cosine(col("qv"), col("cv")).as("cos"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("corpus_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "corpus_id", "cos", "rank")
+    topKPerQuery(scored, k)
   }
 
   /** IVF (inverted-file) ANN: a k-means coarse quantizer (MLlib, fixed
@@ -191,13 +202,10 @@ object Similarity {
       .withColumnRenamed(vecCol, "cv")
     val queryCells = assign(queries.select(col(idCol).as("query_id"), col(vecCol)), "query_id", nprobe)
       .withColumnRenamed(vecCol, "qv")
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
-    corpusCells.join(broadcast(queryCells), Seq("cell"))
+    val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
       .select(col("query_id"), col("corpus_id"), cosine(col("qv"), col("cv")).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "corpus_id", "cos", "rank")
+    topKPerQuery(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs (X dedup family): pairs whose

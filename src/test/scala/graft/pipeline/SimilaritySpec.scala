@@ -120,6 +120,35 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("typed top-k aggregator matches the window row_number ranking") {
+    import org.apache.spark.sql.expressions.Window
+    // deterministic scored pairs with planted score TIES (ids 20/21 and
+    // 30/31 share scores) — the aggregator must break them toward the
+    // smaller id exactly like the window's (cos desc, corpus_id) order
+    val rnd = new scala.util.Random(11)
+    val rows = (for {
+      q <- 0L until 6L
+      c <- 0L until 40L
+    } yield (q, c, math.rint(rnd.nextDouble() * 10) / 10)) ++
+      Seq((0L, 20L, 0.95), (0L, 21L, 0.95), (1L, 30L, 0.5), (1L, 31L, 0.5))
+    val scored = rows.toDF("query_id", "corpus_id", "cos")
+      .dropDuplicates("query_id", "corpus_id")
+    val k = 5
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    val viaAgg = scored.groupBy("query_id")
+      .agg(topk(col("corpus_id"), col("cos")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("t.id").as("corpus_id"),
+        col("t.score").as("cos"), (col("pos") + 1).as("rank"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("corpus_id"))
+    val viaWindow = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(viaAgg == viaWindow)
+    assert(viaAgg.size == 6 * k)
+  }
+
   test("cosineNearDup hot bucket is star-capped, not quadratic") {
     // 40 identical vectors share one signature bucket; with cap = 8 the
     // bucket must emit star pairs (n-1 = 39) instead of all n(n-1)/2 = 780,
