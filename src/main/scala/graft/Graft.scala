@@ -88,12 +88,22 @@ final case class Graft(
 
 object Graft {
 
+  /** Every facade entry point registers the native SQL kernels
+    * (graft_dot/graft_cosine) on the session — idempotent, so repeated
+    * ingests are free — giving `spark.sql` users the same codegen'd
+    * vector functions the Scala API uses.
+    */
+  private def withKernels(spark: SparkSession): SparkSession = {
+    functions.GraftExtensions.register(spark)
+    spark
+  }
+
   /** Ingest a directory of per-table CSVs with declared-type normalization
     * and timestamp expansion, then model the graph deterministically
     * (the reference's /upload_sqlite + /generate_schema).
     */
   def fromCsv(spark: SparkSession, dir: String, catalog: RelationalCatalog): Graft = {
-    val (tables, repl) = Csv.loadCatalog(spark, dir, catalog)
+    val (tables, repl) = Csv.loadCatalog(withKernels(spark), dir, catalog)
     val expanded = catalog.withReplacements(repl)
     Graft(spark, Some(expanded), tables, Modeler.model(expanded), None)
   }
@@ -104,7 +114,7 @@ object Graft {
     * columns go through the same six-column expansion as the CSV path.
     */
   def fromSqlite(spark: SparkSession, path: String): Graft = {
-    val db = Sqlite.read(spark, path)
+    val db = Sqlite.read(withKernels(spark), path)
     val normalized = db.tables.map { case (name, df) =>
       name -> Csv.normalize(df, db.catalog.table(name))
     }
@@ -121,12 +131,12 @@ object Graft {
     */
   def fromParquet(spark: SparkSession, dir: String,
       schema: GraphSchema = GraphSchema.testdata): Graft =
-    Graft(spark, None,
+    Graft(withKernels(spark), None,
       (schema.nodes.flatMap(_.tables) ++ schema.edges.map(_.table)).distinct
         .map(t => t -> Tables.load(spark, dir, t)).toMap,
       schema, None)
 
   /** Reopen a saved graph store. */
   def load(spark: SparkSession, path: String, schema: GraphSchema): Graft =
-    Graft(spark, None, Map.empty, schema, Some(GraphStore.load(spark, path, schema)))
+    Graft(withKernels(spark), None, Map.empty, schema, Some(GraphStore.load(spark, path, schema)))
 }
