@@ -111,6 +111,52 @@ object CypherEngine {
   private def hasWrites(q: Query): Boolean =
     q.stages.exists(_.writes.nonEmpty) || q.union.exists { case (_, next) => hasWrites(next) }
 
+  // ------------------------------------------- shortestPath local strategy
+
+  /** Edge-row cap for the single-task shortestPath BFS (64k (key, key)
+    * pairs — at most a few MB in one task). Same size-based strategy choice
+    * as [[graft.graph.GraphAnalytics.LocalEdgeThreshold]], sized smaller
+    * because BFS output is per-(seed, reachable) pair, not per-vertex.
+    */
+  private val LocalPathEdgeCap: Long = 65536L
+
+  /** Spark-conf override for [[LocalPathEdgeCap]] — set to 0 to force the
+    * distributed BFS (specs use this to pin both strategies against each
+    * other), or higher on executors with more task memory.
+    */
+  val LocalPathEdgeCapKey = "graft.shortestPath.localEdgeCap"
+
+  /** Budget for seedCount × edgeCount in the local BFS — bounds both the
+    * traversal work and the worst-case output materialized by the one task.
+    */
+  private val LocalPathWorkCap: Long = 10L * 1000 * 1000
+
+  /** Orders node-key values the way Spark orders them inside `min(__path)`:
+    * integral types numerically, strings as unsigned UTF-8 bytes (Spark
+    * compares `UTF8String` binary, NOT java.lang.String UTF-16 order — they
+    * differ beyond the BMP). Key types without a faithful local ordering
+    * return None and stay on the distributed path.
+    */
+  private def keyComparator(dt: DataType): Option[(Any, Any) => Int] = dt match {
+    case ByteType | ShortType | IntegerType | LongType => Some {
+      (a, b) => java.lang.Long.compare(
+        a.asInstanceOf[Number].longValue, b.asInstanceOf[Number].longValue)
+    }
+    case StringType => Some { (a, b) =>
+      val x = a.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      var r = 0
+      val n = math.min(x.length, y.length)
+      while (r == 0 && i < n) {
+        r = (x(i) & 0xff) - (y(i) & 0xff)
+        i += 1
+      }
+      if (r != 0) r else x.length - y.length
+    }
+    case _ => None
+  }
+
   // ------------------------------------------------------------ parameters
 
   /** Substitute `$name` placeholders with literal values before compiling —
@@ -443,10 +489,16 @@ object CypherEngine {
       // orientation decides (direction correction, same rule as reads)
       val along = if (fitsFwd && fitsBwd) rel.dir != Ast.In else fitsFwd
       val bLabel = if (along) et.dst else et.src
+      // Source seeding: the BFS only ever needs distances whose source the
+      // bound start frame can produce, so hand distDf the distinct start
+      // keys. With a selective start pattern (`{n_nationkey: 0}`) this turns
+      // an all-pairs closure into single-source BFS — strictly less frontier
+      // work at any scale; with an unselective one the semi-join is a no-op.
+      val aKeyCol = s"${aVar}__${store.schema.node(aLabel).key}"
+      val seeds = df1.select(col(aKeyCol).as("__seed")).distinct()
       val dist = distDf(et, lo, hi,
-        undirected = rel.dir == Undirected, reversed = !along)
-      var df = df1.join(dist,
-        col(s"${aVar}__${store.schema.node(aLabel).key}") === col("__ds"))
+        undirected = rel.dir == Undirected, reversed = !along, seeds)
+      var df = df1.join(dist, col(aKeyCol) === col("__ds"))
       var ctx2 = ctx1
       if (ctx1.labels.contains(bVar)) {
         df = df.filter(col("__dd") === col(s"${bVar}__${store.schema.node(ctx1.labels(bVar)).key}"))
@@ -473,7 +525,7 @@ object CypherEngine {
       * preserved under extension, so the greedy choice is the global one).
       */
     private def distDf(et: EdgeType, lo: Int, hi: Int,
-        undirected: Boolean, reversed: Boolean): DataFrame = {
+        undirected: Boolean, reversed: Boolean, seeds: DataFrame): DataFrame = {
       if (lo < 1 || hi < lo || hi > 10)
         throw CypherException(s"shortestPath bounds out of range: *$lo..$hi")
       if (hi > 1 && et.src != et.dst)
@@ -483,6 +535,24 @@ object CypherEngine {
       val bwd = raw.select(col(et.keyT).as("__ds"), col(et.keyS).as("__dd"))
       val base = if (undirected) fwd.unionByName(bwd) else if (reversed) bwd else fwd
       val e0 = base.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      val keyType = base.schema("__ds").dataType
+      // Adaptive physical strategy, same philosophy as
+      // [[graft.graph.GraphAnalytics.LocalEdgeThreshold]]: the distributed
+      // BFS pays ~2 Spark jobs per level (eager checkpoint + emptiness
+      // probe) — a dimension-sized graph spends its whole wall-time on job
+      // scheduling, not compute. Under the edge cap AND the seed×edge work
+      // budget, run the whole BFS inside ONE task (the sizing counts are two
+      // tiny jobs against the persisted edge set; a 100 TB edge store fails
+      // the edge cap on the first count and takes the distributed path).
+      val edgeCap = base.sparkSession.conf
+        .getOption(LocalPathEdgeCapKey).map(_.toLong).getOrElse(LocalPathEdgeCap)
+      if (lo == 1 && keyComparator(keyType).isDefined &&
+          e0.count() <= edgeCap &&
+          (seeds.count() + 1L) * (e0.count() + 1L) <= LocalPathWorkCap) {
+        val out = localDist(e0, seeds, hi, keyType).localCheckpoint(true)
+        e0.unpersist(false)
+        return out
+      }
       // one hop forward, carrying the path; keep one (lexicographically
       // minimal) path per (src, dst) so the frontier never fans out beyond
       // the pair closure
@@ -492,7 +562,10 @@ object CypherEngine {
         .select(col("__ds"), col("__dd2").as("__dd"),
           concat(col("__path"), array(col("__dd2"))).as("__path"))
         .groupBy("__ds", "__dd").agg(min(col("__path")).as("__path"))
-      val e0p = e0.withColumn("__path", array(col("__ds"), col("__dd")))
+      // first-hop frontier restricted to the bound sources (left-semi keeps
+      // e0's distinctness; intermediate hops still traverse every edge)
+      val e0p = e0.join(seeds, col("__ds") === col("__seed"), "left_semi")
+        .withColumn("__path", array(col("__ds"), col("__dd")))
       if (lo == 1) {
         var dist = e0p.withColumn("__len", lit(1L))
         var frontier = e0p
@@ -546,6 +619,79 @@ object CypherEngine {
         e0.unpersist(false)
         out
       }
+    }
+
+    /** Single-task multi-source BFS with path tracking — the local strategy
+      * behind [[distDf]]'s adaptive switch. Edges and seeds arrive in one
+      * task via a tagged union (never through the driver); the BFS is
+      * level-synchronous with per-destination lexicographic-min path
+      * pruning, bit-identical to the distributed loop's
+      * `groupBy(min(__path))` + anti-join discipline (string keys compare as
+      * UTF-8 bytes, matching Spark's UTF8String ordering).
+      */
+    private def localDist(e0: DataFrame, seeds: DataFrame, hi: Int,
+        kt: DataType): DataFrame = {
+      val spark = e0.sparkSession
+      val cmp = keyComparator(kt).get
+      val maxLevel = hi.toLong
+      val tagged = e0.select(lit(0).as("__t"), col("__ds"), col("__dd"))
+        .unionByName(seeds.select(lit(1).as("__t"),
+          col("__seed").as("__ds"), col("__seed").as("__dd")))
+      val rows = tagged.coalesce(1).rdd.mapPartitions { it =>
+        import scala.collection.mutable
+        val adj = mutable.HashMap.empty[Any, mutable.ArrayBuffer[Any]]
+        val seedSet = mutable.LinkedHashSet.empty[Any]
+        it.foreach { r =>
+          if (!r.isNullAt(1) && !r.isNullAt(2)) {
+            if (r.getInt(0) == 0)
+              adj.getOrElseUpdate(r.get(1), mutable.ArrayBuffer.empty) += r.get(2)
+            else seedSet += r.get(1)
+          }
+        }
+        val pathOrd = new Ordering[Vector[Any]] {
+          def compare(a: Vector[Any], b: Vector[Any]): Int = {
+            var i = 0
+            val n = math.min(a.length, b.length)
+            while (i < n) {
+              val c = cmp(a(i), b(i))
+              if (c != 0) return c
+              i += 1
+            }
+            a.length - b.length
+          }
+        }
+        seedSet.iterator.flatMap { s =>
+          val reached = mutable.HashMap.empty[Any, (Long, Vector[Any])]
+          var frontier = mutable.HashMap.empty[Any, Vector[Any]]
+          adj.get(s).foreach(_.foreach { d =>
+            val p = Vector(s, d)
+            if (frontier.get(d).forall(q => pathOrd.compare(p, q) < 0))
+              frontier(d) = p
+          })
+          var level = 1L
+          frontier.foreach { case (d, p) => reached(d) = (level, p) }
+          while (level < maxLevel && frontier.nonEmpty) {
+            val next = mutable.HashMap.empty[Any, Vector[Any]]
+            frontier.foreach { case (d, p) =>
+              adj.get(d).foreach(_.foreach { d2 =>
+                if (!reached.contains(d2)) {
+                  val p2 = p :+ d2
+                  if (next.get(d2).forall(q => pathOrd.compare(p2, q) < 0))
+                    next(d2) = p2
+                }
+              })
+            }
+            level += 1
+            next.foreach { case (d, p) => reached(d) = (level, p) }
+            frontier = next
+          }
+          reached.iterator.map { case (d, (len, p)) => Row(s, d, len, p) }
+        }
+      }
+      spark.createDataFrame(rows, StructType(Seq(
+        StructField("__ds", kt), StructField("__dd", kt),
+        StructField("__len", LongType, nullable = false),
+        StructField("__path", ArrayType(kt)))))
     }
 
     /** Attach one OPTIONAL MATCH clause: assemble its paths independently

@@ -558,6 +558,56 @@ class CypherSpec extends SparkSpec {
     assert(sz.head.getInt(0) == 3 && sz.head.getLong(1) == 2L)
   }
 
+  test("shortestPath: local and distributed strategies agree bit-for-bit") {
+    spark
+    // mixed-step ring (+1 and +3 mod 8): equal-length alternatives exist, so
+    // the lexicographic-min path rule is actually exercised, not vacuous
+    val n = 8L
+    val st0 = CypherEngine(GraphStore.empty).execute(
+      "UNWIND $rows AS row MERGE (n:LD {sid: row.sid}) SET n += {sid: row.sid}",
+      Map("rows" -> (0L until n).map(i => Map[String, Any]("sid" -> i)))).store
+    val st = CypherEngine(st0).execute(
+      """UNWIND $rows AS row
+         MATCH (s:LD) WHERE s.sid = row.a
+         WITH s, row
+         MATCH (t:LD) WHERE t.sid = row.b
+         MERGE (s)-[r:GO]->(t)""",
+      Map("rows" -> (0L until n).flatMap(i =>
+        Seq(Map[String, Any]("a" -> i, "b" -> ((i + 1) % n)),
+          Map[String, Any]("a" -> i, "b" -> ((i + 3) % n)))))).store
+    // string-keyed twin of the same topology: exercises the UTF-8 comparator
+    val ss0 = CypherEngine(GraphStore.empty).execute(
+      "UNWIND $rows AS row MERGE (n:LS {name: row.name}) SET n += {name: row.name}",
+      Map("rows" -> (0L until n).map(i => Map[String, Any]("name" -> s"v$i")))).store
+    val ss = CypherEngine(ss0).execute(
+      """UNWIND $rows AS row
+         MATCH (s:LS) WHERE s.name = row.a
+         WITH s, row
+         MATCH (t:LS) WHERE t.name = row.b
+         MERGE (s)-[r:GO]->(t)""",
+      Map("rows" -> (0L until n).flatMap(i =>
+        Seq(Map[String, Any]("a" -> s"v$i", "b" -> s"v${(i + 1) % n}"),
+          Map[String, Any]("a" -> s"v$i", "b" -> s"v${(i + 3) % n}"))))).store
+    val queries = Seq(
+      """MATCH p = shortestPath((a:LD {sid: 0})-[:GO*1..6]->(b:LD))
+         RETURN b.sid AS dst, length(p) AS len, nodes(p) AS path ORDER BY dst""",
+      """MATCH p = shortestPath((a:LD {sid: 2})-[:GO*1..6]-(b:LD))
+         RETURN b.sid AS dst, length(p) AS len, nodes(p) AS path ORDER BY dst""")
+    val strQuery =
+      """MATCH p = shortestPath((a:LS {name: 'v0'})-[:GO*1..6]->(b:LS))
+         RETURN b.name AS dst, length(p) AS len, nodes(p) AS path ORDER BY dst"""
+    def runAll(): Seq[Seq[String]] =
+      (queries.map(CypherEngine(st).run) :+ CypherEngine(ss).run(strQuery))
+        .map(_.collect().toSeq.map(_.toString))
+    val local = runAll()
+    assert(local.forall(_.nonEmpty))
+    spark.conf.set(CypherEngine.LocalPathEdgeCapKey, "0")
+    try {
+      val distributed = runAll()
+      assert(distributed == local)
+    } finally spark.conf.unset(CypherEngine.LocalPathEdgeCapKey)
+  }
+
   test("graph introspection: labels/type/id/keys/properties") {
     val row = engine.run(
       """MATCH (n:Nation)-[r:IN_REGION]->(rg:Region)
