@@ -89,16 +89,17 @@ object Dedup {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       k: Int, n: Int = 3): DataFrame = {
     val hashed = shingleHashes(df, idCol, textCol, n)
-    // Explode the seed dimension rather than emitting k separate min-agg
-    // columns: the constant-size plan (4 nodes vs k aggregate buffers)
-    // analyzes/compiles in milliseconds, and the map-side partial min
-    // reduces the shuffle to k longs per doc either way.
-    hashed
-      .select(col("id"), explode(sequence(lit(0), lit(k - 1))).as("seed"), col("h"))
-      .groupBy("id", "seed").agg(min(xxhash64(col("seed"), col("h"))).as("m"))
-      .groupBy("id").agg(
-        transform(array_sort(collect_list(struct(col("seed"), col("m")))),
-          s => s.getField("m")).as("sig"))
+    // k separate min-agg columns over ONE groupBy(id): each shingle row
+    // updates k aggregate buffers in a single hash-table probe, and the
+    // shuffle carries one k-long row per doc. The previous shape exploded
+    // the seed dimension (k× the rows through the aggregate, a probe per
+    // row) and needed a SECOND shuffle to reassemble the signature array
+    // from (id, seed) rows. Bit-identical output: lit(i) keeps the int
+    // seed type the exploded sequence() produced, so xxhash64(seed, h)
+    // hashes the same bytes.
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"_m$i"))
+    hashed.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
   }
 
   /** LSH banding: docs → (band, bucketHash) rows; docs sharing a bucket in
