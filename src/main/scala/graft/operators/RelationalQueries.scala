@@ -312,6 +312,37 @@ object RelationalQueries {
     """SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
       |HAVING COUNT(*) >= 10 ORDER BY o_custkey""".stripMargin
 
+  // -------------------------------------------- Q81 bucketed co-located join
+  /** The J-family at rest: both fact tables land as BUCKETED parquet on the
+    * join key ([[graft.sources.Bucketing]]), so the orders⋈lineitem join
+    * matches bucket-by-bucket with NO exchange on either side — the layout
+    * investment that turns every repeated join on that key into a map-side
+    * merge at 100 TB. Shuffle-freedom is pinned by BucketingSpec; values
+    * are oracle-checked here (the oracle joins the plain tables — bucketing
+    * must not change a single row).
+    */
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_buckets").toString
+    graft.sources.Bucketing.saveBucketed(
+      T(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus")),
+      "graft_bkt_orders", s"$base/orders", 8, Seq("o_orderkey"))
+    graft.sources.Bucketing.saveBucketed(
+      T(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+      "graft_bkt_lineitem", s"$base/lineitem", 8, Seq("l_orderkey"))
+    s.table("graft_bkt_orders")
+      .join(s.table("graft_bkt_lineitem"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec4(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val q81Sql =
+    """SELECT o_orderstatus, COUNT(*) AS cnt,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ------------------------------------------------------------------ registry
 
   val defs: Map[String, Q] = Map(
@@ -330,7 +361,8 @@ object RelationalQueries {
     "q13_distinct_edges" -> q13 _,
     "q14_lastwins_upsert" -> q14 _,
     "q14b_rollup" -> q14b _,
-    "q15_having" -> q15 _
+    "q15_having" -> q15 _,
+    "q81_bucketed_join" -> q81 _
   )
 
   val oracle: Map[String, String] = Map(
@@ -349,6 +381,7 @@ object RelationalQueries {
     "q13_distinct_edges" -> q13Sql,
     "q14_lastwins_upsert" -> q14Sql,
     "q14b_rollup" -> q14bSql,
-    "q15_having" -> q15Sql
+    "q15_having" -> q15Sql,
+    "q81_bucketed_join" -> q81Sql
   )
 }
