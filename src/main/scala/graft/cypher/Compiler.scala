@@ -111,6 +111,91 @@ object CypherEngine {
   private def hasWrites(q: Query): Boolean =
     q.stages.exists(_.writes.nonEmpty) || q.union.exists { case (_, next) => hasWrites(next) }
 
+  // ------------------------------------- unused-endpoint join elision
+
+  /** Spark-conf kill switch for the endpoint-join elision (default on);
+    * specs set it false to pin elided vs joined plans against each other.
+    */
+  val ElideUnusedEndpointsKey = "graft.cypher.elideUnusedEndpoints"
+
+  /** Variables whose endpoint node-store join is semantically removable:
+    * they occur at exactly ONE node position in the whole query, are never
+    * referenced in any expression, write, or sort, and no `WITH *` /
+    * `RETURN *` forces every variable into scope. (Whether the join is
+    * ALSO physically removable — edge endpoint-validated, node key unique —
+    * is the bind site's check.) Anonymous pattern nodes always qualify and
+    * are handled at the bind site. Union branches are counted together —
+    * conservative, branches are separate scopes but a shared name then
+    * simply keeps its join.
+    */
+  private def elisionSafeVars(q: Query): Set[String] = {
+    val refs = collection.mutable.Set[String]()
+    val nodeOcc = collection.mutable.Map[String, Int]().withDefaultValue(0)
+    var star = false
+    def expr(e: Expr): Unit = e match {
+      case Prop(v, _) => refs += v
+      case Var(v) => refs += v
+      case Fn(_, args, _) => args.foreach(expr)
+      case Bin(_, l, r) => expr(l); expr(r)
+      case Not(x) => expr(x)
+      case IsNull(x, _) => expr(x)
+      case In(a, b) => expr(a); expr(b)
+      case ListLit(xs) => xs.foreach(expr)
+      case ListComp(_, coll, w, p) => expr(coll); w.foreach(expr); p.foreach(expr)
+      case ReduceExpr(_, init, _, coll, step) => expr(init); expr(coll); expr(step)
+      case Index(c, i) => expr(c); expr(i)
+      case CaseExpr(s, bs, d) =>
+        s.foreach(expr); bs.foreach { case (c, r) => expr(c); expr(r) }; d.foreach(expr)
+      case PatternPred(p) => path(p, asRefs = true)
+      case Param(_) | Lit(_) => ()
+    }
+    def node(n: NodePat, asRefs: Boolean): Unit = {
+      n.variable.foreach(v => if (asRefs) refs += v else nodeOcc(v) += 1)
+      n.props.foreach { case (_, e) => expr(e) }
+    }
+    def path(p: PathPat, asRefs: Boolean): Unit = {
+      node(p.head, asRefs)
+      p.hops.foreach { case (r, n) =>
+        r.props.foreach { case (_, e) => expr(e) }
+        node(n, asRefs)
+      }
+    }
+    def proj(p: Projection): Unit = {
+      if (p.star) star = true
+      p.items.foreach(i => expr(i.expr))
+      p.where.foreach(expr)
+      p.orderBy.foreach(s => expr(s.expr))
+    }
+    def setItem(s: SetItem): Unit = s match {
+      case SetPlus(v, m) => refs += v; m.foreach { case (_, e) => expr(e) }
+      case SetProp(v, _, e) => refs += v; expr(e)
+    }
+    def write(w: WriteClause): Unit = w match {
+      case CreateClause(ps) => ps.foreach(path(_, asRefs = true))
+      case MergeClause(p, oc, om) =>
+        path(p, asRefs = true); oc.foreach(setItem); om.foreach(setItem)
+      case SetClause(items) => items.foreach(setItem)
+      case DeleteClause(vars, _) => refs ++= vars
+    }
+    def go(q0: Query): Unit = {
+      q0.stages.foreach { st =>
+        st.reads.foreach {
+          case MatchClause(paths, _) => paths.foreach(path(_, asRefs = false))
+          case UnwindClause(e, a) => expr(e); refs += a
+          case ShortestPathClause(_, p) => path(p, asRefs = true)
+        }
+        st.where.foreach(expr)
+        st.projection.foreach(proj)
+        st.writes.foreach(write)
+      }
+      proj(q0.ret)
+      q0.union.foreach { case (_, next) => go(next) }
+    }
+    go(q)
+    if (star) Set.empty
+    else nodeOcc.collect { case (v, 1) if !refs(v) => v }.toSet
+  }
+
   // ------------------------------------------- shortestPath local strategy
 
   /** Edge-row cap for the single-task shortestPath BFS (64k (key, key)
@@ -1229,8 +1314,10 @@ object CypherEngine {
       val incoming = df.select(
         nodeKeyCol(srcVar, ctx).as(keyS) +: nodeKeyCol(dstVar, ctx).as(keyT) +:
           rel.props.map { case (p, e) => column(e, ctx).as(p) }: _*)
+      // endpoint keys come from MATCHed or just-CREATEd node frames, so
+      // the merged rows keep the endpoint-validated invariant
       store = GraphWriter.mergeEdges(store, label, ctx.labels(srcVar), ctx.labels(dstVar),
-        keyS, keyT, incoming, create)
+        keyS, keyT, incoming, create, endpointsValidated = true)
       rel.variable match {
         case Some(rv) =>
           val d = rel.props.foldLeft(df) { case (acc, (p, e)) =>

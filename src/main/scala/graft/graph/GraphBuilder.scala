@@ -139,7 +139,10 @@ object GraphBuilder {
       et.label -> buildEdges(tables, et, nodes(et.src), nodes(et.dst),
         srcNt.key, dstNt.key, skipSrcValidation = srcSelf)
     }.toMap
-    GraphStore(schema, nodes, edges)
+    // buildEdges FK-validates both endpoint sides (or proves the src side
+    // tautological), so every built edge label carries the
+    // endpoint-validated invariant the compiler's join elision relies on
+    GraphStore(schema, nodes, edges, validatedEdges = edges.keySet)
   }
 
   /** Build the declared graph from a scale-factor directory. */

@@ -13,7 +13,20 @@ import org.apache.spark.sql.functions._
 final case class GraphStore(
     schema: GraphSchema,
     nodes: Map[String, DataFrame],
-    edges: Map[String, DataFrame]) {
+    edges: Map[String, DataFrame],
+    /** Edge labels whose rows are endpoint-validated against the CURRENT
+      * node stores (every src/dst key resolves to a stored node). The
+      * builder's FK semi-joins establish it; [[GraphWriter]] maintains it
+      * per mutation (plain `DELETE` of nodes clears incident labels —
+      * dangling edges become possible). The Cypher compiler uses it to
+      * elide the endpoint node-store join for pattern endpoints the query
+      * never reads — at 100 TB that join is a full shuffle of the edge
+      * store against a node store, spent validating what the flag already
+      * guarantees. Conservative default: stores assembled outside the
+      * builder/writer (e.g. [[GraphStore.load]]) start unvalidated and
+      * just keep the join.
+      */
+    validatedEdges: Set[String] = Set.empty) {
 
   /** Graph statistics report — nodes by label, edges by type (the
     * reference's pre-flight and final count audits, reference:

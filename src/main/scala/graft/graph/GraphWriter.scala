@@ -154,8 +154,18 @@ object GraphWriter {
       keyS: String,
       keyT: String,
       incoming: DataFrame,
-      create: Boolean = false): GraphStore = {
+      create: Boolean = false,
+      /** Caller vouches every incoming (src, dst) resolves to stored nodes —
+        * true for the Cypher write path (endpoints come from MATCHed or
+        * just-CREATEd frames). The raw DataFrame API defaults false: edges
+        * from an arbitrary frame drop the label from
+        * [[GraphStore.validatedEdges]], and pattern queries keep their
+        * endpoint joins.
+        */
+      endpointsValidated: Boolean = false): GraphStore = {
     val inProps = incoming.columns.filterNot(c => c == keyS || c == keyT).toSeq
+    def validated(s: Set[String]): Set[String] =
+      if (endpointsValidated) s + label else s - label
     store.edges.get(label) match {
       case None =>
         val et = EdgeType(label, srcLabel, dstLabel, keyS, keyT, inProps,
@@ -163,7 +173,8 @@ object GraphWriter {
         val rows = if (create) incoming else incoming.dropDuplicates()
         store.copy(
           schema = store.schema.copy(edges = store.schema.edges :+ et),
-          edges = store.edges + (label -> rows))
+          edges = store.edges + (label -> rows),
+          validatedEdges = validated(store.validatedEdges))
       case Some(existing) =>
         val et0 = store.schema.edge(label)
         require(keyS == et0.keyS && keyT == et0.keyT,
@@ -187,7 +198,12 @@ object GraphWriter {
         store.copy(
           schema = store.schema.copy(edges =
             store.schema.edges.map(e => if (e.label == label) et else e)),
-          edges = store.edges + (label -> ex.unionByName(added)))
+          edges = store.edges + (label -> ex.unionByName(added)),
+          // validated new rows keep an already-validated label validated;
+          // they cannot retroactively validate existing rows
+          validatedEdges =
+            if (endpointsValidated) store.validatedEdges
+            else store.validatedEdges - label)
     }
   }
 
@@ -218,7 +234,14 @@ object GraphWriter {
           df = df.join(keys.withColumnRenamed(nt.key, et.keyT), Seq(et.keyT), "left_anti")
         es + (et.label -> df.select(before.columns.map(col): _*))
       }
-    store.copy(nodes = store.nodes + (label -> remaining), edges = edges)
+    // plain DELETE can leave dangling edges (endpoints gone, edges kept) —
+    // incident labels lose the endpoint-validated invariant; DETACH prunes
+    // incident edges with the nodes and keeps it
+    val validated =
+      if (detach) store.validatedEdges
+      else store.validatedEdges -- store.schema.edgesFor(label).map(_.label)
+    store.copy(nodes = store.nodes + (label -> remaining), edges = edges,
+      validatedEdges = validated)
   }
 
   /** DELETE edges matching `pairs` rows. `pairs` must carry the edge type's
