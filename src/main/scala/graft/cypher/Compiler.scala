@@ -1050,6 +1050,14 @@ object CypherEngine {
       case "degrees" => degrees(args.head)
       case "radians" => radians(args.head)
       // list functions
+      // join(list, sep) — APOC's text.join surface; elements are cast to
+      // string so joining a key list needs no explicit per-element toString
+      case "join" =>
+        rawArgs(1) match {
+          case Lit(sep: String) =>
+            array_join(transform(args.head, _.cast(StringType)), sep)
+          case _ => throw CypherException("join() needs a literal separator")
+        }
       case "head" => element_at(args.head, 1)
       case "last" => element_at(args.head, -1)
       case "tail" => slice(args.head, lit(2), greatest(size(args.head) - 1, lit(0)))

@@ -210,12 +210,15 @@ object CypherQueries {
     // path ACCESSORS over the same ring: nodes(p) returns the node-key
     // sequence of the (deterministic lexicographic-min) shortest path; the
     // DuckDB oracle enumerates walks in a recursive CTE carrying the path
-    // list and picks the same representative via ORDER BY len, path
+    // list and picks the same representative via ORDER BY len, path. The
+    // path is RETURNED as a joined string — the driver's comparator
+    // canonicalizes with pandas sort_values, which cannot sort array cells;
+    // the raw-array nodes(p) behavior stays pinned in CypherSpec.
     "q80_cypher_path_nodes" -> ((s, dir) =>
       CypherEngine(ringStore(s, dir)).run(
         """MATCH p = shortestPath((a:Nation {n_nationkey: 0})-[:HOP*1..10]->(b:Nation))
            RETURN toInteger(b.n_nationkey) AS dst, length(p) AS len,
-                  [x IN nodes(p) | toInteger(x)] AS path
+                  join([x IN nodes(p) | toInteger(x)], ',') AS path
            ORDER BY dst""")),
     // write clauses: graph built from empty purely through the reference's
     // verbatim injection Cypher, then read back through a pattern
@@ -350,7 +353,8 @@ object CypherQueries {
            FROM bfs b JOIN hops h ON h.src = b.dst
            WHERE b.len < 10
          )
-         SELECT CAST(dst AS BIGINT) AS dst, CAST(len AS BIGINT) AS len, path
+         SELECT CAST(dst AS BIGINT) AS dst, CAST(len AS BIGINT) AS len,
+                array_to_string(path, ',') AS path
          FROM (SELECT dst, len, path,
                       row_number() OVER (PARTITION BY dst ORDER BY len, path) AS rn
                FROM bfs)

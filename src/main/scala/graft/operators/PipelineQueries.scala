@@ -48,11 +48,16 @@ object PipelineQueries {
   private def q48(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
     val maxHamming = 16
-    val cands = Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = maxHamming)
+    // ONE signature pass feeds both the candidate blocking and the recall
+    // sample (Catalyst can't reuse the exchange across the two shapes — the
+    // sample filter pushes below the aggregate — so the shared frame is
+    // materialized once; eager localCheckpoint frees its blocks on GC
+    // instead of pinning cache for the session)
+    val sigsAll = Dedup.simhashDf(docs, "doc_id", "text").localCheckpoint(true)
+    val cands = Dedup.simhashCandidatesFromSigs(sigsAll, maxHamming = maxHamming)
     val stats = cands.agg(count(lit(1)).as("candidate_pairs"),
       min(col("hamming")).as("min_hamming"))
-    val sampleIds = col("doc_id") < 200
-    val sigs = Dedup.simhashDf(docs.filter(sampleIds), "doc_id", "text")
+    val sigs = sigsAll.filter(col("id") < 200)
     val truth = sigs.select(col("id").as("id_a"), col("sig").as("sa"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sb")),
         col("id_a") < col("id_b"))

@@ -54,8 +54,18 @@ object Similarity {
     * aggregation forwards at most k rows per query from each map task, so
     * the shuffle is queries × k regardless of corpus size. Null scores
     * (zero-norm / mismatched vectors) are not rankable and are dropped.
+    *
+    * The aggregator's buffer holds ids as Long, so the id column must be
+    * integral — validated here rather than letting a string id silently
+    * cast to null and corrupt the ranking.
     */
   private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    scored.schema("corpus_id").dataType match {
+      case LongType | IntegerType | ShortType | ByteType => ()
+      case other => throw new IllegalArgumentException(
+        s"ANN top-k needs an integral id column; corpus_id is $other " +
+          "(derive one first, e.g. monotonically_increasing_id or xxhash64)")
+    }
     val topk = udaf(new TopKAggregator(k))
     scored.filter(col("cos").isNotNull)
       .groupBy("query_id")
@@ -188,19 +198,27 @@ object Similarity {
     // |v-c|² = v·v − 2·v·c + c·c ; nlist is small → broadcast cross
     def dist2(v: Column, c: Column): Column =
       dot(v, v) - lit(2d) * dot(v, c) + dot(c, c)
-    def assign(df: DataFrame, id: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(id).orderBy(col("d2"), col("cell"))
+    def scoredCells(df: DataFrame, id: String): DataFrame =
       df.crossJoin(broadcast(centroids))
         .select(col(id), col(vecCol), col("cell"),
           dist2(col(vecCol), col("centroid")).as("d2"))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .drop("d2", "crank")
-    }
 
-    val corpusCells = assign(corpus.select(col(idCol).as("corpus_id"), col(vecCol)), "corpus_id", 1)
-      .withColumnRenamed(vecCol, "cv")
-    val queryCells = assign(queries.select(col(idCol).as("query_id"), col(vecCol)), "query_id", nprobe)
+    // Corpus side (the 100 TB side) keeps ONE cell per vector: a hash
+    // aggregate — map-side combinable, the shuffle carries one row per
+    // corpus vector — where a window rank would shuffle all nlist scored
+    // rows per vector just to keep the first. min(struct) picks the same
+    // (d2 asc, cell asc) winner the window's ORDER BY did; d2/cell ties are
+    // impossible (cells are distinct per vector).
+    val corpusCells = scoredCells(corpus.select(col(idCol).as("corpus_id"), col(vecCol)), "corpus_id")
+      .groupBy("corpus_id")
+      .agg(min(struct(col("d2"), col("cell"), col(vecCol).as("v"))).as("m"))
+      .select(col("corpus_id"), col("m.cell").as("cell"), col("m.v").as("cv"))
+    // Query side keeps nprobe cells — bounded and tiny; the window is fine.
+    val w = Window.partitionBy("query_id").orderBy(col("d2"), col("cell"))
+    val queryCells = scoredCells(queries.select(col(idCol).as("query_id"), col(vecCol)), "query_id")
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= nprobe)
+      .drop("d2", "crank")
       .withColumnRenamed(vecCol, "qv")
     val scored = corpusCells.join(broadcast(queryCells), Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))

@@ -556,6 +556,13 @@ class CypherSpec extends SparkSpec {
       """MATCH p = shortestPath((a:SP {sid: 1})-[:STEP*1..5]->(b:SP {sid: 3}))
          RETURN size(nodes(p)) AS n, length(p) AS len""").collect()
     assert(sz.head.getInt(0) == 3 && sz.head.getLong(1) == 2L)
+    // join() flattens the key list to a comparator-friendly string (q80's
+    // RETURN shape); elements are cast, so no per-element toString needed
+    val js = e.run(
+      """MATCH p = shortestPath((a:SP {sid: 1})-[:STEP*1..5]->(b:SP))
+         RETURN b.sid AS dst, join(nodes(p), ',') AS path ORDER BY dst""").collect()
+    assert(js.map(r => r.getLong(0) -> r.getString(1)).toSeq ==
+      Seq(2L -> "1,2", 3L -> "1,2,3", 4L -> "1,4"))
   }
 
   test("shortestPath: local and distributed strategies agree bit-for-bit") {

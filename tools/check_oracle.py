@@ -7,10 +7,18 @@ columns, compare cell values (exact; floats via repr).
 """
 import json, sys, glob, os
 import duckdb
+import numpy as np
 import pandas as pd
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # list/array cells are unhashable and break sort_values — stringify them
+    # (both sides stringify the same way, so the compare stays faithful)
+    for c in df.columns:
+        if df[c].map(lambda v: isinstance(v, (list, tuple, np.ndarray))).any():
+            df[c] = df[c].map(
+                lambda v: ",".join(str(x) for x in v)
+                if isinstance(v, (list, tuple, np.ndarray)) else v)
     df = df.sort_values(by=list(df.columns), kind="mergesort", na_position="first")
     return df.reset_index(drop=True)
 
