@@ -610,7 +610,7 @@ object CypherEngine {
       * preserved under extension, so the greedy choice is the global one).
       */
     private def distDf(et: EdgeType, lo: Int, hi: Int,
-        undirected: Boolean, reversed: Boolean, seeds: DataFrame): DataFrame = {
+        undirected: Boolean, reversed: Boolean, seeds0: DataFrame): DataFrame = {
       if (lo < 1 || hi < lo || hi > 10)
         throw CypherException(s"shortestPath bounds out of range: *$lo..$hi")
       if (hi > 1 && et.src != et.dst)
@@ -620,6 +620,11 @@ object CypherEngine {
       val bwd = raw.select(col(et.keyT).as("__ds"), col(et.keyS).as("__dd"))
       val base = if (undirected) fwd.unionByName(bwd) else if (reversed) bwd else fwd
       val e0 = base.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      // seeds comes from the bound-side MATCH pipeline — persisted so the
+      // sizing probe's seeds.count() and the subsequent BFS (localDist's
+      // tagged union, or the distributed path's first-hop semi join) don't
+      // each re-execute that pipeline
+      val seeds = seeds0.persist(StorageLevel.MEMORY_AND_DISK)
       val keyType = base.schema("__ds").dataType
       // Adaptive physical strategy, same philosophy as
       // [[graft.graph.GraphAnalytics.LocalEdgeThreshold]]: the distributed
@@ -636,6 +641,7 @@ object CypherEngine {
           (seeds.count() + 1L) * (e0.count() + 1L) <= LocalPathWorkCap) {
         val out = localDist(e0, seeds, hi, keyType).localCheckpoint(true)
         e0.unpersist(false)
+        seeds.unpersist(false)
         return out
       }
       // one hop forward, carrying the path; keep one (lexicographically
@@ -679,6 +685,7 @@ object CypherEngine {
         // their last reference, letting the ContextCleaner reclaim them.
         val out = dist.localCheckpoint(true)
         e0.unpersist(false)
+        seeds.unpersist(false)
         out
       } else {
         // a lower bound > 1 asks for the shortest path NO SHORTER than lo —
@@ -702,6 +709,7 @@ object CypherEngine {
             col("__m.__len").as("__len"), col("__m.__path").as("__path"))
           .localCheckpoint(true)
         e0.unpersist(false)
+        seeds.unpersist(false)
         out
       }
     }

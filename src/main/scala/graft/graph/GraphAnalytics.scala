@@ -40,6 +40,35 @@ object GraphAnalytics {
     */
   val LocalEdgeThreshold: Long = 5L * 1000 * 1000
 
+  /** Bytes-per-row bound used by the plan-stats prescreen in
+    * [[underThreshold]]: an edge row is two Longs (~16 B data, ~48 B with
+    * in-memory overheads); 64 B/row makes the byte cap a generous
+    * OVER-estimate of `threshold` rows, so the prescreen only ever writes
+    * a frame off as "large" when it is far past the threshold.
+    */
+  private val StatsBytesPerRow = 64L
+
+  /** Strategy sizing without an unconditional `count()`: at 100 TB a full
+    * scan per analytics call just to be told "use Pregel" is a real cost.
+    *
+    * - Cached frames (the recommended calling convention — q33/q34 persist
+    *   their bipartite projection) always get the exact count: it runs
+    *   against (and on first use, materializes) the cache.
+    * - Uncached frames are prescreened on
+    *   `optimizedPlan.stats.sizeInBytes`: over the byte cap the frame is
+    *   declared large with NO job (raw-scan stats are accurate, and the
+    *   wild OVERestimates Catalyst produces for un-cached join lineage
+    *   only ever push toward the distributed path — the safe direction);
+    *   under the cap the exact count is cheap by construction.
+    */
+  private[graph] def underThreshold(edges: DataFrame, threshold: Long): Boolean = {
+    if (edges.storageLevel == StorageLevel.NONE) {
+      val capBytes = BigInt(threshold) * StatsBytesPerRow
+      if (edges.queryExecution.optimizedPlan.stats.sizeInBytes > capBytes) return false
+    }
+    edges.count() <= threshold
+  }
+
   private[graph] def toGraph(edges: DataFrame, undirected: Boolean,
       edgePartitions: Option[Int] = None): Graph[Int, Int] = {
     val edgeRDD = edges.select("src", "dst").rdd.flatMap { r =>
@@ -60,7 +89,7 @@ object GraphAnalytics {
       edgePartitions: Option[Int] = None,
       localThreshold: Long = LocalEdgeThreshold): DataFrame = {
     import spark.implicits._
-    if (edges.count() <= localThreshold) return localComponents(spark, edges)
+    if (underThreshold(edges, localThreshold)) return localComponents(spark, edges)
     toGraph(edges, undirected = true, edgePartitions)
       .connectedComponents()
       .vertices
@@ -107,7 +136,7 @@ object GraphAnalytics {
       edgePartitions: Option[Int] = None,
       localThreshold: Long = LocalEdgeThreshold): DataFrame = {
     import spark.implicits._
-    if (edges.count() <= localThreshold)
+    if (underThreshold(edges, localThreshold))
       return localBfs(spark, edges, source, maxDepth)
     val g = toGraph(edges, undirected = true, edgePartitions)
       .mapVertices((id, _) => if (id == source) 0 else Int.MaxValue)
@@ -171,7 +200,7 @@ object GraphAnalytics {
       edgePartitions: Option[Int] = None,
       localThreshold: Long = LocalEdgeThreshold): DataFrame = {
     import spark.implicits._
-    if (edges.count() <= localThreshold)
+    if (underThreshold(edges, localThreshold))
       return localPageRank(spark, edges, iters)
     toGraph(edges, undirected = false, edgePartitions)
       .staticPageRank(iters)
@@ -261,7 +290,11 @@ object GraphAnalytics {
       greatest(col("src"), col("dst")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-    if (canon.count() <= localThreshold)
+    // sized on the CALLER's frame (usually cached), not the derived canon:
+    // |canon| <= |edges|, so edges under threshold implies canon is too;
+    // edges past the prescreen would make counting canon a full distinct
+    // pass just to choose a strategy
+    if (underThreshold(edges, localThreshold))
       return localTriangles(spark, canon)
     val edgeRDD = canon.rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
     Graph.fromEdges(edgeRDD, 0)

@@ -322,19 +322,41 @@ object RelationalQueries {
     * must not change a single row).
     */
   private def q81(s: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("graft_buckets").toString
-    graft.sources.Bucketing.saveBucketed(
-      T(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus")),
-      "graft_bkt_orders", s"$base/orders", 8, Seq("o_orderkey"))
-    graft.sources.Bucketing.saveBucketed(
-      T(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
-      "graft_bkt_lineitem", s"$base/lineitem", 8, Seq("l_orderkey"))
-    s.table("graft_bkt_orders")
-      .join(s.table("graft_bkt_lineitem"), col("o_orderkey") === col("l_orderkey"))
-      .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("cnt"),
-        sum(dec4(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
-      .orderBy("o_orderstatus")
+    // Per-run token: concurrent sessions sharing a metastore register
+    // distinct table names, and repeated bench runs can't clobber each
+    // other mid-query. The tiny grouped result (one row per order status)
+    // is materialized eagerly so the scratch tables AND the temp directory
+    // can be dropped deterministically before returning — a lazy plan over
+    // the bucketed tables would pin them past this call and leak disk per
+    // invocation. The zero-Exchange bucketed plan itself stays pinned by
+    // BucketingSpec.
+    val token = java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+    val base = java.nio.file.Files.createTempDirectory(s"graft_buckets_$token")
+    val tOrders = s"graft_bkt_orders_$token"
+    val tLineitem = s"graft_bkt_lineitem_$token"
+    try {
+      graft.sources.Bucketing.saveBucketed(
+        T(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus")),
+        tOrders, s"$base/orders", 8, Seq("o_orderkey"))
+      graft.sources.Bucketing.saveBucketed(
+        T(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+        tLineitem, s"$base/lineitem", 8, Seq("l_orderkey"))
+      val grouped = s.table(tOrders)
+        .join(s.table(tLineitem), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec4(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
+        .orderBy("o_orderstatus")
+      s.createDataFrame(
+        java.util.Arrays.asList(grouped.collect(): _*), grouped.schema)
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS `$tOrders`")
+      s.sql(s"DROP TABLE IF EXISTS `$tLineitem`")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(base).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   private val q81Sql =

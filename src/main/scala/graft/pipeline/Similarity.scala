@@ -79,6 +79,12 @@ object Similarity {
     * The corpus side is the big one; queries are broadcast, so the corpus
     * is scanned once with no shuffle before the bounded top-k aggregation
     * ([[topKPerQuery]] — the shuffle carries k rows per query).
+    *
+    * Contract: candidates whose cosine is null (zero-norm or
+    * length-mismatched vectors) are unrankable and dropped; a query whose
+    * candidates are ALL null is omitted from the output entirely rather
+    * than emitted with null-scored rows. Ids must be integral
+    * ([[topKPerQuery]] rejects other types).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int): DataFrame = {
@@ -144,6 +150,10 @@ object Similarity {
     * (fewer bits → bigger buckets → higher recall, more work). The
     * signature join is an id-equi join against the signature aggregation's
     * own hash partitioning, so the corpus shuffles once on id.
+    *
+    * Same output contract as [[bruteForceTopK]]: null-cosine candidates are
+    * dropped, and a query with no rankable candidate (all-null, or an empty
+    * signature bucket) is omitted from the output.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, bits: Int = 12): DataFrame = {
@@ -172,6 +182,10 @@ object Similarity {
     * broadcast into the assignment join; the corpus is scanned once to
     * assign cells (in practice the assignment is precomputed and stored
     * alongside the embeddings — the cell column is just a partition key).
+    *
+    * Same output contract as [[bruteForceTopK]]: null-cosine candidates are
+    * dropped, and a query with no rankable candidate in its probed cells is
+    * omitted from the output.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4, fitSampleCap: Long = 1000000L): DataFrame = {

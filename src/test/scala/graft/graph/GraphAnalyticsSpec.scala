@@ -68,4 +68,23 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(tLocal == tGx)
     assert(tLocal == Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 0, 10L -> 0, 11L -> 0))
   }
+
+  test("stats prescreen writes off a large uncached frame with NO Spark job") {
+    import spark.implicits._
+    // ~16 TB by plan statistics; actually counting it would hang the suite,
+    // so the test passing quickly is itself evidence the count was skipped.
+    val huge = spark.range(2L * 1000 * 1000 * 1000 * 1000)
+      .select(org.apache.spark.sql.functions.col("id").as("src"),
+        org.apache.spark.sql.functions.col("id").as("dst"))
+    val tracker = spark.sparkContext.statusTracker
+    val before = tracker.getJobIdsForGroup(null).toSet
+    assert(!GraphAnalytics.underThreshold(huge, GraphAnalytics.LocalEdgeThreshold))
+    val after = tracker.getJobIdsForGroup(null).toSet
+    assert(after == before, "sizing a large-stats frame must not run a count job")
+
+    // a CACHED frame still gets the exact count (runs against the cache)
+    val small = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst").persist()
+    try assert(GraphAnalytics.underThreshold(small, 10))
+    finally small.unpersist()
+  }
 }
