@@ -66,12 +66,23 @@ object Ast {
       label: Option[String],
       props: Seq[(String, Expr)] = Nil)
 
+  /** Relationship pattern. `labels` holds the type disjunction `[:A|B]`
+    * (one element for a plain `[:A]`, empty for an untyped `-[r]->`): the
+    * compiler matches the union of every schema-fitting type, Neo4j
+    * semantics for multi-type and open patterns.
+    */
   final case class RelPat(
       variable: Option[String],
-      label: Option[String],
+      labels: Seq[String],
       dir: Direction,
       varLength: Option[(Int, Int)] = None,
       props: Seq[(String, Expr)] = Nil)
+
+  object RelPat {
+    /** Single-type convenience constructor (the pre-disjunction shape). */
+    def apply(variable: Option[String], label: Option[String],
+        dir: Direction): RelPat = RelPat(variable, label.toSeq, dir, None, Nil)
+  }
 
   /** `(a)-[r]->(b)-[s]->(c)`: head node + (rel, node) hops. */
   final case class PathPat(head: NodePat, hops: Seq[(RelPat, NodePat)])

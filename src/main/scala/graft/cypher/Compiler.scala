@@ -333,61 +333,167 @@ object CypherEngine {
           */
         strLists: Set[String] = Set.empty,
         /** path variable → relationship type (for `relationships(p)`) */
-        pathRels: Map[String, String] = Map.empty) {
+        pathRels: Map[String, String] = Map.empty,
+        /** node variables that match SEVERAL labels (untyped/disjunctive
+          * patterns whose interpretations bind the variable differently);
+          * the frame is a union of the per-interpretation branches, with a
+          * per-row `__label__v` column and the superset of property columns
+          * (null where a label lacks one — Neo4j's null-for-missing-property
+          * semantics)
+          */
+        multi: Map[String, Seq[String]] = Map.empty,
+        /** relationship variables matching several edge types; the per-row
+          * type is in the `__type__r` column (read by `type(r)`)
+          */
+        multiRels: Set[String] = Set.empty) {
       def nodeLabel(v: String): Option[String] = labels.get(v)
     }
+
+    /** A multi-label node variable used as a VALUE (`RETURN x`, `count(x)`,
+      * `id(x)`): the per-row node identity rendered as `Label:key` — key
+      * types may differ across the matched labels, so the composite is a
+      * string; it is distinct across label key spaces, which a bare
+      * coalesce of the keys would not be.
+      */
+    private def multiNodeId(v: String, ctx: Ctx): Column = {
+      val keys = ctx.multi(v).map(l => store.schema.node(l).key).distinct
+      concat_ws(":", col(labelColOf(v)),
+        coalesce(keys.map(k => col(s"${v}__$k").cast(StringType)): _*))
+    }
+
+    /** Per-row label column name of a multi-label node variable. */
+    private def labelColOf(v: String): String = s"__label__$v"
+
+    /** Per-row type column name of a multi-type relationship variable. */
+    private def typeColOf(r: String): String = s"__type__$r"
 
     // ---------------------------------------------------------- resolution
 
     /** A hop normalized to schema direction: `srcVar` is the pattern
-      * variable sitting on the edge type's source side (after any flip).
+      * variable sitting on the edge types' source side (after any flip).
+      * `edges` holds every type the hop matches under ONE interpretation —
+      * all sharing (src, dst) labels, so they union into one edge frame.
       */
     private final case class ResolvedHop(
-        edge: EdgeType,
+        edges: Seq[EdgeType],
         relVar: String,
         srcVar: String,
         dstVar: String,
         varLength: Option[(Int, Int)],
         relProps: Seq[(String, Expr)])
 
-    /** Infer the unique edge type + orientation for a hop; flip the pattern
-      * when its arrow contradicts the schema (direction correction, G7/R12).
+    /** One hop's resolution under one interpretation: the edge types it
+      * traverses (same endpoint labels, unioned at bind time) and whether
+      * the written pattern is flipped against schema direction.
       */
-    private def resolveHop(
-        u: NodePat, rel: RelPat, v: NodePat,
-        labels: collection.mutable.Map[String, String],
-        uVar: String, vVar: String): (EdgeType, Boolean) = {
-      val candidates = rel.label match {
-        case Some(l) =>
-          val e = store.schema.edges.filter(_.label == l)
-          if (e.isEmpty) throw CypherException(s"unknown relationship type: $l")
-          e
-        case None => store.schema.edges
-      }
-      val lu = labels.get(uVar).orElse(u.label)
-      val lv = labels.get(vVar).orElse(v.label)
-      def fits(want: Option[String], actual: String) = want.forall(_ == actual)
-      val forward = candidates.filter(e => fits(lu, e.src) && fits(lv, e.dst))
-      val backward = candidates.filter(e => fits(lv, e.src) && fits(lu, e.dst))
-      val (et, flipped) = rel.dir match {
-        case Out | Undirected =>
-          if (forward.nonEmpty) (only(forward, rel), false)
-          else if (backward.nonEmpty) (only(backward, rel), true)
-          else throw CypherException(s"no relationship fits ($lu)-[${rel.label.getOrElse("")}]->($lv)")
-        case In => // (u)<-[r]-(v): schema-forward means v→u
-          if (backward.nonEmpty) (only(backward, rel), true)
-          else if (forward.nonEmpty) (only(forward, rel), false)
-          else throw CypherException(s"no relationship fits ($lu)<-[${rel.label.getOrElse("")}]-($lv)")
-      }
-      if (!flipped) { labels(uVar) = et.src; labels(vVar) = et.dst }
-      else { labels(uVar) = et.dst; labels(vVar) = et.src }
-      (et, flipped)
-    }
+    private final case class HopChoice(edges: Seq[EdgeType], flipped: Boolean)
 
-    private def only(es: Seq[EdgeType], rel: RelPat): EdgeType =
-      if (es.size == 1) es.head
-      else throw CypherException(
-        s"ambiguous relationship ${rel.label.getOrElse("(untyped)")}: matches ${es.map(_.label).mkString(", ")}")
+    /** Cap on distinct type-assignment interpretations of one MATCH clause
+      * (the per-hop ambiguity product). Every interpretation compiles to a
+      * full plan branch, so this bounds plan size the same way the
+      * var-length depth cap bounds closure size.
+      */
+    private val MaxPatternInterpretations = 32
+
+    /** Enumerate every consistent assignment of edge-type groups to the
+      * patterns' hops — Neo4j matches a `[:A|B]` disjunction or an untyped
+      * `-[r]->` against EVERY fitting type; this engine compiles each
+      * label-consistent interpretation and unions the branches
+      * ([[mergeBranches]]). Per hop, fitting types are grouped by the
+      * endpoint labels they imply (same-endpoint types stay ONE branch —
+      * they union into one edge frame); label bindings propagate across
+      * hops exactly as [[assembleOne]] applies them, so each returned
+      * assignment re-resolves deterministically. Direction correction is
+      * per-set, matching the single-type rule: a written arrow is honored
+      * when ANY type fits it, flipped only when none does.
+      */
+    private def enumerate(patterns: Seq[PathPat],
+        seed: Map[String, String]): Seq[Seq[HopChoice]] = {
+      var anon = 0
+      def nm(n: NodePat): String =
+        n.variable.getOrElse { anon += 1; s"__enum$anon" }
+      // events in [[assembleOne]]'s binding order: a head-label bind per
+      // path (so `MATCH (a:Customer), (a)-[r]->(x)` constrains the second
+      // path's hops), then the path's hops
+      val headBinds = Seq.newBuilder[(Int, String, Option[String])]
+      val hopsB = Seq.newBuilder[(Int, String, NodePat, RelPat, String, NodePat)]
+      patterns.zipWithIndex.foreach { case (p, i) =>
+        var prevVar = nm(p.head)
+        headBinds += ((i, prevVar, p.head.label))
+        var prevPat = p.head
+        p.hops.foreach { case (r, n) =>
+          val v = nm(n)
+          hopsB += ((i, prevVar, prevPat, r, v, n))
+          prevVar = v
+          prevPat = n
+        }
+      }
+      val headByPath = headBinds.result().groupBy(_._1)
+      var states = Seq((seed, Vector.empty[HopChoice]))
+      var firstErr: Option[String] = None
+      var seenPath = -1
+      hopsB.result().foreach { case (pathIdx, uVar, uPat, rel, vVar, vPat) =>
+        // apply head annotations of every path up to this one
+        while (seenPath < pathIdx) {
+          seenPath += 1
+          headByPath.getOrElse(seenPath, Nil).foreach { case (_, v, lbl) =>
+            lbl.foreach(l => states = states.map { case (labels, acc) =>
+              (if (labels.contains(v)) labels else labels + (v -> l), acc)
+            })
+          }
+        }
+        val candidates = rel.labels match {
+          case Seq() => store.schema.edges
+          case ls =>
+            ls.find(l => !store.schema.edges.exists(_.label == l))
+              .foreach(l => throw CypherException(s"unknown relationship type: $l"))
+            store.schema.edges.filter(e => ls.contains(e.label))
+        }
+        states = states.flatMap { case (labels, acc) =>
+          val lu = labels.get(uVar).orElse(uPat.label)
+          val lv = labels.get(vVar).orElse(vPat.label)
+          def fits(want: Option[String], actual: String) = want.forall(_ == actual)
+          val forward = candidates.filter(e => fits(lu, e.src) && fits(lv, e.dst))
+          val backward = candidates.filter(e => fits(lv, e.src) && fits(lu, e.dst))
+          val oriented: Seq[(EdgeType, Boolean)] = rel.dir match {
+            case Out | Undirected =>
+              if (forward.nonEmpty) forward.map((_, false)) else backward.map((_, true))
+            case In => // (u)<-[r]-(v): schema-forward means v→u
+              if (backward.nonEmpty) backward.map((_, true)) else forward.map((_, false))
+          }
+          // multi-hop var-length over a heterogeneous type yields length-1
+          // paths only; with lo > 1 the interpretation is unsatisfiable
+          val usable = oriented.filter { case (et, _) =>
+            rel.varLength.forall { case (lo, _) => lo <= 1 || et.src == et.dst }
+          }
+          if (usable.isEmpty) {
+            if (firstErr.isEmpty) {
+              val lbl = if (rel.labels.isEmpty) "" else rel.labels.mkString("|")
+              firstErr = Some(rel.dir match {
+                case In => s"no relationship fits (${lu.getOrElse("?")})<-[$lbl]-(${lv.getOrElse("?")})"
+                case _ => s"no relationship fits (${lu.getOrElse("?")})-[$lbl]->(${lv.getOrElse("?")})"
+              })
+            }
+            Nil
+          } else {
+            val groups = usable.groupBy { case (et, f) =>
+              if (f) (et.dst, et.src) else (et.src, et.dst)
+            }
+            groups.toSeq.sortBy(_._1).map { case ((ul, vl), opts) =>
+              (labels + (uVar -> ul) + (vVar -> vl),
+                acc :+ HopChoice(opts.map(_._1).sortBy(_.label), opts.head._2))
+            }
+          }
+        }
+        if (states.size > MaxPatternInterpretations)
+          throw CypherException(
+            s"pattern matches more than $MaxPatternInterpretations type interpretations — " +
+              "annotate node labels or relationship types")
+      }
+      if (states.isEmpty)
+        throw CypherException(firstErr.getOrElse("no relationship fits the pattern"))
+      states.map(_._2)
+    }
 
     // ----------------------------------------------------------- assembly
 
@@ -396,17 +502,27 @@ object CypherEngine {
       df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"${variable}__$c"))
     }
 
-    /** (src,dst) pairs reachable in lo..hi hops of `et` — bounded var-length
-      * closure as a union of join chains (one row per path, Cypher
-      * semantics).
+    /** (src,dst) pairs reachable in lo..hi hops over a TYPE GROUP — bounded
+      * var-length closure as a union of join chains (one row per path,
+      * Cypher semantics). With several types (`[:A|B*1..n]`) each STEP may
+      * take any type — the chains join over the union of the edge sets,
+      * Neo4j's mixed-type walk semantics, not a per-type union of
+      * homogeneous walks. A heterogeneous group (src label ≠ dst label)
+      * cannot compose steps, so its reachable lengths cap at 1
+      * ([[enumerate]] drops interpretations whose lower bound needs more).
       */
-    private def closure(et: EdgeType, lo: Int, hi: Int): DataFrame = {
+    private def closure(ets: Seq[EdgeType], lo: Int, hi: Int): DataFrame = {
       if (lo < 1 || hi < lo || hi > 10)
         throw CypherException(s"var-length bounds out of range: *$lo..$hi")
-      if (hi > 1 && et.src != et.dst)
-        throw CypherException(s"var-length over ${et.label} needs ${et.src}=${et.dst}")
-      val e = store.edges(et.label).select(col(et.keyS).as("__cs"), col(et.keyT).as("__cd"))
-      val chains = (lo to hi).map { n =>
+      val effHi = if (ets.exists(e => e.src != e.dst)) 1 else hi
+      if (lo > effHi)
+        throw CypherException(
+          s"var-length over ${ets.map(_.label).mkString("|")} needs " +
+            s"${ets.head.src}=${ets.head.dst} for paths longer than 1")
+      val e = ets.map(et =>
+          store.edges(et.label).select(col(et.keyS).as("__cs"), col(et.keyT).as("__cd")))
+        .reduce(_.unionByName(_))
+      val chains = (lo to effHi).map { n =>
         (2 to n).foldLeft(e) { (acc, _) =>
           acc.join(e.withColumnRenamed("__cs", "__m").withColumnRenamed("__cd", "__cd2"),
               col("__cd") === col("__m"))
@@ -420,10 +536,81 @@ object CypherEngine {
       * bindings from an enclosing pattern (OPTIONAL MATCH sub-assembly);
       * `initial` continues an existing frame (MATCH after WITH) — its
       * seeded variables are already bound, their columns in the frame.
+      *
+      * Ambiguous patterns (untyped hops / type disjunctions whose fitting
+      * types imply different endpoint labels) enumerate every consistent
+      * interpretation, compile each, and union the branches — Neo4j
+      * semantics: a pattern matches against every fitting relationship
+      * type. Same-endpoint-label type groups stay a single branch (the
+      * edge frames union inside the hop instead).
       */
     private def assemble(patterns: Seq[PathPat],
         seedLabels: Map[String, String] = Map.empty,
         initial: Option[(DataFrame, Ctx)] = None): (DataFrame, Ctx) = {
+      initial.foreach { case (_, c) =>
+        val patVars = patterns.flatMap(p =>
+          p.head.variable.toSeq ++ p.hops.flatMap(_._2.variable)).toSet
+        patVars.find(c.multi.contains).foreach(v => throw CypherException(
+          s"cannot extend a pattern from $v: it matches multiple labels " +
+            s"(${c.multi(v).mkString(", ")}) — constrain it with a label first"))
+      }
+      val seed = seedLabels ++ initial.map(_._2.labels).getOrElse(Map.empty)
+      val assignments = enumerate(patterns, seed)
+      if (assignments.sizeIs == 1)
+        assembleOne(patterns, seedLabels, initial, assignments.head)
+      else
+        mergeBranches(assignments.map(a => assembleOne(patterns, seedLabels, initial, a)))
+    }
+
+    /** Union per-interpretation branches into one frame + context:
+      * `unionByName(allowMissingColumns)` null-pads the property columns a
+      * branch's label lacks; variables whose label (or relationship type)
+      * diverges across branches get a per-row `__label__v` / `__type__r`
+      * column and move from `labels`/`rels` to `multi`/`multiRels`.
+      */
+    private def mergeBranches(built: Seq[(DataFrame, Ctx)]): (DataFrame, Ctx) = {
+      val ctxs = built.map(_._2)
+      val h = ctxs.head
+      val allVars = ctxs.flatMap(_.labels.keys).distinct
+      val agree = allVars.filter(v =>
+        ctxs.forall(c => c.labels.get(v) == h.labels.get(v))).toSet
+      val diverged = allVars.filterNot(agree)
+      val allRels = ctxs.flatMap(c => c.rels.keys ++ c.multiRels).distinct
+      val relAgree = allRels.filter(r =>
+        ctxs.forall(c => c.rels.get(r).map(_.label) == h.rels.get(r).map(_.label)
+          && c.rels.contains(r))).toSet
+      val relDiverged = allRels.filterNot(relAgree)
+      val aligned = built.map { case (df, c) =>
+        var d = df
+        diverged.foreach { v =>
+          if (!d.columns.contains(labelColOf(v)))
+            d = d.withColumn(labelColOf(v), lit(c.labels(v)))
+        }
+        relDiverged.foreach { r =>
+          if (!d.columns.contains(typeColOf(r)))
+            // a branch where r traversed a mixed var-length group has no
+            // single type: its rows read type(r) as null
+            d = d.withColumn(typeColOf(r),
+              c.rels.get(r).map(i => lit(i.label)).getOrElse(lit(null).cast(StringType)))
+        }
+        d
+      }
+      val df = aligned.reduce(_.unionByName(_, allowMissingColumns = true))
+      (df, h.copy(
+        labels = h.labels.view.filterKeys(agree).toMap,
+        rels = h.rels.view.filterKeys(relAgree).toMap,
+        multi = h.multi ++
+          diverged.map(v => v -> ctxs.map(_.labels(v)).distinct).toMap,
+        multiRels = h.multiRels ++ relDiverged ++ ctxs.flatMap(_.multiRels)))
+    }
+
+    /** [[assemble]] under ONE type interpretation (`assignment` holds the
+      * per-hop choices in pattern order).
+      */
+    private def assembleOne(patterns: Seq[PathPat],
+        seedLabels: Map[String, String],
+        initial: Option[(DataFrame, Ctx)],
+        assignment: Seq[HopChoice]): (DataFrame, Ctx) = {
       val labels = collection.mutable.Map[String, String](seedLabels.toSeq: _*)
       val bound = collection.mutable.Set[String]()
       val relVars = collection.mutable.Map[String, RelInfo]()
@@ -471,20 +658,29 @@ object CypherEngine {
         propFilters(variable, pat.props)
       }
 
+      val assignIt = assignment.iterator
+      val multiRelVars = collection.mutable.Set[String]()
       patterns.foreach { path =>
         val headVar = path.head.variable.getOrElse(freshVar("n"))
-        // resolve the chain first so labels are inferred before any binding
-        var prevPat = path.head
+        // apply the chain's assigned types first so labels are bound
+        // before any joining (mirrors [[enumerate]]'s propagation)
         var prevVar = headVar
         val resolved = path.hops.map { case (rel, node) =>
           val nodeVar = node.variable.getOrElse(freshVar("n"))
-          val (et, flipped) = resolveHop(prevPat, rel, node, labels, prevVar, nodeVar)
+          val choice = assignIt.next()
+          val et0 = choice.edges.head
+          if (!choice.flipped) { labels(prevVar) = et0.src; labels(nodeVar) = et0.dst }
+          else { labels(prevVar) = et0.dst; labels(nodeVar) = et0.src }
           val relVar = rel.variable.getOrElse(freshVar("r"))
           val hop =
-            if (!flipped) ResolvedHop(et, relVar, prevVar, nodeVar, rel.varLength, rel.props)
-            else ResolvedHop(et, relVar, nodeVar, prevVar, rel.varLength, rel.props)
-          relVars(relVar) = RelInfo(et.label, hop.srcVar, hop.dstVar)
-          prevPat = node
+            if (!choice.flipped)
+              ResolvedHop(choice.edges, relVar, prevVar, nodeVar, rel.varLength, rel.props)
+            else
+              ResolvedHop(choice.edges, relVar, nodeVar, prevVar, rel.varLength, rel.props)
+          if (choice.edges.sizeIs == 1)
+            relVars(relVar) = RelInfo(et0.label, hop.srcVar, hop.dstVar)
+          else if (rel.varLength.isEmpty)
+            multiRelVars += relVar // per-row type lands in typeColOf(relVar)
           prevVar = nodeVar
           (hop, node, nodeVar)
         }
@@ -502,7 +698,7 @@ object CypherEngine {
             case Some((lo, hi)) =>
               if (hop.relProps.nonEmpty)
                 throw CypherException("relationship properties are not supported on var-length patterns")
-              val cl = closure(hop.edge, lo, hi)
+              val cl = closure(hop.edges, lo, hi)
               val (anchorSide, otherSide) =
                 if (anchorVar == hop.srcVar) ("__cs", "__cd") else ("__cd", "__cs")
               df = df.join(cl, col(keyColName(anchorVar)) === col(anchorSide))
@@ -512,11 +708,18 @@ object CypherEngine {
             case None =>
               val srcName = s"${hop.relVar}__srckey"
               val dstName = s"${hop.relVar}__dstkey"
-              val ed0 = store.edges(hop.edge.label)
-              val ed = hop.edge.properties.foldLeft(
-                ed0.withColumnRenamed(hop.edge.keyS, srcName)
-                  .withColumnRenamed(hop.edge.keyT, dstName)
-              )((d, p) => d.withColumnRenamed(p, s"${hop.relVar}__$p"))
+              // a type group unions the per-type edge frames (properties
+              // null-padded where a type lacks one); >1 type adds the
+              // per-row type tag `type(r)` reads
+              val ed = hop.edges.map { et =>
+                val renamed = et.properties.foldLeft(
+                  store.edges(et.label).withColumnRenamed(et.keyS, srcName)
+                    .withColumnRenamed(et.keyT, dstName)
+                )((d, p) => d.withColumnRenamed(p, s"${hop.relVar}__$p"))
+                if (hop.edges.sizeIs > 1)
+                  renamed.withColumn(typeColOf(hop.relVar), lit(et.label))
+                else renamed
+              }.reduce(_.unionByName(_, allowMissingColumns = true))
               val (anchorSide, otherSide) =
                 if (anchorVar == hop.srcVar) (srcName, dstName) else (dstName, srcName)
               df = df.join(ed, col(keyColName(anchorVar)) === col(anchorSide))
@@ -530,7 +733,10 @@ object CypherEngine {
         }
       }
 
-      (df, Ctx(labels.toMap, relVars.toMap, plains, pathVars, pathRels = pathRelVars))
+      (df, Ctx(labels.toMap, relVars.toMap, plains, pathVars,
+        pathRels = pathRelVars,
+        multi = initial.map(_._2.multi).getOrElse(Map.empty),
+        multiRels = initial.map(_._2.multiRels).getOrElse(Set.empty) ++ multiRelVars))
     }
 
     /** `MATCH p = shortestPath((a)-[:R*lo..hi]->(b))` — minimum hop count
@@ -557,8 +763,12 @@ object CypherEngine {
       val bVar = dstPat.variable.getOrElse(
         throw CypherException("shortestPath endpoints need variables"))
       val (lo, hi) = rel.varLength.getOrElse((1, Parser.MaxVarLength))
-      val label = rel.label.getOrElse(
-        throw CypherException("shortestPath needs a relationship type"))
+      val label = rel.labels match {
+        case Seq(l) => l
+        case Seq() => throw CypherException("shortestPath needs a relationship type")
+        case ls => throw CypherException(
+          s"shortestPath supports a single relationship type (got ${ls.mkString("|")})")
+      }
       val et = store.schema.edges.find(_.label == label).getOrElse(
         throw CypherException(s"unknown relationship type: $label"))
       // bind the start endpoint (with its label/prop filters) into the frame
@@ -798,6 +1008,9 @@ object CypherEngine {
     private def attachOptional(main: DataFrame, ctx: Ctx, paths: Seq[PathPat]): (DataFrame, Ctx) = {
       val patVars: Set[String] =
         paths.flatMap(p => p.head.variable.toSeq ++ p.hops.flatMap(_._2.variable)).toSet
+      patVars.find(ctx.multi.contains).foreach(v => throw CypherException(
+        s"OPTIONAL MATCH cannot correlate on $v: it matches multiple labels " +
+          s"(${ctx.multi(v).mkString(", ")}) — constrain it with a label first"))
       val shared = patVars.filter(ctx.labels.contains)
       if (shared.isEmpty)
         throw CypherException("OPTIONAL MATCH must share at least one variable with the preceding MATCH")
@@ -816,7 +1029,9 @@ object CypherEngine {
       val newVars = patVars -- shared
       (joined, ctx.copy(
         labels = ctx.labels ++ subCtx.labels.view.filterKeys(newVars).toMap,
-        rels = ctx.rels ++ subCtx.rels))
+        rels = ctx.rels ++ subCtx.rels,
+        multi = ctx.multi ++ subCtx.multi.view.filterKeys(newVars).toMap,
+        multiRels = ctx.multiRels ++ subCtx.multiRels))
     }
 
     // ---------------------------------------------------------- expressions
@@ -887,16 +1102,21 @@ object CypherEngine {
           val i = c(idx)
           element_at(c(coll), when(i >= 0, i + 1).otherwise(i).cast("int"))
         case Prop(v, p) =>
-          if (ctx.labels.contains(v) || ctx.rels.contains(v)) col(s"${v}__$p")
+          // multi-label/multi-type vars address the union frame's superset
+          // columns; a label that lacks the property reads null (Neo4j's
+          // missing-property semantics)
+          if (ctx.labels.contains(v) || ctx.rels.contains(v) ||
+              ctx.multi.contains(v) || ctx.multiRels.contains(v)) col(s"${v}__$p")
           else if (ctx.plains.contains(v)) col(v).getField(p)
           else throw CypherException(s"unbound variable: $v")
         case Var(v) =>
           ctx.nodeLabel(v) match {
             case Some(label) => col(s"${v}__${store.schema.node(label).key}")
             case None =>
-              if (ctx.rels.contains(v))
+              if (ctx.multi.contains(v)) multiNodeId(v, ctx)
+              else if (ctx.rels.contains(v) || ctx.multiRels.contains(v))
                 throw CypherException(s"relationship variable $v cannot be used as a value")
-              col(v)
+              else col(v)
           }
         case Lit(null) => lit(null)
         case Lit(x) => lit(x)
@@ -914,7 +1134,7 @@ object CypherEngine {
         case PatternPred(_) => throw CypherException(
           "pattern predicates (exists((a)-[]->(b))) are only supported as " +
             "top-level AND conditions of a WHERE clause")
-        case Fn("count", Seq(Var(v)), _) if ctx.rels.contains(v) =>
+        case Fn("count", Seq(Var(v)), _) if ctx.rels.contains(v) || ctx.multiRels.contains(v) =>
           count(lit(1)) // count(r): a rel var has no value column; count rows
         case Fn("length" | "size", Seq(Var(v)), _) if ctx.paths.contains(v) =>
           col(s"${v}__len") // length(p) of a shortestPath binding
@@ -930,13 +1150,20 @@ object CypherEngine {
               element_at(ns, i + lit(1)).as("dst"),
               lit(t).as("type")))
         // graph introspection — resolved from the binding context, so they
-        // compile to literals/columns, not lookups (free at any scale)
+        // compile to literals/columns, not lookups (free at any scale);
+        // multi-label/multi-type vars read their per-row tag columns
         case Fn("labels", Seq(Var(v)), _) if ctx.labels.contains(v) =>
           array(lit(ctx.labels(v)))
+        case Fn("labels", Seq(Var(v)), _) if ctx.multi.contains(v) =>
+          array(col(labelColOf(v)))
         case Fn("type", Seq(Var(v)), _) if ctx.rels.contains(v) =>
           lit(ctx.rels(v).label)
+        case Fn("type", Seq(Var(v)), _) if ctx.multiRels.contains(v) =>
+          col(typeColOf(v))
         case Fn("id", Seq(Var(v)), _) if ctx.labels.contains(v) =>
           col(s"${v}__${store.schema.node(ctx.labels(v)).key}")
+        case Fn("id", Seq(Var(v)), _) if ctx.multi.contains(v) =>
+          multiNodeId(v, ctx)
         case Fn("keys", Seq(Var(v)), _) if ctx.labels.contains(v) =>
           val nt = store.schema.node(ctx.labels(v))
           array((nt.key +: nt.properties).map(lit(_)): _*)
@@ -1144,23 +1371,29 @@ object CypherEngine {
         else {
           val explicit = stage0.items.collect { case Item(Var(v), None) => v }.toSet
           val starItems =
-            (ctx.labels.keys.toSeq.sorted ++ ctx.plains.toSeq.sorted)
+            ((ctx.labels.keys ++ ctx.multi.keys).toSeq.sorted ++ ctx.plains.toSeq.sorted)
               .filterNot(explicit)
               .map(v => Item(Var(v), None))
           stage0.copy(items = starItems ++ stage0.items)
         }
       val carried = stage.items.collect {
-        case Item(Var(v), None) if ctx.labels.contains(v) => v
+        case Item(Var(v), None) if ctx.labels.contains(v) || ctx.multi.contains(v) => v
       }
       val plain = stage.items.filterNot {
-        case Item(Var(v), None) => ctx.labels.contains(v)
+        case Item(Var(v), None) => ctx.labels.contains(v) || ctx.multi.contains(v)
         case _ => false
       }
       val hasAgg = plain.exists(i => containsAgg(i.expr))
 
       def outName(i: Item): String = i.alias.getOrElse(genName(i.expr))
       val carriedCols: Seq[Column] = carried.flatMap { v =>
-        store.nodes(ctx.labels(v)).columns.map(c => col(s"${v}__$c"))
+        if (ctx.labels.contains(v))
+          store.nodes(ctx.labels(v)).columns.map(c => col(s"${v}__$c"))
+        else
+          // multi-label: carry the superset of the labels' columns plus the
+          // per-row label tag (identity under aggregation = label + key)
+          ctx.multi(v).flatMap(l => store.nodes(l).columns).distinct
+            .map(c => col(s"${v}__$c")) :+ col(labelColOf(v))
       }
 
       var out: DataFrame =
@@ -1180,7 +1413,8 @@ object CypherEngine {
         Map.empty,
         plain.map(outName).toSet,
         Set.empty,
-        plain.filter(i => elemIsString(i.expr, ctx, Set.empty)).map(outName).toSet)
+        plain.filter(i => elemIsString(i.expr, ctx, Set.empty)).map(outName).toSet,
+        multi = ctx.multi.filter { case (v, _) => carried.contains(v) })
       stage.where.foreach(w => out = out.filter(column(w, newCtx)))
       if (stage.orderBy.nonEmpty) {
         // a sort key that IS one of the projected items (aliased or not —
@@ -1305,8 +1539,11 @@ object CypherEngine {
       Seq(aVar, bVar).foreach(x =>
         if (!ctx.labels.contains(x))
           throw CypherException(s"relationship write endpoint $x is not a bound node"))
-      val label = rel.label.getOrElse(
-        throw CypherException("relationship write needs a relationship type"))
+      val label = rel.labels match {
+        case Seq(l) => l
+        case _ => throw CypherException(
+          "relationship write needs exactly one relationship type")
+      }
       val (s0, d0) = rel.dir match {
         case Out => (aVar, bVar)
         case In => (bVar, aVar)
@@ -1631,6 +1868,9 @@ object CypherEngine {
     private def applyPatternPred(main: DataFrame, ctx: Ctx, path: PathPat,
         negated: Boolean): DataFrame = {
       val patVars = (path.head.variable.toSeq ++ path.hops.flatMap(_._2.variable)).toSet
+      patVars.find(ctx.multi.contains).foreach(v => throw CypherException(
+        s"exists() cannot correlate on $v: it matches multiple labels " +
+          s"(${ctx.multi(v).mkString(", ")}) — constrain it with a label first"))
       val shared = patVars.filter(ctx.labels.contains)
       if (shared.isEmpty)
         throw CypherException(

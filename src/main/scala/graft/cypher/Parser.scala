@@ -296,7 +296,7 @@ object Parser {
       val leftArrow = trySym("<-")
       if (!leftArrow) eatSym("-")
       var variable: Option[String] = None
-      var label: Option[String] = None
+      var labels: Seq[String] = Nil
       var varLength: Option[(Int, Int)] = None
       var props: Seq[(String, Expr)] = Nil
       if (trySym("[")) {
@@ -304,7 +304,12 @@ object Parser {
           case Ident(s) => variable = Some(s); pos += 1
           case _ =>
         }
-        if (trySym(":")) label = Some(ident())
+        if (trySym(":")) {
+          // type disjunction `[:A|B|C]`; the legacy `[:A|:B]` spelling is
+          // accepted too (Neo4j allows both)
+          labels = Seq(ident())
+          while (trySym("|")) { trySym(":"); labels :+= ident() }
+        }
         if (trySym("*")) {
           // Cypher: `*` = 1..unbounded, `*n` = exactly n, `*n..` = n..∞,
           // `*..m` = 1..m. "Unbounded" is capped at the engine's max depth
@@ -332,7 +337,7 @@ object Parser {
         if (leftArrow) In
         else if (rightArrow) Out
         else Undirected
-      RelPat(variable, label, dir, varLength, props)
+      RelPat(variable, labels.distinct, dir, varLength, props)
     }
 
     // ----------------------------------------------------------- projection

@@ -69,6 +69,22 @@ object CypherQueries {
     GraphWriter.mergeEdges(st, "HOP", "Nation", "Nation", "src", "dst", hops)
   }
 
+  /** The ring split into TWO edge types (+1 = HOP, +5 = JUMP) between the
+    * same labels — the fixture for relationship-type disjunction: `[:HOP|
+    * JUMP]` must union both edge sets inside one branch, and `[:HOP|JUMP*
+    * 1..2]` must mix types per step (Neo4j walk semantics).
+    */
+  private def ring2Store(s: SparkSession, dir: String): GraphStore = {
+    val nation = Tables.load(s, dir, "nation")
+    val k = col("n_nationkey")
+    var st = GraphWriter.mergeNodes(GraphStore.empty, "Nation",
+      nation.select(k, col("n_name")), Seq("n_nationkey"))
+    st = GraphWriter.mergeEdges(st, "HOP", "Nation", "Nation", "src", "dst",
+      nation.select(k.as("src"), ((k + 1) % 25).as("dst")))
+    GraphWriter.mergeEdges(st, "JUMP", "Nation", "Nation", "src", "dst",
+      nation.select(k.as("src"), ((k + 5) % 25).as("dst")))
+  }
+
   private def injectedStore(s: SparkSession, dir: String): GraphStore = {
     def rowsOf(table: String, cols: Seq[String]): Seq[Map[String, Any]] =
       Tables.load(s, dir, table).select(cols.map(col): _*).collect()
@@ -220,6 +236,27 @@ object CypherQueries {
            RETURN toInteger(b.n_nationkey) AS dst, length(p) AS len,
                   join([x IN nodes(p) | toInteger(x)], ',') AS path
            ORDER BY dst""")),
+    // untyped multi-type pattern: Order has TWO outgoing edge types
+    // (PLACED_BY → Customer, CONTAINS → Part); the open hop matches both,
+    // one plan branch per interpretation, type(r) from the per-row tag
+    "q82_cypher_untyped_multitype" -> cy(
+      """MATCH (o:Order)-[r]->(x)
+         RETURN type(r) AS typ, count(*) AS cnt ORDER BY typ"""),
+    // relationship-type disjunction between the SAME labels: one branch,
+    // one unioned edge frame (never a plan union), per-row type(r)
+    "q83_cypher_type_disjunction" -> ((s, dir) =>
+      CypherEngine(ring2Store(s, dir)).run(
+        """MATCH (a:Nation)-[r:HOP|JUMP]->(b:Nation)
+           WHERE a.n_nationkey < 5
+           RETURN type(r) AS typ, toInteger(b.n_nationkey) AS dst
+           ORDER BY typ, dst""")),
+    // type disjunction through the var-length closure: each step may take
+    // either type (mixed-type walks, Neo4j semantics)
+    "q84_cypher_varlen_disjunction" -> ((s, dir) =>
+      CypherEngine(ring2Store(s, dir)).run(
+        """MATCH (a:Nation {n_nationkey: 0})-[:HOP|JUMP*1..2]->(b:Nation)
+           RETURN toInteger(b.n_nationkey) AS dst, count(*) AS paths
+           ORDER BY dst""")),
     // write clauses: graph built from empty purely through the reference's
     // verbatim injection Cypher, then read back through a pattern
     "q72_cypher_merge_inject" -> ((s, dir) =>
@@ -359,6 +396,35 @@ object CypherQueries {
                       row_number() OVER (PARTITION BY dst ORDER BY len, path) AS rn
                FROM bfs)
          WHERE rn = 1 ORDER BY dst""",
+    "q82_cypher_untyped_multitype" ->
+      """SELECT typ, cnt FROM (
+           SELECT 'CONTAINS' AS typ,
+                  (SELECT count(*) FROM
+                    (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)) AS cnt
+           UNION ALL
+           SELECT 'PLACED_BY', (SELECT count(*) FROM orders)
+         ) ORDER BY typ""",
+    "q83_cypher_type_disjunction" ->
+      """SELECT typ, dst FROM (
+           SELECT 'HOP' AS typ, CAST((n_nationkey + 1) % 25 AS BIGINT) AS dst
+           FROM nation WHERE n_nationkey < 5
+           UNION ALL
+           SELECT 'JUMP', CAST((n_nationkey + 5) % 25 AS BIGINT)
+           FROM nation WHERE n_nationkey < 5
+         ) ORDER BY typ, dst""",
+    "q84_cypher_varlen_disjunction" ->
+      """WITH RECURSIVE e AS (
+           SELECT n_nationkey AS src, (n_nationkey + 1) % 25 AS dst FROM nation
+           UNION ALL
+           SELECT n_nationkey, (n_nationkey + 5) % 25 FROM nation
+         ), walks(dst, len) AS (
+           SELECT dst, 1 AS len FROM e WHERE src = 0
+           UNION ALL
+           SELECT e.dst, w.len + 1 FROM walks w JOIN e ON e.src = w.dst
+           WHERE w.len < 2
+         )
+         SELECT CAST(dst AS BIGINT) AS dst, count(*) AS paths
+         FROM walks GROUP BY 1 ORDER BY 1""",
     "q72_cypher_merge_inject" ->
       """SELECT r.r_name AS r_name, count(*) AS cnt
          FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey

@@ -90,11 +90,75 @@ class CypherSpec extends SparkSpec {
     assert(n == store.nodes("Nation").count())
   }
 
-  test("ambiguous untyped relationship is rejected") {
-    // Customer and Supplier both connect to Nation; with no labels at all
-    // the hop is ambiguous
+  test("untyped multi-type pattern unions every fitting interpretation") {
+    // Customer and Supplier both connect to Nation: the untyped hop matches
+    // BOTH types (Neo4j semantics), one branch per interpretation
+    val n = engine.run("MATCH (a)-[]->(n:Nation) RETURN count(a) AS cnt")
+      .collect().head.getLong(0)
+    assert(n == store.nodes("Customer").count() + store.nodes("Supplier").count())
+
+    // per-branch type(r) and labels(a) resolve from per-row tag columns
+    val byType = engine.run(
+      """MATCH (a)-[r]->(n:Nation)
+        RETURN type(r) AS typ, head(labels(a)) AS lbl, count(*) AS cnt
+        ORDER BY typ""").collect()
+    assert(byType.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq == Seq(
+      ("IN_NATION", "Customer", store.nodes("Customer").count()),
+      ("SUPP_IN_NATION", "Supplier", store.nodes("Supplier").count())))
+
+    // a property only SOME labels carry reads null on the other branches
+    val acct = engine.run(
+      """MATCH (a)-[r]->(n:Nation)
+        WHERE a.c_acctbal IS NOT NULL
+        RETURN count(*) AS cnt""").collect().head.getLong(0)
+    val withBal = store.nodes("Customer")
+      .filter(org.apache.spark.sql.functions.col("c_acctbal").isNotNull).count()
+    assert(acct == withBal)
+  }
+
+  test("type disjunction [:A|B] with direction correction per branch") {
+    val inOnly = engine.run(
+      "MATCH (n:Nation)<-[r:IN_NATION|SUPP_IN_NATION]-(x) RETURN count(*) AS cnt")
+      .collect().head.getLong(0)
+    assert(inOnly == store.nodes("Customer").count() + store.nodes("Supplier").count())
+    // written AGAINST schema direction: corrected per branch
+    val corrected = engine.run(
+      "MATCH (n:Nation)-[r:IN_NATION|SUPP_IN_NATION]->(x) RETURN count(*) AS cnt")
+      .collect().head.getLong(0)
+    assert(corrected == inOnly)
+  }
+
+  test("pattern beyond the interpretation cap and truly unfitting hops still reject") {
+    // no relationship connects Region to Part in any direction
     assertThrows[CypherEngine.CypherException](
-      engine.run("MATCH (a)-[]->(n:Nation) RETURN count(a) AS cnt"))
+      engine.run("MATCH (a:Region)-[]->(b:Part) RETURN count(a) AS cnt"))
+  }
+
+  test("same-endpoint disjunction merges into one branch; var-length mixes types per step") {
+    import org.apache.spark.sql.functions.col
+    val nation = graft.sources.Tables.load(spark, sf, "nation")
+    val k = col("n_nationkey")
+    var st = graft.graph.GraphWriter.mergeNodes(GraphStore.empty, "Nation",
+      nation.select(k, col("n_name")), Seq("n_nationkey"))
+    st = graft.graph.GraphWriter.mergeEdges(st, "HOP", "Nation", "Nation", "src", "dst",
+      nation.select(k.as("src"), ((k + 1) % 25).as("dst")))
+    st = graft.graph.GraphWriter.mergeEdges(st, "JUMP", "Nation", "Nation", "src", "dst",
+      nation.select(k.as("src"), ((k + 5) % 25).as("dst")))
+    val eng = CypherEngine(st)
+    // both types share (Nation, Nation): ONE branch, union edge frame,
+    // per-row type tag
+    val rows = eng.run(
+      """MATCH (a:Nation {n_nationkey: 0})-[r:HOP|JUMP]->(b:Nation)
+        RETURN type(r) AS typ, toInteger(b.n_nationkey) AS dst ORDER BY typ""").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("HOP", 1L), ("JUMP", 5L)))
+    // var-length disjunction: EACH STEP may take either type — from 0 the
+    // 2-step walks are 1→2, 1→6, 5→6, 5→10, so 6 has two paths
+    val walks = eng.run(
+      """MATCH (a:Nation {n_nationkey: 0})-[:HOP|JUMP*1..2]->(b:Nation)
+        RETURN toInteger(b.n_nationkey) AS dst, count(*) AS paths ORDER BY dst""").collect()
+    assert(walks.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 1L), (2L, 1L), (5L, 1L), (6L, 2L), (10L, 1L)))
   }
 
   // -------------------------------------------------------- compilation
