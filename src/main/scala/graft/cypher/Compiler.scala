@@ -775,6 +775,52 @@ object CypherEngine {
       val (df1, ctx1) = assemble(Seq(PathPat(path.head, Nil)), initial = state)
       val aLabel = ctx1.labels(aVar)
       val wantB = ctx1.labels.get(bVar).orElse(dstPat.label)
+      // Source seeding: the BFS only ever needs distances whose source the
+      // bound start frame can produce, so hand the BFS the distinct start
+      // keys. With a selective start pattern (`{n_nationkey: 0}`) this turns
+      // an all-pairs closure into single-source BFS — strictly less frontier
+      // work at any scale; with an unselective one the semi-join is a no-op.
+      val aKeyCol = s"${aVar}__${store.schema.node(aLabel).key}"
+      val seeds = df1.select(col(aKeyCol).as("__seed")).distinct()
+
+      if (et.src != et.dst && hi > 1 && rel.dir == Undirected) {
+        // Heterogeneous labels (bipartite walk): undirected traversal
+        // alternates sides per hop, so `b` may carry either label — the
+        // annotated/bound label wins, else the far side. Node ids are
+        // label-tagged ([[heteroDistDf]]); keys project back out here.
+        if (et.src != aLabel && et.dst != aLabel)
+          throw CypherException(
+            s"no relationship fits shortestPath(($aLabel)-[$label]-(${wantB.getOrElse("?")}))")
+        val bLabel = wantB.getOrElse(if (et.src == aLabel) et.dst else et.src)
+        if (bLabel != et.src && bLabel != et.dst)
+          throw CypherException(
+            s"no relationship fits shortestPath(($aLabel)-[$label]-($bLabel))")
+        val rawE = store.edges(et.label)
+        val mixedKeys = rawE.schema(et.keyS).dataType != rawE.schema(et.keyT).dataType
+        def k(c: Column): Column = if (mixedKeys) c.cast(StringType) else c
+        val dist = heteroDistDf(et, lo, hi, seeds, aLabel)
+        var df = df1.join(dist, col("__ds.__k") === k(col(aKeyCol)))
+          .filter(col("__dd.__l") === lit(bLabel))
+        var ctx2 = ctx1
+        if (ctx1.labels.contains(bVar)) {
+          df = df.filter(col("__dd.__k") ===
+            k(col(s"${bVar}__${store.schema.node(ctx1.labels(bVar)).key}")))
+        } else {
+          df = df.join(nodeDf(bVar, bLabel),
+            col("__dd.__k") === k(col(s"${bVar}__${store.schema.node(bLabel).key}")))
+          ctx2 = ctx1.copy(labels = ctx1.labels + (bVar -> bLabel))
+        }
+        dstPat.props.foreach { case (p, v) =>
+          df = df.filter(col(s"${bVar}__$p") === literal(v))
+        }
+        df = df.withColumn(s"${pv}__len", col("__len"))
+          .withColumn(s"${pv}__nodes", transform(col("__path"),
+            s => concat_ws(":", s.getField("__l"), s.getField("__k").cast(StringType))))
+          .drop("__ds", "__dd", "__len", "__path")
+        return (df, ctx2.copy(paths = ctx2.paths + pv,
+          pathRels = ctx2.pathRels + (pv -> et.label)))
+      }
+
       val fitsFwd = et.src == aLabel && wantB.forall(_ == et.dst)
       val fitsBwd = et.dst == aLabel && wantB.forall(_ == et.src)
       if (!fitsFwd && !fitsBwd)
@@ -784,14 +830,11 @@ object CypherEngine {
       // orientation decides (direction correction, same rule as reads)
       val along = if (fitsFwd && fitsBwd) rel.dir != Ast.In else fitsFwd
       val bLabel = if (along) et.dst else et.src
-      // Source seeding: the BFS only ever needs distances whose source the
-      // bound start frame can produce, so hand distDf the distinct start
-      // keys. With a selective start pattern (`{n_nationkey: 0}`) this turns
-      // an all-pairs closure into single-source BFS — strictly less frontier
-      // work at any scale; with an unselective one the semi-join is a no-op.
-      val aKeyCol = s"${aVar}__${store.schema.node(aLabel).key}"
-      val seeds = df1.select(col(aKeyCol).as("__seed")).distinct()
-      val dist = distDf(et, lo, hi,
+      // a DIRECTED walk over a heterogeneous type cannot compose hops
+      // (the dst label never matches the src label), so only length-1
+      // paths exist — clamp the bound instead of running empty levels
+      val hiEff = if (et.src != et.dst) math.min(hi, 1) else hi
+      val dist = distDf(et, lo, hiEff,
         undirected = rel.dir == Undirected, reversed = !along, seeds)
       var df = df1.join(dist, col(aKeyCol) === col("__ds"))
       var ctx2 = ctx1
@@ -854,6 +897,54 @@ object CypherEngine {
         seeds.unpersist(false)
         return out
       }
+      val out = bfsFrames(e0, seeds, lo, hi)
+      e0.unpersist(false)
+      seeds.unpersist(false)
+      out
+    }
+
+    /** Heterogeneous-label shortestPath support: BFS over an edge type
+      * whose src/dst LABELS differ (e.g. the bipartite customer–part
+      * graph), where multi-hop traversal is necessarily undirected and
+      * alternates sides. Raw keys from the two label spaces may collide
+      * (customer 5 ≠ part 5), so node ids are label-TAGGED structs
+      * `(__l, __k)` — the same BFS then runs unchanged (struct keys join,
+      * group, and min() like scalars). When the two key types differ the
+      * keys are cast to string so the struct type unifies. Output
+      * `__ds`/`__dd`/`__path` carry tagged structs; the caller projects
+      * them back (`nodes(p)` renders `Label:key` strings).
+      */
+    private def heteroDistDf(et: EdgeType, lo: Int, hi: Int,
+        seeds0: DataFrame, seedLabel: String): DataFrame = {
+      if (lo < 1 || hi < lo || hi > 10)
+        throw CypherException(s"shortestPath bounds out of range: *$lo..$hi")
+      val raw = store.edges(et.label)
+      val mixedKeys = raw.schema(et.keyS).dataType != raw.schema(et.keyT).dataType
+      def tag(l: String, c: Column): Column =
+        struct(lit(l).as("__l"),
+          (if (mixedKeys) c.cast(StringType) else c).as("__k"))
+      val fwd = raw.select(tag(et.src, col(et.keyS)).as("__ds"),
+        tag(et.dst, col(et.keyT)).as("__dd"))
+      val bwd = raw.select(tag(et.dst, col(et.keyT)).as("__ds"),
+        tag(et.src, col(et.keyS)).as("__dd"))
+      val e0 = fwd.unionByName(bwd).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      val seeds = seeds0.select(tag(seedLabel, col("__seed")).as("__seed"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val out = bfsFrames(e0, seeds, lo, hi)
+      e0.unpersist(false)
+      seeds.unpersist(false)
+      out
+    }
+
+    /** The distributed BFS shared by [[distDf]] and [[heteroDistDf]]:
+      * multi-source, frontier-disciplined, path-carrying. `e0` must be a
+      * distinct `(__ds, __dd)` edge frame and `seeds` a `__seed` frame of
+      * the same key type (scalar or tagged struct — both join/group/min
+      * identically). Returns an eagerly checkpointed `(__ds, __dd, __len,
+      * __path)` frame, so callers may unpersist the inputs immediately.
+      */
+    private def bfsFrames(e0: DataFrame, seeds: DataFrame,
+        lo: Int, hi: Int): DataFrame = {
       // one hop forward, carrying the path; keep one (lexicographically
       // minimal) path per (src, dst) so the frontier never fans out beyond
       // the pair closure
@@ -889,14 +980,11 @@ object CypherEngine {
           n += 1
         }
         // Cut the result loose from the scratch state: checkpointing `dist`
-        // truncates its lineage, so e0 can be unpersisted here (repeated
+        // truncates its lineage, so the caller can unpersist e0 (repeated
         // shortestPath queries in one JVM would otherwise each pin an edge
         // copy forever) and the per-level frontier checkpoint blocks lose
         // their last reference, letting the ContextCleaner reclaim them.
-        val out = dist.localCheckpoint(true)
-        e0.unpersist(false)
-        seeds.unpersist(false)
-        out
+        dist.localCheckpoint(true)
       } else {
         // a lower bound > 1 asks for the shortest path NO SHORTER than lo —
         // pairs whose true distance is below lo must still surface at their
@@ -910,17 +998,13 @@ object CypherEngine {
           cur = oneHop(cur)
           dist = dist.unionByName(cur.withColumn("__len", lit(n.toLong)))
         }
-        // same scratch-state release as the lo == 1 branch; min(struct)
-        // picks the shortest admissible length and its lexicographic-min
-        // path in one orderable aggregate
-        val out = dist.groupBy("__ds", "__dd")
+        // min(struct) picks the shortest admissible length and its
+        // lexicographic-min path in one orderable aggregate
+        dist.groupBy("__ds", "__dd")
           .agg(min(struct(col("__len"), col("__path"))).as("__m"))
           .select(col("__ds"), col("__dd"),
             col("__m.__len").as("__len"), col("__m.__path").as("__path"))
           .localCheckpoint(true)
-        e0.unpersist(false)
-        seeds.unpersist(false)
-        out
       }
     }
 

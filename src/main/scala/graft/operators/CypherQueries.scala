@@ -257,6 +257,12 @@ object CypherQueries {
         """MATCH (a:Nation {n_nationkey: 0})-[:HOP|JUMP*1..2]->(b:Nation)
            RETURN toInteger(b.n_nationkey) AS dst, count(*) AS paths
            ORDER BY dst""")),
+    // heterogeneous-label shortestPath: undirected BFS over the bipartite
+    // Order–Part CONTAINS graph (hops alternate sides; node ids are
+    // label-tagged so key spaces can't collide) vs a DuckDB recursive CTE
+    "q85_cypher_hetero_shortest" -> cy(
+      """MATCH p = shortestPath((o:Order {o_orderkey: 1})-[:CONTAINS*1..3]-(b:Part))
+         RETURN toInteger(b.p_partkey) AS pk, length(p) AS len ORDER BY pk"""),
     // write clauses: graph built from empty purely through the reference's
     // verbatim injection Cypher, then read back through a pattern
     "q72_cypher_merge_inject" -> ((s, dir) =>
@@ -425,6 +431,21 @@ object CypherQueries {
          )
          SELECT CAST(dst AS BIGINT) AS dst, count(*) AS paths
          FROM walks GROUP BY 1 ORDER BY 1""",
+    "q85_cypher_hetero_shortest" ->
+      """WITH RECURSIVE e AS (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+         ), walk(lbl, k, len) AS (
+           SELECT 'P' AS lbl, p AS k, 1 AS len FROM e WHERE o = 1
+           UNION ALL
+           SELECT CASE WHEN w.lbl = 'P' THEN 'O' ELSE 'P' END,
+                  CASE WHEN w.lbl = 'P' THEN e.o ELSE e.p END,
+                  w.len + 1
+           FROM walk w JOIN e
+             ON (w.lbl = 'P' AND e.p = w.k) OR (w.lbl = 'O' AND e.o = w.k)
+           WHERE w.len < 3
+         )
+         SELECT CAST(k AS BIGINT) AS pk, CAST(min(len) AS BIGINT) AS len
+         FROM walk WHERE lbl = 'P' GROUP BY 1 ORDER BY 1""",
     "q72_cypher_merge_inject" ->
       """SELECT r.r_name AS r_name, count(*) AS cnt
          FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey

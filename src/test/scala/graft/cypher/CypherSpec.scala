@@ -679,6 +679,40 @@ class CypherSpec extends SparkSpec {
     } finally spark.conf.unset(CypherEngine.LocalPathEdgeCapKey)
   }
 
+  test("shortestPath over heterogeneous labels: bipartite undirected BFS") {
+    import org.apache.spark.sql.functions.col
+    // CONTAINS is Order→Part — src and dst labels differ, so multi-hop
+    // traversal must alternate sides undirected with label-tagged node ids
+    val res = engine.run(
+      """MATCH p = shortestPath((o:Order {o_orderkey: 1})-[:CONTAINS*1..3]-(b:Part))
+         RETURN toInteger(b.p_partkey) AS pk, length(p) AS len,
+                nodes(p) AS path ORDER BY pk""").collect()
+    assert(res.nonEmpty)
+    // every reported distance to a Part is odd (side alternation)
+    assert(res.forall(r => r.getLong(1) % 2 == 1))
+    // the direct parts of order 1 are exactly the len-1 rows
+    val direct = store.edges("CONTAINS")
+      .filter(col("l_orderkey") === 1).select("l_partkey")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(res.filter(_.getLong(1) == 1L).map(_.getLong(0)).toSeq == direct)
+    // there ARE distance-3 parts (order 1 shares parts with other orders)
+    assert(res.exists(_.getLong(1) == 3L))
+    // nodes(p) renders label-tagged ids; paths start at the seed order and
+    // alternate Order:/Part:
+    val p3 = res.find(_.getLong(1) == 3L).get.getSeq[String](2)
+    assert(p3.head == "Order:1" && p3.size == 4)
+    assert(p3(1).startsWith("Part:") && p3(2).startsWith("Order:") &&
+      p3(3).startsWith("Part:"))
+
+    // DIRECTED over a heterogeneous type composes only length-1 paths:
+    // same result as capping the bounds at one hop
+    val directed = engine.run(
+      """MATCH p = shortestPath((o:Order {o_orderkey: 1})-[:CONTAINS*1..3]->(b:Part))
+         RETURN toInteger(b.p_partkey) AS pk, length(p) AS len ORDER BY pk""").collect()
+    assert(directed.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      direct.map(k => (k, 1L)))
+  }
+
   test("graph introspection: labels/type/id/keys/properties") {
     val row = engine.run(
       """MATCH (n:Nation)-[r:IN_REGION]->(rg:Region)
