@@ -114,21 +114,23 @@ object CypherEngine {
   // ------------------------------------- unused-endpoint join elision
 
   /** Spark-conf kill switch for the endpoint-join elision (default on);
-    * specs set it false to pin elided vs joined plans against each other.
+    * CypherSpec's A/B test sets it false to pin the elided plan (fewer
+    * joins) against the joined plan (identical rows).
     */
   val ElideUnusedEndpointsKey = "graft.cypher.elideUnusedEndpoints"
 
   /** Variables whose endpoint node-store join is semantically removable:
-    * they occur at exactly ONE node position in the whole query, are never
-    * referenced in any expression, write, or sort, and no `WITH *` /
-    * `RETURN *` forces every variable into scope. (Whether the join is
-    * ALSO physically removable — edge endpoint-validated, node key unique —
-    * is the bind site's check.) Anonymous pattern nodes always qualify and
-    * are handled at the bind site. Union branches are counted together —
-    * conservative, branches are separate scopes but a shared name then
-    * simply keeps its join.
+    * they occur at exactly ONE node position in the whole query and are
+    * never referenced in any expression, write, or sort. Returns None when
+    * a `WITH *` / `RETURN *` appears — star carries every bound variable's
+    * full column set (anonymous ones included), so NOTHING may be elided.
+    * (Whether the join is ALSO physically removable — every traversed edge
+    * type endpoint-validated — is the bind site's check; anonymous pattern
+    * nodes always qualify and are recognized at the bind site.) Union
+    * branches are counted together — conservative, branches are separate
+    * scopes but a shared name then simply keeps its join.
     */
-  private def elisionSafeVars(q: Query): Set[String] = {
+  private[cypher] def elisionSafeVars(q: Query): Option[Set[String]] = {
     val refs = collection.mutable.Set[String]()
     val nodeOcc = collection.mutable.Map[String, Int]().withDefaultValue(0)
     var star = false
@@ -192,8 +194,8 @@ object CypherEngine {
       q0.union.foreach { case (_, next) => go(next) }
     }
     go(q)
-    if (star) Set.empty
-    else nodeOcc.collect { case (v, 1) if !refs(v) => v }.toSet
+    if (star) None
+    else Some(nodeOcc.collect { case (v, 1) if !refs(v) => v }.toSet)
   }
 
   // ------------------------------------------- shortestPath local strategy
@@ -318,6 +320,12 @@ object CypherEngine {
     private def spark: SparkSession =
       store.nodes.values.headOption.orElse(store.edges.values.headOption)
         .map(_.sparkSession).getOrElse(SparkSession.active)
+
+    /** Query-wide elision-safe variable set, computed once per execution in
+      * [[top]]. None = elision off (conf kill switch, or a star projection
+      * forces every variable's columns into scope).
+      */
+    private var elidable: Option[Set[String]] = None
 
     /** Variable bindings: node variable → label, relationship variable →
       * its edge binding, plus "plain" variables (UNWIND aliases and WITH
@@ -685,14 +693,54 @@ object CypherEngine {
           (hop, node, nodeVar)
         }
 
-        bindHead(headVar, path.head)
+        // ---- endpoint-join elision (gated on ElideUnusedEndpointsKey):
+        // an endpoint the query never reads (elision-safe or anonymous, no
+        // inline props) whose traversed edge types are ALL endpoint-
+        // validated needs no node-store join — the edge key column IS the
+        // binding (validation guarantees the join would match exactly once
+        // per row: every key resolves, node stores are key-unique by
+        // builder/writer construction). At scale that join is a shuffle of
+        // the edge store against a node store, spent validating what the
+        // [[GraphStore.validatedEdges]] flag already guarantees.
+        def elidableNode(pat: NodePat, v: String): Boolean =
+          pat.props.isEmpty && elidable.exists(s => pat.variable.isEmpty || s(v))
+        def hopValidated(h: ResolvedHop): Boolean =
+          h.edges.forall(et => store.validatedEdges.contains(et.label))
+        def bindElided(variable: String, keyCol: String): Unit = {
+          df = df.withColumnRenamed(keyCol, keyColName(variable))
+          bound += variable
+        }
+
+        // head elision additionally requires the first hop's far end to be
+        // UNBOUND — otherwise that end anchors the hop and the head becomes
+        // the "other" side, whose bind is paired with the far end's node
+        // pattern (props/label), not the head's
+        val headElided = path.hops.nonEmpty && !bound(headVar) &&
+          !bound(resolved.head._3) &&
+          elidableNode(path.head, headVar) && hopValidated(resolved.head._1)
+        if (!headElided) bindHead(headVar, path.head)
 
         resolved.foreach { case (hop, nodePat, nodeVar) =>
-          // the hop end already in `df` is the anchor; the other joins in
-          val anchorVar = if (bound(hop.srcVar)) hop.srcVar else hop.dstVar
+          // the hop end already in `df` is the anchor; the other joins in.
+          // With an elided head NEITHER may be bound yet: the edge frame
+          // itself then provides the anchor binding (cross-joined, or the
+          // starting frame when this is the first pattern).
+          val anchorVar =
+            if (bound(hop.srcVar)) hop.srcVar
+            else if (bound(hop.dstVar)) hop.dstVar
+            else if (hop.srcVar != nodeVar) hop.srcVar
+            else hop.dstVar
           val otherVar = if (anchorVar == hop.srcVar) hop.dstVar else hop.srcVar
-          if (!bound(anchorVar))
+          if (!bound(anchorVar) && !headElided)
             throw CypherException(s"pattern hop with no bound endpoint: $anchorVar")
+          def attach(frame: DataFrame, anchorSide: String): Unit =
+            if (bound(anchorVar))
+              df = df.join(frame, col(keyColName(anchorVar)) === col(anchorSide))
+            else {
+              val withKey = frame.withColumnRenamed(anchorSide, keyColName(anchorVar))
+              bound += anchorVar
+              df = if (df == null) withKey else df.crossJoin(withKey)
+            }
 
           hop.varLength match {
             case Some((lo, hi)) =>
@@ -701,8 +749,10 @@ object CypherEngine {
               val cl = closure(hop.edges, lo, hi)
               val (anchorSide, otherSide) =
                 if (anchorVar == hop.srcVar) ("__cs", "__cd") else ("__cd", "__cs")
-              df = df.join(cl, col(keyColName(anchorVar)) === col(anchorSide))
+              attach(cl, anchorSide)
               if (bound(otherVar)) df = df.filter(col(otherSide) === col(keyColName(otherVar)))
+              else if (elidableNode(nodePat, otherVar) && hopValidated(hop))
+                bindElided(otherVar, otherSide)
               else bindJoined(otherVar, nodePat, otherSide)
               df = df.drop("__cs", "__cd")
             case None =>
@@ -722,11 +772,13 @@ object CypherEngine {
               }.reduce(_.unionByName(_, allowMissingColumns = true))
               val (anchorSide, otherSide) =
                 if (anchorVar == hop.srcVar) (srcName, dstName) else (dstName, srcName)
-              df = df.join(ed, col(keyColName(anchorVar)) === col(anchorSide))
+              attach(ed, anchorSide)
               hop.relProps.foreach { case (k, v) =>
                 df = df.filter(col(s"${hop.relVar}__$k") === literal(v))
               }
               if (bound(otherVar)) df = df.filter(col(otherSide) === col(keyColName(otherVar)))
+              else if (elidableNode(nodePat, otherVar) && hopValidated(hop))
+                bindElided(otherVar, otherSide)
               else bindJoined(otherVar, nodePat, otherSide)
               df = df.drop(srcName, dstName)
           }
@@ -1884,7 +1936,13 @@ object CypherEngine {
       * deduplicates. A trailing ORDER BY/SKIP/LIMIT on the last branch
       * applies to the whole union and must reference output columns.
       */
-    def top(q: Query): DataFrame = q.union match {
+    def top(q: Query): DataFrame = {
+      val enabled = spark.conf.getOption(ElideUnusedEndpointsKey).forall(_.toBoolean)
+      elidable = if (enabled) elisionSafeVars(q) else None
+      topQuery(q)
+    }
+
+    private def topQuery(q: Query): DataFrame = q.union match {
       case None => compileSingle(q)
       case Some(_) =>
         if (hasWrites(q))

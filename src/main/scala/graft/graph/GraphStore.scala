@@ -15,16 +15,18 @@ final case class GraphStore(
     nodes: Map[String, DataFrame],
     edges: Map[String, DataFrame],
     /** Edge labels whose rows are endpoint-validated against the CURRENT
-      * node stores (every src/dst key resolves to a stored node). The
+      * node stores (every src/dst key resolves to a stored node, and node
+      * stores are key-unique by builder/writer construction). The
       * builder's FK semi-joins establish it; [[GraphWriter]] maintains it
       * per mutation (plain `DELETE` of nodes clears incident labels —
-      * dangling edges become possible). The Cypher compiler uses it to
-      * elide the endpoint node-store join for pattern endpoints the query
-      * never reads — at 100 TB that join is a full shuffle of the edge
-      * store against a node store, spent validating what the flag already
-      * guarantees. Conservative default: stores assembled outside the
-      * builder/writer (e.g. [[GraphStore.load]]) start unvalidated and
-      * just keep the join.
+      * dangling edges become possible). The Cypher compiler's MATCH bind
+      * site reads it to elide the endpoint node-store join for pattern
+      * endpoints the query never references (gated on
+      * `graft.cypher.elideUnusedEndpoints`, A/B-pinned by CypherSpec) — at
+      * 100 TB that join is a full shuffle of the edge store against a node
+      * store, spent validating what the flag already guarantees.
+      * Conservative default: stores assembled outside the builder/writer
+      * (e.g. [[GraphStore.load]]) start unvalidated and just keep the join.
       */
     validatedEdges: Set[String] = Set.empty) {
 

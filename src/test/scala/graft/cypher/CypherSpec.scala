@@ -679,6 +679,51 @@ class CypherSpec extends SparkSpec {
     } finally spark.conf.unset(CypherEngine.LocalPathEdgeCapKey)
   }
 
+  test("unused endpoint node-store joins are elided (A/B pinned)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
+    def joins(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect { case j: LJoin => j }.size
+    // persist the stores (production calling convention, CypherQueries does
+    // the same) so the edge BUILD's own FK-validation semi-joins collapse
+    // into InMemoryRelation leaves — the join count then measures exactly
+    // the pattern-compile joins this test pins
+    val pstore = store.copy(
+      nodes = store.nodes.map { case (k, d) => k -> d.persist() },
+      edges = store.edges.map { case (k, d) => k -> d.persist() })
+    val eng = CypherEngine(pstore)
+    try {
+      // o and p occur once each and are never read: with validated edges
+      // the whole query is an edge-store scan — zero joins
+      val q = "MATCH (o:Order)-[l:CONTAINS]->(p:Part) RETURN count(l) AS cnt"
+      val elided = eng.run(q)
+      assert(joins(elided) == 0)
+      val elidedRows = elided.collect().toSeq
+      assert(elidedRows.head.getLong(0) == pstore.edges("CONTAINS").count())
+      // kill switch off: both endpoint joins come back, rows identical
+      spark.conf.set(CypherEngine.ElideUnusedEndpointsKey, "false")
+      try {
+        val joined = eng.run(q)
+        assert(joins(joined) == 2)
+        assert(joined.collect().toSeq == elidedRows)
+      } finally spark.conf.unset(CypherEngine.ElideUnusedEndpointsKey)
+      // an unvalidated store keeps the joins even with elision enabled
+      val kept = CypherEngine(pstore.copy(validatedEdges = Set.empty)).run(q)
+      assert(joins(kept) == 2)
+      assert(kept.collect().toSeq == elidedRows)
+      // a referenced endpoint keeps ITS join (only the unused one elides)
+      val partial = eng.run(
+        "MATCH (o:Order)-[l:CONTAINS]->(p:Part) RETURN count(p.p_name) AS cnt")
+      assert(joins(partial) == 1)
+      // a star projection disables elision (it carries every variable)
+      val star = eng.run(
+        "MATCH (o:Order)-[l:CONTAINS]->(p:Part) WITH * RETURN count(o) AS cnt")
+      assert(joins(star) == 2)
+    } finally {
+      pstore.nodes.values.foreach(_.unpersist(false))
+      pstore.edges.values.foreach(_.unpersist(false))
+    }
+  }
+
   test("shortestPath over heterogeneous labels: bipartite undirected BFS") {
     import org.apache.spark.sql.functions.col
     // CONTAINS is Order→Part — src and dst labels differ, so multi-hop
