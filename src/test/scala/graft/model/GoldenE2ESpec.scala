@@ -80,32 +80,7 @@ class GoldenE2ESpec extends SparkSpec {
         "zip_code" -> "TEXT").map((ColumnDef.apply _).tupled),
       primaryKeys = Seq("store_id"))))
 
-  private val salesCatalog = RelationalCatalog(Seq(
-    TableDef("customer_table",
-      Seq("CUSTOMERNAME" -> "TEXT", "PHONE" -> "TEXT", "ADDRESSLINE1" -> "TEXT",
-        "ADDRESSLINE2" -> "TEXT", "CITY" -> "TEXT", "STATE" -> "TEXT",
-        "POSTALCODE" -> "TEXT", "COUNTRY" -> "TEXT", "TERRITORY" -> "TEXT",
-        "CONTACTLASTNAME" -> "TEXT", "CONTACTFIRSTNAME" -> "TEXT")
-        .map((ColumnDef.apply _).tupled),
-      primaryKeys = Seq("CUSTOMERNAME")),
-    TableDef("order_table",
-      Seq("ORDERNUMBER" -> "INTEGER", "ORDERDATE" -> "TEXT", "STATUS" -> "TEXT",
-        "QTR_ID" -> "INTEGER", "MONTH_ID" -> "INTEGER", "YEAR_ID" -> "INTEGER",
-        "CUSTOMERNAME" -> "TEXT").map((ColumnDef.apply _).tupled),
-      primaryKeys = Seq("ORDERNUMBER"),
-      foreignKeys = Seq(ForeignKey("CUSTOMERNAME", "customer_table", "CUSTOMERNAME"))),
-    TableDef("product_table",
-      Seq("PRODUCTCODE" -> "TEXT", "MSRP" -> "INTEGER", "PRODUCTLINE" -> "TEXT")
-        .map((ColumnDef.apply _).tupled),
-      primaryKeys = Seq("PRODUCTCODE")),
-    TableDef("order_product_table",
-      Seq("ORDERNUMBER" -> "INTEGER", "PRODUCTCODE" -> "TEXT",
-        "QUANTITYORDERED" -> "INTEGER", "PRICEEACH" -> "DECIMAL", "SALES" -> "DECIMAL",
-        "ORDERLINENUMBER" -> "INTEGER", "DEALSIZE" -> "TEXT")
-        .map((ColumnDef.apply _).tupled),
-      foreignKeys = Seq(
-        ForeignKey("ORDERNUMBER", "order_table", "ORDERNUMBER"),
-        ForeignKey("PRODUCTCODE", "product_table", "PRODUCTCODE")))))
+  private val salesCatalog = TestCatalogs.salesCatalog
 
   test("modeler: bike junction/entity split and edge shapes") {
     val schema = Modeler.model(bikeCatalog)

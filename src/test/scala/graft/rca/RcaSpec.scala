@@ -45,6 +45,48 @@ class RcaSpec extends SparkSpec {
     }
   }
 
+  test("golden: reference RCA session trace over sales_master") {
+    // Replays the reference agent's recorded tool-call sequence
+    // (final/experimenting_new/rca.ipynb:345-420) through the Rca loop:
+    // serial per-year sum probes with an ANONYMOUS unlabeled endpoint
+    // (the agent's exact pattern shape), then the 2-year comparison and
+    // the order-count drill-down — asserting the notebook's recorded
+    // values: 2003 → 3,516,979.54; 2004 → 4,724,162.60;
+    // 2005 → 1,791,486.71; orders 2003 → 104, 2004 → 144.
+    import graft.model.{Modeler, TestCatalogs}
+    import graft.sources.Csv
+    val dir = "/root/reference/final/sales_master_files"
+    val (tables, _) = Csv.loadCatalog(spark, dir, TestCatalogs.salesCatalog)
+    val schema = Modeler.model(TestCatalogs.salesCatalog)
+    val eng = CypherEngine(GraphBuilder.buildAll(tables(_), schema))
+    val script = Iterator(
+      "MATCH (o:Order)-[c:ORDER_PRODUCT]->() WHERE o.YEAR_ID = 2003 RETURN sum(c.SALES) AS total",
+      "MATCH (o:Order)-[c:ORDER_PRODUCT]->() WHERE o.YEAR_ID = 2004 RETURN sum(c.SALES) AS total",
+      "MATCH (o:Order)-[c:ORDER_PRODUCT]->() WHERE o.YEAR_ID = 2005 RETURN sum(c.SALES) AS total",
+      """MATCH (o:Order)-[c:ORDER_PRODUCT]->(:Product)
+         WHERE o.YEAR_ID IN [2003, 2004]
+         RETURN o.YEAR_ID AS Year, sum(c.SALES) AS TotalSales ORDER BY Year""",
+      """MATCH (o:Order)
+         WHERE o.YEAR_ID IN [2003, 2004]
+         RETURN o.YEAR_ID AS Year, count(o) AS NumberOfOrders ORDER BY Year""")
+    val (trace, summary) = Rca.run(eng, "analyze yearly sales",
+      planner = _ => if (script.hasNext) Some(script.next()) else None)
+    assert(trace.steps.size == 5)
+    assert(trace.steps.forall(_.error.isEmpty), trace.steps.flatMap(_.error))
+    val yearTotals = trace.steps.take(3).map(_.rows.head.getDouble(0))
+    val want = Seq(3516979.54, 4724162.60, 1791486.71)
+    yearTotals.zip(want).foreach { case (got, w) =>
+      assert(math.abs(got - w) < 0.01, s"$got vs $w")
+    }
+    val twoYear = trace.steps(3).rows.map(r => r.getLong(0) -> r.getDouble(1))
+    assert(twoYear.map(_._1) == Seq(2003L, 2004L))
+    assert(math.abs(twoYear(0)._2 - 3516979.54) < 0.01)
+    assert(math.abs(twoYear(1)._2 - 4724162.60) < 0.01)
+    val counts = trace.steps(4).rows.map(r => r.getLong(0) -> r.getLong(1))
+    assert(counts == Seq(2003L -> 104L, 2004L -> 144L))
+    assert(summary.contains("analyze yearly sales"))
+  }
+
   test("a failing query is recorded as an error step, not a crash") {
     val script = Iterator(
       "MATCH (x:Nope) RETURN count(x) AS c",
