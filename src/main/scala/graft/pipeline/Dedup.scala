@@ -265,19 +265,30 @@ object Dedup {
     * restored with the all-zero-votes fingerprint 0L.
     */
   def simhashDf(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = tokenRows(df, idCol, textCol)
-      .select(col("id"), xxhash64(col("t")).as("h"))
+    // explode_OUTER keeps token-less documents as one null-token row, so a
+    // single scan + one hash aggregate covers every doc — the previous
+    // shape re-scanned the table and left-joined the signatures back just
+    // to restore empty docs (a second pass + shuffle that at 100 TB costs
+    // a full table read). The null row votes 0 on every bit, so real
+    // tokens are unaffected and an empty doc sums to 0 votes → sig 0L,
+    // bit-identical to the per-row [[simhash]] contract.
+    val tok = df
+      .select(col(idCol).as("id"),
+        explode_outer(filter(split(lower(col(textCol)), " "), t => t =!= ""))
+          .as("t"))
+      // xxhash64(null) is the (non-null) seed hash, so gate on the token:
+      // h stays null exactly for the empty-doc placeholder row
+      .select(col("id"), when(col("t").isNotNull, xxhash64(col("t"))).as("h"))
     val votes = (0 until 64).map { j =>
-      sum(when(call_function("shiftright", col("h"), lit(j)).bitwiseAND(lit(1L)) === 1L, 1)
+      sum(when(col("h").isNull, 0)
+        .when(call_function("shiftright", col("h"), lit(j)).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"_v$j")
     }
     val sig = (0 until 64).map { j =>
       when(col(s"_v$j") > 0, call_function("shiftleft", lit(1L), lit(j))).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
-    val sigs = tok.groupBy("id").agg(votes.head, votes.tail: _*)
+    tok.groupBy("id").agg(votes.head, votes.tail: _*)
       .select(col("id"), sig.as("sig"))
-    df.select(col(idCol).as("id")).join(sigs, Seq("id"), "left_outer")
-      .select(col("id"), coalesce(col("sig"), lit(0L)).as("sig"))
   }
 
   /** Hamming distance between two simhash fingerprints (bit_count of xor). */

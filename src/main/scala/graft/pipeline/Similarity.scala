@@ -131,18 +131,22 @@ object Similarity {
     */
   def lshSignatures(df: DataFrame, idCol: String, vecCol: String, bits: Int): DataFrame = {
     require(bits >= 1 && bits <= 64, s"bits must be in 1..64 (got $bits)")
-    val emptySig = 0L
-    val ex = df.select(col(idCol), posexplode(col(vecCol)).as(Seq("d", "x")))
+    // posexplode_OUTER keeps empty/null vectors as one null-element row, so
+    // one scan + one hash aggregate covers every doc (the previous shape
+    // re-scanned the input and left-joined the signatures back — a second
+    // full pass at scale). The placeholder row's products are null, so an
+    // empty vector's projections sum to null and every `>= 0` test takes
+    // the otherwise-0 branch → signature 0L, the documented empty contract;
+    // non-empty vectors gain no extra row and are unaffected.
+    val ex = df.select(col(idCol), posexplode_outer(col(vecCol)).as(Seq("d", "x")))
     val projs = (0 until bits).map { h =>
       sum(col("x").cast(DoubleType) * hashWeight(h, col("d"))).as(s"_p$h")
     }
     val sigCol = (0 until bits).map { h =>
       when(col(s"_p$h") >= 0, shiftleft(lit(1L), h)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
-    val sigs = ex.groupBy(idCol).agg(projs.head, projs.tail: _*)
+    ex.groupBy(idCol).agg(projs.head, projs.tail: _*)
       .select(col(idCol), sigCol.as("sig"))
-    df.select(col(idCol)).join(sigs, Seq(idCol), "left_outer")
-      .select(col(idCol), coalesce(col("sig"), lit(emptySig)).as("sig"))
   }
 
   /** LSH-bucketed ANN top-k: candidates share the full signature bucket;
