@@ -39,6 +39,12 @@ final case class Graft(
   /** Modeled property-graph schema as vis-network JSON (S12). */
   def schemaJson: String = Modeler.schemaJson(schema)
 
+  /** Modeled schema as a self-contained interactive HTML page (S12; the
+    * reference serves the same page from pyvis, final/graph.py:4-69 +
+    * final/app.py:94-105).
+    */
+  def schemaHtml: String = Modeler.schemaHtml(schema)
+
   /** Build node + edge stores (the reference's /inject_nodes +
     * /inject_relationships, as one declarative job graph).
     */

@@ -190,6 +190,32 @@ class GoldenE2ESpec extends SparkSpec {
     assert(json.trim.startsWith("{") && json.trim.endsWith("}"))
   }
 
+  test("schema HTML emitter: self-contained interactive page (pyvis parity)") {
+    val schema = Modeler.model(bikeCatalog)
+    val html = Modeler.schemaHtml(schema)
+    assert(html.startsWith("<!DOCTYPE html>"))
+    // self-contained: no external scripts, stylesheets, or network fetches
+    assert(!html.contains("<script src") && !html.contains("<link") &&
+      !html.contains("http://") && !html.contains("https://"))
+    // every node type is a box labeled name + PK (reference final/graph.py:17-21)
+    schema.nodes.foreach { n =>
+      assert(html.contains(n.name), s"node ${n.name} missing")
+      assert(html.contains(s"PK: ${n.key}"), s"PK line for ${n.name} missing")
+    }
+    // every edge label present; tooltip carries keyS → keyT (graph.py:37)
+    schema.edges.foreach { e =>
+      assert(html.contains(e.label), s"edge ${e.label} missing")
+      assert(html.contains(s"${e.keyS} \\u2192 ${e.keyT}") ||
+        html.contains(s"${e.keyS} → ${e.keyT}"), s"key tooltip for ${e.label} missing")
+    }
+    // interaction surface: drag, pan, zoom, hover tooltip handlers exist
+    Seq("mousedown", "mousemove", "wheel", "requestAnimationFrame").foreach { h =>
+      assert(html.contains(h), s"handler $h missing")
+    }
+    // the embedded JSON must not break out of its script context
+    assert(!html.replace("<script", "").replace("</script", "").contains("<scr"))
+  }
+
   test("csv normalization: coerce-to-null and blob/string passthrough") {
     import spark.implicits._
     val raw = Seq(("1", "x", "2020-05-06 07:08:09"), ("oops", "y", "not-a-date"))
