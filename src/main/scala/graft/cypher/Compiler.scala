@@ -924,7 +924,13 @@ object CypherEngine {
       val fwd = raw.select(col(et.keyS).as("__ds"), col(et.keyT).as("__dd"))
       val bwd = raw.select(col(et.keyT).as("__ds"), col(et.keyS).as("__dd"))
       val base = if (undirected) fwd.unionByName(bwd) else if (reversed) bwd else fwd
-      val e0 = base.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      // NOT distinct'd: that would shuffle the whole edge frame once per
+      // query. Builder stores are pair-deduped already; residual duplicates
+      // (write-path multi-edges, reciprocal pairs under the undirected
+      // union) are absorbed by the BFS itself — the seed-restricted first
+      // frontier is distinct'd cheaply and every later level goes through
+      // oneHop's groupBy(min(__path)).
+      val e0 = base.persist(StorageLevel.MEMORY_AND_DISK)
       // seeds comes from the bound-side MATCH pipeline — persisted so the
       // sizing probe's seeds.count() and the subsequent BFS (localDist's
       // tagged union, or the distributed path's first-hop semi join) don't
@@ -979,7 +985,9 @@ object CypherEngine {
         tag(et.dst, col(et.keyT)).as("__dd"))
       val bwd = raw.select(tag(et.dst, col(et.keyT)).as("__ds"),
         tag(et.src, col(et.keyS)).as("__dd"))
-      val e0 = fwd.unionByName(bwd).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      // not distinct'd — see distDf: label tags make fwd/bwd disjoint, the
+      // store is pair-deduped, and the BFS dedups its own frontiers
+      val e0 = fwd.unionByName(bwd).persist(StorageLevel.MEMORY_AND_DISK)
       val seeds = seeds0.select(tag(seedLabel, col("__seed")).as("__seed"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val out = bfsFrames(e0, seeds, lo, hi)
@@ -989,8 +997,10 @@ object CypherEngine {
     }
 
     /** The distributed BFS shared by [[distDf]] and [[heteroDistDf]]:
-      * multi-source, frontier-disciplined, path-carrying. `e0` must be a
-      * distinct `(__ds, __dd)` edge frame and `seeds` a `__seed` frame of
+      * multi-source, frontier-disciplined, path-carrying. `e0` is a
+      * `(__ds, __dd)` edge frame — duplicate edge rows are tolerated (the
+      * first frontier is distinct'd after the seed semi-join, every later
+      * level through oneHop's groupBy) — and `seeds` a `__seed` frame of
       * the same key type (scalar or tagged struct — both join/group/min
       * identically). Returns an eagerly checkpointed `(__ds, __dd, __len,
       * __path)` frame, so callers may unpersist the inputs immediately.
@@ -1006,9 +1016,11 @@ object CypherEngine {
         .select(col("__ds"), col("__dd2").as("__dd"),
           concat(col("__path"), array(col("__dd2"))).as("__path"))
         .groupBy("__ds", "__dd").agg(min(col("__path")).as("__path"))
-      // first-hop frontier restricted to the bound sources (left-semi keeps
-      // e0's distinctness; intermediate hops still traverse every edge)
+      // first-hop frontier restricted to the bound sources, distinct'd
+      // HERE — on the seed-bounded frontier, not the full edge frame
+      // (intermediate hops still traverse every edge)
       val e0p = e0.join(seeds, col("__ds") === col("__seed"), "left_semi")
+        .distinct()
         .withColumn("__path", array(col("__ds"), col("__dd")))
       if (lo == 1) {
         var dist = e0p.withColumn("__len", lit(1L))

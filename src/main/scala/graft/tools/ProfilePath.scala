@@ -1,0 +1,36 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev aid: repeated wall times for the shortestPath bench queries, with
+  * the graph-store cache warm after the first run — separates the
+  * per-query BFS cost from the one-time store build the full bench
+  * amortizes across the Cypher query family.
+  */
+object ProfilePath {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def t(name: String)(f: => Long): Unit = {
+      val s = System.nanoTime
+      val n = f
+      println(f"$name%-14s ${(System.nanoTime - s) / 1e9}%6.2f s  ($n rows)")
+    }
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("q85_cypher_hetero_shortest", "q76_cypher_shortest_path")
+    names.foreach { q =>
+      val fn = graft.SparkEntry.queries(q)
+      t(s"$q#1")(fn(spark, dir).count)
+      t(s"$q#2")(fn(spark, dir).count)
+      t(s"$q#3")(fn(spark, dir).count)
+    }
+    spark.stop()
+  }
+}
