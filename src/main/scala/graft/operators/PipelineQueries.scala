@@ -54,7 +54,11 @@ object PipelineQueries {
     // materialized once; eager localCheckpoint frees its blocks on GC
     // instead of pinning cache for the session)
     val sigsAll = Dedup.simhashDf(docs, "doc_id", "text").localCheckpoint(true)
+    // the candidate set is consumed twice (stats agg + recall semi-join);
+    // without the checkpoint the banding + bucket-pair expansion runs once
+    // per consumer
     val cands = Dedup.simhashCandidatesFromSigs(sigsAll, maxHamming = maxHamming)
+      .localCheckpoint(true)
     val stats = cands.agg(count(lit(1)).as("candidate_pairs"),
       min(col("hamming")).as("min_hamming"))
     val sigs = sigsAll.filter(col("id") < 200)

@@ -23,6 +23,19 @@ object ProfilePath {
       val n = f
       println(f"$name%-14s ${(System.nanoTime - s) / 1e9}%6.2f s  ($n rows)")
     }
+    if (args.headOption.contains("simhash-stages")) {
+      val docs = graft.sources.Tables.load(spark, dir, "documents")
+      t("docs-read")(docs.count)
+      t("sigs#1")(graft.pipeline.Dedup.simhashDf(docs, "doc_id", "text").count)
+      t("sigs#2")(graft.pipeline.Dedup.simhashDf(docs, "doc_id", "text").count)
+      val sigs = graft.pipeline.Dedup.simhashDf(docs, "doc_id", "text")
+        .localCheckpoint(true)
+      t("bands#1")(graft.pipeline.Dedup
+        .simhashCandidatesFromSigs(sigs, maxHamming = 16).count)
+      t("bands#2")(graft.pipeline.Dedup
+        .simhashCandidatesFromSigs(sigs, maxHamming = 16).count)
+      spark.stop(); return
+    }
     val names = if (args.nonEmpty) args.toSeq
       else Seq("q85_cypher_hetero_shortest", "q76_cypher_shortest_path")
     names.foreach { q =>
