@@ -238,7 +238,8 @@ object Dedup {
     * with higher-order functions (aggregate over tokens), no UDF.
     */
   def simhash(textCol: Column): Column = {
-    val toks = tokensArr(textCol)
+    // null text ≡ empty text (zero votes → 0L), matching [[simhashDf]]
+    val toks = tokensArr(coalesce(textCol, lit("")))
     // votes: array of 64 ints; aggregate tokens, each contributing ±1 per bit.
     val votes = aggregate(
       toks,
@@ -272,22 +273,31 @@ object Dedup {
     // a full table read). The null row votes 0 on every bit, so real
     // tokens are unaffected and an empty doc sums to 0 votes → sig 0L,
     // bit-identical to the per-row [[simhash]] contract.
+    // explode the RAW split (no higher-order filter(...) pre-pass — its
+    // lambda evaluates interpreted, outside whole-stage codegen, and was
+    // the bulk of a 1.5× q48 wall-time regression); empty-string tokens
+    // and the null placeholder row both hash to null and are skipped by
+    // the aggregates below, so the row-level filter is unnecessary.
     val tok = df
       .select(col(idCol).as("id"),
-        explode_outer(filter(split(lower(col(textCol)), " "), t => t =!= ""))
-          .as("t"))
+        explode_outer(split(lower(col(textCol)), " ")).as("t"))
       // xxhash64(null) is the (non-null) seed hash, so gate on the token:
-      // h stays null exactly for the empty-doc placeholder row
-      .select(col("id"), when(col("t").isNotNull, xxhash64(col("t"))).as("h"))
-    val votes = (0 until 64).map { j =>
-      sum(when(col("h").isNull, 0)
-        .when(call_function("shiftright", col("h"), lit(j)).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"_v$j")
+      // h stays null exactly for empty tokens / the null placeholder row
+      .select(col("id"),
+        when(col("t").isNotNull && col("t") =!= "", xxhash64(col("t"))).as("h"))
+    // vote_j = #ones_j − #zeros_j = 2·#ones_j − n, so the per-row aggregate
+    // update is a branch-free `(h >> j) & 1` per bit (SUM skips the null
+    // placeholder row natively) plus ONE shared count(h) — not 64 three-way
+    // conditionals per row, which tripled q48's wall time when the null
+    // gate was first expressed inside every vote. Empty docs: count = 0 and
+    // each ones_j is null, so `2·null > 0` is null → bit unset → sig 0L.
+    val ones = (0 until 64).map { j =>
+      sum(shiftright(col("h"), j).bitwiseAND(lit(1L))).as(s"_o$j")
     }
     val sig = (0 until 64).map { j =>
-      when(col(s"_v$j") > 0, call_function("shiftleft", lit(1L), lit(j))).otherwise(lit(0L))
+      when(col(s"_o$j") * 2 > col("_n"), shiftleft(lit(1L), j)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
-    tok.groupBy("id").agg(votes.head, votes.tail: _*)
+    tok.groupBy("id").agg(count(col("h")).as("_n"), ones: _*)
       .select(col("id"), sig.as("sig"))
   }
 

@@ -91,6 +91,19 @@ class DedupSpec extends SparkSpec {
     assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
   }
 
+  test("simhashDf is bit-identical to per-row simhash, including empty docs") {
+    val corpus = docs.unionByName(Seq(
+      (10L, ""), (11L, "   "), (12L, null.asInstanceOf[String]),
+      (13L, "single"), (14L, "tie tie") // 2-token doc exercises the tie rule
+    ).toDF("doc_id", "text"))
+    val perRow = corpus.select(col("doc_id").as("id"), Dedup.simhash(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDf = Dedup.simhashDf(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDf == perRow)
+    assert(viaDf(10L) == 0L && viaDf(11L) == 0L && viaDf(12L) == 0L)
+  }
+
   test("simhash banding finds near-dups differing only in HIGH bits") {
     // the old single-probe blocked on the top 12 bits, so a pair whose few
     // differing bits sat exactly there was invisible; with 8 bands of 8
