@@ -40,6 +40,28 @@ object CypherQueries {
         })
     })
 
+  /** Derived fixture stores (ring / two-type ring / injection-built) get
+    * the same per-JVM cache as the fact-table store: without it each
+    * shortestPath / disjunction / write-clause query re-paid mergeNodes +
+    * mergeEdges on every invocation, double-charging the bench numbers
+    * with store-build cost. Safe to share: every write op returns a NEW
+    * GraphStore over immutable frames (q73's DETACH DELETE derives from
+    * the cached store without touching it).
+    */
+  private val derivedCache = new java.util.concurrent.ConcurrentHashMap[String, GraphStore]()
+
+  private def cachedStore(name: String, dir: String)(build: => GraphStore): GraphStore =
+    derivedCache.computeIfAbsent(s"$name|$dir", _ => {
+      val st = build
+      st.copy(
+        nodes = st.nodes.map { case (k, df) =>
+          k -> df.persist(StorageLevel.MEMORY_AND_DISK)
+        },
+        edges = st.edges.map { case (k, df) =>
+          k -> df.persist(StorageLevel.MEMORY_AND_DISK)
+        })
+    })
+
   private def cy(query: String): Q = (s, dir) =>
     CypherEngine(store(s, dir)).run(query)
 
@@ -59,7 +81,7 @@ object CypherQueries {
     * with +1 and +5 jumps mod 25 — genuine BFS territory (min over
     * mixed-step walks), small enough for a DuckDB recursive-CTE oracle.
     */
-  private def ringStore(s: SparkSession, dir: String): GraphStore = {
+  private def ringStore(s: SparkSession, dir: String): GraphStore = cachedStore("ring", dir) {
     val nation = Tables.load(s, dir, "nation")
     val k = col("n_nationkey")
     val st = GraphWriter.mergeNodes(GraphStore.empty, "Nation",
@@ -74,7 +96,7 @@ object CypherQueries {
     * JUMP]` must union both edge sets inside one branch, and `[:HOP|JUMP*
     * 1..2]` must mix types per step (Neo4j walk semantics).
     */
-  private def ring2Store(s: SparkSession, dir: String): GraphStore = {
+  private def ring2Store(s: SparkSession, dir: String): GraphStore = cachedStore("ring2", dir) {
     val nation = Tables.load(s, dir, "nation")
     val k = col("n_nationkey")
     var st = GraphWriter.mergeNodes(GraphStore.empty, "Nation",
@@ -85,7 +107,7 @@ object CypherQueries {
       nation.select(k.as("src"), ((k + 5) % 25).as("dst")))
   }
 
-  private def injectedStore(s: SparkSession, dir: String): GraphStore = {
+  private def injectedStore(s: SparkSession, dir: String): GraphStore = cachedStore("injected", dir) {
     def rowsOf(table: String, cols: Seq[String]): Seq[Map[String, Any]] =
       Tables.load(s, dir, table).select(cols.map(col): _*).collect()
         .map(r => cols.zipWithIndex.map { case (c, i) => c -> r.get(i) }.toMap).toSeq
