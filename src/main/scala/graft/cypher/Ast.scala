@@ -114,10 +114,13 @@ object Ast {
 
   /** `MATCH p = shortestPath((a:L {…})-[:R*lo..hi]->(b:L))` — binds `p` so
     * `length(p)` is the minimum hop count between each (a, b) pair within
-    * the bounds. One relationship pattern only; the var-length bounds
-    * default to `*1..MaxVarLength`.
+    * the bounds. One relationship pattern only; an open upper bound (bare
+    * `*` / `*lo..`) runs the BFS to frontier exhaustion. `all` =
+    * `allShortestPaths(...)`: one row per minimum-length path per endpoint
+    * pair instead of the single lexicographic-min representative.
     */
-  final case class ShortestPathClause(pathVar: String, path: PathPat) extends Reading
+  final case class ShortestPathClause(pathVar: String, path: PathPat,
+      all: Boolean = false) extends Reading
 
   // ------------------------------------------------------------ write AST
   // The write subset covers exactly what the reference's injection pipeline

@@ -184,7 +184,7 @@ object CypherEngine {
         st.reads.foreach {
           case MatchClause(paths, _) => paths.foreach(path(_, asRefs = false))
           case UnwindClause(e, a) => expr(e); refs += a
-          case ShortestPathClause(_, p) => path(p, asRefs = true)
+          case ShortestPathClause(_, p, _) => path(p, asRefs = true)
         }
         st.where.foreach(expr)
         st.projection.foreach(proj)
@@ -196,6 +196,84 @@ object CypherEngine {
     go(q)
     if (star) None
     else Some(nodeOcc.collect { case (v, 1) if !refs(v) => v }.toSet)
+  }
+
+  /** Does the query read anything of path variable `pv` beyond its length?
+    * `length(p)`/`size(p)` need only the hop count; `nodes(p)`,
+    * `relationships(p)`, or any other reference (including `RETURN p` and
+    * star projections, which carry every bound column) needs the node
+    * sequence. When this is false the BFS drops the `__path` array — the
+    * widest column in every frontier shuffle — and carries `(src, dst,
+    * len)` only.
+    */
+  private[cypher] def pathUsesNodes(q: Query, pv: String): Boolean = {
+    var used = false
+    var star = false
+    def expr(e: Expr): Unit = e match {
+      case Fn("length" | "size", Seq(Var(v)), _) if v == pv => ()
+      case Var(v) => if (v == pv) used = true
+      case Prop(v, _) => if (v == pv) used = true
+      case Fn(_, args, _) => args.foreach(expr)
+      case Bin(_, l, r) => expr(l); expr(r)
+      case Not(x) => expr(x)
+      case IsNull(x, _) => expr(x)
+      case In(a, b) => expr(a); expr(b)
+      case ListLit(xs) => xs.foreach(expr)
+      case ListComp(_, coll, w, p) => expr(coll); w.foreach(expr); p.foreach(expr)
+      case ReduceExpr(_, init, _, coll, step) => expr(init); expr(coll); expr(step)
+      case Index(c, i) => expr(c); expr(i)
+      case CaseExpr(s, bs, d) =>
+        s.foreach(expr); bs.foreach { case (c, r) => expr(c); expr(r) }; d.foreach(expr)
+      case PatternPred(p) =>
+        p.head.props.foreach { case (_, e0) => expr(e0) }
+        p.hops.foreach { case (r, n) =>
+          r.props.foreach { case (_, e0) => expr(e0) }
+          n.props.foreach { case (_, e0) => expr(e0) }
+        }
+      case Param(_) | Lit(_) => ()
+    }
+    def proj(p: Projection): Unit = {
+      if (p.star) star = true
+      p.items.foreach(i => expr(i.expr))
+      p.where.foreach(expr)
+      p.orderBy.foreach(s => expr(s.expr))
+    }
+    def setItem(s: SetItem): Unit = s match {
+      case SetPlus(v, m) => if (v == pv) used = true; m.foreach { case (_, e) => expr(e) }
+      case SetProp(v, _, e) => if (v == pv) used = true; expr(e)
+    }
+    def go(q0: Query): Unit = {
+      q0.stages.foreach { st =>
+        st.reads.foreach {
+          case MatchClause(paths, _) => paths.foreach { p =>
+            p.head.props.foreach { case (_, e) => expr(e) }
+            p.hops.foreach { case (r, n) =>
+              r.props.foreach { case (_, e) => expr(e) }
+              n.props.foreach { case (_, e) => expr(e) }
+            }
+          }
+          case UnwindClause(e, _) => expr(e)
+          case ShortestPathClause(_, p, _) =>
+            p.head.props.foreach { case (_, e) => expr(e) }
+            p.hops.foreach { case (r, n) =>
+              r.props.foreach { case (_, e) => expr(e) }
+              n.props.foreach { case (_, e) => expr(e) }
+            }
+        }
+        st.where.foreach(expr)
+        st.projection.foreach(proj)
+        st.writes.foreach {
+          case CreateClause(_) => ()
+          case MergeClause(_, oc, om) => oc.foreach(setItem); om.foreach(setItem)
+          case SetClause(items) => items.foreach(setItem)
+          case DeleteClause(vars, _) => if (vars.contains(pv)) used = true
+        }
+      }
+      proj(q0.ret)
+      q0.union.foreach { case (_, next) => go(next) }
+    }
+    go(q)
+    used || star
   }
 
   // ------------------------------------------- shortestPath local strategy
@@ -300,7 +378,7 @@ object CypherEngine {
           st.reads.map {
             case MatchClause(paths, opt) => MatchClause(paths.map(goPath), opt)
             case UnwindClause(e, a) => UnwindClause(go(e), a)
-            case ShortestPathClause(pv, p) => ShortestPathClause(pv, goPath(p))
+            case ShortestPathClause(pv, p, all) => ShortestPathClause(pv, goPath(p), all)
           },
           st.where.map(go),
           st.projection.map(goProj),
@@ -520,7 +598,13 @@ object CypherEngine {
       * ([[enumerate]] drops interpretations whose lower bound needs more).
       */
     private def closure(ets: Seq[EdgeType], lo: Int, hi: Int): DataFrame = {
-      if (lo < 1 || hi < lo || hi > 10)
+      if (hi == Parser.Unbounded)
+        throw CypherException(
+          "unbounded var-length (*) is only supported inside shortestPath/" +
+            "allShortestPaths (which run to frontier exhaustion); a plain " +
+            "pattern enumerates walks, so give an explicit upper bound (*1..n, " +
+            s"n <= ${Parser.MaxVarLength})")
+      if (lo < 1 || hi < lo || hi > Parser.MaxVarLength)
         throw CypherException(s"var-length bounds out of range: *$lo..$hi")
       val effHi = if (ets.exists(e => e.src != e.dst)) 1 else hi
       if (lo > effHi)
@@ -806,7 +890,7 @@ object CypherEngine {
       * capped like var-length patterns, so depth is explicit in the plan.
       */
     private def shortestPathRead(state: Option[(DataFrame, Ctx)], pv: String,
-        path: PathPat): (DataFrame, Ctx) = {
+        path: PathPat, all: Boolean, needNodes: Boolean): (DataFrame, Ctx) = {
       if (path.hops.size != 1)
         throw CypherException("shortestPath expects a single relationship pattern")
       val (rel, dstPat) = path.hops.head
@@ -815,6 +899,11 @@ object CypherEngine {
       val bVar = dstPat.variable.getOrElse(
         throw CypherException("shortestPath endpoints need variables"))
       val (lo, hi) = rel.varLength.getOrElse((1, Parser.MaxVarLength))
+      // allShortestPaths rows ARE the distinct minimum-length paths, so the
+      // path array must be carried even when nothing reads nodes(p); plain
+      // shortestPath with only length(p) read drops it — the path is the
+      // widest column in every BFS frontier shuffle
+      val withPath = needNodes || all
       val label = rel.labels match {
         case Seq(l) => l
         case Seq() => throw CypherException("shortestPath needs a relationship type")
@@ -850,7 +939,7 @@ object CypherEngine {
         val rawE = store.edges(et.label)
         val mixedKeys = rawE.schema(et.keyS).dataType != rawE.schema(et.keyT).dataType
         def k(c: Column): Column = if (mixedKeys) c.cast(StringType) else c
-        val dist = heteroDistDf(et, lo, hi, seeds, aLabel)
+        val dist = heteroDistDf(et, lo, hi, seeds, aLabel, all, withPath)
         var df = df1.join(dist, col("__ds.__k") === k(col(aKeyCol)))
           .filter(col("__dd.__l") === lit(bLabel))
         var ctx2 = ctx1
@@ -866,9 +955,10 @@ object CypherEngine {
           df = df.filter(col(s"${bVar}__$p") === literal(v))
         }
         df = df.withColumn(s"${pv}__len", col("__len"))
-          .withColumn(s"${pv}__nodes", transform(col("__path"),
+        if (needNodes)
+          df = df.withColumn(s"${pv}__nodes", transform(col("__path"),
             s => concat_ws(":", s.getField("__l"), s.getField("__k").cast(StringType))))
-          .drop("__ds", "__dd", "__len", "__path")
+        df = df.drop("__ds", "__dd", "__len", "__path")
         return (df, ctx2.copy(paths = ctx2.paths + pv,
           pathRels = ctx2.pathRels + (pv -> et.label)))
       }
@@ -887,7 +977,7 @@ object CypherEngine {
       // paths exist — clamp the bound instead of running empty levels
       val hiEff = if (et.src != et.dst) math.min(hi, 1) else hi
       val dist = distDf(et, lo, hiEff,
-        undirected = rel.dir == Undirected, reversed = !along, seeds)
+        undirected = rel.dir == Undirected, reversed = !along, seeds, all, withPath)
       var df = df1.join(dist, col(aKeyCol) === col("__ds"))
       var ctx2 = ctx1
       if (ctx1.labels.contains(bVar)) {
@@ -901,8 +991,8 @@ object CypherEngine {
         df = df.filter(col(s"${bVar}__$k") === literal(v))
       }
       df = df.withColumn(s"${pv}__len", col("__len"))
-        .withColumn(s"${pv}__nodes", col("__path"))
-        .drop("__ds", "__dd", "__len", "__path")
+      if (needNodes) df = df.withColumn(s"${pv}__nodes", col("__path"))
+      df = df.drop("__ds", "__dd", "__len", "__path")
       (df, ctx2.copy(paths = ctx2.paths + pv,
         pathRels = ctx2.pathRels + (pv -> et.label)))
     }
@@ -915,9 +1005,9 @@ object CypherEngine {
       * preserved under extension, so the greedy choice is the global one).
       */
     private def distDf(et: EdgeType, lo: Int, hi: Int,
-        undirected: Boolean, reversed: Boolean, seeds0: DataFrame): DataFrame = {
-      if (lo < 1 || hi < lo || hi > 10)
-        throw CypherException(s"shortestPath bounds out of range: *$lo..$hi")
+        undirected: Boolean, reversed: Boolean, seeds0: DataFrame,
+        keepAll: Boolean, withPath: Boolean): DataFrame = {
+      validatePathBounds(lo, hi)
       if (hi > 1 && et.src != et.dst)
         throw CypherException(s"shortestPath over ${et.label} needs ${et.src}=${et.dst}")
       val raw = store.edges(et.label)
@@ -950,15 +1040,31 @@ object CypherEngine {
       if (lo == 1 && keyComparator(keyType).isDefined &&
           e0.count() <= edgeCap &&
           (seeds.count() + 1L) * (e0.count() + 1L) <= LocalPathWorkCap) {
-        val out = localDist(e0, seeds, hi, keyType).localCheckpoint(true)
+        val out = localDist(e0, seeds, hi, keyType, keepAll, withPath)
+          .localCheckpoint(true)
         e0.unpersist(false)
         seeds.unpersist(false)
         return out
       }
-      val out = bfsFrames(e0, seeds, lo, hi)
+      val out = bfsFrames(e0, seeds, lo, hi, keepAll, withPath)
       e0.unpersist(false)
       seeds.unpersist(false)
       out
+    }
+
+    /** Shared bound validation for the shortestPath family. An open upper
+      * bound ([[Parser.Unbounded]]) is legal with `lo <= 1`: the BFS loop
+      * stops on frontier exhaustion, which the finite pair closure
+      * guarantees. `lo > 1` runs walk enumeration (no reached-set pruning),
+      * so it needs an explicit depth.
+      */
+    private def validatePathBounds(lo: Int, hi: Int): Unit = {
+      if (lo < 1 || hi < lo)
+        throw CypherException(s"shortestPath bounds out of range: *$lo..$hi")
+      if (lo > 1 && hi == Parser.Unbounded)
+        throw CypherException(
+          "shortestPath with a lower bound > 1 enumerates walks and needs " +
+            "an explicit upper bound (*lo..hi)")
     }
 
     /** Heterogeneous-label shortestPath support: BFS over an edge type
@@ -973,9 +1079,9 @@ object CypherEngine {
       * them back (`nodes(p)` renders `Label:key` strings).
       */
     private def heteroDistDf(et: EdgeType, lo: Int, hi: Int,
-        seeds0: DataFrame, seedLabel: String): DataFrame = {
-      if (lo < 1 || hi < lo || hi > 10)
-        throw CypherException(s"shortestPath bounds out of range: *$lo..$hi")
+        seeds0: DataFrame, seedLabel: String,
+        keepAll: Boolean, withPath: Boolean): DataFrame = {
+      validatePathBounds(lo, hi)
       val raw = store.edges(et.label)
       val mixedKeys = raw.schema(et.keyS).dataType != raw.schema(et.keyT).dataType
       def tag(l: String, c: Column): Column =
@@ -990,7 +1096,7 @@ object CypherEngine {
       val e0 = fwd.unionByName(bwd).persist(StorageLevel.MEMORY_AND_DISK)
       val seeds = seeds0.select(tag(seedLabel, col("__seed")).as("__seed"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val out = bfsFrames(e0, seeds, lo, hi)
+      val out = bfsFrames(e0, seeds, lo, hi, keepAll, withPath)
       e0.unpersist(false)
       seeds.unpersist(false)
       out
@@ -1006,27 +1112,46 @@ object CypherEngine {
       * __path)` frame, so callers may unpersist the inputs immediately.
       */
     private def bfsFrames(e0: DataFrame, seeds: DataFrame,
-        lo: Int, hi: Int): DataFrame = {
-      // one hop forward, carrying the path; keep one (lexicographically
-      // minimal) path per (src, dst) so the frontier never fans out beyond
-      // the pair closure
-      def oneHop(from: DataFrame): DataFrame = from.join(
+        lo: Int, hi: Int, keepAll: Boolean, withPath: Boolean): DataFrame = {
+      // one hop forward. Frontier discipline per mode:
+      //  - shortestPath + path read: keep ONE (lexicographically minimal)
+      //    path per (src, dst) — frontier bounded by the pair closure;
+      //  - shortestPath, length-only: no __path at all — the frontier rows
+      //    are (src, dst) pairs, the narrowest possible shuffle;
+      //  - allShortestPaths: keep EVERY distinct path per pair (the rows
+      //    ARE the result multiplicity). Fan-out is the shortest-path
+      //    count, still pruned by the reached-pair anti join — a level
+      //    never extends into already-reached pairs, so no path revisits a
+      //    node (its prefix would have reached it earlier).
+      def oneHop(from: DataFrame): DataFrame = {
+        val stepped = from.join(
           e0.withColumnRenamed("__ds", "__m").withColumnRenamed("__dd", "__dd2"),
           col("__dd") === col("__m"))
-        .select(col("__ds"), col("__dd2").as("__dd"),
-          concat(col("__path"), array(col("__dd2"))).as("__path"))
-        .groupBy("__ds", "__dd").agg(min(col("__path")).as("__path"))
+        if (!withPath)
+          stepped.select(col("__ds"), col("__dd2").as("__dd")).distinct()
+        else if (keepAll)
+          stepped.select(col("__ds"), col("__dd2").as("__dd"),
+            concat(col("__path"), array(col("__dd2"))).as("__path")).distinct()
+        else
+          stepped.select(col("__ds"), col("__dd2").as("__dd"),
+            concat(col("__path"), array(col("__dd2"))).as("__path"))
+            .groupBy("__ds", "__dd").agg(min(col("__path")).as("__path"))
+      }
       // first-hop frontier restricted to the bound sources, distinct'd
       // HERE — on the seed-bounded frontier, not the full edge frame
       // (intermediate hops still traverse every edge)
-      val e0p = e0.join(seeds, col("__ds") === col("__seed"), "left_semi")
+      val e0s = e0.join(seeds, col("__ds") === col("__seed"), "left_semi")
         .distinct()
-        .withColumn("__path", array(col("__ds"), col("__dd")))
+      val e0p = if (withPath)
+        e0s.withColumn("__path", array(col("__ds"), col("__dd"))) else e0s
       if (lo == 1) {
         var dist = e0p.withColumn("__len", lit(1L))
         var frontier = e0p
         var n = 2
         var exhausted = false
+        // an open upper bound ([[Parser.Unbounded]]) runs until the
+        // frontier exhausts — guaranteed finite because every level must
+        // reach at least one new (src, dst) pair of the finite closure
         while (n <= hi && !exhausted) {
           // localCheckpoint (eager) truncates lineage: each level's anti
           // join references the whole reached-set union, so without the cut
@@ -1054,7 +1179,9 @@ object CypherEngine {
         // pairs whose true distance is below lo must still surface at their
         // shortest admissible length, so BFS's reached-set pruning doesn't
         // apply; enumerate each admissible length instead (walk semantics,
-        // per-level distinct keeps growth bounded by the closure size)
+        // per-level distinct keeps growth bounded by the closure size).
+        // Walk enumeration needs the path even in length-only mode when
+        // keepAll (multiplicity); plain length-only still enumerates pairs.
         var cur = e0p
         for (_ <- 2 to lo) cur = oneHop(cur)
         var dist = cur.withColumn("__len", lit(lo.toLong))
@@ -1062,13 +1189,25 @@ object CypherEngine {
           cur = oneHop(cur)
           dist = dist.unionByName(cur.withColumn("__len", lit(n.toLong)))
         }
-        // min(struct) picks the shortest admissible length and its
-        // lexicographic-min path in one orderable aggregate
-        dist.groupBy("__ds", "__dd")
-          .agg(min(struct(col("__len"), col("__path"))).as("__m"))
-          .select(col("__ds"), col("__dd"),
-            col("__m.__len").as("__len"), col("__m.__path").as("__path"))
-          .localCheckpoint(true)
+        if (keepAll) {
+          // all rows at each pair's minimum admissible length
+          val mins = dist.groupBy("__ds", "__dd").agg(min(col("__len")).as("__minl"))
+          dist.join(mins, Seq("__ds", "__dd"))
+            .filter(col("__len") === col("__minl"))
+            .drop("__minl")
+            .localCheckpoint(true)
+        } else if (!withPath) {
+          dist.groupBy("__ds", "__dd").agg(min(col("__len")).as("__len"))
+            .localCheckpoint(true)
+        } else {
+          // min(struct) picks the shortest admissible length and its
+          // lexicographic-min path in one orderable aggregate
+          dist.groupBy("__ds", "__dd")
+            .agg(min(struct(col("__len"), col("__path"))).as("__m"))
+            .select(col("__ds"), col("__dd"),
+              col("__m.__len").as("__len"), col("__m.__path").as("__path"))
+            .localCheckpoint(true)
+        }
       }
     }
 
@@ -1081,7 +1220,7 @@ object CypherEngine {
       * UTF-8 bytes, matching Spark's UTF8String ordering).
       */
     private def localDist(e0: DataFrame, seeds: DataFrame, hi: Int,
-        kt: DataType): DataFrame = {
+        kt: DataType, keepAll: Boolean, withPath: Boolean): DataFrame = {
       val spark = e0.sparkSession
       val cmp = keyComparator(kt).get
       val maxLevel = hi.toLong
@@ -1112,37 +1251,89 @@ object CypherEngine {
           }
         }
         seedSet.iterator.flatMap { s =>
-          val reached = mutable.HashMap.empty[Any, (Long, Vector[Any])]
-          var frontier = mutable.HashMap.empty[Any, Vector[Any]]
-          adj.get(s).foreach(_.foreach { d =>
-            val p = Vector(s, d)
-            if (frontier.get(d).forall(q => pathOrd.compare(p, q) < 0))
-              frontier(d) = p
-          })
-          var level = 1L
-          frontier.foreach { case (d, p) => reached(d) = (level, p) }
-          while (level < maxLevel && frontier.nonEmpty) {
-            val next = mutable.HashMap.empty[Any, Vector[Any]]
-            frontier.foreach { case (d, p) =>
-              adj.get(d).foreach(_.foreach { d2 =>
-                if (!reached.contains(d2)) {
-                  val p2 = p :+ d2
-                  if (next.get(d2).forall(q => pathOrd.compare(p2, q) < 0))
-                    next(d2) = p2
-                }
-              })
+          if (keepAll) {
+            // allShortestPaths: keep EVERY distinct minimum-length path per
+            // destination (LinkedHashSet dedups duplicate parallel edges);
+            // the reached check still runs per level, so no path revisits
+            // a node — mirroring the distributed loop's pair anti join
+            val reached = mutable.HashMap.empty[Any, (Long, Vector[Vector[Any]])]
+            var frontier = mutable.HashMap.empty[Any, mutable.LinkedHashSet[Vector[Any]]]
+            adj.get(s).foreach(_.foreach { d =>
+              frontier.getOrElseUpdate(d, mutable.LinkedHashSet.empty) += Vector(s, d)
+            })
+            var level = 1L
+            frontier.foreach { case (d, ps) => reached(d) = (level, ps.toVector) }
+            while (level < maxLevel && frontier.nonEmpty) {
+              val next = mutable.HashMap.empty[Any, mutable.LinkedHashSet[Vector[Any]]]
+              frontier.foreach { case (d, ps) =>
+                adj.get(d).foreach(_.foreach { d2 =>
+                  if (!reached.contains(d2)) ps.foreach { p =>
+                    next.getOrElseUpdate(d2, mutable.LinkedHashSet.empty) += (p :+ d2)
+                  }
+                })
+              }
+              level += 1
+              next.foreach { case (d, ps) => reached(d) = (level, ps.toVector) }
+              frontier = next
             }
-            level += 1
-            next.foreach { case (d, p) => reached(d) = (level, p) }
-            frontier = next
+            reached.iterator.flatMap { case (d, (len, ps)) =>
+              ps.iterator.map(p => Row(s, d, len, p))
+            }
+          } else if (withPath) {
+            val reached = mutable.HashMap.empty[Any, (Long, Vector[Any])]
+            var frontier = mutable.HashMap.empty[Any, Vector[Any]]
+            adj.get(s).foreach(_.foreach { d =>
+              val p = Vector(s, d)
+              if (frontier.get(d).forall(q => pathOrd.compare(p, q) < 0))
+                frontier(d) = p
+            })
+            var level = 1L
+            frontier.foreach { case (d, p) => reached(d) = (level, p) }
+            while (level < maxLevel && frontier.nonEmpty) {
+              val next = mutable.HashMap.empty[Any, Vector[Any]]
+              frontier.foreach { case (d, p) =>
+                adj.get(d).foreach(_.foreach { d2 =>
+                  if (!reached.contains(d2)) {
+                    val p2 = p :+ d2
+                    if (next.get(d2).forall(q => pathOrd.compare(p2, q) < 0))
+                      next(d2) = p2
+                  }
+                })
+              }
+              level += 1
+              next.foreach { case (d, p) => reached(d) = (level, p) }
+              frontier = next
+            }
+            reached.iterator.map { case (d, (len, p)) => Row(s, d, len, p) }
+          } else {
+            // length-only: plain key-set BFS, no path bookkeeping at all
+            val reached = mutable.HashMap.empty[Any, Long]
+            var frontier = mutable.LinkedHashSet.empty[Any]
+            adj.get(s).foreach(_.foreach(frontier += _))
+            var level = 1L
+            frontier.foreach(d => reached(d) = level)
+            while (level < maxLevel && frontier.nonEmpty) {
+              val next = mutable.LinkedHashSet.empty[Any]
+              frontier.foreach { d =>
+                adj.get(d).foreach(_.foreach { d2 =>
+                  if (!reached.contains(d2)) next += d2
+                })
+              }
+              level += 1
+              next.foreach(d => reached(d) = level)
+              frontier = next
+            }
+            reached.iterator.map { case (d, len) => Row(s, d, len) }
           }
-          reached.iterator.map { case (d, (len, p)) => Row(s, d, len, p) }
         }
       }
-      spark.createDataFrame(rows, StructType(Seq(
+      val base = Seq(
         StructField("__ds", kt), StructField("__dd", kt),
-        StructField("__len", LongType, nullable = false),
-        StructField("__path", ArrayType(kt)))))
+        StructField("__len", LongType, nullable = false))
+      val schema =
+        if (withPath || keepAll) base :+ StructField("__path", ArrayType(kt))
+        else base
+      spark.createDataFrame(rows, StructType(schema))
     }
 
     /** Attach one OPTIONAL MATCH clause: assemble its paths independently
@@ -2052,8 +2243,9 @@ object CypherEngine {
             val (df, ctx) = state.getOrElse(
               throw CypherException("OPTIONAL MATCH cannot start a query"))
             state = Some(attachOptional(df, ctx, paths))
-          case ShortestPathClause(pv, p) =>
-            state = Some(shortestPathRead(state, pv, p))
+          case ShortestPathClause(pv, p, all) =>
+            state = Some(shortestPathRead(state, pv, p, all,
+              needNodes = pathUsesNodes(q, pv)))
           case UnwindClause(e, alias) =>
             state = Some(rowsParam(e) match {
               case Some(rows) =>

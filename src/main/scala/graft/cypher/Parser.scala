@@ -10,10 +10,17 @@ object Parser {
 
   final case class ParseException(msg: String) extends RuntimeException(msg)
 
-  /** Depth cap substituted for an open var-length upper bound (`*` / `*n..`);
-    * matches the closure compiler's enforced maximum.
+  /** Depth cap the bounded var-length CLOSURE compiler enforces for
+    * explicit upper bounds. Open upper bounds are no longer clamped here —
+    * they parse as [[Unbounded]] and the compiler decides: shortestPath /
+    * allShortestPaths run to frontier exhaustion; the plain var-length
+    * closure rejects them loudly (a silent clamp changed answers on deep
+    * graphs).
     */
   val MaxVarLength = 10
+
+  /** Sentinel for an open var-length upper bound (`*`, `*n..`, `*..`). */
+  val Unbounded: Int = Int.MaxValue
 
   // ----------------------------------------------------------------- tokens
   private sealed trait Tok
@@ -181,12 +188,13 @@ object Parser {
       case (Ident(pv), Sym("=")) if !keywords.contains(pv.toLowerCase) =>
         next(); next()
         val fn = ident()
-        if (!fn.equalsIgnoreCase("shortestPath"))
+        val all = fn.equalsIgnoreCase("allShortestPaths")
+        if (!all && !fn.equalsIgnoreCase("shortestPath"))
           throw ParseException(s"unsupported path function: $fn")
         eatSym("(")
         val p = pathPattern()
         eatSym(")")
-        ShortestPathClause(pv, p)
+        ShortestPathClause(pv, p, all)
       case _ => MatchClause(patternList(), optional = false)
     }
 
@@ -312,8 +320,9 @@ object Parser {
         }
         if (trySym("*")) {
           // Cypher: `*` = 1..unbounded, `*n` = exactly n, `*n..` = n..∞,
-          // `*..m` = 1..m. "Unbounded" is capped at the engine's max depth
-          // (the closure compiler enforces the same bound).
+          // `*..m` = 1..m. Open upper bounds parse as the [[Unbounded]]
+          // sentinel — never silently clamped; the compiler either runs to
+          // frontier exhaustion (shortestPath) or fails loudly (closure).
           val lo = peek match {
             case Num(s) => pos += 1; Some(s.toInt)
             case _ => None
@@ -324,7 +333,7 @@ object Parser {
               case _ => None // open upper bound
             }
             else lo // `*n` exact; bare `*` open
-          varLength = Some((lo.getOrElse(1), hi.getOrElse(MaxVarLength)))
+          varLength = Some((lo.getOrElse(1), hi.getOrElse(Unbounded)))
         }
         if (isSym("{")) props = propMap()
         eatSym("]")

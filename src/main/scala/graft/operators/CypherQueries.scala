@@ -285,6 +285,24 @@ object CypherQueries {
     "q85_cypher_hetero_shortest" -> cy(
       """MATCH p = shortestPath((o:Order {o_orderkey: 1})-[:CONTAINS*1..3]-(b:Part))
          RETURN toInteger(b.p_partkey) AS pk, length(p) AS len ORDER BY pk"""),
+    // UNBOUNDED shortestPath (bare `*`): the BFS runs to frontier
+    // exhaustion instead of a silent depth clamp — on the ring every node
+    // (including the source, via the cycle) is reached at its true
+    // distance. Oracle: recursive CTE capped at 25 levels, provably past
+    // the 25-node ring's diameter, so the cap cannot bite.
+    "q86_cypher_unbounded_shortest" -> ((s, dir) =>
+      CypherEngine(ringStore(s, dir)).run(
+        """MATCH p = shortestPath((a:Nation {n_nationkey: 0})-[:HOP*]->(b:Nation))
+           RETURN toInteger(b.n_nationkey) AS dst, length(p) AS len ORDER BY dst""")),
+    // allShortestPaths: one row per minimum-length path per endpoint pair;
+    // the +1/+5 ring has many equal-length step mixes, so the per-dst path
+    // counts are non-trivial. Bounded *1..4 keeps the DuckDB walk
+    // enumeration tiny while still exercising the keep-all frontier.
+    "q87_cypher_all_shortest" -> ((s, dir) =>
+      CypherEngine(ringStore(s, dir)).run(
+        """MATCH p = allShortestPaths((a:Nation {n_nationkey: 0})-[:HOP*1..4]->(b:Nation))
+           RETURN toInteger(b.n_nationkey) AS dst, length(p) AS len, count(*) AS paths
+           ORDER BY dst""")),
     // write clauses: graph built from empty purely through the reference's
     // verbatim injection Cypher, then read back through a pattern
     "q72_cypher_merge_inject" -> ((s, dir) =>
@@ -424,6 +442,45 @@ object CypherQueries {
                       row_number() OVER (PARTITION BY dst ORDER BY len, path) AS rn
                FROM bfs)
          WHERE rn = 1 ORDER BY dst""",
+    // UNION (set semantics) recursion: (dst, len) rows dedup against all
+    // prior iterations, so the CTE terminates without enumerating the 2^25
+    // walks; the 25-level guard is provably past the ring diameter, so the
+    // unbounded engine run and the capped oracle see identical minima
+    "q86_cypher_unbounded_shortest" ->
+      """WITH RECURSIVE hops AS (
+           SELECT n_nationkey AS src, (n_nationkey + 1) % 25 AS dst FROM nation
+           UNION ALL
+           SELECT n_nationkey AS src, (n_nationkey + 5) % 25 AS dst FROM nation
+         ), bfs(dst, len) AS (
+           SELECT dst, 1 AS len FROM hops WHERE src = 0
+           UNION
+           SELECT h.dst, b.len + 1 FROM bfs b JOIN hops h ON h.src = b.dst
+           WHERE b.len < 25
+         )
+         SELECT CAST(dst AS BIGINT) AS dst, CAST(min(len) AS BIGINT) AS len
+         FROM bfs GROUP BY 1 ORDER BY 1""",
+    // every minimum-length path per pair: enumerate the (tiny) <=4-hop walk
+    // set, keep walks at each dst's minimum length, count them — a
+    // minimum-length walk cannot revisit a node (its prefix would beat the
+    // minimum), so walk counting equals simple-path counting here, exactly
+    // the engine's reached-set BFS semantics
+    "q87_cypher_all_shortest" ->
+      """WITH RECURSIVE hops AS (
+           SELECT n_nationkey AS src, (n_nationkey + 1) % 25 AS dst FROM nation
+           UNION ALL
+           SELECT n_nationkey AS src, (n_nationkey + 5) % 25 AS dst FROM nation
+         ), walks(dst, len, path) AS (
+           SELECT dst, 1 AS len, [CAST(0 AS BIGINT), CAST(dst AS BIGINT)] AS path
+           FROM hops WHERE src = 0
+           UNION ALL
+           SELECT h.dst, w.len + 1, list_append(w.path, CAST(h.dst AS BIGINT))
+           FROM walks w JOIN hops h ON h.src = w.dst
+           WHERE w.len < 4
+         ), m AS (SELECT dst, min(len) AS len FROM walks GROUP BY 1)
+         SELECT CAST(w.dst AS BIGINT) AS dst, CAST(w.len AS BIGINT) AS len,
+                count(*) AS paths
+         FROM walks w JOIN m ON w.dst = m.dst AND w.len = m.len
+         GROUP BY 1, 2 ORDER BY 1""",
     "q82_cypher_untyped_multitype" ->
       """SELECT typ, cnt FROM (
            SELECT 'CONTAINS' AS typ,

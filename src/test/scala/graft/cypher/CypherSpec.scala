@@ -42,8 +42,8 @@ class CypherSpec extends SparkSpec {
 
   test("parser: bare *, open bounds, negative literals, string escapes") {
     def vl(q: String) = Parser.parse(q).patterns.head.hops.head._1.varLength
-    assert(vl("MATCH (a:P)-[:R*]->(b:P) RETURN a.x AS x") == Some((1, Parser.MaxVarLength)))
-    assert(vl("MATCH (a:P)-[:R*2..]->(b:P) RETURN a.x AS x") == Some((2, Parser.MaxVarLength)))
+    assert(vl("MATCH (a:P)-[:R*]->(b:P) RETURN a.x AS x") == Some((1, Parser.Unbounded)))
+    assert(vl("MATCH (a:P)-[:R*2..]->(b:P) RETURN a.x AS x") == Some((2, Parser.Unbounded)))
     assert(vl("MATCH (a:P)-[:R*..4]->(b:P) RETURN a.x AS x") == Some((1, 4)))
     assert(vl("MATCH (a:P)-[:R*3]->(b:P) RETURN a.x AS x") == Some((3, 3)))
     // negative literals survive as literals (usable in maps and IN lists)
@@ -677,6 +677,123 @@ class CypherSpec extends SparkSpec {
       val distributed = runAll()
       assert(distributed == local)
     } finally spark.conf.unset(CypherEngine.LocalPathEdgeCapKey)
+  }
+
+  test("unbounded *: shortestPath runs to exhaustion; plain patterns fail loud") {
+    spark
+    val st0 = CypherEngine(GraphStore.empty).execute(
+      "UNWIND $rows AS row MERGE (n:UB {sid: row.sid}) SET n += {sid: row.sid}",
+      Map("rows" -> (0L until 8L).map(i => Map[String, Any]("sid" -> i)))).store
+    val st = CypherEngine(st0).execute(
+      """UNWIND $rows AS row
+         MATCH (s:UB) WHERE s.sid = row.a
+         WITH s, row
+         MATCH (t:UB) WHERE t.sid = row.b
+         MERGE (s)-[r:GO]->(t)""",
+      Map("rows" -> (0L until 8L).flatMap(i =>
+        Seq(Map[String, Any]("a" -> i, "b" -> ((i + 1) % 8)),
+          Map[String, Any]("a" -> i, "b" -> ((i + 3) % 8)))))).store
+    val e = CypherEngine(st)
+    def rows(q: String): Seq[(Long, Long)] =
+      e.run(q).collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+    // the ring's diameter is < 6, so *1..6 is already exhaustive — the
+    // unbounded run must find exactly the same distances
+    val bounded = rows(
+      """MATCH p = shortestPath((a:UB {sid: 0})-[:GO*1..6]->(b:UB))
+         RETURN b.sid AS dst, length(p) AS len ORDER BY dst""")
+    val unbounded = rows(
+      """MATCH p = shortestPath((a:UB {sid: 0})-[:GO*]->(b:UB))
+         RETURN b.sid AS dst, length(p) AS len ORDER BY dst""")
+    // 8 destinations: the cycle brings the source back to itself (len 4)
+    assert(unbounded == bounded && unbounded.size == 8)
+    // same under the distributed strategy (conf kill switch)
+    spark.conf.set(CypherEngine.LocalPathEdgeCapKey, "0")
+    try assert(rows(
+      """MATCH p = shortestPath((a:UB {sid: 0})-[:GO*]->(b:UB))
+         RETURN b.sid AS dst, length(p) AS len ORDER BY dst""") == bounded)
+    finally spark.conf.unset(CypherEngine.LocalPathEdgeCapKey)
+    // a plain var-length pattern would enumerate walks: loud error, not a
+    // silent 10-hop clamp
+    val err = intercept[CypherEngine.CypherException](
+      e.run("MATCH (a:UB {sid: 0})-[:GO*]->(b:UB) RETURN count(*) AS c"))
+    assert(err.getMessage.contains("unbounded var-length"))
+    // lower bound > 1 with an open upper bound enumerates walks too
+    val err2 = intercept[CypherEngine.CypherException](
+      e.run("""MATCH p = shortestPath((a:UB {sid: 0})-[:GO*2..]->(b:UB))
+               RETURN length(p) AS len"""))
+    assert(err2.getMessage.contains("explicit upper bound"))
+  }
+
+  test("allShortestPaths: every minimum-length path, both strategies") {
+    spark
+    // diamond + tail: 1→{2,3}→4→5 — two equal shortest paths to 4 and 5
+    val st0 = CypherEngine(GraphStore.empty).execute(
+      "UNWIND $rows AS row MERGE (n:DM {sid: row.sid}) SET n += {sid: row.sid}",
+      Map("rows" -> (1L to 5L).map(i => Map[String, Any]("sid" -> i)))).store
+    val st = CypherEngine(st0).execute(
+      """UNWIND $rows AS row
+         MATCH (s:DM) WHERE s.sid = row.a
+         WITH s, row
+         MATCH (t:DM) WHERE t.sid = row.b
+         MERGE (s)-[r:GO]->(t)""",
+      Map("rows" -> Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+        .map { case (a, b) => Map[String, Any]("a" -> a, "b" -> b) })).store
+    val e = CypherEngine(st)
+    val q =
+      """MATCH p = allShortestPaths((a:DM {sid: 1})-[:GO*]->(b:DM))
+         RETURN b.sid AS dst, length(p) AS len, join(nodes(p), ',') AS path
+         ORDER BY dst, path"""
+    def run(): Seq[(Long, Long, String)] =
+      e.run(q).collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val local = run()
+    assert(local == Seq(
+      (2L, 1L, "1,2"), (3L, 1L, "1,3"),
+      (4L, 2L, "1,2,4"), (4L, 2L, "1,3,4"),
+      (5L, 3L, "1,2,4,5"), (5L, 3L, "1,3,4,5")))
+    spark.conf.set(CypherEngine.LocalPathEdgeCapKey, "0")
+    try assert(run() == local)
+    finally spark.conf.unset(CypherEngine.LocalPathEdgeCapKey)
+    // count(*) multiplicity without reading the path
+    val counts = e.run(
+      """MATCH p = allShortestPaths((a:DM {sid: 1})-[:GO*]->(b:DM))
+         RETURN b.sid AS dst, count(*) AS paths ORDER BY dst""").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(counts == Seq((2L, 1L), (3L, 1L), (4L, 2L), (5L, 2L)))
+  }
+
+  test("length-only shortestPath drops the path array from the plan") {
+    spark
+    val st0 = CypherEngine(GraphStore.empty).execute(
+      "UNWIND $rows AS row MERGE (n:DO {sid: row.sid}) SET n += {sid: row.sid}",
+      Map("rows" -> (0L until 6L).map(i => Map[String, Any]("sid" -> i)))).store
+    val st = CypherEngine(st0).execute(
+      """UNWIND $rows AS row
+         MATCH (s:DO) WHERE s.sid = row.a
+         WITH s, row
+         MATCH (t:DO) WHERE t.sid = row.b
+         MERGE (s)-[r:GO]->(t)""",
+      Map("rows" -> (0L until 6L).map(i =>
+        Map[String, Any]("a" -> i, "b" -> ((i + 1) % 6))))).store
+    val e = CypherEngine(st)
+    val lenOnly =
+      """MATCH p = shortestPath((a:DO {sid: 0})-[:GO*1..5]->(b:DO))
+         RETURN b.sid AS dst, length(p) AS len ORDER BY dst"""
+    val withNodes =
+      """MATCH p = shortestPath((a:DO {sid: 0})-[:GO*1..5]->(b:DO))
+         RETURN b.sid AS dst, length(p) AS len, nodes(p) AS path ORDER BY dst"""
+    def check(): Unit = {
+      val slim = e.run(lenOnly)
+      val full = e.run(withNodes)
+      // the BFS leaf of the length-only plan has no __path column at all
+      assert(!slim.queryExecution.optimizedPlan.toString.contains("__path"))
+      assert(full.queryExecution.optimizedPlan.toString.contains("__path"))
+      assert(slim.collect().toSeq.map(r => (r.getLong(0), r.getLong(1))) ==
+        full.collect().toSeq.map(r => (r.getLong(0), r.getLong(1))))
+    }
+    check() // local strategy
+    spark.conf.set(CypherEngine.LocalPathEdgeCapKey, "0")
+    try check() // distributed strategy
+    finally spark.conf.unset(CypherEngine.LocalPathEdgeCapKey)
   }
 
   test("unused endpoint node-store joins are elided (A/B pinned)") {
