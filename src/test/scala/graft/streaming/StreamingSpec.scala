@@ -4,6 +4,7 @@ import java.nio.file.Files
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -119,6 +120,51 @@ class StreamingSpec extends SparkSpec {
     assert(rows.length == 2)
     assert(rows.head.getAs[String]("event_type") == "upgrade")
     assert(rows(1).getAs[String]("event_type") == "view")
+  }
+
+  test("T7 e2e: multi-batch node+edge upsert converges to the batch-built store") {
+    implicit val sqlCtx = spark.sqlContext
+    // the real events fixture, driven through THREE micro-batches feeding
+    // BOTH incremental upserts at once, with batch-1 rows re-delivered in
+    // the last batch (late duplicates / at-least-once delivery); the
+    // resulting stores must equal the ones built from the full static
+    // frame in one shot
+    val events = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val all = events.as[(Long, Timestamp, Long, String, Double)].collect().toSeq
+    assert(all.size >= 100)
+    val (b1, rest) = all.splitAt(all.size / 3)
+    val (b2, b3) = rest.splitAt(rest.size / 3)
+    val tmp = Files.createTempDirectory("graft_e2e").toString
+    val nodeStore = tmp + "/nodes"
+    val edgeStore = tmp + "/edges"
+    val stream = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    def df = stream.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val qn = Streams.incrementalUpsert(df, spark, nodeStore, keyCol = "user_id").start()
+    val qe = Streams.incrementalEdgeUpsert(df, spark, edgeStore,
+      srcCol = "user_id", dstCol = "event_type").start()
+    Seq(b1, b2, b3 ++ b1.take(7)).foreach { b =>
+      stream.addData(b: _*)
+      qn.processAllAvailable()
+      qe.processAllAvailable()
+    }
+    qn.stop(); qe.stop()
+    // batch-built node store: A10 last-wins per user over the static frame
+    // ((user_id, ts) is unique in the fixture, so the winner is unique)
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc_nulls_last)
+    val wantNodes = events.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .as[(Long, Timestamp, Long, String, Double)].collect().toSet
+    val gotNodes = spark.read.parquet(nodeStore)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[(Long, Timestamp, Long, String, Double)].collect().toSet
+    assert(gotNodes == wantNodes)
+    // batch-built edge store: distinct (user, event_type) identities
+    val wantEdges = events.select("user_id", "event_type").distinct()
+      .as[(Long, String)].collect().toSet
+    val gotEdges = spark.read.parquet(edgeStore)
+      .as[(Long, String)].collect().toSet
+    assert(gotEdges == wantEdges)
   }
 
   test("T7b incremental edge upsert: stream merge equals batch M2 dedup") {
