@@ -19,6 +19,11 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // a typo'd query name would otherwise produce an empty dump that looks
+    // like a passing subset run
+    val unknown = only -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty)
+      sys.error(s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => only.isEmpty || only(kv._1))
         .foreach { case (name, fn) =>

@@ -191,8 +191,12 @@ object Modeler {
     * reference bundles vis-9.1.2 for the same reason).
     */
   def schemaHtml(schema: GraphSchema): String = {
+    // \r and the JS line separators U+2028/U+2029 terminate a JS string
+    // literal just like \n — a schema/table/column name carrying one would
+    // otherwise break the embedded script
     def js(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-      .replace("\n", "\\n").replace("<", "\\u003c")
+      .replace("\n", "\\n").replace("\r", "\\r").replace("<", "\\u003c")
+      .replace("\u2028", "\\u2028").replace("\u2029", "\\u2029")
     def q(s: String) = "\"" + js(s) + "\""
     val nodes = schema.nodes.map { n =>
       val preview = n.properties.take(5).mkString(", ") +
