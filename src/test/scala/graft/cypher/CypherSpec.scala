@@ -875,6 +875,41 @@ class CypherSpec extends SparkSpec {
       direct.map(k => (k, 1L)))
   }
 
+  test("hetero shortestPath composes with unbounded * and allShortestPaths") {
+    spark // empty-store writes resolve the session via SparkSession.active
+    // tiny bipartite store: left {1,2} – right {10,11,12}; 1-10, 1-11,
+    // 2-11, 2-12. From L:1 undirected: R:10,11 at 1; L:2 at 2 (via 11);
+    // R:12 at 3 (1-11-2-12 only). allShortestPaths to R:11 is a single
+    // path, but L:2 has two len-2 paths? No — only via 11 (2 shares just
+    // 11 with 1), so plant a second shared right node to get multiplicity.
+    val st0 = CypherEngine(GraphStore.empty).execute(
+      "UNWIND $rows AS row MERGE (n:HL {lid: row.lid}) SET n += {lid: row.lid}",
+      Map("rows" -> Seq(1L, 2L).map(i => Map[String, Any]("lid" -> i)))).store
+    val st1 = CypherEngine(st0).execute(
+      "UNWIND $rows AS row MERGE (n:HR {rid: row.rid}) SET n += {rid: row.rid}",
+      Map("rows" -> Seq(10L, 11L, 12L, 13L).map(i => Map[String, Any]("rid" -> i)))).store
+    val st = CypherEngine(st1).execute(
+      """UNWIND $rows AS row
+         MATCH (s:HL) WHERE s.lid = row.a
+         WITH s, row
+         MATCH (t:HR) WHERE t.rid = row.b
+         MERGE (s)-[r:OWNS]->(t)""",
+      Map("rows" -> Seq((1L, 10L), (1L, 11L), (1L, 13L), (2L, 11L), (2L, 13L), (2L, 12L))
+        .map { case (a, b) => Map[String, Any]("a" -> a, "b" -> b) })).store
+    val e = CypherEngine(st)
+    // unbounded undirected hetero BFS: R:12 found at distance 3 without a bound
+    val ub = e.run(
+      """MATCH p = shortestPath((a:HL {lid: 1})-[:OWNS*]-(b:HR))
+         RETURN toInteger(b.rid) AS rid, length(p) AS len ORDER BY rid""").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ub == Seq((10L, 1L), (11L, 1L), (12L, 3L), (13L, 1L)))
+    // allShortestPaths: two len-3 routes to R:12 (via 11 and via 13)
+    val all = e.run(
+      """MATCH p = allShortestPaths((a:HL {lid: 1})-[:OWNS*]-(b:HR {rid: 12}))
+         RETURN length(p) AS len, count(*) AS paths""").collect()
+    assert(all.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((3L, 2L)))
+  }
+
   test("graph introspection: labels/type/id/keys/properties") {
     val row = engine.run(
       """MATCH (n:Nation)-[r:IN_REGION]->(rg:Region)
