@@ -898,7 +898,11 @@ object CypherEngine {
         throw CypherException("shortestPath endpoints need variables"))
       val bVar = dstPat.variable.getOrElse(
         throw CypherException("shortestPath endpoints need variables"))
-      val (lo, hi) = rel.varLength.getOrElse((1, Parser.MaxVarLength))
+      // no var-length spec = a single-hop pattern (Neo4j semantics:
+      // shortestPath((a)-[:R]->(b)) matches length-1 paths only; the old
+      // silent 1..10 default reported multi-hop distances a plain pattern
+      // never asked for)
+      val (lo, hi) = rel.varLength.getOrElse((1, 1))
       // allShortestPaths rows ARE the distinct minimum-length paths, so the
       // path array must be carried even when nothing reads nodes(p); plain
       // shortestPath with only length(p) read drops it — the path is the

@@ -759,6 +759,25 @@ class CypherSpec extends SparkSpec {
          RETURN b.sid AS dst, count(*) AS paths ORDER BY dst""").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(counts == Seq((2L, 1L), (3L, 1L), (4L, 2L), (5L, 2L)))
+    // lower bound > 1: walk enumeration keeps ALL min admissible-length
+    // walks — to 5 with *2.., both 3-hop routes survive; to 4 the direct
+    // 2-hop pair is excluded so both len-2... are already >= lo, while 2
+    // (distance 1) resurfaces only via no admissible walk (no cycles here)
+    val lo2 = e.run(
+      """MATCH p = allShortestPaths((a:DM {sid: 1})-[:GO*2..4]->(b:DM))
+         RETURN b.sid AS dst, length(p) AS len, join(nodes(p), ',') AS path
+         ORDER BY dst, path""").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(lo2 == Seq(
+      (4L, 2L, "1,2,4"), (4L, 2L, "1,3,4"),
+      (5L, 3L, "1,2,4,5"), (5L, 3L, "1,3,4,5")))
+    // no-star shortestPath = single-hop pattern (Neo4j semantics), never a
+    // silent multi-hop search
+    val oneHop = e.run(
+      """MATCH p = shortestPath((a:DM {sid: 1})-[:GO]->(b:DM))
+         RETURN b.sid AS dst, length(p) AS len ORDER BY dst""").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(oneHop == Seq((2L, 1L), (3L, 1L)))
   }
 
   test("length-only shortestPath drops the path array from the plan") {
