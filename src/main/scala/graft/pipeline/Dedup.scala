@@ -154,14 +154,16 @@ object Dedup {
       case Some(o) => grouped0.observe(o, capped, maxSize)
       case None => grouped0.observe(s"graft_bucket_stats_${keys.mkString("_")}", capped, maxSize)
     }
-    val allPairs = flatten(transform(col("xs"), (a, i) =>
-      transform(slice(col("xs"), i + lit(2), size(col("xs"))),
-        b => struct(a.as("a"), b.as("b")))))
-    val starPairs = transform(slice(col("xs"), lit(2), size(col("xs")) - 1),
-      b => struct(element_at(col("xs"), 1).as("a"), b.as("b")))
+    // Pair expansion as two generators (posexplode the anchor, explode the
+    // tail slice) — nested `transform` lambdas evaluate interpreted, and at
+    // hundreds of thousands of pairs the per-element lambda dispatch is
+    // real wall time. Star pairs are exactly the anchor-index-0 subset of
+    // all pairs, so the cap becomes a row filter, not a second expression.
     grouped
-      .select(explode(when(size(col("xs")) <= cap, allPairs).otherwise(starPairs)).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .select(col("xs"), posexplode(col("xs")).as(Seq("__i", "a")))
+      .filter(size(col("xs")) <= cap || col("__i") === 0)
+      .select(col("a"),
+        explode(slice(col("xs"), col("__i") + lit(2), size(col("xs")))).as("b"))
   }
 
   /** Candidate near-duplicate pairs from LSH bucket co-membership
