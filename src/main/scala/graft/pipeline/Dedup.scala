@@ -143,7 +143,7 @@ object Dedup {
     * `max_bucket_size` — pass an [[org.apache.spark.sql.Observation]] to
     * read them after the action, e.g. to log or alert on cap hits).
     */
-  private[pipeline] def bucketPairs(df: DataFrame, keys: Seq[String], payload: Column,
+  private[graft] def bucketPairs(df: DataFrame, keys: Seq[String], payload: Column,
       cap: Int, obs: Option[org.apache.spark.sql.Observation]): DataFrame = {
     require(cap >= 2, s"bucket cap must be >= 2 (got $cap)")
     val grouped0 = df.groupBy(keys.map(col): _*).agg(array_sort(collect_set(payload)).as("xs"))

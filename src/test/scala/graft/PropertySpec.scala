@@ -67,6 +67,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bucketPairs equals brute-force pair/star expansion on random buckets") {
+    // pins the generator-based expansion (posexplode + tail-slice explode)
+    // against the definition: per group, sorted distinct members; all
+    // unordered pairs when |bucket| <= cap, else star pairs anchored at the
+    // minimum member
+    val bucketGen: Gen[List[(Long, Long)]] =
+      Gen.listOfN(80, for {
+        g <- Gen.choose(0L, 7L)
+        v <- Gen.choose(0L, 30L)
+      } yield (g, v))
+    val cap = 4
+    (1 to 5).foreach { seed =>
+      val rows = sample(bucketGen, seed + 500)
+      val df = rows.toDF("g", "id")
+      val got = graft.pipeline.Dedup
+        .bucketPairs(df, Seq("g"), col("id"), cap, None)
+        .as[(Long, Long)].collect().toSeq.sorted
+      val want = rows.groupBy(_._1).values.flatMap { grp =>
+        val xs = grp.map(_._2).distinct.sorted
+        if (xs.size <= 1) Nil
+        else if (xs.size <= cap)
+          for (i <- xs.indices; j <- i + 1 until xs.size) yield (xs(i), xs(j))
+        else xs.tail.map(b => (xs.head, b))
+      }.toSeq.sorted
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("timestamp decomposition roundtrips to second precision") {
     val tsGen = Gen.choose(0L, 4102444800L) // 1970..2100
     (1 to 5).foreach { seed =>
