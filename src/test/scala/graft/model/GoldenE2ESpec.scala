@@ -214,6 +214,18 @@ class GoldenE2ESpec extends SparkSpec {
     }
     // the embedded JSON must not break out of its script context
     assert(!html.replace("<script", "").replace("</script", "").contains("<scr"))
+
+    // hostile names: \r and the JS line separators U+2028/U+2029 terminate
+    // a JS string literal just like \n — they must reach the page escaped
+    import graft.graph.{EdgeType, GraphSchema, NodeType}
+    val hostile = Modeler.schemaHtml(GraphSchema(
+      Seq(NodeType("Bad\rName", "k ey", Seq("p rop"), Seq("t\nbl"))),
+      Seq(EdgeType("E\rdge", "Bad\rName", "Bad\rName", "k", "k"))))
+    Seq("\r", " ", " ").foreach { c =>
+      assert(!hostile.contains(c), s"raw ${c.map(_.toInt)} must not reach the page")
+    }
+    assert(hostile.contains("\\r") && hostile.contains("\\u2028") &&
+      hostile.contains("\\u2029"))
   }
 
   test("csv normalization: coerce-to-null and blob/string passthrough") {
