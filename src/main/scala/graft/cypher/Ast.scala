@@ -120,7 +120,11 @@ object Ast {
     * pair instead of the single lexicographic-min representative.
     */
   final case class ShortestPathClause(pathVar: String, path: PathPat,
-      all: Boolean = false) extends Reading
+      all: Boolean = false,
+      /** OPTIONAL MATCH p = shortestPath(...): rows with no path keep
+        * nulls for `p` (and an unbound far endpoint) instead of dropping.
+        */
+      optional: Boolean = false) extends Reading
 
   // ------------------------------------------------------------ write AST
   // The write subset covers exactly what the reference's injection pipeline

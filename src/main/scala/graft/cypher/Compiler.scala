@@ -184,7 +184,7 @@ object CypherEngine {
         st.reads.foreach {
           case MatchClause(paths, _) => paths.foreach(path(_, asRefs = false))
           case UnwindClause(e, a) => expr(e); refs += a
-          case ShortestPathClause(_, p, _) => path(p, asRefs = true)
+          case ShortestPathClause(_, p, _, _) => path(p, asRefs = true)
         }
         st.where.foreach(expr)
         st.projection.foreach(proj)
@@ -253,7 +253,7 @@ object CypherEngine {
             }
           }
           case UnwindClause(e, _) => expr(e)
-          case ShortestPathClause(_, p, _) =>
+          case ShortestPathClause(_, p, _, _) =>
             p.head.props.foreach { case (_, e) => expr(e) }
             p.hops.foreach { case (r, n) =>
               r.props.foreach { case (_, e) => expr(e) }
@@ -378,7 +378,7 @@ object CypherEngine {
           st.reads.map {
             case MatchClause(paths, opt) => MatchClause(paths.map(goPath), opt)
             case UnwindClause(e, a) => UnwindClause(go(e), a)
-            case ShortestPathClause(pv, p, all) => ShortestPathClause(pv, goPath(p), all)
+            case sp @ ShortestPathClause(_, p, _, _) => sp.copy(path = goPath(p))
           },
           st.where.map(go),
           st.projection.map(goProj),
@@ -890,9 +890,17 @@ object CypherEngine {
       * capped like var-length patterns, so depth is explicit in the plan.
       */
     private def shortestPathRead(state: Option[(DataFrame, Ctx)], pv: String,
-        path: PathPat, all: Boolean, needNodes: Boolean): (DataFrame, Ctx) = {
+        path: PathPat, all: Boolean, needNodes: Boolean,
+        optional: Boolean = false): (DataFrame, Ctx) = {
       if (path.hops.size != 1)
         throw CypherException("shortestPath expects a single relationship pattern")
+      // OPTIONAL semantics preserve rows of the ENCLOSING frame, so the
+      // start endpoint must already be bound there (an unbound `a` would
+      // itself be part of the optional pattern and need null-extension)
+      if (optional && !state.exists(_._2.labels.contains(
+          path.head.variable.getOrElse(""))))
+        throw CypherException(
+          "OPTIONAL MATCH shortestPath needs its start endpoint bound by a preceding MATCH")
       val (rel, dstPat) = path.hops.head
       val aVar = path.head.variable.getOrElse(
         throw CypherException("shortestPath endpoints need variables"))
@@ -943,26 +951,36 @@ object CypherEngine {
         val rawE = store.edges(et.label)
         val mixedKeys = rawE.schema(et.keyS).dataType != rawE.schema(et.keyT).dataType
         def k(c: Column): Column = if (mixedKeys) c.cast(StringType) else c
-        val dist = heteroDistDf(et, lo, hi, seeds, aLabel, all, withPath)
-        var df = df1.join(dist, col("__ds.__k") === k(col(aKeyCol)))
+        // Build the fully-resolved path frame FIRST (far endpoint joined /
+        // filtered into it), then attach it to the enclosing frame with
+        // ONE join — inner normally, left_outer under OPTIONAL (rows with
+        // no path keep nulls for p and an unbound b).
+        val bBound = ctx1.labels.contains(bVar)
+        var p = heteroDistDf(et, lo, hi, seeds, aLabel, all, withPath)
           .filter(col("__dd.__l") === lit(bLabel))
         var ctx2 = ctx1
-        if (ctx1.labels.contains(bVar)) {
-          df = df.filter(col("__dd.__k") ===
-            k(col(s"${bVar}__${store.schema.node(ctx1.labels(bVar)).key}")))
-        } else {
-          df = df.join(nodeDf(bVar, bLabel),
+        if (!bBound) {
+          p = p.join(nodeDf(bVar, bLabel),
             col("__dd.__k") === k(col(s"${bVar}__${store.schema.node(bLabel).key}")))
           ctx2 = ctx1.copy(labels = ctx1.labels + (bVar -> bLabel))
+          dstPat.props.foreach { case (pn, v) =>
+            p = p.filter(col(s"${bVar}__$pn") === literal(v))
+          }
         }
-        dstPat.props.foreach { case (p, v) =>
-          df = df.filter(col(s"${bVar}__$p") === literal(v))
-        }
-        df = df.withColumn(s"${pv}__len", col("__len"))
+        p = p.withColumn(s"${pv}__len", col("__len"))
         if (needNodes)
-          df = df.withColumn(s"${pv}__nodes", transform(col("__path"),
+          p = p.withColumn(s"${pv}__nodes", transform(col("__path"),
             s => concat_ws(":", s.getField("__l"), s.getField("__k").cast(StringType))))
-        df = df.drop("__ds", "__dd", "__len", "__path")
+        var cond = p("__ds").getField("__k") === k(col(aKeyCol))
+        if (bBound) {
+          cond = cond && (p("__dd").getField("__k") ===
+            k(col(s"${bVar}__${store.schema.node(ctx1.labels(bVar)).key}")))
+          dstPat.props.foreach { case (pn, v) =>
+            cond = cond && (col(s"${bVar}__$pn") === literal(v))
+          }
+        }
+        val df = df1.join(p, cond, if (optional) "left_outer" else "inner")
+          .drop("__ds", "__dd", "__len", "__path")
         return (df, ctx2.copy(paths = ctx2.paths + pv,
           pathRels = ctx2.pathRels + (pv -> et.label)))
       }
@@ -980,23 +998,33 @@ object CypherEngine {
       // (the dst label never matches the src label), so only length-1
       // paths exist — clamp the bound instead of running empty levels
       val hiEff = if (et.src != et.dst) math.min(hi, 1) else hi
-      val dist = distDf(et, lo, hiEff,
+      // same shape as the hetero branch: resolve the far endpoint into the
+      // path frame, then one (optionally left_outer) join onto the
+      // enclosing frame
+      val bBound = ctx1.labels.contains(bVar)
+      var p = distDf(et, lo, hiEff,
         undirected = rel.dir == Undirected, reversed = !along, seeds, all, withPath)
-      var df = df1.join(dist, col(aKeyCol) === col("__ds"))
       var ctx2 = ctx1
-      if (ctx1.labels.contains(bVar)) {
-        df = df.filter(col("__dd") === col(s"${bVar}__${store.schema.node(ctx1.labels(bVar)).key}"))
-      } else {
-        df = df.join(nodeDf(bVar, bLabel),
+      if (!bBound) {
+        p = p.join(nodeDf(bVar, bLabel),
           col("__dd") === col(s"${bVar}__${store.schema.node(bLabel).key}"))
         ctx2 = ctx1.copy(labels = ctx1.labels + (bVar -> bLabel))
+        dstPat.props.foreach { case (k, v) =>
+          p = p.filter(col(s"${bVar}__$k") === literal(v))
+        }
       }
-      dstPat.props.foreach { case (k, v) =>
-        df = df.filter(col(s"${bVar}__$k") === literal(v))
+      p = p.withColumn(s"${pv}__len", col("__len"))
+      if (needNodes) p = p.withColumn(s"${pv}__nodes", col("__path"))
+      var cond = col(aKeyCol) === p("__ds")
+      if (bBound) {
+        cond = cond &&
+          (p("__dd") === col(s"${bVar}__${store.schema.node(ctx1.labels(bVar)).key}"))
+        dstPat.props.foreach { case (k, v) =>
+          cond = cond && (col(s"${bVar}__$k") === literal(v))
+        }
       }
-      df = df.withColumn(s"${pv}__len", col("__len"))
-      if (needNodes) df = df.withColumn(s"${pv}__nodes", col("__path"))
-      df = df.drop("__ds", "__dd", "__len", "__path")
+      val df = df1.join(p, cond, if (optional) "left_outer" else "inner")
+        .drop("__ds", "__dd", "__len", "__path")
       (df, ctx2.copy(paths = ctx2.paths + pv,
         pathRels = ctx2.pathRels + (pv -> et.label)))
     }
@@ -2247,9 +2275,9 @@ object CypherEngine {
             val (df, ctx) = state.getOrElse(
               throw CypherException("OPTIONAL MATCH cannot start a query"))
             state = Some(attachOptional(df, ctx, paths))
-          case ShortestPathClause(pv, p, all) =>
+          case ShortestPathClause(pv, p, all, opt) =>
             state = Some(shortestPathRead(state, pv, p, all,
-              needNodes = pathUsesNodes(q, pv)))
+              needNodes = pathUsesNodes(q, pv), optional = opt))
           case UnwindClause(e, alias) =>
             state = Some(rowsParam(e) match {
               case Some(rows) =>

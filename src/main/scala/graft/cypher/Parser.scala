@@ -149,7 +149,10 @@ object Parser {
           if (tryKw("MATCH")) clauses :+= matchBody()
           else if (isKw("OPTIONAL")) {
             eatKw("OPTIONAL"); eatKw("MATCH")
-            clauses :+= MatchClause(patternList(), optional = true)
+            clauses :+= (matchBody() match {
+              case MatchClause(ps, _) => MatchClause(ps, optional = true)
+              case sp: ShortestPathClause => sp.copy(optional = true)
+            })
           } else if (tryKw("UNWIND")) {
             val e = expr(); eatKw("AS")
             clauses :+= UnwindClause(e, ident())

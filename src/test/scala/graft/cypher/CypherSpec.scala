@@ -780,6 +780,48 @@ class CypherSpec extends SparkSpec {
     assert(oneHop == Seq((2L, 1L), (3L, 1L)))
   }
 
+  test("OPTIONAL MATCH shortestPath keeps rows with no path as nulls") {
+    spark
+    // chain with a shortcut: 1→2→3→4, 1→4; node 4 has no outgoing edges
+    val st0 = CypherEngine(GraphStore.empty).execute(
+      "UNWIND $rows AS row MERGE (n:OP {sid: row.sid}) SET n += {sid: row.sid}",
+      Map("rows" -> Seq(1L, 2L, 3L, 4L).map(i => Map[String, Any]("sid" -> i)))).store
+    val st = CypherEngine(st0).execute(
+      """UNWIND $rows AS row
+         MATCH (s:OP) WHERE s.sid = row.a
+         WITH s, row
+         MATCH (t:OP) WHERE t.sid = row.b
+         MERGE (s)-[r:STEP]->(t)""",
+      Map("rows" -> Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+        .map { case (a, b) => Map[String, Any]("a" -> a, "b" -> b) })).store
+    val e = CypherEngine(st)
+    // unbound far endpoint with a prop filter: every source keeps its row;
+    // node 4 (no outgoing edges) gets a null length
+    val rows = e.run(
+      """MATCH (a:OP)
+         OPTIONAL MATCH p = shortestPath((a)-[:STEP*1..5]->(b:OP {sid: 4}))
+         RETURN a.sid AS src, length(p) AS len ORDER BY src""").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    assert(rows == Seq((1L, 1L), (2L, 2L), (3L, 1L), (4L, -1L)))
+    // both endpoints bound, unreachable pair: the row survives with null p
+    val bound = e.run(
+      """MATCH (a:OP {sid: 4}), (b:OP {sid: 1})
+         OPTIONAL MATCH p = shortestPath((a)-[:STEP*1..5]->(b))
+         RETURN a.sid AS src, b.sid AS dst, length(p) AS len""").collect()
+    assert(bound.length == 1 && bound.head.isNullAt(2))
+    // non-optional drops the row (control)
+    assert(e.run(
+      """MATCH (a:OP {sid: 4}), (b:OP {sid: 1})
+         MATCH p = shortestPath((a)-[:STEP*1..5]->(b))
+         RETURN length(p) AS len""").collect().isEmpty)
+    // optional start endpoint must be pre-bound: loud error otherwise
+    val err = intercept[CypherEngine.CypherException](e.run(
+      """MATCH (x:OP {sid: 1})
+         OPTIONAL MATCH p = shortestPath((a:OP)-[:STEP*1..5]->(b:OP))
+         RETURN length(p) AS len"""))
+    assert(err.getMessage.contains("start endpoint bound"))
+  }
+
   test("length-only shortestPath drops the path array from the plan") {
     spark
     val st0 = CypherEngine(GraphStore.empty).execute(
