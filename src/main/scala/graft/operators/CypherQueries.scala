@@ -107,6 +107,20 @@ object CypherQueries {
       nation.select(k.as("src"), ((k + 5) % 25).as("dst")))
   }
 
+  /** DAG variant of the ring (+1/+5 WITHOUT the wraparound): keys only
+    * increase, so high sources genuinely cannot reach low targets — the
+    * fixture for OPTIONAL shortestPath's null-preserving left join.
+    */
+  private def dagStore(s: SparkSession, dir: String): GraphStore = cachedStore("dag", dir) {
+    val nation = Tables.load(s, dir, "nation")
+    val k = col("n_nationkey")
+    val st = GraphWriter.mergeNodes(GraphStore.empty, "Nation",
+      nation.select(k, col("n_name")), Seq("n_nationkey"))
+    val hops = nation.filter(k + 1 < 25).select(k.as("src"), (k + 1).as("dst"))
+      .unionByName(nation.filter(k + 5 < 25).select(k.as("src"), (k + 5).as("dst")))
+    GraphWriter.mergeEdges(st, "HOP", "Nation", "Nation", "src", "dst", hops)
+  }
+
   private def injectedStore(s: SparkSession, dir: String): GraphStore = cachedStore("injected", dir) {
     def rowsOf(table: String, cols: Seq[String]): Seq[Map[String, Any]] =
       Tables.load(s, dir, table).select(cols.map(col): _*).collect()
@@ -303,6 +317,15 @@ object CypherQueries {
         """MATCH p = allShortestPaths((a:Nation {n_nationkey: 0})-[:HOP*1..4]->(b:Nation))
            RETURN toInteger(b.n_nationkey) AS dst, length(p) AS len, count(*) AS paths
            ORDER BY dst""")),
+    // OPTIONAL shortestPath over the DAG ring: sources at or past the
+    // target cannot reach it, and their rows must SURVIVE with a null
+    // length (left-join semantics) — oracle is the all-pairs BFS CTE
+    // left-joined back onto nation
+    "q88_cypher_optional_shortest" -> ((s, dir) =>
+      CypherEngine(dagStore(s, dir)).run(
+        """MATCH (a:Nation)
+           OPTIONAL MATCH p = shortestPath((a)-[:HOP*]->(b:Nation {n_nationkey: 12}))
+           RETURN toInteger(a.n_nationkey) AS src, length(p) AS len ORDER BY src""")),
     // write clauses: graph built from empty purely through the reference's
     // verbatim injection Cypher, then read back through a pattern
     "q72_cypher_merge_inject" -> ((s, dir) =>
@@ -481,6 +504,25 @@ object CypherQueries {
                 count(*) AS paths
          FROM walks w JOIN m ON w.dst = m.dst AND w.len = m.len
          GROUP BY 1, 2 ORDER BY 1""",
+    // all-pairs BFS over the DAG (terminates: keys only increase), best
+    // distance per pair, left-joined onto every nation so unreachable
+    // sources carry NULL — exactly the engine's OPTIONAL-join contract
+    "q88_cypher_optional_shortest" ->
+      """WITH RECURSIVE hops AS (
+           SELECT n_nationkey AS src, n_nationkey + 1 AS dst FROM nation
+           WHERE n_nationkey + 1 < 25
+           UNION ALL
+           SELECT n_nationkey AS src, n_nationkey + 5 AS dst FROM nation
+           WHERE n_nationkey + 5 < 25
+         ), bfs(src, dst, len) AS (
+           SELECT src, dst, 1 AS len FROM hops
+           UNION
+           SELECT b.src, h.dst, b.len + 1 FROM bfs b JOIN hops h ON h.src = b.dst
+           WHERE b.len < 25
+         ), best AS (SELECT src, dst, min(len) AS len FROM bfs GROUP BY 1, 2)
+         SELECT CAST(n.n_nationkey AS BIGINT) AS src, CAST(b.len AS BIGINT) AS len
+         FROM nation n LEFT JOIN best b ON b.src = n.n_nationkey AND b.dst = 12
+         ORDER BY 1""",
     "q82_cypher_untyped_multitype" ->
       """SELECT typ, cnt FROM (
            SELECT 'CONTAINS' AS typ,
