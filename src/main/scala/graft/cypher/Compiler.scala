@@ -211,6 +211,7 @@ object CypherEngine {
     var star = false
     def expr(e: Expr): Unit = e match {
       case Fn("length" | "size", Seq(Var(v)), _) if v == pv => ()
+      case IsNull(Var(v), _) if v == pv => () // matched-test needs only __len
       case Var(v) => if (v == pv) used = true
       case Prop(v, _) => if (v == pv) used = true
       case Fn(_, args, _) => args.foreach(expr)
@@ -1493,6 +1494,12 @@ object CypherEngine {
         case Lit(x) => lit(x)
         case Bin(op, l, r) => binop(op, c(l), c(r))
         case Not(x) => !c(x)
+        // `p IS [NOT] NULL` on a path variable tests whether the OPTIONAL
+        // shortestPath matched — the length column is the path's
+        // null-tracking representative (present in every mode, including
+        // distance-only)
+        case IsNull(Var(v), neg) if ctx.paths.contains(v) =>
+          if (neg) col(s"${v}__len").isNotNull else col(s"${v}__len").isNull
         case IsNull(x, neg) => if (neg) c(x).isNotNull else c(x).isNull
         // literal IN list → isin (Catalyst folds to an In predicate it can
         // push down); any other list-valued expr → array_contains

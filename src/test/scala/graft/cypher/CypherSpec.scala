@@ -814,6 +814,13 @@ class CypherSpec extends SparkSpec {
       """MATCH (a:OP {sid: 4}), (b:OP {sid: 1})
          MATCH p = shortestPath((a)-[:STEP*1..5]->(b))
          RETURN length(p) AS len""").collect().isEmpty)
+    // `p IS NOT NULL` filters the unmatched rows (and stays length-only)
+    val matched = e.run(
+      """MATCH (a:OP)
+         OPTIONAL MATCH p = shortestPath((a)-[:STEP*1..5]->(b:OP {sid: 4}))
+         WHERE p IS NOT NULL
+         RETURN a.sid AS src ORDER BY src""").collect().map(_.getLong(0)).toSeq
+    assert(matched == Seq(1L, 2L, 3L))
     // optional start endpoint must be pre-bound: loud error otherwise
     val err = intercept[CypherEngine.CypherException](e.run(
       """MATCH (x:OP {sid: 1})
