@@ -917,17 +917,24 @@ object CypherEngine {
       // shortestPath with only length(p) read drops it — the path is the
       // widest column in every BFS frontier shuffle
       val withPath = needNodes || all
-      val label = rel.labels match {
-        case Seq(l) => l
-        case Seq() => throw CypherException("shortestPath needs a relationship type")
-        case ls => throw CypherException(
-          s"shortestPath supports a single relationship type (got ${ls.mkString("|")})")
-      }
-      val et = store.schema.edges.find(_.label == label).getOrElse(
-        throw CypherException(s"unknown relationship type: $label"))
+      if (rel.labels.isEmpty)
+        throw CypherException("shortestPath needs a relationship type")
+      val ets = rel.labels.map(l => store.schema.edges.find(_.label == l).getOrElse(
+        throw CypherException(s"unknown relationship type: $l")))
+      val et = ets.head
+      val label = rel.labels.mkString("|")
       // bind the start endpoint (with its label/prop filters) into the frame
       val (df1, ctx1) = assemble(Seq(PathPat(path.head, Nil)), initial = state)
       val aLabel = ctx1.labels(aVar)
+      // type disjunction `[:A|B*…]`: each BFS step may take ANY of the
+      // types (mixed-type walks, same semantics as the var-length closure's
+      // type group). Supported for self-relationship types on the start
+      // label — heterogeneous disjunctions would need per-type label
+      // alternation and are rejected loudly.
+      if (ets.size > 1 && !ets.forall(e => e.src == aLabel && e.dst == aLabel))
+        throw CypherException(
+          s"shortestPath type disjunction needs $aLabel->$aLabel self-relationship types " +
+            s"(got ${ets.map(e => s"${e.label}:${e.src}->${e.dst}").mkString(", ")})")
       val wantB = ctx1.labels.get(bVar).orElse(dstPat.label)
       // Source seeding: the BFS only ever needs distances whose source the
       // bound start frame can produce, so hand the BFS the distinct start
@@ -1003,7 +1010,7 @@ object CypherEngine {
       // path frame, then one (optionally left_outer) join onto the
       // enclosing frame
       val bBound = ctx1.labels.contains(bVar)
-      var p = distDf(et, lo, hiEff,
+      var p = distDf(ets, lo, hiEff,
         undirected = rel.dir == Undirected, reversed = !along, seeds, all, withPath)
       var ctx2 = ctx1
       if (!bBound) {
@@ -1026,8 +1033,12 @@ object CypherEngine {
       }
       val df = df1.join(p, cond, if (optional) "left_outer" else "inner")
         .drop("__ds", "__dd", "__len", "__path")
-      (df, ctx2.copy(paths = ctx2.paths + pv,
-        pathRels = ctx2.pathRels + (pv -> et.label)))
+      // a disjunction path has no single relationship type, so pathRels
+      // stays unset — relationships(p) then fails loudly instead of
+      // fabricating one type for mixed-type hops
+      val pathRels2 =
+        if (ets.size == 1) ctx2.pathRels + (pv -> et.label) else ctx2.pathRels
+      (df, ctx2.copy(paths = ctx2.paths + pv, pathRels = pathRels2))
     }
 
     /** Minimum-hop (src, dst, len, path) rows within lo..hi over one edge
@@ -1037,16 +1048,22 @@ object CypherEngine {
       * lexicographic min per pair, and prefix-wise lexicographic order is
       * preserved under extension, so the greedy choice is the global one).
       */
-    private def distDf(et: EdgeType, lo: Int, hi: Int,
+    private def distDf(ets: Seq[EdgeType], lo: Int, hi: Int,
         undirected: Boolean, reversed: Boolean, seeds0: DataFrame,
         keepAll: Boolean, withPath: Boolean): DataFrame = {
       validatePathBounds(lo, hi)
-      if (hi > 1 && et.src != et.dst)
-        throw CypherException(s"shortestPath over ${et.label} needs ${et.src}=${et.dst}")
-      val raw = store.edges(et.label)
-      val fwd = raw.select(col(et.keyS).as("__ds"), col(et.keyT).as("__dd"))
-      val bwd = raw.select(col(et.keyT).as("__ds"), col(et.keyS).as("__dd"))
-      val base = if (undirected) fwd.unionByName(bwd) else if (reversed) bwd else fwd
+      ets.foreach { et =>
+        if (hi > 1 && et.src != et.dst)
+          throw CypherException(s"shortestPath over ${et.label} needs ${et.src}=${et.dst}")
+      }
+      // a type GROUP unions the edge sets before the BFS — each step may
+      // take any member type (mixed-type walks, the closure's semantics)
+      val base = ets.map { et =>
+        val raw = store.edges(et.label)
+        val fwd = raw.select(col(et.keyS).as("__ds"), col(et.keyT).as("__dd"))
+        val bwd = raw.select(col(et.keyT).as("__ds"), col(et.keyS).as("__dd"))
+        if (undirected) fwd.unionByName(bwd) else if (reversed) bwd else fwd
+      }.reduce(_.unionByName(_))
       // NOT distinct'd: that would shuffle the whole edge frame once per
       // query. Builder stores are pair-deduped already; residual duplicates
       // (write-path multi-edges, reciprocal pairs under the undirected
@@ -1522,7 +1539,9 @@ object CypherEngine {
           // derived from the node list: consecutive (src, dst) key pairs
           // plus the single relationship type the pattern traversed
           val ns = col(s"${v}__nodes")
-          val t = ctx.pathRels.getOrElse(v, "")
+          val t = ctx.pathRels.getOrElse(v, throw CypherException(
+            s"relationships($v) is not supported over a type disjunction — " +
+              "the path carries node keys only, not per-hop types"))
           transform(sequence(lit(1), size(ns) - 1), i =>
             struct(element_at(ns, i).as("src"),
               element_at(ns, i + lit(1)).as("dst"),

@@ -317,6 +317,14 @@ object CypherQueries {
         """MATCH p = allShortestPaths((a:Nation {n_nationkey: 0})-[:HOP*1..4]->(b:Nation))
            RETURN toInteger(b.n_nationkey) AS dst, length(p) AS len, count(*) AS paths
            ORDER BY dst""")),
+    // shortestPath through a TYPE DISJUNCTION: each BFS step may take
+    // either type (mixed-type walks over the two-type ring) — must equal
+    // the single-type ring's distances, since ring2's HOP ∪ JUMP is
+    // exactly ring's HOP edge set; same recursive-CTE oracle as q86
+    "q89_cypher_disjunction_shortest" -> ((s, dir) =>
+      CypherEngine(ring2Store(s, dir)).run(
+        """MATCH p = shortestPath((a:Nation {n_nationkey: 0})-[:HOP|JUMP*]->(b:Nation))
+           RETURN toInteger(b.n_nationkey) AS dst, length(p) AS len ORDER BY dst""")),
     // OPTIONAL shortestPath over the DAG ring: sources at or past the
     // target cannot reach it, and their rows must SURVIVE with a null
     // length (left-join semantics) — oracle is the all-pairs BFS CTE
@@ -504,6 +512,20 @@ object CypherQueries {
                 count(*) AS paths
          FROM walks w JOIN m ON w.dst = m.dst AND w.len = m.len
          GROUP BY 1, 2 ORDER BY 1""",
+    // identical CTE to q86: ring2's HOP ∪ JUMP is the ring's edge set
+    "q89_cypher_disjunction_shortest" ->
+      """WITH RECURSIVE hops AS (
+           SELECT n_nationkey AS src, (n_nationkey + 1) % 25 AS dst FROM nation
+           UNION ALL
+           SELECT n_nationkey AS src, (n_nationkey + 5) % 25 AS dst FROM nation
+         ), bfs(dst, len) AS (
+           SELECT dst, 1 AS len FROM hops WHERE src = 0
+           UNION
+           SELECT h.dst, b.len + 1 FROM bfs b JOIN hops h ON h.src = b.dst
+           WHERE b.len < 25
+         )
+         SELECT CAST(dst AS BIGINT) AS dst, CAST(min(len) AS BIGINT) AS len
+         FROM bfs GROUP BY 1 ORDER BY 1""",
     // all-pairs BFS over the DAG (terminates: keys only increase), best
     // distance per pair, left-joined onto every nation so unreachable
     // sources carry NULL — exactly the engine's OPTIONAL-join contract

@@ -780,6 +780,43 @@ class CypherSpec extends SparkSpec {
     assert(oneHop == Seq((2L, 1L), (3L, 1L)))
   }
 
+  test("shortestPath through a type disjunction takes either type per step") {
+    spark
+    // two types: FWD is 1→2→3→4 and BACK is 4→1; [:FWD|BACK*] mixes them
+    val st0 = CypherEngine(GraphStore.empty).execute(
+      "UNWIND $rows AS row MERGE (n:TD {sid: row.sid}) SET n += {sid: row.sid}",
+      Map("rows" -> (1L to 4L).map(i => Map[String, Any]("sid" -> i)))).store
+    def addEdges(st: GraphStore, t: String, pairs: Seq[(Long, Long)]) =
+      CypherEngine(st).execute(
+        s"""UNWIND $$rows AS row
+            MATCH (s:TD) WHERE s.sid = row.a
+            WITH s, row
+            MATCH (t:TD) WHERE t.sid = row.b
+            MERGE (s)-[r:$t]->(t)""",
+        Map("rows" -> pairs.map { case (a, b) => Map[String, Any]("a" -> a, "b" -> b) })).store
+    val st = addEdges(
+      addEdges(st0, "FWD", Seq((1L, 2L), (2L, 3L), (3L, 4L))),
+      "BACK", Seq((4L, 1L)))
+    val e = CypherEngine(st)
+    // from 2: FWD alone reaches 3,4; the disjunction continues 4-[BACK]->1
+    val rows = e.run(
+      """MATCH p = shortestPath((a:TD {sid: 2})-[:FWD|BACK*]->(b:TD))
+         RETURN b.sid AS dst, length(p) AS len ORDER BY dst""").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // incl. the cycle back to the source itself (2→3→4→1→2)
+    assert(rows == Seq((1L, 3L), (2L, 4L), (3L, 1L), (4L, 2L)))
+    // FWD alone cannot wrap around
+    val fwdOnly = e.run(
+      """MATCH p = shortestPath((a:TD {sid: 2})-[:FWD*]->(b:TD))
+         RETURN b.sid AS dst ORDER BY dst""").collect().map(_.getLong(0)).toSeq
+    assert(fwdOnly == Seq(3L, 4L))
+    // relationships(p) over a disjunction cannot fabricate one type
+    val err = intercept[CypherEngine.CypherException](e.run(
+      """MATCH p = shortestPath((a:TD {sid: 2})-[:FWD|BACK*]->(b:TD {sid: 1}))
+         RETURN relationships(p) AS rs"""))
+    assert(err.getMessage.contains("type disjunction"))
+  }
+
   test("OPTIONAL MATCH shortestPath keeps rows with no path as nulls") {
     spark
     // chain with a shortcut: 1→2→3→4, 1→4; node 4 has no outgoing edges
