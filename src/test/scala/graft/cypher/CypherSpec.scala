@@ -858,6 +858,14 @@ class CypherSpec extends SparkSpec {
          WHERE p IS NOT NULL
          RETURN a.sid AS src ORDER BY src""").collect().map(_.getLong(0)).toSeq
     assert(matched == Seq(1L, 2L, 3L))
+    // OPTIONAL composes with allShortestPaths: matched sources keep ALL
+    // their min-length paths, unmatched ones keep exactly one null row
+    val optAll = e.run(
+      """MATCH (a:OP)
+         OPTIONAL MATCH p = allShortestPaths((a)-[:STEP*]->(b:OP {sid: 4}))
+         RETURN a.sid AS src, count(length(p)) AS paths ORDER BY src""").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(optAll == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 0L)))
     // optional start endpoint must be pre-bound: loud error otherwise
     val err = intercept[CypherEngine.CypherException](e.run(
       """MATCH (x:OP {sid: 1})
