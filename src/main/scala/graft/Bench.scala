@@ -5,6 +5,27 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 object Bench {
+  /** Committed full-suite records (seconds) per sf-dir basename; a fresh
+    * full run that exceeds its record by >15% is flagged contended no
+    * matter what loadavg claimed. Update when a new record is committed
+    * to BASELINE.md.
+    */
+  val CommittedTotalSec: Map[String, Double] = Map("sf0.1" -> 59.9)
+
+  /** Contended-run predicate (pure; pinned by BenchSpec). `loadBefore > 2`
+    * is the empirically-idle threshold for this box: the round-6 driver
+    * run passed the old `cpus/4` (= 8) guard at load_before 2.99 yet
+    * measured 78.6 s where idle same-HEAD runs give 59.9-61.7 s. The
+    * second clause catches contention that arrives AFTER the load sample:
+    * a full-suite total >15% over the committed record is contaminated
+    * regardless of loadavg. (The old `loadAfter > cpus*1.5` clause could
+    * essentially never fire — the bench itself drives loadavg toward the
+    * core count — and was removed as dead weight.)
+    */
+  def isContended(loadBefore: Double, totalSec: Double,
+                  committedTotalSec: Option[Double]): Boolean =
+    loadBefore > 2.0 || committedTotalSec.exists(b => totalSec > b * 1.15)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -38,8 +59,8 @@ object Bench {
 
     // Load guard (round-5 lesson: a contended driver window produced a
     // 125 s "record" for a 68 s suite). Record the 1-minute loadavg before
-    // and after; flag the run when either exceeds cpus/4 so a contended
-    // run can never silently become the committed baseline.
+    // and after; [[isContended]] flags the run so a contended window can
+    // never silently become the committed baseline.
     def loadavg(): Double =
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split(" ")(0).toDouble
@@ -58,26 +79,30 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    var results = wanted.map { case (name, fn) => name -> time1(fn) }
-    // One-off noise damper: rerun the single most expensive query and keep
-    // the cheaper measurement — a GC pause or page-cache miss on one query
-    // shouldn't define the round's record. (Caches are warm by then, so
-    // the rerun measures the same steady state the rest of the suite did.)
-    if (results.nonEmpty) {
+    val results = wanted.map { case (name, fn) => name -> time1(fn) }
+    // Noise probe: rerun the single most expensive query and RECORD both
+    // timings without touching the headline numbers. (The pre-r7 damper
+    // kept the cheaper of the two, which biased the suite total downward
+    // for exactly one query — see ADVICE r6. A large first-vs-second gap
+    // diagnoses a GC pause / page-cache miss on that query.)
+    val rerunWorst = if (results.isEmpty) "" else {
       val (worstName, worstT) = results.maxBy(_._2)
       val again = time1(SparkEntry.queries(worstName))
-      if (again < worstT)
-        results = results.map { case (k, v) =>
-          if (k == worstName) k -> again else k -> v }
+      s""","rerun_worst":{"name":"$worstName","first":$worstT,"second":$again}"""
     }
     val loadAfter = loadavg()
-    val contended = loadBefore > cpus.toInt / 4.0 || loadAfter > cpus.toInt * 1.5
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Committed-record comparison only applies to full-suite runs (subset
+    // totals are not comparable to the record).
+    val committed = if (args.isEmpty)
+      CommittedTotalSec.get(java.nio.file.Paths.get(sfDir).getFileName.toString)
+    else None
+    val contended = isContended(loadBefore, total, committed)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter,""" +
-      s""""contended":$contended}"""
+      s""""contended":$contended$rerunWorst}"""
     println(json)
     // The driver captures a stdout TAIL, which has truncated early queries
     // in past rounds — always persist the complete per-query object too.

@@ -243,29 +243,29 @@ object CypherEngine {
       case SetPlus(v, m) => if (v == pv) used = true; m.foreach { case (_, e) => expr(e) }
       case SetProp(v, _, e) => if (v == pv) used = true; expr(e)
     }
+    def patProps(p: PathPat): Unit = {
+      p.head.props.foreach { case (_, e) => expr(e) }
+      p.hops.foreach { case (r, n) =>
+        r.props.foreach { case (_, e) => expr(e) }
+        n.props.foreach { case (_, e) => expr(e) }
+      }
+    }
     def go(q0: Query): Unit = {
       q0.stages.foreach { st =>
         st.reads.foreach {
-          case MatchClause(paths, _) => paths.foreach { p =>
-            p.head.props.foreach { case (_, e) => expr(e) }
-            p.hops.foreach { case (r, n) =>
-              r.props.foreach { case (_, e) => expr(e) }
-              n.props.foreach { case (_, e) => expr(e) }
-            }
-          }
+          case MatchClause(paths, _) => paths.foreach(patProps)
           case UnwindClause(e, _) => expr(e)
-          case ShortestPathClause(_, p, _, _) =>
-            p.head.props.foreach { case (_, e) => expr(e) }
-            p.hops.foreach { case (r, n) =>
-              r.props.foreach { case (_, e) => expr(e) }
-              n.props.foreach { case (_, e) => expr(e) }
-            }
+          case ShortestPathClause(_, p, _, _) => patProps(p)
         }
         st.where.foreach(expr)
         st.projection.foreach(proj)
         st.writes.foreach {
-          case CreateClause(_) => ()
-          case MergeClause(_, oc, om) => oc.foreach(setItem); om.foreach(setItem)
+          // pattern prop maps may reference the path (`CREATE (x {ns:
+          // nodes(p)})`) — visit them like MATCH patterns, else __nodes is
+          // dropped and compilation dies on an unresolved column
+          case CreateClause(paths) => paths.foreach(patProps)
+          case MergeClause(p0, oc, om) =>
+            patProps(p0); oc.foreach(setItem); om.foreach(setItem)
           case SetClause(items) => items.foreach(setItem)
           case DeleteClause(vars, _) => if (vars.contains(pv)) used = true
         }
@@ -923,8 +923,13 @@ object CypherEngine {
         throw CypherException(s"unknown relationship type: $l")))
       val et = ets.head
       val label = rel.labels.mkString("|")
-      // bind the start endpoint (with its label/prop filters) into the frame
-      val (df1, ctx1) = assemble(Seq(PathPat(path.head, Nil)), initial = state)
+      // bind the start endpoint (with its label/prop filters) into the
+      // frame. Under OPTIONAL the head props must NOT reduce the enclosing
+      // frame (rows failing them null-extend, like the dst-side props) —
+      // strip them here and fold them into the left_outer join condition
+      // below instead.
+      val headPat = if (optional) path.head.copy(props = Nil) else path.head
+      val (df1, ctx1) = assemble(Seq(PathPat(headPat, Nil)), initial = state)
       val aLabel = ctx1.labels(aVar)
       // type disjunction `[:A|B*…]`: each BFS step may take ANY of the
       // types (mixed-type walks, same semantics as the var-length closure's
@@ -942,7 +947,13 @@ object CypherEngine {
       // an all-pairs closure into single-source BFS — strictly less frontier
       // work at any scale; with an unselective one the semi-join is a no-op.
       val aKeyCol = s"${aVar}__${store.schema.node(aLabel).key}"
-      val seeds = df1.select(col(aKeyCol).as("__seed")).distinct()
+      // head props stripped under OPTIONAL still narrow the SEED set (a
+      // source failing them can never satisfy the join condition, so the
+      // BFS needn't explore it) — only the frame must keep its rows
+      val seedSrc = path.head.props.foldLeft(df1) { case (d, (pn, v)) =>
+        if (optional) d.filter(col(s"${aVar}__$pn") === literal(v)) else d
+      }
+      val seeds = seedSrc.select(col(aKeyCol).as("__seed")).distinct()
 
       if (et.src != et.dst && hi > 1 && rel.dir == Undirected) {
         // Heterogeneous labels (bipartite walk): undirected traversal
@@ -980,6 +991,9 @@ object CypherEngine {
           p = p.withColumn(s"${pv}__nodes", transform(col("__path"),
             s => concat_ws(":", s.getField("__l"), s.getField("__k").cast(StringType))))
         var cond = p("__ds").getField("__k") === k(col(aKeyCol))
+        if (optional) path.head.props.foreach { case (pn, v) =>
+          cond = cond && (col(s"${aVar}__$pn") === literal(v))
+        }
         if (bBound) {
           cond = cond && (p("__dd").getField("__k") ===
             k(col(s"${bVar}__${store.schema.node(ctx1.labels(bVar)).key}")))
@@ -1024,6 +1038,9 @@ object CypherEngine {
       p = p.withColumn(s"${pv}__len", col("__len"))
       if (needNodes) p = p.withColumn(s"${pv}__nodes", col("__path"))
       var cond = col(aKeyCol) === p("__ds")
+      if (optional) path.head.props.foreach { case (pn, v) =>
+        cond = cond && (col(s"${aVar}__$pn") === literal(v))
+      }
       if (bBound) {
         cond = cond &&
           (p("__dd") === col(s"${bVar}__${store.schema.node(ctx1.labels(bVar)).key}"))
@@ -1115,6 +1132,14 @@ object CypherEngine {
         throw CypherException(
           "shortestPath with a lower bound > 1 enumerates walks and needs " +
             "an explicit upper bound (*lo..hi)")
+      // walk enumeration builds one join stage per level with no
+      // reached-set pruning, so an explicit-but-huge upper bound
+      // (*2..100000) is a planning-time explosion, not a query — cap it
+      // like plain var-length patterns
+      if (lo > 1 && hi > Parser.MaxVarLength)
+        throw CypherException(
+          s"shortestPath with a lower bound > 1 enumerates walks level by " +
+            s"level; the upper bound must be <= ${Parser.MaxVarLength} (got *$lo..$hi)")
     }
 
     /** Heterogeneous-label shortestPath support: BFS over an edge type
@@ -1232,12 +1257,21 @@ object CypherEngine {
         // per-level distinct keeps growth bounded by the closure size).
         // Walk enumeration needs the path even in length-only mode when
         // keepAll (multiplicity); plain length-only still enumerates pairs.
-        var cur = e0p
-        for (_ <- 2 to lo) cur = oneHop(cur)
+        // per-level checkpoint + empty-frontier early exit: levels would
+        // otherwise chain join/groupBy stages into one compounding plan,
+        // and a frontier that dies (DAG exhausted) would still run the
+        // remaining levels as empty jobs
+        var cur = e0p.localCheckpoint(true)
+        var exhausted = cur.isEmpty
+        for (_ <- 2 to lo if !exhausted) {
+          cur = oneHop(cur).localCheckpoint(true)
+          exhausted = cur.isEmpty
+        }
         var dist = cur.withColumn("__len", lit(lo.toLong))
-        for (n <- lo + 1 to hi) {
-          cur = oneHop(cur)
-          dist = dist.unionByName(cur.withColumn("__len", lit(n.toLong)))
+        for (n <- lo + 1 to hi if !exhausted) {
+          cur = oneHop(cur).localCheckpoint(true)
+          if (cur.isEmpty) exhausted = true
+          else dist = dist.unionByName(cur.withColumn("__len", lit(n.toLong)))
         }
         if (keepAll) {
           // all rows at each pair's minimum admissible length

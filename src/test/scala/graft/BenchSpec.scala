@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the bench load-guard predicate (BASELINE.md's "never trust a
+  * contended window" rule). The round-6 driver artifact passed the old
+  * `load_before > cpus/4` (= 8) guard at load 2.99 yet measured 78.6 s
+  * where idle same-HEAD runs give 59.9-61.7 s — these cases make that
+  * exact miss impossible to repeat.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  test("idle run within the committed record is clean") {
+    assert(!Bench.isContended(1.2, 60.5, Some(59.9)))
+  }
+
+  test("load_before above 2 flags even when the old cpus/4 guard would not") {
+    // the round-6 miss: load 2.99 < 8 passed; must flag now
+    assert(Bench.isContended(2.99, 78.6, Some(59.9)))
+    assert(Bench.isContended(2.99, 78.6, None))
+  }
+
+  test("total >15% over the committed record flags regardless of loadavg") {
+    assert(Bench.isContended(0.5, 59.9 * 1.16, Some(59.9)))
+    assert(!Bench.isContended(0.5, 59.9 * 1.14, Some(59.9)))
+  }
+
+  test("subset runs (no committed record) rely on loadavg alone") {
+    assert(!Bench.isContended(1.9, 500.0, None))
+    assert(Bench.isContended(2.1, 1.0, None))
+  }
+}

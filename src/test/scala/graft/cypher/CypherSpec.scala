@@ -587,6 +587,12 @@ class CypherSpec extends SparkSpec {
       """MATCH p = shortestPath((a:SP {sid: 1})-[:STEP*2..5]->(b:SP {sid: 4}))
          RETURN length(p) AS len""").collect()
     assert(lo2.map(_.getLong(0)).toSeq == Seq(3L))
+    // lower bound > 1 enumerates walks level by level — a huge explicit
+    // upper bound is a planning-time explosion and must be refused
+    val capped = intercept[CypherEngine.CypherException](e.run(
+      """MATCH p = shortestPath((a:SP {sid: 1})-[:STEP*2..100000]->(b:SP {sid: 4}))
+         RETURN length(p) AS len"""))
+    assert(capped.getMessage.contains("must be <= 10"))
     // undirected reaches backwards in one hop
     val undir = e.run(
       """MATCH p = shortestPath((a:SP {sid: 4})-[:STEP*1..5]-(b:SP {sid: 3}))
@@ -872,6 +878,22 @@ class CypherSpec extends SparkSpec {
          OPTIONAL MATCH p = shortestPath((a:OP)-[:STEP*1..5]->(b:OP))
          RETURN length(p) AS len"""))
     assert(err.getMessage.contains("start endpoint bound"))
+    // head props on the OPTIONAL start endpoint null-extend non-matching
+    // rows instead of dropping them (pre-r7 they were applied as an inner
+    // pre-filter on the enclosing frame); dst behavior is the control
+    val headProps = e.run(
+      """MATCH (a:OP)
+         OPTIONAL MATCH p = shortestPath((a {sid: 1})-[:STEP*1..5]->(b:OP {sid: 4}))
+         RETURN a.sid AS src, length(p) AS len ORDER BY src""").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    assert(headProps == Seq((1L, 1L), (2L, -1L), (3L, -1L), (4L, -1L)))
+    // non-optional control: the same head props filter the frame
+    val headInner = e.run(
+      """MATCH (a:OP)
+         MATCH p = shortestPath((a {sid: 1})-[:STEP*1..5]->(b:OP {sid: 4}))
+         RETURN a.sid AS src, length(p) AS len""").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(headInner == Seq((1L, 1L)))
   }
 
   test("length-only shortestPath drops the path array from the plan") {

@@ -103,6 +103,25 @@ class CypherWriteSpec extends SparkSpec {
     assert(r.store.edges("KNOWS").count() == 1)
   }
 
+  test("nodes(p) inside CREATE/MERGE prop maps keeps the path column") {
+    // pathUsesNodes must visit write-pattern prop expressions: without it
+    // the __nodes column is dropped and compilation dies on an unresolved
+    // column (ADVICE r6)
+    val st = CypherEngine(GraphStore.empty).execute(
+      "CREATE (a:WP {wid: 1})-[:HOP]->(b:WP {wid: 2})").store
+    val r = CypherEngine(st).execute(
+      """MATCH p = shortestPath((a:WP {wid: 1})-[:HOP*1..3]->(b:WP {wid: 2}))
+         CREATE (s:WSum {sid: 1, nhops: size(nodes(p))})
+         RETURN size(nodes(p)) AS n""")
+    assert(r.result.collect().head.get(0).toString == "2")
+    val stored = r.store.nodes("WSum").collect()
+    assert(stored.length == 1 && stored.head.get(1).toString == "2")
+    val m = CypherEngine(st).execute(
+      """MATCH p = shortestPath((a:WP {wid: 1})-[:HOP*1..3]->(b:WP {wid: 2}))
+         MERGE (s:WSum {sid: size(nodes(p))})""")
+    assert(m.store.nodes("WSum").collect().head.get(0).toString == "2")
+  }
+
   test("standalone SET updates matched nodes in store and frame") {
     val base = CypherEngine(GraphStore.empty).execute(
       """UNWIND $rows AS row MERGE (n:Acct {aid: row.aid})
