@@ -37,6 +37,12 @@ object Ast {
   /** `reduce(acc = init, x IN coll | expr)` */
   final case class ReduceExpr(acc: String, init: Expr,
       variable: String, coll: Expr, step: Expr) extends Expr
+  /** `all/any/none/single(x IN coll WHERE pred)` — Cypher list predicates,
+    * the open text2cypher surface's idiomatic path filter
+    * (`WHERE all(n IN nodes(p) WHERE ...)`).
+    */
+  final case class ListPred(kind: String, variable: String,
+      coll: Expr, pred: Expr) extends Expr
   /** `list[idx]` — 0-based positive, negative from the end (Cypher) */
   final case class Index(coll: Expr, idx: Expr) extends Expr
   /** `$name` query parameter, bound at run time (reference:

@@ -145,6 +145,7 @@ object CypherEngine {
       case ListLit(xs) => xs.foreach(expr)
       case ListComp(_, coll, w, p) => expr(coll); w.foreach(expr); p.foreach(expr)
       case ReduceExpr(_, init, _, coll, step) => expr(init); expr(coll); expr(step)
+      case ListPred(_, _, coll, p) => expr(coll); expr(p)
       case Index(c, i) => expr(c); expr(i)
       case CaseExpr(s, bs, d) =>
         s.foreach(expr); bs.foreach { case (c, r) => expr(c); expr(r) }; d.foreach(expr)
@@ -222,6 +223,7 @@ object CypherEngine {
       case ListLit(xs) => xs.foreach(expr)
       case ListComp(_, coll, w, p) => expr(coll); w.foreach(expr); p.foreach(expr)
       case ReduceExpr(_, init, _, coll, step) => expr(init); expr(coll); expr(step)
+      case ListPred(_, _, coll, p) => expr(coll); expr(p)
       case Index(c, i) => expr(c); expr(i)
       case CaseExpr(s, bs, d) =>
         s.foreach(expr); bs.foreach { case (c, r) => expr(c); expr(r) }; d.foreach(expr)
@@ -349,6 +351,7 @@ object CypherEngine {
       case ListComp(v, coll, w, pr) => ListComp(v, go(coll), w.map(go), pr.map(go))
       case ReduceExpr(a, init, v, coll, step) =>
         ReduceExpr(a, go(init), v, go(coll), go(step))
+      case ListPred(k, v, coll, p) => ListPred(k, v, go(coll), go(p))
       case Index(coll, i) => Index(go(coll), go(i))
       case CaseExpr(s, bs, d) =>
         CaseExpr(s.map(go), bs.map { case (c, r) => (go(c), go(r)) }, d.map(go))
@@ -1473,6 +1476,7 @@ object CypherEngine {
         containsAgg(coll) || w.exists(containsAgg) || pr.exists(containsAgg)
       case ReduceExpr(_, init, _, coll, step) =>
         containsAgg(init) || containsAgg(coll) || containsAgg(step)
+      case ListPred(_, _, coll, p) => containsAgg(coll) || containsAgg(p)
       case Index(coll, i) => containsAgg(coll) || containsAgg(i)
       case CaseExpr(s, bs, d) =>
         s.exists(containsAgg) || d.exists(containsAgg) ||
@@ -1519,6 +1523,20 @@ object CypherEngine {
           val ls = if (elemIsString(coll, ctx, lamStr)) lamStr + x else lamStr - x
           aggregate(c(coll), c(init),
             (a, el) => columnL(step, ctx, lam + (acc -> a) + (x -> el), ls))
+        case ListPred(kind, x, coll, pred) =>
+          // list predicates ride the same HOF lambdas as comprehensions —
+          // interpreted, which is fine as a post-BFS filter on small path
+          // arrays; never put these in a per-level frontier (the q48
+          // lesson: HOF lambdas evaluate outside whole-stage codegen)
+          val cc = c(coll)
+          val ls = if (elemIsString(coll, ctx, lamStr)) lamStr + x else lamStr - x
+          def p(el: Column): Column = columnL(pred, ctx, lam + (x -> el), ls)
+          kind match {
+            case "all" => forall(cc, p)
+            case "any" => exists(cc, p)
+            case "none" => !exists(cc, p)
+            case "single" => size(filter(cc, el => p(el))) === 1
+          }
         case Index(coll, idx) =>
           // Cypher is 0-based from the front, negative from the back;
           // element_at is 1-based from the front, negative from the back
@@ -1780,6 +1798,8 @@ object CypherEngine {
           s"${pr.map(x => s" | ${genName(x)}").getOrElse("")}]"
       case ReduceExpr(a, init, v, coll, step) =>
         s"reduce($a = ${genName(init)}, $v IN ${genName(coll)} | ${genName(step)})"
+      case ListPred(k, v, coll, p) =>
+        s"$k($v IN ${genName(coll)} WHERE ${genName(p)})"
       case Index(coll, i) => s"${genName(coll)}[${genName(i)}]"
       case Param(n) => s"$$$n"
       case PatternPred(_) => "exists(pattern)"

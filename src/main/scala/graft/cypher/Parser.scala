@@ -22,6 +22,9 @@ object Parser {
   /** Sentinel for an open var-length upper bound (`*`, `*n..`, `*..`). */
   val Unbounded: Int = Int.MaxValue
 
+  /** The list-predicate function names (`all(x IN coll WHERE pred)` …). */
+  val ListPredKinds: Set[String] = Set("all", "any", "none", "single")
+
   // ----------------------------------------------------------------- tokens
   private sealed trait Tok
   private case class Ident(s: String) extends Tok // identifiers + keywords, original case
@@ -532,6 +535,16 @@ object Parser {
         val step = expr()
         eatSym(")")
         ReduceExpr(acc, init, x, coll, step)
+      case Ident(s) if ListPredKinds.contains(s.toLowerCase) && isSym("(") =>
+        // all/any/none/single(x IN coll WHERE pred) — list predicates
+        eatSym("(")
+        val x = ident()
+        eatKw("IN")
+        val coll = expr()
+        eatKw("WHERE")
+        val pred = expr()
+        eatSym(")")
+        ListPred(s.toLowerCase, x, coll, pred)
       case Ident(s) if s.equalsIgnoreCase("exists") && isSym("(") =>
         // exists((a)-[:R]->(b)) → pattern predicate;
         // exists(x.prop) → property-existence (IS NOT NULL)

@@ -334,6 +334,22 @@ object CypherQueries {
         """MATCH (a:Nation)
            OPTIONAL MATCH p = shortestPath((a)-[:HOP*]->(b:Nation {n_nationkey: 12}))
            RETURN toInteger(a.n_nationkey) AS src, length(p) AS len ORDER BY src""")),
+    // list predicates over the shortestPath node sequence — the open
+    // text2cypher surface's idiomatic path filter (reference:
+    // final/langraph_neo4j3.py:154-181 accepts arbitrary analytical
+    // questions, so generated Cypher spells path conditions as
+    // `WHERE all(x IN nodes(p) WHERE ...)`). The oracle re-derives the
+    // same lexicographic-min representative path (q80's CTE) and applies
+    // the four predicates with DuckDB list lambdas.
+    "q90_cypher_list_predicates" -> ((s, dir) =>
+      CypherEngine(ringStore(s, dir)).run(
+        """MATCH p = shortestPath((a:Nation {n_nationkey: 0})-[:HOP*1..10]->(b:Nation))
+           WHERE none(x IN nodes(p) WHERE x >= 23)
+           RETURN toInteger(b.n_nationkey) AS dst, length(p) AS len,
+                  toInteger(all(x IN nodes(p) WHERE x < 20)) AS all_low,
+                  toInteger(any(x IN nodes(p) WHERE x % 5 = 0)) AS has_mult5,
+                  toInteger(single(x IN nodes(p) WHERE x % 7 = 0)) AS one_mult7
+           ORDER BY dst""")),
     // write clauses: graph built from empty purely through the reference's
     // verbatim injection Cypher, then read back through a pattern
     "q72_cypher_merge_inject" -> ((s, dir) =>
@@ -473,6 +489,31 @@ object CypherQueries {
                       row_number() OVER (PARTITION BY dst ORDER BY len, path) AS rn
                FROM bfs)
          WHERE rn = 1 ORDER BY dst""",
+    // q80's representative-path CTE (min length, then lexicographic-min
+    // path — the engine's deterministic pick), with the four list
+    // predicates applied via DuckDB list lambdas on that same path
+    "q90_cypher_list_predicates" ->
+      """WITH RECURSIVE hops AS (
+           SELECT n_nationkey AS src, (n_nationkey + 1) % 25 AS dst FROM nation
+           UNION ALL
+           SELECT n_nationkey AS src, (n_nationkey + 5) % 25 AS dst FROM nation
+         ), bfs(dst, len, path) AS (
+           SELECT dst, 1 AS len, [CAST(0 AS BIGINT), CAST(dst AS BIGINT)] AS path
+           FROM hops WHERE src = 0
+           UNION ALL
+           SELECT h.dst, b.len + 1, list_append(b.path, CAST(h.dst AS BIGINT))
+           FROM bfs b JOIN hops h ON h.src = b.dst
+           WHERE b.len < 10
+         )
+         SELECT CAST(dst AS BIGINT) AS dst, CAST(len AS BIGINT) AS len,
+                CAST(len(list_filter(path, x -> x < 20)) = len(path) AS BIGINT) AS all_low,
+                CAST(len(list_filter(path, x -> x % 5 = 0)) > 0 AS BIGINT) AS has_mult5,
+                CAST(len(list_filter(path, x -> x % 7 = 0)) = 1 AS BIGINT) AS one_mult7
+         FROM (SELECT dst, len, path,
+                      row_number() OVER (PARTITION BY dst ORDER BY len, path) AS rn
+               FROM bfs)
+         WHERE rn = 1 AND len(list_filter(path, x -> x >= 23)) = 0
+         ORDER BY dst""",
     // UNION (set semantics) recursion: (dst, len) rows dedup against all
     // prior iterations, so the CTE terminates without enumerating the 2^25
     // walks; the 25-level guard is provably past the ring diameter, so the

@@ -562,6 +562,43 @@ class CypherSpec extends SparkSpec {
     assert(r.getString(6) == "NATION")
   }
 
+  test("list predicates all/any/none/single") {
+    val r = engine.run(
+      """MATCH (n:Nation) WHERE n.n_nationkey = 2
+         RETURN all(x IN [1, 2, 3] WHERE x > 0) AS a,
+                all(x IN [1, 2, 3] WHERE x > 1) AS a2,
+                any(x IN [1, 2, 3] WHERE x > 2) AS b,
+                any(x IN [1, 2, 3] WHERE x > 3) AS b2,
+                none(x IN [1, 2, 3] WHERE x > 3) AS c,
+                single(x IN [1, 2, 3] WHERE x = 2) AS d,
+                single(x IN [1, 2, 2] WHERE x = 2) AS e,
+                all(w IN split(n.n_name, '_') WHERE size(w) >= 1) AS str_lam""")
+      .collect().head
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getBoolean(2) && !r.getBoolean(3))
+    assert(r.getBoolean(4))
+    assert(r.getBoolean(5) && !r.getBoolean(6))
+    assert(r.getBoolean(7)) // lambda var typed as string via split()
+    // the idiomatic text2cypher path filter: WHERE all(x IN nodes(p) ...)
+    val st0 = CypherEngine(GraphStore.empty).execute(
+      "UNWIND $rows AS row MERGE (n:LP {sid: row.sid}) SET n += {sid: row.sid}",
+      Map("rows" -> Seq(1L, 2L, 3L, 4L).map(i => Map[String, Any]("sid" -> i)))).store
+    val st = CypherEngine(st0).execute(
+      """UNWIND $rows AS row
+         MATCH (s:LP) WHERE s.sid = row.a
+         WITH s, row
+         MATCH (t:LP) WHERE t.sid = row.b
+         MERGE (s)-[r:NXT]->(t)""",
+      Map("rows" -> Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+        .map { case (a, b) => Map[String, Any]("a" -> a, "b" -> b) })).store
+    val filtered = CypherEngine(st).run(
+      """MATCH p = shortestPath((a:LP {sid: 1})-[:NXT*1..5]->(b:LP))
+         WHERE all(x IN nodes(p) WHERE x < 4)
+         RETURN b.sid AS dst ORDER BY dst""").collect().map(_.getLong(0)).toSeq
+    // 1→4 (shortcut, contains 4) and 1→2→3→4 fail; 1→2, 1→2→3 pass
+    assert(filtered == Seq(2L, 3L))
+  }
+
   test("shortestPath: minimum hops, direction, bounds, undirected") {
     spark // empty-store writes resolve the session via SparkSession.active
     // ring with a shortcut: 1→2→3→4 and 1→4
