@@ -936,12 +936,16 @@ object CypherEngine {
       val aLabel = ctx1.labels(aVar)
       // type disjunction `[:A|B*…]`: each BFS step may take ANY of the
       // types (mixed-type walks, same semantics as the var-length closure's
-      // type group). Supported for self-relationship types on the start
-      // label — heterogeneous disjunctions would need per-type label
-      // alternation and are rejected loudly.
-      if (ets.size > 1 && !ets.forall(e => e.src == aLabel && e.dst == aLabel))
+      // type group). Self-relationship groups on the start label run the
+      // scalar-key BFS below; HETEROGENEOUS groups (types spanning
+      // different label pairs) run the label-tagged undirected BFS — a
+      // directed multi-hop walk over mixed label pairs cannot compose hops
+      // deterministically and is rejected loudly.
+      val selfOnA = ets.forall(e => e.src == aLabel && e.dst == aLabel)
+      if (ets.size > 1 && !selfOnA && !(hi > 1 && rel.dir == Undirected))
         throw CypherException(
-          s"shortestPath type disjunction needs $aLabel->$aLabel self-relationship types " +
+          s"a heterogeneous shortestPath type disjunction needs an undirected " +
+            s"var-length pattern " +
             s"(got ${ets.map(e => s"${e.label}:${e.src}->${e.dst}").mkString(", ")})")
       val wantB = ctx1.labels.get(bVar).orElse(dstPat.label)
       // Source seeding: the BFS only ever needs distances whose source the
@@ -958,27 +962,36 @@ object CypherEngine {
       }
       val seeds = seedSrc.select(col(aKeyCol).as("__seed")).distinct()
 
-      if (et.src != et.dst && hi > 1 && rel.dir == Undirected) {
-        // Heterogeneous labels (bipartite walk): undirected traversal
-        // alternates sides per hop, so `b` may carry either label — the
-        // annotated/bound label wins, else the far side. Node ids are
+      if (hi > 1 && rel.dir == Undirected && !selfOnA &&
+          (ets.size > 1 || et.src != et.dst)) {
+        // Heterogeneous labels (bipartite walk, or a type GROUP spanning
+        // different label pairs): undirected traversal may change node
+        // label per hop, so `b`'s label is the annotated/bound one — or,
+        // for a single bipartite type, the far side. Node ids are
         // label-tagged ([[heteroDistDf]]); keys project back out here.
-        if (et.src != aLabel && et.dst != aLabel)
+        if (!ets.exists(e => e.src == aLabel || e.dst == aLabel))
           throw CypherException(
             s"no relationship fits shortestPath(($aLabel)-[$label]-(${wantB.getOrElse("?")}))")
-        val bLabel = wantB.getOrElse(if (et.src == aLabel) et.dst else et.src)
-        if (bLabel != et.src && bLabel != et.dst)
+        val bLabel = wantB.getOrElse {
+          if (ets.size == 1) (if (et.src == aLabel) et.dst else et.src)
+          else throw CypherException(
+            s"a heterogeneous type disjunction [$label] can reach several " +
+              "labels — annotate or pre-bind the far endpoint")
+        }
+        if (!ets.exists(e => e.src == bLabel || e.dst == bLabel))
           throw CypherException(
             s"no relationship fits shortestPath(($aLabel)-[$label]-($bLabel))")
-        val rawE = store.edges(et.label)
-        val mixedKeys = rawE.schema(et.keyS).dataType != rawE.schema(et.keyT).dataType
+        // ONE tagged struct type must fit every member type's keys: cast
+        // all to string unless the key data types are identical group-wide
+        // (must agree with [[heteroDistDf]]'s tagging decision)
+        val mixedKeys = heteroMixedKeys(ets)
         def k(c: Column): Column = if (mixedKeys) c.cast(StringType) else c
         // Build the fully-resolved path frame FIRST (far endpoint joined /
         // filtered into it), then attach it to the enclosing frame with
         // ONE join — inner normally, left_outer under OPTIONAL (rows with
         // no path keep nulls for p and an unbound b).
         val bBound = ctx1.labels.contains(bVar)
-        var p = heteroDistDf(et, lo, hi, seeds, aLabel, all, withPath)
+        var p = heteroDistDf(ets, lo, hi, seeds, aLabel, all, withPath)
           .filter(col("__dd.__l") === lit(bLabel))
         var ctx2 = ctx1
         if (!bBound) {
@@ -1006,8 +1019,11 @@ object CypherEngine {
         }
         val df = df1.join(p, cond, if (optional) "left_outer" else "inner")
           .drop("__ds", "__dd", "__len", "__path")
+        // a disjunction path has no single relationship type —
+        // relationships(p) then fails loudly (same rule as the scalar BFS)
         return (df, ctx2.copy(paths = ctx2.paths + pv,
-          pathRels = ctx2.pathRels + (pv -> et.label)))
+          pathRels = if (ets.size == 1) ctx2.pathRels + (pv -> et.label)
+                     else ctx2.pathRels))
       }
 
       val fitsFwd = et.src == aLabel && wantB.forall(_ == et.dst)
@@ -1145,33 +1161,52 @@ object CypherEngine {
             s"level; the upper bound must be <= ${Parser.MaxVarLength} (got *$lo..$hi)")
     }
 
-    /** Heterogeneous-label shortestPath support: BFS over an edge type
-      * whose src/dst LABELS differ (e.g. the bipartite customer–part
-      * graph), where multi-hop traversal is necessarily undirected and
-      * alternates sides. Raw keys from the two label spaces may collide
-      * (customer 5 ≠ part 5), so node ids are label-TAGGED structs
-      * `(__l, __k)` — the same BFS then runs unchanged (struct keys join,
-      * group, and min() like scalars). When the two key types differ the
-      * keys are cast to string so the struct type unifies. Output
-      * `__ds`/`__dd`/`__path` carry tagged structs; the caller projects
-      * them back (`nodes(p)` renders `Label:key` strings).
+    /** True when the type group's edge-key columns span more than one data
+      * type — the tagged struct then carries string keys so one struct
+      * type fits every label (callers joining keys back out must apply
+      * the same cast).
       */
-    private def heteroDistDf(et: EdgeType, lo: Int, hi: Int,
+    private def heteroMixedKeys(ets: Seq[EdgeType]): Boolean =
+      ets.flatMap { et =>
+        val raw = store.edges(et.label)
+        Seq(raw.schema(et.keyS).dataType, raw.schema(et.keyT).dataType)
+      }.distinct.sizeIs > 1
+
+    /** Heterogeneous-label shortestPath support: BFS over a type GROUP
+      * whose src/dst LABELS differ or vary per member (a single bipartite
+      * type like customer–part, or a disjunction spanning different label
+      * pairs), where multi-hop traversal is necessarily undirected and may
+      * change node label per hop. Raw keys from different label spaces may
+      * collide (customer 5 ≠ part 5), so node ids are label-TAGGED structs
+      * `(__l, __k)` — the same BFS then runs unchanged (struct keys join,
+      * group, and min() like scalars). When key types differ anywhere in
+      * the group all keys are cast to string so one struct type unifies
+      * ([[heteroMixedKeys]]). Output `__ds`/`__dd`/`__path` carry tagged
+      * structs; the caller projects them back (`nodes(p)` renders
+      * `Label:key` strings).
+      */
+    private def heteroDistDf(ets: Seq[EdgeType], lo: Int, hi: Int,
         seeds0: DataFrame, seedLabel: String,
         keepAll: Boolean, withPath: Boolean): DataFrame = {
       validatePathBounds(lo, hi)
-      val raw = store.edges(et.label)
-      val mixedKeys = raw.schema(et.keyS).dataType != raw.schema(et.keyT).dataType
+      val mixedKeys = heteroMixedKeys(ets)
       def tag(l: String, c: Column): Column =
         struct(lit(l).as("__l"),
           (if (mixedKeys) c.cast(StringType) else c).as("__k"))
-      val fwd = raw.select(tag(et.src, col(et.keyS)).as("__ds"),
-        tag(et.dst, col(et.keyT)).as("__dd"))
-      val bwd = raw.select(tag(et.dst, col(et.keyT)).as("__ds"),
-        tag(et.src, col(et.keyS)).as("__dd"))
+      // a type GROUP unions every member's tagged edge set before the BFS
+      // — each step may take any member type (mixed-type walks, the same
+      // semantics as [[distDf]]'s scalar-key group)
+      val base = ets.map { et =>
+        val raw = store.edges(et.label)
+        val fwd = raw.select(tag(et.src, col(et.keyS)).as("__ds"),
+          tag(et.dst, col(et.keyT)).as("__dd"))
+        val bwd = raw.select(tag(et.dst, col(et.keyT)).as("__ds"),
+          tag(et.src, col(et.keyS)).as("__dd"))
+        fwd.unionByName(bwd)
+      }.reduce(_.unionByName(_))
       // not distinct'd — see distDf: label tags make fwd/bwd disjoint, the
       // store is pair-deduped, and the BFS dedups its own frontiers
-      val e0 = fwd.unionByName(bwd).persist(StorageLevel.MEMORY_AND_DISK)
+      val e0 = base.persist(StorageLevel.MEMORY_AND_DISK)
       val seeds = seeds0.select(tag(seedLabel, col("__seed")).as("__seed"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val out = bfsFrames(e0, seeds, lo, hi, keepAll, withPath)

@@ -334,6 +334,15 @@ object CypherQueries {
         """MATCH (a:Nation)
            OPTIONAL MATCH p = shortestPath((a)-[:HOP*]->(b:Nation {n_nationkey: 12}))
            RETURN toInteger(a.n_nationkey) AS src, length(p) AS len ORDER BY src""")),
+    // HETEROGENEOUS type-disjunction shortestPath: CONTAINS (Order→Part)
+    // and PLACED_BY (Order→Customer) span different label pairs, so the
+    // BFS runs over the UNION of both label-tagged edge sets and may
+    // change node label per hop. From order 1: its own customer at 1,
+    // customers of part-sharing orders at 3. Oracle: recursive CTE over
+    // the same tagged undirected union.
+    "q91_cypher_hetero_disjunction" -> cy(
+      """MATCH p = shortestPath((o:Order {o_orderkey: 1})-[:CONTAINS|PLACED_BY*1..3]-(c:Customer))
+         RETURN toInteger(c.c_custkey) AS ck, length(p) AS len ORDER BY ck"""),
     // list predicates over the shortestPath node sequence — the open
     // text2cypher surface's idiomatic path filter (reference:
     // final/langraph_neo4j3.py:154-181 accepts arbitrary analytical
@@ -489,6 +498,27 @@ object CypherQueries {
                       row_number() OVER (PARTITION BY dst ORDER BY len, path) AS rn
                FROM bfs)
          WHERE rn = 1 ORDER BY dst""",
+    // label-tagged undirected BFS over CONTAINS ∪ PLACED_BY, min distance
+    // per reached Customer — mirrors the engine's tagged-union frontier
+    "q91_cypher_hetero_disjunction" ->
+      """WITH RECURSIVE e(la, ka, lb, kb) AS (
+           SELECT 'O', l_orderkey, 'P', l_partkey
+           FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+           UNION ALL
+           SELECT 'O', o_orderkey, 'C', o_custkey FROM orders
+         ), und(la, ka, lb, kb) AS (
+           SELECT la, ka, lb, kb FROM e
+           UNION ALL
+           SELECT lb, kb, la, ka FROM e
+         ), walk(lbl, k, len) AS (
+           SELECT lb, kb, 1 AS len FROM und WHERE la = 'O' AND ka = 1
+           UNION
+           SELECT u.lb, u.kb, w.len + 1
+           FROM walk w JOIN und u ON u.la = w.lbl AND u.ka = w.k
+           WHERE w.len < 3
+         )
+         SELECT CAST(k AS BIGINT) AS ck, CAST(min(len) AS BIGINT) AS len
+         FROM walk WHERE lbl = 'C' GROUP BY 1 ORDER BY 1""",
     // q80's representative-path CTE (min length, then lexicographic-min
     // path — the engine's deterministic pick), with the four list
     // predicates applied via DuckDB list lambdas on that same path

@@ -1047,6 +1047,43 @@ class CypherSpec extends SparkSpec {
       direct.map(k => (k, 1L)))
   }
 
+  test("shortestPath through a heterogeneous type disjunction (tagged group BFS)") {
+    import org.apache.spark.sql.functions.col
+    // CONTAINS (Order→Part) and PLACED_BY (Order→Customer) span different
+    // label pairs: the BFS runs over the union of both tagged edge sets,
+    // changing node label per hop as the types allow
+    val res = engine.run(
+      """MATCH p = shortestPath((o:Order {o_orderkey: 1})-[:CONTAINS|PLACED_BY*1..3]-(c:Customer))
+         RETURN toInteger(c.c_custkey) AS ck, length(p) AS len ORDER BY ck""").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // expected closure: order 1's own customer at 1; customers of orders
+    // sharing a part with order 1 at 3 (len-2 nodes are Orders/Parts only)
+    val own = store.edges("PLACED_BY").filter(col("o_orderkey") === 1)
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    val parts = store.edges("CONTAINS").filter(col("l_orderkey") === 1)
+      .select("l_partkey").collect().map(_.getLong(0)).toSet
+    val coOrders = store.edges("CONTAINS")
+      .filter(col("l_partkey").isin(parts.toSeq: _*))
+      .select("l_orderkey").collect().map(_.getLong(0)).toSet
+    val viaParts = store.edges("PLACED_BY")
+      .filter(col("o_orderkey").isin(coOrders.toSeq: _*))
+      .select("o_custkey").collect().map(_.getLong(0)).toSet -- own
+    val expected =
+      (own.map(_ -> 1L) ++ viaParts.map(_ -> 3L)).toSeq.sortBy(_._1)
+    assert(res == expected)
+    // the far endpoint's label is ambiguous in a heterogeneous group:
+    // an unannotated endpoint rejects loudly
+    val err = intercept[CypherEngine.CypherException](engine.run(
+      """MATCH p = shortestPath((o:Order {o_orderkey: 1})-[:CONTAINS|PLACED_BY*1..3]-(x))
+         RETURN length(p) AS len"""))
+    assert(err.getMessage.contains("annotate or pre-bind"))
+    // a DIRECTED heterogeneous disjunction cannot compose hops
+    val err2 = intercept[CypherEngine.CypherException](engine.run(
+      """MATCH p = shortestPath((o:Order {o_orderkey: 1})-[:CONTAINS|PLACED_BY*1..3]->(c:Customer))
+         RETURN length(p) AS len"""))
+    assert(err2.getMessage.contains("undirected"))
+  }
+
   test("hetero shortestPath composes with unbounded * and allShortestPaths") {
     spark // empty-store writes resolve the session via SparkSession.active
     // tiny bipartite store: left {1,2} – right {10,11,12}; 1-10, 1-11,
