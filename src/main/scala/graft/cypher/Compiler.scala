@@ -299,6 +299,12 @@ object CypherEngine {
     */
   private val LocalPathWorkCap: Long = 10L * 1000 * 1000
 
+  /** Spark-conf key for the loud (never silent) budget on open-bound
+    * relationship-unique path enumeration (`[:R*]` outside shortestPath).
+    */
+  val UniqueWalkMaxPathsKey = "graft.varLength.maxPaths"
+  private val UniqueWalkMaxPaths = 10L * 1000 * 1000
+
   /** Orders node-key values the way Spark orders them inside `min(__path)`:
     * integral types numerically, strings as unsigned UTF-8 bytes (Spark
     * compares `UTF8String` binary, NOT java.lang.String UTF-16 order — they
@@ -602,12 +608,13 @@ object CypherEngine {
       * ([[enumerate]] drops interpretations whose lower bound needs more).
       */
     private def closure(ets: Seq[EdgeType], lo: Int, hi: Int): DataFrame = {
-      if (hi == Parser.Unbounded)
-        throw CypherException(
-          "unbounded var-length (*) is only supported inside shortestPath/" +
-            "allShortestPaths (which run to frontier exhaustion); a plain " +
-            "pattern enumerates walks, so give an explicit upper bound (*1..n, " +
-            s"n <= ${Parser.MaxVarLength})")
+      if (hi == Parser.Unbounded) {
+        // a heterogeneous group cannot compose steps (dst label never
+        // matches the next src label), so the open bound degenerates to
+        // the single-hop closure — same cap as the bounded branch below
+        if (ets.exists(e => e.src != e.dst)) return closure(ets, lo, math.max(lo, 1))
+        return uniqueWalkClosure(ets, lo)
+      }
       if (lo < 1 || hi < lo || hi > Parser.MaxVarLength)
         throw CypherException(s"var-length bounds out of range: *$lo..$hi")
       val effHi = if (ets.exists(e => e.src != e.dst)) 1 else hi
@@ -626,6 +633,73 @@ object CypherEngine {
         }
       }
       chains.reduce(_.unionByName(_))
+    }
+
+    /** One row per RELATIONSHIP-UNIQUE path of length >= `lo` over the
+      * type group — Neo4j's semantics for an open-bound plain pattern
+      * (`[:R*]` outside shortestPath): a path never traverses the same
+      * relationship twice, so length is bounded by the edge count and the
+      * level-synchronous expansion terminates on frontier exhaustion even
+      * on cyclic graphs. Each frontier row carries its visited-edge set
+      * (edge identity = (type, src, dst) — parallel duplicates within one
+      * type count once) and each expansion anti-filters against it with a
+      * codegen'd `array_contains`. Per-level localCheckpoint keeps the
+      * loop's plan flat, exactly like the BFS loops.
+      *
+      * This is inherently ENUMERATIVE: on a cyclic graph the path count
+      * can be exponential in cycle overlap (true in Neo4j as well — the
+      * semantics, not the implementation, is the cost). The cumulative
+      * path count is therefore checked against a conf-gated budget
+      * ([[UniqueWalkMaxPathsKey]], default 10M) and the query FAILS LOUDLY
+      * when exceeded, pointing at the bounded form — never a silent
+      * truncation. See SCALING.md.
+      */
+    private def uniqueWalkClosure(ets: Seq[EdgeType], lo: Int): DataFrame = {
+      if (lo < 1)
+        throw CypherException(s"var-length bounds out of range: *$lo..")
+      val e = ets.zipWithIndex.map { case (et, ti) =>
+        store.edges(et.label).select(
+          col(et.keyS).as("__cs"), col(et.keyT).as("__cd"),
+          // one struct type must fit every member type's keys
+          struct(lit(ti).as("__t"), col(et.keyS).cast(StringType).as("__es"),
+            col(et.keyT).cast(StringType).as("__ed")).as("__eid"))
+      }.reduce(_.unionByName(_)).persist(StorageLevel.MEMORY_AND_DISK)
+      val e2 = e.select(col("__cs").as("__m"), col("__cd").as("__cd2"),
+        col("__eid").as("__eid2"))
+      val maxPaths = e.sparkSession.conf.getOption(UniqueWalkMaxPathsKey)
+        .map(_.toLong).getOrElse(UniqueWalkMaxPaths)
+      var frontier = e.select(col("__cs"), col("__cd"),
+        array(col("__eid")).as("__seen")).localCheckpoint(true)
+      val empty = frontier.select(col("__cs"), col("__cd")).limit(0)
+      var paths = frontier.count()
+      var acc = if (lo <= 1) frontier.select("__cs", "__cd") else null
+      var len = 1
+      var done = paths == 0
+      while (!done) {
+        val next = frontier.join(e2, col("__cd") === col("__m") &&
+            !array_contains(col("__seen"), col("__eid2")))
+          .select(col("__cs"), col("__cd2").as("__cd"),
+            concat(col("__seen"), array(col("__eid2"))).as("__seen"))
+          .localCheckpoint(true)
+        val n = next.count()
+        len += 1
+        if (n == 0) done = true
+        else {
+          paths += n
+          if (paths > maxPaths)
+            throw CypherException(
+              s"open-bound var-length enumerated more than $maxPaths " +
+                s"relationship-unique paths by length $len — bound the " +
+                s"pattern (*1..n) or raise $UniqueWalkMaxPathsKey")
+          if (len >= lo) {
+            val rows = next.select("__cs", "__cd")
+            acc = if (acc == null) rows else acc.unionByName(rows)
+          }
+          frontier = next
+        }
+      }
+      e.unpersist(false)
+      if (acc == null) empty else acc
     }
 
     /** Bind all patterns into one DataFrame. `seedLabels` carries label

@@ -121,6 +121,21 @@ object CypherQueries {
     GraphWriter.mergeEdges(st, "HOP", "Nation", "Nation", "src", "dst", hops)
   }
 
+  /** Short DAG (+1/+4 below 13) — the open-bound PLAIN var-length fixture:
+    * on a DAG relationship-unique enumeration equals simple path counting
+    * (no edge can recur), and the 12-level longest chain keeps the
+    * per-level enumeration loop cheap in the bench.
+    */
+  private def dagShortStore(s: SparkSession, dir: String): GraphStore = cachedStore("dagS", dir) {
+    val nation = Tables.load(s, dir, "nation")
+    val k = col("n_nationkey")
+    val st = GraphWriter.mergeNodes(GraphStore.empty, "Nation",
+      nation.filter(k < 13).select(k, col("n_name")), Seq("n_nationkey"))
+    val hops = nation.filter(k + 1 < 13).select(k.as("src"), (k + 1).as("dst"))
+      .unionByName(nation.filter(k + 4 < 13).select(k.as("src"), (k + 4).as("dst")))
+    GraphWriter.mergeEdges(st, "HOP", "Nation", "Nation", "src", "dst", hops)
+  }
+
   private def injectedStore(s: SparkSession, dir: String): GraphStore = cachedStore("injected", dir) {
     def rowsOf(table: String, cols: Seq[String]): Seq[Map[String, Any]] =
       Tables.load(s, dir, table).select(cols.map(col): _*).collect()
@@ -334,6 +349,14 @@ object CypherQueries {
         """MATCH (a:Nation)
            OPTIONAL MATCH p = shortestPath((a)-[:HOP*]->(b:Nation {n_nationkey: 12}))
            RETURN toInteger(a.n_nationkey) AS src, length(p) AS len ORDER BY src""")),
+    // open-bound PLAIN var-length ([:R*] outside shortestPath): one row
+    // per relationship-unique path, Neo4j semantics, run to frontier
+    // exhaustion. On the short DAG path counting equals walk counting
+    // (no cycle can reuse an edge), which the recursive-CTE oracle counts.
+    "q92_cypher_unbounded_varlen" -> ((s, dir) =>
+      CypherEngine(dagShortStore(s, dir)).run(
+        """MATCH (a:Nation {n_nationkey: 0})-[:HOP*]->(b:Nation)
+           RETURN toInteger(b.n_nationkey) AS dst, count(*) AS paths ORDER BY dst""")),
     // HETEROGENEOUS type-disjunction shortestPath: CONTAINS (Order→Part)
     // and PLACED_BY (Order→Customer) span different label pairs, so the
     // BFS runs over the UNION of both label-tagged edge sets and may
@@ -498,6 +521,22 @@ object CypherQueries {
                       row_number() OVER (PARTITION BY dst ORDER BY len, path) AS rn
                FROM bfs)
          WHERE rn = 1 ORDER BY dst""",
+    // walk counting on the short DAG (terminates: keys strictly increase);
+    // equals the engine's relationship-unique path counts there
+    "q92_cypher_unbounded_varlen" ->
+      """WITH RECURSIVE hops AS (
+           SELECT n_nationkey AS src, n_nationkey + 1 AS dst FROM nation
+           WHERE n_nationkey + 1 < 13
+           UNION ALL
+           SELECT n_nationkey AS src, n_nationkey + 4 AS dst FROM nation
+           WHERE n_nationkey + 4 < 13
+         ), walks(dst) AS (
+           SELECT dst FROM hops WHERE src = 0
+           UNION ALL
+           SELECT h.dst FROM walks w JOIN hops h ON h.src = w.dst
+         )
+         SELECT CAST(dst AS BIGINT) AS dst, count(*) AS paths
+         FROM walks GROUP BY 1 ORDER BY 1""",
     // label-tagged undirected BFS over CONTAINS ∪ PLACED_BY, min distance
     // per reached Customer — mirrors the engine's tagged-union frontier
     "q91_cypher_hetero_disjunction" ->

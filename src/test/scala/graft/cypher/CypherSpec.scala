@@ -722,7 +722,7 @@ class CypherSpec extends SparkSpec {
     } finally spark.conf.unset(CypherEngine.LocalPathEdgeCapKey)
   }
 
-  test("unbounded *: shortestPath runs to exhaustion; plain patterns fail loud") {
+  test("unbounded *: shortestPath runs to exhaustion; over-budget enumeration fails loud") {
     spark
     val st0 = CypherEngine(GraphStore.empty).execute(
       "UNWIND $rows AS row MERGE (n:UB {sid: row.sid}) SET n += {sid: row.sid}",
@@ -755,16 +755,66 @@ class CypherSpec extends SparkSpec {
       """MATCH p = shortestPath((a:UB {sid: 0})-[:GO*]->(b:UB))
          RETURN b.sid AS dst, length(p) AS len ORDER BY dst""") == bounded)
     finally spark.conf.unset(CypherEngine.LocalPathEdgeCapKey)
-    // a plain var-length pattern would enumerate walks: loud error, not a
-    // silent 10-hop clamp
-    val err = intercept[CypherEngine.CypherException](
-      e.run("MATCH (a:UB {sid: 0})-[:GO*]->(b:UB) RETURN count(*) AS c"))
-    assert(err.getMessage.contains("unbounded var-length"))
+    // a plain open-bound pattern enumerates relationship-unique paths;
+    // on this dense cyclic graph the count is exponential, so the
+    // conf-gated budget must fail LOUDLY (never a silent clamp)
+    spark.conf.set(CypherEngine.UniqueWalkMaxPathsKey, "10")
+    try {
+      val err = intercept[CypherEngine.CypherException](
+        e.run("MATCH (a:UB {sid: 0})-[:GO*]->(b:UB) RETURN count(*) AS c"))
+      assert(err.getMessage.contains("relationship-unique paths"))
+    } finally spark.conf.unset(CypherEngine.UniqueWalkMaxPathsKey)
     // lower bound > 1 with an open upper bound enumerates walks too
     val err2 = intercept[CypherEngine.CypherException](
       e.run("""MATCH p = shortestPath((a:UB {sid: 0})-[:GO*2..]->(b:UB))
                RETURN length(p) AS len"""))
     assert(err2.getMessage.contains("explicit upper bound"))
+  }
+
+  test("plain [:R*] enumerates relationship-unique paths (Neo4j semantics)") {
+    spark
+    // DAG with a shortcut: 1→2→3→4 plus 1→4 — paths to 4: [1,4] and
+    // [1,2,3,4]; relationship uniqueness equals plain path counting here
+    val st0 = CypherEngine(GraphStore.empty).execute(
+      "UNWIND $rows AS row MERGE (n:UW {sid: row.sid}) SET n += {sid: row.sid}",
+      Map("rows" -> (1L to 4L).map(i => Map[String, Any]("sid" -> i)))).store
+    val st = CypherEngine(st0).execute(
+      """UNWIND $rows AS row
+         MATCH (s:UW) WHERE s.sid = row.a
+         WITH s, row
+         MATCH (t:UW) WHERE t.sid = row.b
+         MERGE (s)-[r:GO]->(t)""",
+      Map("rows" -> Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+        .map { case (a, b) => Map[String, Any]("a" -> a, "b" -> b) })).store
+    val dag = CypherEngine(st).run(
+      """MATCH (a:UW {sid: 1})-[:GO*]->(b:UW)
+         RETURN b.sid AS dst, count(*) AS paths ORDER BY dst""").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(dag == Seq((2L, 1L), (3L, 1L), (4L, 2L)))
+    // 2-cycle: 1⇄2. Walks are infinite; relationship-unique paths from 1
+    // are exactly [1,2] and [1,2,1] — each edge once, then exhaustion
+    val c0 = CypherEngine(GraphStore.empty).execute(
+      "UNWIND $rows AS row MERGE (n:UC {sid: row.sid}) SET n += {sid: row.sid}",
+      Map("rows" -> Seq(1L, 2L).map(i => Map[String, Any]("sid" -> i)))).store
+    val c = CypherEngine(c0).execute(
+      """UNWIND $rows AS row
+         MATCH (s:UC) WHERE s.sid = row.a
+         WITH s, row
+         MATCH (t:UC) WHERE t.sid = row.b
+         MERGE (s)-[r:GO]->(t)""",
+      Map("rows" -> Seq((1L, 2L), (2L, 1L))
+        .map { case (a, b) => Map[String, Any]("a" -> a, "b" -> b) })).store
+    val cyc = CypherEngine(c).run(
+      """MATCH (a:UC {sid: 1})-[:GO*]->(b:UC)
+         RETURN b.sid AS dst, count(*) AS paths ORDER BY dst""").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(cyc == Seq((1L, 1L), (2L, 1L)))
+    // open bound with a lower bound: only paths of length >= 2 survive
+    val lo2 = CypherEngine(c).run(
+      """MATCH (a:UC {sid: 1})-[:GO*2..]->(b:UC)
+         RETURN b.sid AS dst, count(*) AS paths ORDER BY dst""").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(lo2 == Seq((1L, 1L)))
   }
 
   test("allShortestPaths: every minimum-length path, both strategies") {
