@@ -145,4 +145,16 @@ object Graft {
   /** Reopen a saved graph store. */
   def load(spark: SparkSession, path: String, schema: GraphSchema): Graft =
     Graft(withKernels(spark), None, Map.empty, schema, Some(GraphStore.load(spark, path, schema)))
+
+  /** Reopen a saved graph store in the build-once/query-many posture:
+    * the loaded per-label frames are persisted and cached per JVM
+    * ([[graft.graph.GraphStore.cached]]), so every `Graft.open(dir)` in
+    * the process shares one in-memory store — the ergonomics of the
+    * reference's long-lived pre-injected database, without re-reading
+    * parquet per query session. Release with
+    * `GraphStore.evict(s"open|$path")`.
+    */
+  def open(spark: SparkSession, path: String, schema: GraphSchema): Graft =
+    Graft(withKernels(spark), None, Map.empty, schema,
+      Some(GraphStore.cached(s"open|$path")(GraphStore.load(spark, path, schema))))
 }

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.storage.StorageLevel
 
 import graft.cypher.CypherEngine
 import graft.graph.{GraphBuilder, GraphStore, GraphWriter}
@@ -19,26 +18,16 @@ object CypherQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** One graph store per SF dir per JVM, node/edge stores persisted. The
-    * reference queries a PRE-INJECTED Neo4j database — injection runs once
-    * (final/app.py upload→inject→query flow), so charging the relational→
-    * graph build to every pattern match would measure ingest, not querying.
-    * The production analogue is [[graft.graph.GraphStore.save]]/`load`;
-    * within one JVM the persisted DataFrames play that role.
+  /** One graph store per SF dir per JVM, node/edge stores persisted via
+    * the public [[graft.graph.GraphStore.cached]] build-once/query-many
+    * cache. The reference queries a PRE-INJECTED Neo4j database —
+    * injection runs once (final/app.py upload→inject→query flow), so
+    * charging the relational→graph build to every pattern match would
+    * measure ingest, not querying. The production analogue is
+    * [[graft.graph.GraphStore.save]]/`load` (or `Graft.open`).
     */
-  private val storeCache = new java.util.concurrent.ConcurrentHashMap[String, GraphStore]()
-
   private def store(s: SparkSession, dir: String): GraphStore =
-    storeCache.computeIfAbsent(dir, _ => {
-      val st = GraphBuilder.buildAll(s, dir)
-      st.copy(
-        nodes = st.nodes.map { case (k, df) =>
-          k -> df.persist(StorageLevel.MEMORY_AND_DISK)
-        },
-        edges = st.edges.map { case (k, df) =>
-          k -> df.persist(StorageLevel.MEMORY_AND_DISK)
-        })
-    })
+    GraphStore.cached(dir)(GraphBuilder.buildAll(s, dir))
 
   /** Derived fixture stores (ring / two-type ring / injection-built) get
     * the same per-JVM cache as the fact-table store: without it each
@@ -48,19 +37,8 @@ object CypherQueries {
     * GraphStore over immutable frames (q73's DETACH DELETE derives from
     * the cached store without touching it).
     */
-  private val derivedCache = new java.util.concurrent.ConcurrentHashMap[String, GraphStore]()
-
   private def cachedStore(name: String, dir: String)(build: => GraphStore): GraphStore =
-    derivedCache.computeIfAbsent(s"$name|$dir", _ => {
-      val st = build
-      st.copy(
-        nodes = st.nodes.map { case (k, df) =>
-          k -> df.persist(StorageLevel.MEMORY_AND_DISK)
-        },
-        edges = st.edges.map { case (k, df) =>
-          k -> df.persist(StorageLevel.MEMORY_AND_DISK)
-        })
-    })
+    GraphStore.cached(s"$name|$dir")(build)
 
   private def cy(query: String): Q = (s, dir) =>
     CypherEngine(store(s, dir)).run(query)

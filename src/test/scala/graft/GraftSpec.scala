@@ -43,6 +43,16 @@ class GraftSpec extends SparkSpec {
     val reopened = Graft.load(spark, dir, GraphSchema.testdata)
     assert(reopened.query(q).collect().toSeq == direct)
 
+    // open(): build-once/query-many — the per-JVM cache hands every caller
+    // the SAME persisted store, and answers still match
+    val o1 = Graft.open(spark, dir, GraphSchema.testdata)
+    val o2 = Graft.open(spark, dir, GraphSchema.testdata)
+    assert(o1.store.get eq o2.store.get)
+    assert(o1.store.get.nodes("Customer").storageLevel.useMemory)
+    assert(o1.query(q).collect().toSeq == direct)
+    graph.GraphStore.evict(s"open|$dir")
+    assert(!o1.store.get.nodes("Customer").storageLevel.useMemory)
+
     // schema JSON is emitted for the viz layer
     assert(g.schemaJson.contains("\"CONTAINS\""))
 
