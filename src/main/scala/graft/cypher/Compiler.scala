@@ -606,14 +606,26 @@ object CypherEngine {
       * homogeneous walks. A heterogeneous group (src label ≠ dst label)
       * cannot compose steps, so its reachable lengths cap at 1
       * ([[enumerate]] drops interpretations whose lower bound needs more).
+      *
+      * Seed restriction (r7, same idea as shortestPath's source seeding):
+      * when the pattern's anchor endpoint is already bound, only paths
+      * starting at the bound keys can survive the attach join — so the
+      * chains start from the seed-incident edges instead of the whole edge
+      * frame. `seedOnDst` orients the enumeration outward from the anchor
+      * (edges flipped when the anchor is the schema-dst side; output
+      * columns swapped back so callers always see schema orientation).
+      * At scale this is the difference between enumerating a bounded
+      * neighborhood and enumerating the whole graph's closure.
       */
-    private def closure(ets: Seq[EdgeType], lo: Int, hi: Int): DataFrame = {
+    private def closure(ets: Seq[EdgeType], lo: Int, hi: Int,
+        seeds: Option[DataFrame] = None, seedOnDst: Boolean = false): DataFrame = {
       if (hi == Parser.Unbounded) {
         // a heterogeneous group cannot compose steps (dst label never
         // matches the next src label), so the open bound degenerates to
         // the single-hop closure — same cap as the bounded branch below
-        if (ets.exists(e => e.src != e.dst)) return closure(ets, lo, math.max(lo, 1))
-        return uniqueWalkClosure(ets, lo)
+        if (ets.exists(e => e.src != e.dst))
+          return closure(ets, lo, math.max(lo, 1), seeds, seedOnDst)
+        return uniqueWalkClosure(ets, lo, seeds, seedOnDst)
       }
       if (lo < 1 || hi < lo || hi > Parser.MaxVarLength)
         throw CypherException(s"var-length bounds out of range: *$lo..$hi")
@@ -622,17 +634,20 @@ object CypherEngine {
         throw CypherException(
           s"var-length over ${ets.map(_.label).mkString("|")} needs " +
             s"${ets.head.src}=${ets.head.dst} for paths longer than 1")
-      val e = ets.map(et =>
+      val e0 = ets.map(et =>
           store.edges(et.label).select(col(et.keyS).as("__cs"), col(et.keyT).as("__cd")))
         .reduce(_.unionByName(_))
+      val e = if (seedOnDst) e0.select(col("__cd").as("__cs"), col("__cs").as("__cd")) else e0
+      val first = seeds.fold(e)(s => e.join(s, col("__cs") === col("__seed"), "left_semi"))
       val chains = (lo to effHi).map { n =>
-        (2 to n).foldLeft(e) { (acc, _) =>
+        (2 to n).foldLeft(first) { (acc, _) =>
           acc.join(e.withColumnRenamed("__cs", "__m").withColumnRenamed("__cd", "__cd2"),
               col("__cd") === col("__m"))
             .select(col("__cs"), col("__cd2").as("__cd"))
         }
       }
-      chains.reduce(_.unionByName(_))
+      val out = chains.reduce(_.unionByName(_))
+      if (seedOnDst) out.select(col("__cd").as("__cs"), col("__cs").as("__cd")) else out
     }
 
     /** One row per RELATIONSHIP-UNIQUE path of length >= `lo` over the
@@ -654,22 +669,30 @@ object CypherEngine {
       * when exceeded, pointing at the bounded form — never a silent
       * truncation. See SCALING.md.
       */
-    private def uniqueWalkClosure(ets: Seq[EdgeType], lo: Int): DataFrame = {
+    private def uniqueWalkClosure(ets: Seq[EdgeType], lo: Int,
+        seeds: Option[DataFrame] = None, seedOnDst: Boolean = false): DataFrame = {
       if (lo < 1)
         throw CypherException(s"var-length bounds out of range: *$lo..")
-      val e = ets.zipWithIndex.map { case (et, ti) =>
+      val e0 = ets.zipWithIndex.map { case (et, ti) =>
         store.edges(et.label).select(
           col(et.keyS).as("__cs"), col(et.keyT).as("__cd"),
           // one struct type must fit every member type's keys
           struct(lit(ti).as("__t"), col(et.keyS).cast(StringType).as("__es"),
             col(et.keyT).cast(StringType).as("__ed")).as("__eid"))
-      }.reduce(_.unionByName(_)).persist(StorageLevel.MEMORY_AND_DISK)
+      }.reduce(_.unionByName(_))
+      // enumerate outward from the anchor side ([[closure]]'s orientation
+      // contract); a bound anchor seed-restricts the FIRST frontier — all
+      // later expansions traverse the full edge set
+      val e = (if (seedOnDst)
+        e0.select(col("__cd").as("__cs"), col("__cs").as("__cd"), col("__eid"))
+      else e0).persist(StorageLevel.MEMORY_AND_DISK)
       val e2 = e.select(col("__cs").as("__m"), col("__cd").as("__cd2"),
         col("__eid").as("__eid2"))
       val maxPaths = e.sparkSession.conf.getOption(UniqueWalkMaxPathsKey)
         .map(_.toLong).getOrElse(UniqueWalkMaxPaths)
-      var frontier = e.select(col("__cs"), col("__cd"),
-        array(col("__eid")).as("__seen")).localCheckpoint(true)
+      var frontier = seeds.fold(e)(s => e.join(s, col("__cs") === col("__seed"), "left_semi"))
+        .select(col("__cs"), col("__cd"), array(col("__eid")).as("__seen"))
+        .localCheckpoint(true)
       val empty = frontier.select(col("__cs"), col("__cd")).limit(0)
       var paths = frontier.count()
       var acc = if (lo <= 1) frontier.select("__cs", "__cd") else null
@@ -699,7 +722,8 @@ object CypherEngine {
         }
       }
       e.unpersist(false)
-      if (acc == null) empty else acc
+      val res = if (acc == null) empty else acc
+      if (seedOnDst) res.select(col("__cd").as("__cs"), col("__cs").as("__cd")) else res
     }
 
     /** Bind all patterns into one DataFrame. `seedLabels` carries label
@@ -908,7 +932,15 @@ object CypherEngine {
             case Some((lo, hi)) =>
               if (hop.relProps.nonEmpty)
                 throw CypherException("relationship properties are not supported on var-length patterns")
-              val cl = closure(hop.edges, lo, hi)
+              // a bound anchor hands its distinct keys to the closure so
+              // the path enumeration starts at the anchored neighborhood
+              // instead of every edge (the attach join would discard the
+              // rest anyway — shortestPath's seeding argument)
+              val seedsOpt = if (bound(anchorVar))
+                Some(df.select(col(keyColName(anchorVar)).as("__seed")).distinct())
+              else None
+              val cl = closure(hop.edges, lo, hi, seedsOpt,
+                seedOnDst = anchorVar != hop.srcVar)
               val (anchorSide, otherSide) =
                 if (anchorVar == hop.srcVar) ("__cs", "__cd") else ("__cd", "__cs")
               attach(cl, anchorSide)

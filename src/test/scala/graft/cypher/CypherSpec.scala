@@ -1018,6 +1018,23 @@ class CypherSpec extends SparkSpec {
     finally spark.conf.unset(CypherEngine.LocalPathEdgeCapKey)
   }
 
+  test("var-length closure is seed-restricted by a bound anchor") {
+    // the enumeration must start from the anchored keys (left-semi join
+    // against the bound frame's distinct anchor keys), not the whole edge
+    // frame — at scale this bounds the closure to the anchored
+    // neighborhood, the same argument as shortestPath's source seeding
+    val df = engine.run(
+      """MATCH (o:Order {o_orderkey: 1})-[:CONTAINS*1..2]->(p)
+         RETURN count(*) AS c""")
+    assert(df.queryExecution.executedPlan.toString.contains("LeftSemi"))
+    // and the seeded result still matches the unseeded single-hop answer
+    val viaPlain = engine.run(
+      """MATCH (o:Order {o_orderkey: 1})-[:CONTAINS]->(p:Part)
+         RETURN count(*) AS c""").collect().head.getLong(0)
+    // CONTAINS is heterogeneous (Order→Part), so *1..2 caps at one hop
+    assert(df.collect().head.getLong(0) == viaPlain)
+  }
+
   test("unused endpoint node-store joins are elided (A/B pinned)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin}
     def joins(df: org.apache.spark.sql.DataFrame): Int =
