@@ -1212,7 +1212,11 @@ object CypherEngine {
       // union) are absorbed by the BFS itself — the seed-restricted first
       // frontier is distinct'd cheaply and every later level goes through
       // oneHop's groupBy(min(__path)).
-      val e0 = base.persist(StorageLevel.MEMORY_AND_DISK)
+      // NOT persisted (r7): a per-query doubled copy of the edge store
+      // cost more to materialize than the few codegen'd projection scans
+      // it saved (q85 lesson, [[heteroDistDf]]) — cache the store, not
+      // per-query derivations.
+      val e0 = base
       // seeds comes from the bound-side MATCH pipeline — persisted so the
       // sizing probe's seeds.count() and the subsequent BFS (localDist's
       // tagged union, or the distributed path's first-hop semi join) don't
@@ -1224,22 +1228,22 @@ object CypherEngine {
       // BFS pays ~2 Spark jobs per level (eager checkpoint + emptiness
       // probe) — a dimension-sized graph spends its whole wall-time on job
       // scheduling, not compute. Under the edge cap AND the seed×edge work
-      // budget, run the whole BFS inside ONE task (the sizing counts are two
-      // tiny jobs against the persisted edge set; a 100 TB edge store fails
-      // the edge cap on the first count and takes the distributed path).
+      // budget, run the whole BFS inside ONE task (the sizing counts are
+      // two tiny jobs; a 100 TB edge store fails the edge cap on the first
+      // count and takes the distributed path).
       val edgeCap = base.sparkSession.conf
         .getOption(LocalPathEdgeCapKey).map(_.toLong).getOrElse(LocalPathEdgeCap)
-      if (lo == 1 && keyComparator(keyType).isDefined &&
-          e0.count() <= edgeCap &&
-          (seeds.count() + 1L) * (e0.count() + 1L) <= LocalPathWorkCap) {
-        val out = localDist(e0, seeds, hi, keyType, keepAll, withPath)
-          .localCheckpoint(true)
-        e0.unpersist(false)
-        seeds.unpersist(false)
-        return out
+      if (lo == 1 && keyComparator(keyType).isDefined) {
+        val edgeCnt = e0.count()
+        if (edgeCnt <= edgeCap &&
+            (seeds.count() + 1L) * (edgeCnt + 1L) <= LocalPathWorkCap) {
+          val out = localDist(e0, seeds, hi, keyType, keepAll, withPath)
+            .localCheckpoint(true)
+          seeds.unpersist(false)
+          return out
+        }
       }
       val out = bfsFrames(e0, seeds, lo, hi, keepAll, withPath)
-      e0.unpersist(false)
       seeds.unpersist(false)
       out
     }
@@ -1311,12 +1315,16 @@ object CypherEngine {
         fwd.unionByName(bwd)
       }.reduce(_.unionByName(_))
       // not distinct'd — see distDf: label tags make fwd/bwd disjoint, the
-      // store is pair-deduped, and the BFS dedups its own frontiers
-      val e0 = base.persist(StorageLevel.MEMORY_AND_DISK)
+      // store is pair-deduped, and the BFS dedups its own frontiers.
+      // NOT persisted (r7): materializing a doubled tagged copy of the
+      // edge store per query costs more than the 3-4 codegen'd projection
+      // scans it saves — the underlying store frames are the right thing
+      // to cache (GraphStore.cached), and at cluster scale per-level
+      // scans of the (pruned) edge store are the normal BFS shape.
+      val e0 = base
       val seeds = seeds0.select(tag(seedLabel, col("__seed")).as("__seed"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val out = bfsFrames(e0, seeds, lo, hi, keepAll, withPath)
-      e0.unpersist(false)
       seeds.unpersist(false)
       out
     }
@@ -1361,8 +1369,15 @@ object CypherEngine {
       // (intermediate hops still traverse every edge)
       val e0s = e0.join(seeds, col("__ds") === col("__seed"), "left_semi")
         .distinct()
-      val e0p = if (withPath)
-        e0s.withColumn("__path", array(col("__ds"), col("__dd"))) else e0s
+      // eagerly checkpointed: the first frontier is read several times
+      // (level-2 expansion, the reached-set anti join, the result union)
+      // and its un-checkpointed plan still carries the full edge scan —
+      // Catalyst can't see the seed restriction made it small, so level 2
+      // would sort-merge join, shuffling the WHOLE edge frame, instead of
+      // broadcasting the frontier (measured at sf1: q85 13.5 -> ~6 s warm)
+      val e0p = (if (withPath)
+        e0s.withColumn("__path", array(col("__ds"), col("__dd"))) else e0s)
+        .localCheckpoint(true)
       if (lo == 1) {
         var dist = e0p.withColumn("__len", lit(1L))
         var frontier = e0p
@@ -1405,7 +1420,7 @@ object CypherEngine {
         // otherwise chain join/groupBy stages into one compounding plan,
         // and a frontier that dies (DAG exhausted) would still run the
         // remaining levels as empty jobs
-        var cur = e0p.localCheckpoint(true)
+        var cur = e0p
         var exhausted = cur.isEmpty
         for (_ <- 2 to lo if !exhausted) {
           cur = oneHop(cur).localCheckpoint(true)
