@@ -118,6 +118,14 @@ object Ast {
   /** `UNWIND expr AS alias` — one row per list element. */
   final case class UnwindClause(expr: Expr, alias: String) extends Reading
 
+  /** `CALL { [WITH v, …] … RETURN … }` — a read-only subquery. Without
+    * imports it runs once and its rows cross the enclosing frame; with an
+    * importing WITH it correlates on the imported variables (per distinct
+    * imported key — duplicate enclosing rows share the same subquery
+    * result, which is observationally per-row for reads).
+    */
+  final case class CallClause(imports: Seq[String], body: Query) extends Reading
+
   /** `MATCH p = shortestPath((a:L {…})-[:R*lo..hi]->(b:L))` — binds `p` so
     * `length(p)` is the minimum hop count between each (a, b) pair within
     * the bounds. One relationship pattern only; an open upper bound (bare
@@ -160,6 +168,12 @@ object Ast {
   final case class SetClause(items: Seq[SetItem]) extends WriteClause
   /** `[DETACH] DELETE v, …` */
   final case class DeleteClause(vars: Seq[String], detach: Boolean) extends WriteClause
+  /** `FOREACH (x IN coll | write-clauses)` — side-effect-only iteration:
+    * the body writes run once per list element with `x` bound; the
+    * enclosing frame's rows and bindings are untouched.
+    */
+  final case class ForeachClause(variable: String, coll: Expr,
+      body: Seq[WriteClause]) extends WriteClause
 
   /** One stage: reading clauses (possibly none after the first stage), an
     * optional WHERE, write clauses, and — unless it is the final stage — a

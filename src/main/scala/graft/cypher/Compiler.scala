@@ -179,6 +179,7 @@ object CypherEngine {
         path(p, asRefs = true); oc.foreach(setItem); om.foreach(setItem)
       case SetClause(items) => items.foreach(setItem)
       case DeleteClause(vars, _) => refs ++= vars
+      case ForeachClause(_, coll, body) => expr(coll); body.foreach(write)
     }
     def go(q0: Query): Unit = {
       q0.stages.foreach { st =>
@@ -186,6 +187,10 @@ object CypherEngine {
           case MatchClause(paths, _) => paths.foreach(path(_, asRefs = false))
           case UnwindClause(e, a) => expr(e); refs += a
           case ShortestPathClause(_, p, _, _) => path(p, asRefs = true)
+          // a CALL body is its own scope; imports reference enclosing
+          // vars, and elision analysis does not cross the boundary —
+          // disable it for the whole query (conservative)
+          case CallClause(imports, _) => refs ++= imports; star = true
         }
         st.where.foreach(expr)
         st.projection.foreach(proj)
@@ -258,10 +263,11 @@ object CypherEngine {
           case MatchClause(paths, _) => paths.foreach(patProps)
           case UnwindClause(e, _) => expr(e)
           case ShortestPathClause(_, p, _, _) => patProps(p)
+          case CallClause(_, body) => go(body) // p may be imported/read inside
         }
         st.where.foreach(expr)
         st.projection.foreach(proj)
-        st.writes.foreach {
+        def wr(w: WriteClause): Unit = w match {
           // pattern prop maps may reference the path (`CREATE (x {ns:
           // nodes(p)})`) — visit them like MATCH patterns, else __nodes is
           // dropped and compilation dies on an unresolved column
@@ -270,7 +276,9 @@ object CypherEngine {
             patProps(p0); oc.foreach(setItem); om.foreach(setItem)
           case SetClause(items) => items.foreach(setItem)
           case DeleteClause(vars, _) => if (vars.contains(pv)) used = true
+          case ForeachClause(_, coll, body) => expr(coll); body.foreach(wr)
         }
+        st.writes.foreach(wr)
       }
       proj(q0.ret)
       q0.union.foreach { case (_, next) => go(next) }
@@ -381,6 +389,7 @@ object CypherEngine {
       case MergeClause(p, oc, om) => MergeClause(goPath(p), oc.map(goSet), om.map(goSet))
       case SetClause(items) => SetClause(items.map(goSet))
       case d: DeleteClause => d
+      case ForeachClause(x, coll, body) => ForeachClause(x, go(coll), body.map(goWrite))
     }
     Query(
       q.stages.map { st =>
@@ -389,6 +398,7 @@ object CypherEngine {
             case MatchClause(paths, opt) => MatchClause(paths.map(goPath), opt)
             case UnwindClause(e, a) => UnwindClause(go(e), a)
             case sp @ ShortestPathClause(_, p, _, _) => sp.copy(path = goPath(p))
+            case CallClause(i, body) => CallClause(i, bindParams(body, params))
           },
           st.where.map(go),
           st.projection.map(goProj),
@@ -2351,6 +2361,23 @@ object CypherEngine {
           case DeleteClause(vars, detach) =>
             vars.foreach(v => deleteVar(df, ctx, v, detach))
             i += 1
+          case ForeachClause(x, coll, body) =>
+            // side-effect-only iteration (Neo4j FOREACH): explode the list
+            // into a SCRATCH frame with x bound as a plain column, run the
+            // body writes against it (they mutate the shared store), then
+            // continue with the ORIGINAL frame — FOREACH never changes the
+            // enclosing cardinality or bindings. Empty/null lists explode
+            // to zero scratch rows = no-op, matching Neo4j. Semantics
+            // note: body writes apply BATCH-AT-ONCE over the exploded
+            // frame (the engine's set-oriented write model), not
+            // element-sequentially — same-key collisions within one
+            // FOREACH follow MERGE's batch upsert rules, so an ON MATCH
+            // counter does not observe earlier elements of the same batch.
+            val base = if (df == null)
+              spark.range(1).select() else df // write-only query: one row
+            val scratch = base.withColumn(x, explode(column(coll, ctx)))
+            applyWrites(scratch, ctx.copy(plains = ctx.plains + x), body)
+            i += 1
         }
       }
       (df, ctx)
@@ -2497,8 +2524,83 @@ object CypherEngine {
       main.join(subR, cond, if (negated) "left_anti" else "left_semi")
     }
 
-    private def compileSingle(q: Query): DataFrame = {
-      var state: Option[(DataFrame, Ctx)] = None
+    private def compileSingle(q: Query): DataFrame =
+      compilePipeline(q, None)._1
+
+    /** `CALL { … }` subquery (read-only). Uncorrelated: compiled once, its
+      * rows cross the enclosing frame. Correlated (`CALL { WITH v, … }`):
+      * the body compiles against the DISTINCT imported bindings, its final
+      * RETURN implicitly carries the imported variables as grouping keys,
+      * and the result joins back on the imported key columns — per
+      * distinct imported key, which is observationally per-row for a
+      * read-only body (duplicate enclosing rows share identical results).
+      * Subquery writes, UNION bodies, and per-input-row SKIP/LIMIT are
+      * rejected loudly rather than silently reinterpreted.
+      */
+    private def callSubquery(state: Option[(DataFrame, Ctx)],
+        imports: Seq[String], body: Query): (DataFrame, Ctx) = {
+      if (hasWrites(body))
+        throw CypherException(
+          "CALL { } subqueries are read-only — writes belong in the enclosing query")
+      if (body.union.nonEmpty)
+        throw CypherException("UNION inside CALL { } is not supported")
+      if (imports.isEmpty) {
+        val (sub, subCtx) = compilePipeline(body, None)
+        return state match {
+          case None => (sub, subCtx)
+          case Some((df, ctx)) => (df.crossJoin(sub), mergeCallCtx(ctx, subCtx))
+        }
+      }
+      val (df, ctx) = state.getOrElse(throw CypherException(
+        "CALL { WITH … } needs a preceding MATCH to import from"))
+      if (body.ret.skip.nonEmpty || body.ret.limit.nonEmpty)
+        throw CypherException(
+          "SKIP/LIMIT inside a correlated CALL would apply globally, not " +
+            "per input row — lift it out of the subquery")
+      imports.foreach { v =>
+        if (!ctx.labels.contains(v) && !ctx.plains.contains(v))
+          throw CypherException(s"CALL imports an unbound variable: $v" +
+            (if (ctx.multi.contains(v)) " (multi-label variables cannot be imported)" else ""))
+      }
+      val nodeImports = imports.filter(ctx.labels.contains)
+      val plainImports = imports.filterNot(ctx.labels.contains)
+      val carryCols: Seq[String] =
+        nodeImports.flatMap(v => df.columns.filter(_.startsWith(s"${v}__"))) ++
+          plainImports
+      val inDf = df.select(carryCols.map(col): _*).distinct()
+      val inCtx = Ctx(
+        labels = ctx.labels.view.filterKeys(nodeImports.toSet).toMap,
+        rels = Map.empty,
+        plains = plainImports.toSet,
+        strLists = ctx.strLists.intersect(plainImports.toSet))
+      // implicit carry: the imported variables join the body's RETURN as
+      // bare items, so an aggregating subquery groups per imported key
+      val ret2 = body.ret.copy(items =
+        imports.map(v => Item(Var(v), None)) ++ body.ret.items)
+      val (sub, subCtx) = compilePipeline(body.copy(ret = ret2), Some((inDf, inCtx)))
+      // join back on the imported KEY columns only; the carried non-key
+      // imported columns are duplicates of the enclosing frame's
+      val keyCols: Seq[String] =
+        nodeImports.map(v => s"${v}__${store.schema.node(ctx.labels(v)).key}") ++
+          plainImports
+      val subSlim = sub.columns.filter(c => carryCols.contains(c) && !keyCols.contains(c))
+        .foldLeft(sub)(_.drop(_))
+      (df.join(subSlim, keyCols, "inner"), mergeCallCtx(ctx, subCtx))
+    }
+
+    /** Enclosing bindings + the subquery's result bindings (aliases become
+      * plain columns; carried/returned node variables keep their labels).
+      */
+    private def mergeCallCtx(outer: Ctx, sub: Ctx): Ctx =
+      outer.copy(
+        labels = sub.labels ++ outer.labels,
+        plains = outer.plains ++ sub.plains,
+        strLists = outer.strLists ++ sub.strLists,
+        multi = sub.multi ++ outer.multi)
+
+    private def compilePipeline(q: Query,
+        initial: Option[(DataFrame, Ctx)]): (DataFrame, Ctx) = {
+      var state: Option[(DataFrame, Ctx)] = initial
       q.stages.foreach { st =>
         // reading clauses apply in written order: MATCH extends the frame
         // by pattern joins, OPTIONAL MATCH left-joins, UNWIND explodes a
@@ -2534,6 +2636,8 @@ object CypherEngine {
                       Ctx(Map.empty, Map.empty, Set(alias)))
                 }
             })
+          case CallClause(imports, body) =>
+            state = Some(callSubquery(state, imports, body))
         }
         if (state.isEmpty) {
           if (st.writes.nonEmpty)
@@ -2560,7 +2664,7 @@ object CypherEngine {
         }
         state = Some((df, ctx))
       }
-      project(state.get._1, q.ret, state.get._2)._1
+      project(state.get._1, q.ret, state.get._2)
     }
   }
 }

@@ -135,14 +135,21 @@ object Parser {
       "order", "by", "limit", "skip", "as", "and", "or", "not", "distinct", "in",
       "is", "null", "asc", "desc", "ascending", "descending", "true", "false",
       "exists", "case", "when", "then", "else", "end", "unwind",
-      "create", "merge", "set", "delete", "detach", "on", "remove")
+      "create", "merge", "set", "delete", "detach", "on", "remove", "foreach",
+      "call")
 
     // ---------------------------------------------------------------- query
-    def query(): Query = {
+    def query(): Query = query(inSub = false)
+
+    /** `inSub` = parsing a `CALL { … }` body: the closing `}` acts as the
+      * end-of-query token instead of EOF.
+      */
+    private def query(inSub: Boolean): Query = {
       var stages = Seq.empty[Stage]
       var ret: Projection = null
       // first stage must read or write something
-      if (!isKw("MATCH") && !isKw("UNWIND") && !isKw("CREATE") && !isKw("MERGE"))
+      if (!isKw("MATCH") && !isKw("UNWIND") && !isKw("CREATE") && !isKw("MERGE") &&
+          !isKw("FOREACH"))
         eatKw("MATCH")
       var done = false
       while (!done) {
@@ -159,6 +166,16 @@ object Parser {
           } else if (tryKw("UNWIND")) {
             val e = expr(); eatKw("AS")
             clauses :+= UnwindClause(e, ident())
+          } else if (isKw("CALL") && peek2 == Sym("{")) {
+            eatKw("CALL"); eatSym("{")
+            // importing WITH: bare variables only (Neo4j's rule)
+            val imports = Seq.newBuilder[String]
+            if (tryKw("WITH")) {
+              imports += ident()
+              while (trySym(",")) imports += ident()
+            }
+            clauses :+= CallClause(imports.result(), query(inSub = true))
+            eatSym("}")
           } else more = false
         }
         val where = if (tryKw("WHERE")) Some(expr()) else None
@@ -169,7 +186,7 @@ object Parser {
           stages :+= Stage(clauses, where, None, writes)
           ret = projection(allowWhere = false)
           done = true
-        } else if (peek == EOF && writes.nonEmpty) {
+        } else if ((peek == EOF || (inSub && isSym("}"))) && writes.nonEmpty) {
           // a write query needs no RETURN (reference injection scripts end
           // on MERGE/SET); synthesize `RETURN count(*) AS rows` so every
           // execution yields a summary row
@@ -180,8 +197,9 @@ object Parser {
       }
       if (tryKw("UNION")) {
         val all = tryKw("ALL")
-        Query(stages, ret, Some((all, query()))) // recursion consumes to EOF
-      } else peek match {
+        Query(stages, ret, Some((all, query(inSub)))) // consumes to EOF / `}`
+      } else if (inSub && isSym("}")) Query(stages, ret) // caller eats `}`
+      else peek match {
         case EOF => Query(stages, ret)
         case t => throw ParseException(s"trailing input: $t")
       }
@@ -256,6 +274,20 @@ object Parser {
           vars += ident()
           while (trySym(",")) vars += ident()
           b += DeleteClause(vars.result(), detach)
+        }
+        else if (tryKw("FOREACH")) {
+          // FOREACH (x IN coll | write-clauses) — body recurses, so nested
+          // FOREACH parses naturally
+          eatSym("(")
+          val x = ident()
+          eatKw("IN")
+          val coll = expr()
+          eatSym("|")
+          val body = writeClauses()
+          if (body.isEmpty)
+            throw ParseException("FOREACH body needs at least one write clause")
+          eatSym(")")
+          b += ForeachClause(x, coll, body)
         } else more = false
       }
       b.result()

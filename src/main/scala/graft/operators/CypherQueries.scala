@@ -327,6 +327,28 @@ object CypherQueries {
         """MATCH (a:Nation)
            OPTIONAL MATCH p = shortestPath((a)-[:HOP*]->(b:Nation {n_nationkey: 12}))
            RETURN toInteger(a.n_nationkey) AS src, length(p) AS len ORDER BY src""")),
+    // CALL { } subquery: correlated per-imported-key aggregation (the body
+    // counts nations per region through an importing WITH) composed with
+    // an uncorrelated once-per-query branch would be overkill here — the
+    // correlated aggregate is the semantically interesting part
+    "q93_cypher_call_subquery" -> cy(
+      """MATCH (r:Region)
+         CALL { WITH r MATCH (n:Nation) WHERE n.n_regionkey = r.r_regionkey
+                RETURN count(n) AS cnt, max(n.n_name) AS mx }
+         RETURN r.r_name AS rn, cnt, mx ORDER BY rn"""),
+    // FOREACH write iteration: fold the nation keys into a list, MERGE one
+    // node per distinct (key % 5), then read the created label back —
+    // exercises list explode + write-per-element + store composition
+    "q94_cypher_foreach" -> ((s, dir) => {
+      val r = CypherEngine(store(s, dir)).execute(
+        """MATCH (n:Nation)
+           WITH collect(n.n_nationkey) AS ks
+           FOREACH (k IN ks | MERGE (m:FM {fid: k % 5}))
+           WITH ks
+           MATCH (m:FM)
+           RETURN toInteger(m.fid) AS fid ORDER BY fid""")
+      r.result
+    }),
     // open-bound PLAIN var-length ([:R*] outside shortestPath): one row
     // per relationship-unique path, Neo4j semantics, run to frontier
     // exhaustion. On the short DAG path counting equals walk counting
@@ -499,6 +521,13 @@ object CypherQueries {
                       row_number() OVER (PARTITION BY dst ORDER BY len, path) AS rn
                FROM bfs)
          WHERE rn = 1 ORDER BY dst""",
+    "q93_cypher_call_subquery" ->
+      """SELECT r.r_name AS rn, count(*) AS cnt, max(n.n_name) AS mx
+         FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+         GROUP BY 1 ORDER BY 1""",
+    "q94_cypher_foreach" ->
+      """SELECT DISTINCT CAST(n_nationkey % 5 AS BIGINT) AS fid
+         FROM nation ORDER BY 1""",
     // walk counting on the short DAG (terminates: keys strictly increase);
     // equals the engine's relationship-unique path counts there
     "q92_cypher_unbounded_varlen" ->

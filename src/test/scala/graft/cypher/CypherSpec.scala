@@ -1018,6 +1018,39 @@ class CypherSpec extends SparkSpec {
     finally spark.conf.unset(CypherEngine.LocalPathEdgeCapKey)
   }
 
+  test("CALL { } subqueries: uncorrelated cross and correlated per-key aggregation") {
+    // uncorrelated: runs once, rows cross the enclosing frame
+    val un = engine.run(
+      """MATCH (r:Region)
+         CALL { MATCH (n:Nation) RETURN count(n) AS n_nations }
+         RETURN r.r_name AS rn, n_nations ORDER BY rn""").collect()
+    assert(un.length == 5 && un.forall(_.getLong(1) == 25L))
+    // correlated: aggregates per imported variable, not globally
+    val corr = engine.run(
+      """MATCH (r:Region)
+         CALL { WITH r MATCH (n:Nation) WHERE n.n_regionkey = r.r_regionkey
+                RETURN count(n) AS cnt }
+         RETURN r.r_name AS rn, cnt ORDER BY rn""").collect()
+    assert(corr.length == 5 && corr.forall(_.getLong(1) == 5L))
+    // correlated non-aggregating: rows multiply like an inline MATCH
+    val rows = engine.run(
+      """MATCH (r:Region {r_regionkey: 0})
+         CALL { WITH r MATCH (n:Nation) WHERE n.n_regionkey = r.r_regionkey
+                RETURN n.n_name AS nn }
+         RETURN count(*) AS c""").collect()
+    assert(rows.head.getLong(0) == 5L)
+    // loud rejections: writes, per-row LIMIT
+    val w = intercept[CypherEngine.CypherException](engine.run(
+      "MATCH (r:Region) CALL { MERGE (x:CX {cid: 1}) RETURN count(*) AS c } RETURN c"))
+    assert(w.getMessage.contains("read-only"))
+    val lim = intercept[CypherEngine.CypherException](engine.run(
+      """MATCH (r:Region)
+         CALL { WITH r MATCH (n:Nation) WHERE n.n_regionkey = r.r_regionkey
+                RETURN n.n_name AS nn LIMIT 1 }
+         RETURN count(*) AS c"""))
+    assert(lim.getMessage.contains("SKIP/LIMIT"))
+  }
+
   test("var-length closure is seed-restricted by a bound anchor") {
     // the enumeration must start from the anchored keys (left-semi join
     // against the bound frame's distinct anchor keys), not the whole edge

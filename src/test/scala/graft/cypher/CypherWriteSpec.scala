@@ -122,6 +122,30 @@ class CypherWriteSpec extends SparkSpec {
     assert(m.store.nodes("WSum").collect().head.get(0).toString == "2")
   }
 
+  test("FOREACH runs write clauses per list element without changing the frame") {
+    // write-only: one MERGE per literal element, fused SET
+    val st = CypherEngine(GraphStore.empty).execute(
+      "FOREACH (k IN [1, 2, 3] | MERGE (n:FE {fid: k}) SET n.flag = true)").store
+    assert(st.nodes("FE").orderBy("fid").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toSeq ==
+      Seq((1L, true), (2L, true), (3L, true)))
+    // composes with MATCH: body sees the enclosing bindings, the RETURN
+    // sees the ORIGINAL frame cardinality (side-effect-only)
+    val r2 = CypherEngine(st).execute(
+      """MATCH (n:FE)
+         FOREACH (k IN [10, 20] | MERGE (m:FE {fid: k + n.fid}) SET m.flag = false)
+         RETURN count(*) AS c""")
+    assert(r2.result.collect().head.getLong(0) == 3L)
+    assert(r2.store.nodes("FE").count() == 9) // 3 + 3x{10,20} new fids
+    // empty list is a no-op
+    assert(CypherEngine(st).execute(
+      "FOREACH (k IN [] | MERGE (n:FE {fid: k}))").store.nodes("FE").count() == 3)
+    // nested FOREACH
+    val r4 = CypherEngine(GraphStore.empty).execute(
+      "FOREACH (a IN [100, 200] | FOREACH (b IN [1, 2] | MERGE (n:FN {fid: a + b})))")
+    assert(r4.store.nodes("FN").count() == 4)
+  }
+
   test("standalone SET updates matched nodes in store and frame") {
     val base = CypherEngine(GraphStore.empty).execute(
       """UNWIND $rows AS row MERGE (n:Acct {aid: row.aid})
