@@ -700,6 +700,29 @@ object CypherEngine {
         col("__eid").as("__eid2"))
       val maxPaths = e.sparkSession.conf.getOption(UniqueWalkMaxPathsKey)
         .map(_.toLong).getOrElse(UniqueWalkMaxPaths)
+      // Adaptive physical strategy (same philosophy as [[distDf]]'s
+      // localDist gate): a dimension-sized edge set runs the whole
+      // enumeration inside ONE task — the distributed loop pays ~2 Spark
+      // jobs per level and an open bound can run many levels. The budget
+      // applies identically; the eager checkpoint surfaces the budget
+      // error at build time like the distributed loop's per-level counts.
+      val edgeCap = e.sparkSession.conf
+        .getOption(LocalPathEdgeCapKey).map(_.toLong).getOrElse(LocalPathEdgeCap)
+      if (e.count() <= edgeCap) {
+        val res0 = try {
+          localUniqueWalk(e, seeds, lo, maxPaths).localCheckpoint(true)
+        } catch {
+          case t: Throwable =>
+            var c: Throwable = t
+            while (c != null && !c.isInstanceOf[CypherException]) c = c.getCause
+            e.unpersist(false)
+            throw (if (c != null) c else t)
+        }
+        e.unpersist(false)
+        return (if (seedOnDst)
+          res0.select(col("__cd").as("__cs"), col("__cs").as("__cd"))
+        else res0)
+      }
       var frontier = seeds.fold(e)(s => e.join(s, col("__cs") === col("__seed"), "left_semi"))
         .select(col("__cs"), col("__cd"), array(col("__eid")).as("__seen"))
         .localCheckpoint(true)
@@ -734,6 +757,76 @@ object CypherEngine {
       e.unpersist(false)
       val res = if (acc == null) empty else acc
       if (seedOnDst) res.select(col("__cd").as("__cs"), col("__cs").as("__cd")) else res
+    }
+
+    /** Single-task relationship-unique path enumeration — the local
+      * strategy behind [[uniqueWalkClosure]]'s adaptive switch, mirroring
+      * [[localDist]]: edges and seeds arrive in one task via a tagged
+      * union (never through the driver). Per-path visited-edge sets are
+      * immutable cons lists over edge INDICES — structural sharing makes
+      * the per-path memory one cell, and the linear `contains` scan is
+      * bounded by path length. The budget throw inside the task surfaces
+      * through the caller's unwrap as the standard loud budget error.
+      * `e` columns: (__cs, __cd, __eid); a `None` seed set means
+      * every edge source starts a path (unanchored pattern).
+      */
+    private def localUniqueWalk(e: DataFrame, seeds: Option[DataFrame],
+        lo: Int, maxPaths: Long): DataFrame = {
+      val spark = e.sparkSession
+      val seedAll = seeds.isEmpty
+      val base = e.select(lit(0).as("__t"), col("__cs"), col("__cd"))
+      val tagged = seeds match {
+        case Some(s) => base.unionByName(
+          s.select(lit(1).as("__t"), col("__seed").as("__cs"), col("__seed").as("__cd")))
+        case None => base
+      }
+      val loV = lo
+      val budget = maxPaths
+      val rows = tagged.coalesce(1).rdd.mapPartitions { it =>
+        import scala.collection.mutable
+        val dsts = mutable.ArrayBuffer.empty[Any]
+        val adj = mutable.HashMap.empty[Any, mutable.ArrayBuffer[Int]]
+        val seedSet = mutable.LinkedHashSet.empty[Any]
+        it.foreach { r =>
+          if (r.getInt(0) == 0) {
+            if (!r.isNullAt(1) && !r.isNullAt(2)) {
+              val i = dsts.length
+              dsts += r.get(2)
+              adj.getOrElseUpdate(r.get(1), mutable.ArrayBuffer.empty) += i
+              if (seedAll) seedSet += r.get(1)
+            }
+          } else if (!r.isNullAt(1)) seedSet += r.get(1)
+        }
+        def overBudget(paths: Long, len: Int): Nothing = throw CypherException(
+          s"open-bound var-length enumerated more than $budget " +
+            s"relationship-unique paths by length $len — bound the " +
+            s"pattern (*1..n) or raise $UniqueWalkMaxPathsKey")
+        val out = mutable.ArrayBuffer.empty[Row]
+        var frontier = mutable.ArrayBuffer.empty[(Any, Any, List[Int])]
+        seedSet.foreach { s =>
+          adj.get(s).foreach(_.foreach(ei => frontier += ((s, dsts(ei), ei :: Nil))))
+        }
+        var paths = frontier.length.toLong
+        var len = 1
+        if (paths > budget) overBudget(paths, len)
+        if (loV <= 1) frontier.foreach { case (s, d, _) => out += Row(s, d) }
+        while (frontier.nonEmpty) {
+          val next = mutable.ArrayBuffer.empty[(Any, Any, List[Int])]
+          frontier.foreach { case (s, cur, seen) =>
+            adj.get(cur).foreach(_.foreach { ei =>
+              if (!seen.contains(ei)) next += ((s, dsts(ei), ei :: seen))
+            })
+          }
+          len += 1
+          paths += next.length
+          if (paths > budget) overBudget(paths, len)
+          if (len >= loV) next.foreach { case (s, d, _) => out += Row(s, d) }
+          frontier = next
+        }
+        out.iterator
+      }
+      spark.createDataFrame(rows,
+        StructType(Seq(e.schema("__cs"), e.schema("__cd"))))
     }
 
     /** Bind all patterns into one DataFrame. `seedLabels` carries label

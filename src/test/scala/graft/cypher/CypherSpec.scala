@@ -815,6 +815,16 @@ class CypherSpec extends SparkSpec {
          RETURN b.sid AS dst, count(*) AS paths ORDER BY dst""").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(lo2 == Seq((1L, 1L)))
+    // local and distributed strategies agree (conf kill switch forces the
+    // per-level frontier loop)
+    spark.conf.set(CypherEngine.LocalPathEdgeCapKey, "0")
+    try {
+      val dagDist = CypherEngine(st).run(
+        """MATCH (a:UW {sid: 1})-[:GO*]->(b:UW)
+           RETURN b.sid AS dst, count(*) AS paths ORDER BY dst""").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(dagDist == dag)
+    } finally spark.conf.unset(CypherEngine.LocalPathEdgeCapKey)
   }
 
   test("allShortestPaths: every minimum-length path, both strategies") {
