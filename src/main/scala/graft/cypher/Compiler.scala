@@ -216,7 +216,7 @@ object CypherEngine {
     var used = false
     var star = false
     def expr(e: Expr): Unit = e match {
-      case Fn("length" | "size", Seq(Var(v)), _) if v == pv => ()
+      case Fn("length" | "size" | "count", Seq(Var(v)), _) if v == pv => ()
       case IsNull(Var(v), _) if v == pv => () // matched-test needs only __len
       case Var(v) => if (v == pv) used = true
       case Prop(v, _) => if (v == pv) used = true
@@ -1842,6 +1842,14 @@ object CypherEngine {
             "top-level AND conditions of a WHERE clause")
         case Fn("count", Seq(Var(v)), _) if ctx.rels.contains(v) || ctx.multiRels.contains(v) =>
           count(lit(1)) // count(r): a rel var has no value column; count rows
+        case Fn("count", Seq(Var(v)), false) if ctx.paths.contains(v) =>
+          // count(p): rows where the path exists — its length column is
+          // non-null exactly then (null under unmatched OPTIONAL)
+          count(col(s"${v}__len"))
+        case Fn("count", Seq(Var(v)), true) if ctx.paths.contains(v) =>
+          throw CypherException(
+            s"count(DISTINCT $v) on a path variable is not supported — " +
+              "count length(p)/nodes(p) projections instead")
         case Fn("length" | "size", Seq(Var(v)), _) if ctx.paths.contains(v) =>
           col(s"${v}__len") // length(p) of a shortestPath binding
         case Fn("nodes", Seq(Var(v)), _) if ctx.paths.contains(v) =>

@@ -1049,6 +1049,21 @@ class CypherSpec extends SparkSpec {
                 RETURN n.n_name AS nn }
          RETURN count(*) AS c""").collect()
     assert(rows.head.getLong(0) == 5L)
+    // plain (WITH-alias) variables import too
+    val plain = engine.run(
+      """MATCH (r:Region) WITH r.r_regionkey AS rk
+         CALL { WITH rk MATCH (n:Nation) WHERE n.n_regionkey = rk
+                RETURN count(n) AS cnt }
+         RETURN rk, cnt ORDER BY rk""").collect()
+    assert(plain.length == 5 && plain.forall(_.getLong(1) == 5L))
+    // a shortestPath body composes inside a correlated CALL
+    val sp = engine.run(
+      """MATCH (o:Order {o_orderkey: 1})
+         CALL { WITH o
+                MATCH p = shortestPath((o)-[:CONTAINS*1..3]-(b:Part))
+                RETURN count(p) AS reach }
+         RETURN reach""").collect()
+    assert(sp.length == 1 && sp.head.getLong(0) > 0)
     // loud rejections: writes, per-row LIMIT
     val w = intercept[CypherEngine.CypherException](engine.run(
       "MATCH (r:Region) CALL { MERGE (x:CX {cid: 1}) RETURN count(*) AS c } RETURN c"))
