@@ -54,6 +54,10 @@ object Ast {
     * conjunct of a WHERE (possibly under NOT).
     */
   final case class PatternPred(path: PathPat) extends Expr
+  /** `EXISTS { [MATCH] patterns [WHERE pred] }` — the Neo4j-5 block form
+    * of the existence predicate (multi-pattern + inner WHERE).
+    */
+  final case class ExistsBlock(paths: Seq[PathPat], where: Option[Expr]) extends Expr
   /** generic `CASE WHEN c THEN r ... ELSE d END` or simple
     * `CASE subj WHEN v THEN r ... END`
     */

@@ -150,6 +150,7 @@ object CypherEngine {
       case CaseExpr(s, bs, d) =>
         s.foreach(expr); bs.foreach { case (c, r) => expr(c); expr(r) }; d.foreach(expr)
       case PatternPred(p) => path(p, asRefs = true)
+      case ExistsBlock(ps, w) => ps.foreach(path(_, asRefs = true)); w.foreach(expr)
       case Param(_) | Lit(_) => ()
     }
     def node(n: NodePat, asRefs: Boolean): Unit = {
@@ -238,6 +239,15 @@ object CypherEngine {
           r.props.foreach { case (_, e0) => expr(e0) }
           n.props.foreach { case (_, e0) => expr(e0) }
         }
+      case ExistsBlock(ps, w) =>
+        ps.foreach { p =>
+          p.head.props.foreach { case (_, e0) => expr(e0) }
+          p.hops.foreach { case (r, n) =>
+            r.props.foreach { case (_, e0) => expr(e0) }
+            n.props.foreach { case (_, e0) => expr(e0) }
+          }
+        }
+        w.foreach(expr)
       case Param(_) | Lit(_) => ()
     }
     def proj(p: Projection): Unit = {
@@ -370,6 +380,7 @@ object CypherEngine {
       case CaseExpr(s, bs, d) =>
         CaseExpr(s.map(go), bs.map { case (c, r) => (go(c), go(r)) }, d.map(go))
       case PatternPred(p) => PatternPred(goPath(p))
+      case ExistsBlock(ps, w) => ExistsBlock(ps.map(goPath), w.map(go))
       case other => other // Prop / Var / Lit
     }
     def goNode(n: NodePat) = n.copy(props = n.props.map { case (k, v) => (k, go(v)) })
@@ -1837,6 +1848,8 @@ object CypherEngine {
         case ListLit(xs) => array(xs.map(c): _*)
         case Param(n) => throw CypherException(
           s"unbound parameter $$$n — pass params to run(query, params)")
+        case ExistsBlock(_, _) => throw CypherException(
+          "EXISTS { } is only supported as a top-level WHERE conjunct")
         case PatternPred(_) => throw CypherException(
           "pattern predicates (exists((a)-[]->(b))) are only supported as " +
             "top-level AND conditions of a WHERE clause")
@@ -2070,6 +2083,7 @@ object CypherEngine {
       case Index(coll, i) => s"${genName(coll)}[${genName(i)}]"
       case Param(n) => s"$$$n"
       case PatternPred(_) => "exists(pattern)"
+      case ExistsBlock(_, _) => "exists{block}"
       case CaseExpr(s, bs, d) =>
         "CASE " + s.map(x => genName(x) + " ").getOrElse("") +
           bs.map { case (c, r) => s"WHEN ${genName(c)} THEN ${genName(r)}" }.mkString(" ") +
@@ -2585,16 +2599,18 @@ object CypherEngine {
     /** Predicate split: pattern predicates must be top-level AND conjuncts
       * (optionally under NOT) — they compile to semi/anti joins.
       */
-    private def splitWhere(w: Expr): (Seq[(PathPat, Boolean)], Seq[Expr]) = {
+    private def splitWhere(w: Expr): (Seq[(Seq[PathPat], Option[Expr], Boolean)], Seq[Expr]) = {
       def conjuncts(e: Expr): Seq[Expr] = e match {
         case Bin("and", l, r) => conjuncts(l) ++ conjuncts(r)
         case other => Seq(other)
       }
-      val pats = Seq.newBuilder[(PathPat, Boolean)]
+      val pats = Seq.newBuilder[(Seq[PathPat], Option[Expr], Boolean)]
       val plain = Seq.newBuilder[Expr]
       conjuncts(w).foreach {
-        case PatternPred(p) => pats += ((p, false))
-        case Not(PatternPred(p)) => pats += ((p, true))
+        case PatternPred(p) => pats += ((Seq(p), None, false))
+        case Not(PatternPred(p)) => pats += ((Seq(p), None, true))
+        case ExistsBlock(ps, iw) => pats += ((ps, iw, false))
+        case Not(ExistsBlock(ps, iw)) => pats += ((ps, iw, true))
         case other => plain += other // nested PatternPred → clear error in column()
       }
       (pats.result(), plain.result())
@@ -2606,9 +2622,10 @@ object CypherEngine {
       * row — Cypher existence semantics, and at scale the semi join keeps
       * only the key columns of the subquery side moving.
       */
-    private def applyPatternPred(main: DataFrame, ctx: Ctx, path: PathPat,
-        negated: Boolean): DataFrame = {
-      val patVars = (path.head.variable.toSeq ++ path.hops.flatMap(_._2.variable)).toSet
+    private def applyPatternPred(main: DataFrame, ctx: Ctx, paths: Seq[PathPat],
+        innerWhere: Option[Expr], negated: Boolean): DataFrame = {
+      val patVars = paths.flatMap(p =>
+        p.head.variable.toSeq ++ p.hops.flatMap(_._2.variable)).toSet
       patVars.find(ctx.multi.contains).foreach(v => throw CypherException(
         s"exists() cannot correlate on $v: it matches multiple labels " +
           s"(${ctx.multi(v).mkString(", ")}) — constrain it with a label first"))
@@ -2616,7 +2633,10 @@ object CypherEngine {
       if (shared.isEmpty)
         throw CypherException(
           "exists() pattern must share at least one variable with the enclosing MATCH")
-      val (sub, subCtx) = assemble(Seq(path), ctx.labels.view.filterKeys(shared).toMap)
+      val (sub0, subCtx) = assemble(paths, ctx.labels.view.filterKeys(shared).toMap)
+      // EXISTS { … WHERE … }: the inner predicate filters the sub-pattern
+      // BEFORE the semi join (it may only reference sub-pattern variables)
+      val sub = innerWhere.map(w => sub0.filter(column(w, subCtx))).getOrElse(sub0)
       def keyColOf(v: String, c: Ctx): String = s"${v}__${store.schema.node(c.labels(v)).key}"
       val sfx = "__ex"
       val subR = sub.columns.foldLeft(sub)((d, c) => d.withColumnRenamed(c, c + sfx))
@@ -2750,8 +2770,8 @@ object CypherEngine {
         var (df, ctx) = state.get
         st.where.foreach { w =>
           val (patternPreds, plain) = splitWhere(w)
-          patternPreds.foreach { case (p, negated) =>
-            df = applyPatternPred(df, ctx, p, negated)
+          patternPreds.foreach { case (ps, iw, negated) =>
+            df = applyPatternPred(df, ctx, ps, iw, negated)
           }
           plain.foreach(p => df = df.filter(column(p, ctx)))
         }

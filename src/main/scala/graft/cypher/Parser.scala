@@ -577,6 +577,14 @@ object Parser {
         val pred = expr()
         eatSym(")")
         ListPred(s.toLowerCase, x, coll, pred)
+      case Ident(s) if s.equalsIgnoreCase("exists") && isSym("{") =>
+        // EXISTS { [MATCH] patterns [WHERE pred] } — Neo4j-5 block form
+        eatSym("{")
+        tryKw("MATCH")
+        val ps = patternList()
+        val w = if (tryKw("WHERE")) Some(expr()) else None
+        eatSym("}")
+        ExistsBlock(ps, w)
       case Ident(s) if s.equalsIgnoreCase("exists") && isSym("(") =>
         // exists((a)-[:R]->(b)) → pattern predicate;
         // exists(x.prop) → property-existence (IS NOT NULL)

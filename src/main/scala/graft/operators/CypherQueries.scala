@@ -327,6 +327,13 @@ object CypherQueries {
         """MATCH (a:Nation)
            OPTIONAL MATCH p = shortestPath((a)-[:HOP*]->(b:Nation {n_nationkey: 12}))
            RETURN toInteger(a.n_nationkey) AS src, length(p) AS len ORDER BY src""")),
+    // EXISTS { } block predicate (Neo4j-5 form): nations with at least one
+    // negative-balance customer — sub-pattern filtered by the inner WHERE
+    // BEFORE the semi join, matching SQL EXISTS
+    "q95_cypher_exists_block" -> cy(
+      """MATCH (n:Nation)
+         WHERE EXISTS { MATCH (c:Customer)-[:IN_NATION]->(n) WHERE c.c_acctbal < -900 }
+         RETURN n.n_name AS nn ORDER BY nn"""),
     // CALL { } subquery: correlated per-imported-key aggregation (the body
     // counts nations per region through an importing WITH) composed with
     // an uncorrelated once-per-query branch would be overkill here — the
@@ -521,6 +528,11 @@ object CypherQueries {
                       row_number() OVER (PARTITION BY dst ORDER BY len, path) AS rn
                FROM bfs)
          WHERE rn = 1 ORDER BY dst""",
+    "q95_cypher_exists_block" ->
+      """SELECT n_name AS nn FROM nation n
+         WHERE EXISTS (SELECT 1 FROM customer c
+                       WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal < -900)
+         ORDER BY 1""",
     "q93_cypher_call_subquery" ->
       """SELECT r.r_name AS rn, count(*) AS cnt, max(n.n_name) AS mx
          FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey

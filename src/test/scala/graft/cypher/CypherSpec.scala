@@ -1028,6 +1028,25 @@ class CypherSpec extends SparkSpec {
     finally spark.conf.unset(CypherEngine.LocalPathEdgeCapKey)
   }
 
+  test("EXISTS { } block predicates with inner WHERE") {
+    // nations having at least one negative-balance customer
+    val rows = engine.run(
+      """MATCH (n:Nation)
+         WHERE EXISTS { MATCH (c:Customer)-[:IN_NATION]->(n) WHERE c.c_acctbal < 0 }
+         RETURN count(*) AS cnt""").collect()
+    val ctl = engine.run(
+      """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+         WHERE c.c_acctbal < 0
+         RETURN count(DISTINCT n.n_nationkey) AS cnt""").collect()
+    assert(rows.head.getLong(0) == ctl.head.getLong(0))
+    // negated block partitions the label (MATCH keyword optional)
+    val neg = engine.run(
+      """MATCH (n:Nation)
+         WHERE NOT EXISTS { (c:Customer)-[:IN_NATION]->(n) WHERE c.c_acctbal < 0 }
+         RETURN count(*) AS cnt""").collect()
+    assert(rows.head.getLong(0) + neg.head.getLong(0) == 25L)
+  }
+
   test("CALL { } subqueries: uncorrelated cross and correlated per-key aggregation") {
     // uncorrelated: runs once, rows cross the enclosing frame
     val un = engine.run(
