@@ -95,6 +95,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("relationship-unique enumeration equals brute-force DFS on random graphs") {
+    import graft.cypher.CypherEngine
+    import graft.graph.{GraphStore, GraphWriter}
+    // random directed multigraph-free graphs: the engine's edge identity
+    // is (type, src, dst), so dedup the generated pairs
+    val edgeGen = Gen.listOfN(14,
+      for { a <- Gen.choose(0L, 6L); b <- Gen.choose(0L, 6L) if a != b } yield (a, b))
+      .map(_.distinct)
+    def bruteCounts(edges: Seq[(Long, Long)], src: Long): Map[Long, Long] = {
+      // DFS enumerating every path from src that never reuses an edge
+      val out = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      def go(cur: Long, used: Set[Int]): Unit =
+        edges.zipWithIndex.foreach { case ((a, b), i) =>
+          if (a == cur && !used(i)) { out(b) += 1; go(b, used + i) }
+        }
+      go(src, Set.empty)
+      out.toMap
+    }
+    (1 to 3).foreach { seed =>
+      val edges = sample(edgeGen, seed + 700)
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val st0 = GraphWriter.mergeNodes(GraphStore.empty, "RG",
+        nodes.toDF("gid"), Seq("gid"))
+      val st = GraphWriter.mergeEdges(st0, "GE", "RG", "RG", "src", "dst",
+        edges.toDF("src", "dst"))
+      val srcNode = nodes.min
+      val expected = bruteCounts(edges, srcNode)
+      def run(): Map[Long, Long] = CypherEngine(st).run(
+        s"""MATCH (a:RG {gid: $srcNode})-[:GE*]->(b:RG)
+            RETURN b.gid AS dst, count(*) AS paths""").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(run() == expected, s"seed=$seed local")
+      spark.conf.set(CypherEngine.LocalPathEdgeCapKey, "0")
+      try assert(run() == expected, s"seed=$seed distributed")
+      finally spark.conf.unset(CypherEngine.LocalPathEdgeCapKey)
+    }
+  }
+
   test("timestamp decomposition roundtrips to second precision") {
     val tsGen = Gen.choose(0L, 4102444800L) // 1970..2100
     (1 to 5).foreach { seed =>
