@@ -58,6 +58,11 @@ object Ast {
     * of the existence predicate (multi-pattern + inner WHERE).
     */
   final case class ExistsBlock(paths: Seq[PathPat], where: Option[Expr]) extends Expr
+  /** `COUNT { [MATCH] patterns [WHERE pred] }` — per-row match count
+    * (0 when nothing matches), correlated on the variables shared with
+    * the enclosing frame.
+    */
+  final case class CountBlock(paths: Seq[PathPat], where: Option[Expr]) extends Expr
   /** generic `CASE WHEN c THEN r ... ELSE d END` or simple
     * `CASE subj WHEN v THEN r ... END`
     */

@@ -151,6 +151,7 @@ object CypherEngine {
         s.foreach(expr); bs.foreach { case (c, r) => expr(c); expr(r) }; d.foreach(expr)
       case PatternPred(p) => path(p, asRefs = true)
       case ExistsBlock(ps, w) => ps.foreach(path(_, asRefs = true)); w.foreach(expr)
+      case CountBlock(ps, w) => ps.foreach(path(_, asRefs = true)); w.foreach(expr)
       case Param(_) | Lit(_) => ()
     }
     def node(n: NodePat, asRefs: Boolean): Unit = {
@@ -240,6 +241,15 @@ object CypherEngine {
           n.props.foreach { case (_, e0) => expr(e0) }
         }
       case ExistsBlock(ps, w) =>
+        ps.foreach { p =>
+          p.head.props.foreach { case (_, e0) => expr(e0) }
+          p.hops.foreach { case (r, n) =>
+            r.props.foreach { case (_, e0) => expr(e0) }
+            n.props.foreach { case (_, e0) => expr(e0) }
+          }
+        }
+        w.foreach(expr)
+      case CountBlock(ps, w) =>
         ps.foreach { p =>
           p.head.props.foreach { case (_, e0) => expr(e0) }
           p.hops.foreach { case (r, n) =>
@@ -381,6 +391,7 @@ object CypherEngine {
         CaseExpr(s.map(go), bs.map { case (c, r) => (go(c), go(r)) }, d.map(go))
       case PatternPred(p) => PatternPred(goPath(p))
       case ExistsBlock(ps, w) => ExistsBlock(ps.map(goPath), w.map(go))
+      case CountBlock(ps, w) => CountBlock(ps.map(goPath), w.map(go))
       case other => other // Prop / Var / Lit
     }
     def goNode(n: NodePat) = n.copy(props = n.props.map { case (k, v) => (k, go(v)) })
@@ -1850,6 +1861,9 @@ object CypherEngine {
           s"unbound parameter $$$n — pass params to run(query, params)")
         case ExistsBlock(_, _) => throw CypherException(
           "EXISTS { } is only supported as a top-level WHERE conjunct")
+        case CountBlock(_, _) => throw CypherException(
+          "COUNT { } is not supported in this position — use it as a " +
+            "RETURN/WITH item, in ORDER BY, or in a top-level WHERE")
         case PatternPred(_) => throw CypherException(
           "pattern predicates (exists((a)-[]->(b))) are only supported as " +
             "top-level AND conditions of a WHERE clause")
@@ -2084,6 +2098,7 @@ object CypherEngine {
       case Param(n) => s"$$$n"
       case PatternPred(_) => "exists(pattern)"
       case ExistsBlock(_, _) => "exists{block}"
+      case CountBlock(_, _) => "count{block}"
       case CaseExpr(s, bs, d) =>
         "CASE " + s.map(x => genName(x) + " ").getOrElse("") +
           bs.map { case (c, r) => s"WHEN ${genName(c)} THEN ${genName(r)}" }.mkString(" ") +
@@ -2648,6 +2663,90 @@ object CypherEngine {
     private def compileSingle(q: Query): DataFrame =
       compilePipeline(q, None)._1
 
+    private var cbCounter = 0
+
+    /** Replace every `COUNT { … }` in `e0` with a per-row count column
+      * joined onto the frame: the block's pattern assembles seeded by the
+      * shared variables, the inner WHERE filters it, a groupBy over the
+      * shared keys counts matches, and a LEFT join + coalesce(0) lands the
+      * Neo4j contract (0 when nothing matches). With no shared variable
+      * the count is global and cross-joins as one row. Returns the widened
+      * frame, the context with the synthetic column bound, and the
+      * rewritten expression.
+      */
+    private def liftCountBlocks(df0: DataFrame, ctx0: Ctx,
+        e0: Expr): (DataFrame, Ctx, Expr) = {
+      var df = df0
+      var ctx = ctx0
+      def go(e: Expr): Expr = e match {
+        case CountBlock(paths, iw) =>
+          cbCounter += 1
+          val alias = s"__cb$cbCounter"
+          val patVars = paths.flatMap(p =>
+            p.head.variable.toSeq ++ p.hops.flatMap(_._2.variable)).toSet
+          patVars.find(ctx.multi.contains).foreach(v => throw CypherException(
+            s"COUNT {{ }} cannot correlate on $v: it matches multiple labels"))
+          val shared = patVars.filter(ctx.labels.contains).toSeq.sorted
+          val (sub0, subCtx) = assemble(paths,
+            ctx.labels.view.filterKeys(shared.toSet).toMap)
+          val sub = iw.map(w => sub0.filter(column(w, subCtx))).getOrElse(sub0)
+          if (shared.isEmpty) {
+            df = df.crossJoin(sub.agg(count(lit(1)).as(alias)))
+          } else {
+            val keyCols = shared.map(v =>
+              s"${v}__${store.schema.node(subCtx.labels(v)).key}")
+            val grouped = sub.groupBy(keyCols.map(col): _*)
+              .agg(count(lit(1)).as(alias))
+            df = df.join(grouped, keyCols, "left")
+              .withColumn(alias, coalesce(col(alias), lit(0L)))
+          }
+          ctx = ctx.copy(plains = ctx.plains + alias)
+          Var(alias)
+        case Bin(op, l, r) => Bin(op, go(l), go(r))
+        case Not(x) => Not(go(x))
+        case Fn(n, args, d) => Fn(n, args.map(go), d)
+        case IsNull(x, n) => IsNull(go(x), n)
+        case In(a, b) => In(go(a), go(b))
+        case ListLit(xs) => ListLit(xs.map(go))
+        case CaseExpr(sj, bs, d) =>
+          CaseExpr(sj.map(go), bs.map { case (c, r) => (go(c), go(r)) }, d.map(go))
+        case Index(c, i) => Index(go(c), go(i))
+        // lambda scopes (comprehensions/reduce/list predicates) keep their
+        // own resolution; a COUNT block inside one errors in columnL
+        case other => other
+      }
+      val e2 = go(e0)
+      (df, ctx, e2)
+    }
+
+    /** [[liftCountBlocks]] over a projection's items and ORDER BY (its
+      * post-aggregation WHERE rejects blocks loudly — a lifted column
+      * would not survive the aggregation boundary).
+      */
+    private def liftProjection(df0: DataFrame, ctx0: Ctx,
+        p: Projection): (DataFrame, Ctx, Projection) = {
+      var df = df0
+      var ctx = ctx0
+      def hasBlock(e: Expr): Boolean = e match {
+        case CountBlock(_, _) => true
+        case Bin(_, l, r) => hasBlock(l) || hasBlock(r)
+        case Not(x) => hasBlock(x)
+        case Fn(_, args, _) => args.exists(hasBlock)
+        case _ => false
+      }
+      p.where.foreach(w => if (hasBlock(w)) throw CypherException(
+        "COUNT { } in WITH … WHERE is not supported — compute it as an item first"))
+      val items2 = p.items.map { it =>
+        val (d2, c2, e2) = liftCountBlocks(df, ctx, it.expr)
+        df = d2; ctx = c2; it.copy(expr = e2)
+      }
+      val ob2 = p.orderBy.map { so =>
+        val (d2, c2, e2) = liftCountBlocks(df, ctx, so.expr)
+        df = d2; ctx = c2; so.copy(expr = e2)
+      }
+      (df, ctx, p.copy(items = items2, orderBy = ob2))
+    }
+
     /** `CALL { … }` subquery (read-only). Uncorrelated: compiled once, its
       * rows cross the enclosing frame. Correlated (`CALL { WITH v, … }`):
       * the body compiles against the DISTINCT imported bindings, its final
@@ -2773,19 +2872,25 @@ object CypherEngine {
           patternPreds.foreach { case (ps, iw, negated) =>
             df = applyPatternPred(df, ctx, ps, iw, negated)
           }
-          plain.foreach(p => df = df.filter(column(p, ctx)))
+          plain.foreach { p =>
+            val (d2, c2, p2) = liftCountBlocks(df, ctx, p)
+            df = d2; ctx = c2
+            df = df.filter(column(p2, ctx))
+          }
         }
         if (st.writes.nonEmpty) {
           val (d2, c2) = applyWrites(df, ctx, st.writes)
           df = d2; ctx = c2
         }
         st.projection.foreach { p =>
-          val (d2, c2) = project(df, p, ctx)
+          val (d1, c1, p1) = liftProjection(df, ctx, p)
+          val (d2, c2) = project(d1, p1, c1)
           df = d2; ctx = c2
         }
         state = Some((df, ctx))
       }
-      project(state.get._1, q.ret, state.get._2)
+      val (fd, fc, fr) = liftProjection(state.get._1, state.get._2, q.ret)
+      project(fd, fr, fc)
     }
   }
 }

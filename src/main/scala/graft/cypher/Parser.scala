@@ -585,6 +585,14 @@ object Parser {
         val w = if (tryKw("WHERE")) Some(expr()) else None
         eatSym("}")
         ExistsBlock(ps, w)
+      case Ident(s) if s.equalsIgnoreCase("count") && isSym("{") =>
+        // COUNT { [MATCH] patterns [WHERE pred] } — per-row match count
+        eatSym("{")
+        tryKw("MATCH")
+        val ps = patternList()
+        val w = if (tryKw("WHERE")) Some(expr()) else None
+        eatSym("}")
+        CountBlock(ps, w)
       case Ident(s) if s.equalsIgnoreCase("exists") && isSym("(") =>
         // exists((a)-[:R]->(b)) → pattern predicate;
         // exists(x.prop) → property-existence (IS NOT NULL)

@@ -334,6 +334,14 @@ object CypherQueries {
       """MATCH (n:Nation)
          WHERE EXISTS { MATCH (c:Customer)-[:IN_NATION]->(n) WHERE c.c_acctbal < -900 }
          RETURN n.n_name AS nn ORDER BY nn"""),
+    // COUNT { } block: per-row correlated match count with the Neo4j
+    // 0-when-unmatched contract — left join + coalesce, checked against a
+    // SQL correlated scalar subquery
+    "q96_cypher_count_block" -> cy(
+      """MATCH (n:Nation)
+         RETURN n.n_name AS nn,
+                COUNT { (c:Customer)-[:IN_NATION]->(n) WHERE c.c_acctbal < 0 } AS neg
+         ORDER BY nn"""),
     // CALL { } subquery: correlated per-imported-key aggregation (the body
     // counts nations per region through an importing WITH) composed with
     // an uncorrelated once-per-query branch would be overkill here — the
@@ -528,6 +536,11 @@ object CypherQueries {
                       row_number() OVER (PARTITION BY dst ORDER BY len, path) AS rn
                FROM bfs)
          WHERE rn = 1 ORDER BY dst""",
+    "q96_cypher_count_block" ->
+      """SELECT n.n_name AS nn,
+              (SELECT count(*) FROM customer c
+               WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal < 0) AS neg
+         FROM nation n ORDER BY 1""",
     "q95_cypher_exists_block" ->
       """SELECT n_name AS nn FROM nation n
          WHERE EXISTS (SELECT 1 FROM customer c

@@ -1047,6 +1047,36 @@ class CypherSpec extends SparkSpec {
     assert(rows.head.getLong(0) + neg.head.getLong(0) == 25L)
   }
 
+  test("COUNT { } blocks: per-row counts in RETURN, WHERE, and ORDER BY") {
+    // degree counting, 0 for unmatched rows (Neo4j contract)
+    val deg = engine.run(
+      """MATCH (n:Nation)
+         RETURN toInteger(n.n_nationkey) AS nk,
+                COUNT { (c:Customer)-[:IN_NATION]->(n) WHERE c.c_acctbal < 0 } AS neg
+         ORDER BY nk""").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ctl = engine.run(
+      """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+         WHERE c.c_acctbal < 0
+         RETURN toInteger(n.n_nationkey) AS nk, count(*) AS neg""").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(deg.size == 25)
+    assert((0L until 25L).forall(k => deg(k) == ctl.getOrElse(k, 0L)))
+    // in WHERE (top-level conjunct) and composed with comparison
+    val some = engine.run(
+      """MATCH (n:Nation)
+         WHERE COUNT { (c:Customer)-[:IN_NATION]->(n) } >= 1 AND n.n_nationkey < 100
+         RETURN count(*) AS cnt""").collect().head.getLong(0)
+    val ctlSome = engine.run(
+      """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+         RETURN count(DISTINCT n.n_nationkey) AS cnt""").collect().head.getLong(0)
+    assert(some == ctlSome)
+    // uncorrelated block: global count crossed onto every row
+    val glob = engine.run(
+      """MATCH (r:Region)
+         RETURN r.r_name AS rn, COUNT { MATCH (n:Nation) } AS nn ORDER BY rn""").collect()
+    assert(glob.length == 5 && glob.forall(_.getLong(1) == 25L))
+  }
+
   test("CALL { } subqueries: uncorrelated cross and correlated per-key aggregation") {
     // uncorrelated: runs once, rows cross the enclosing frame
     val un = engine.run(
