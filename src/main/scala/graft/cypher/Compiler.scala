@@ -1842,6 +1842,11 @@ object CypherEngine {
           }
         case Lit(null) => lit(null)
         case Lit(x) => lit(x)
+        case Bin("+", l, r)
+            if isStringTyped(l, ctx, lamStr) || isStringTyped(r, ctx, lamStr) =>
+          // Cypher `+` concatenates when either side is a string
+          // ('a' + 'b' = 'ab', s + toString(n)); numbers render via cast
+          concat(c(l).cast(StringType), c(r).cast(StringType))
         case Bin(op, l, r) => binop(op, c(l), c(r))
         case Not(x) => !c(x)
         // `p IS [NOT] NULL` on a path variable tests whether the OPTIONAL

@@ -1332,5 +1332,17 @@ class CypherSpec extends SparkSpec {
     assert(r.getLong(7) == 5L)
     assert(r.getInt(8) == 10)
     assert(r.getSeq[Long](9) == Seq(2L, 3L))
+    // `+` concatenates when either side is a string (generated Cypher's
+    // idiom); numeric + stays arithmetic
+    val cc = engine.run(
+      """MATCH (n:Nation) WHERE n.n_nationkey = 7
+         RETURN 'a' + 'b' AS ab,
+                n.n_name + '!' AS bang,
+                'key=' + toString(n.n_nationkey) AS kv,
+                n.n_nationkey + 1 AS num""").collect().head
+    assert(cc.getString(0) == "ab")
+    assert(cc.getString(1) == "NATION_7!")
+    assert(cc.getString(2) == "key=7")
+    assert(cc.getLong(3) == 8L)
   }
 }
