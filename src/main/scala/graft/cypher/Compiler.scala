@@ -1988,7 +1988,14 @@ object CypherEngine {
       case "size" | "length" =>
         if (isStringTyped(rawArgs.head, ctx, lamStr)) length(args.head) else size(args.head)
       case "abs" => abs(args.head)
-      case "round" => round(args.head)
+      case "round" =>
+        // Cypher round(x) and round(x, precision)
+        if (args.sizeIs > 1) round(args.head, rawArgs(1) match {
+          case Lit(n: Long) => n.toInt
+          case Lit(n: Int) => n
+          case other => throw CypherException(
+            s"round() precision must be an integer literal, got $other")
+        }) else round(args.head)
       case "ceil" => ceil(args.head)
       case "floor" => floor(args.head)
       case "sqrt" => sqrt(args.head)

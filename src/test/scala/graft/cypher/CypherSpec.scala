@@ -1344,5 +1344,10 @@ class CypherSpec extends SparkSpec {
     assert(cc.getString(1) == "NATION_7!")
     assert(cc.getString(2) == "key=7")
     assert(cc.getLong(3) == 8L)
+    // round with precision
+    val rp = engine.run(
+      "MATCH (n:Nation) WHERE n.n_nationkey = 0 RETURN round(3.14159, 2) AS r2")
+      .collect().head
+    assert(rp.getDouble(0) == 3.14)
   }
 }
