@@ -8,12 +8,12 @@ object Bench {
   /** Committed full-suite records (seconds) per sf-dir basename; a fresh
     * full run that exceeds its record by >15% is flagged contended no
     * matter what loadavg claimed. Update when a new record is committed
-    * to BASELINE.md. 67.0 = the 59.9 s 97-query record plus the measured
-    * clean-run cost of the five round-7 queries (q90 ~0.5, q91 ~2.5,
-    * q92 ~3.0, q93 ~0.3, q94 ~0.7); re-record on the next idle-fast
-    * session (BASELINE.md's round-7 machine-state caveat).
+    * to BASELINE.md. 68.0 = the 59.9 s 97-query record plus the measured
+    * clean-run cost of the nine round-7 queries (q90-q96 ≈ 8 s total,
+    * dominated by q91/q92); re-record on the next idle-fast session
+    * (BASELINE.md's round-7 machine-state caveat).
     */
-  val CommittedTotalSec: Map[String, Double] = Map("sf0.1" -> 67.0)
+  val CommittedTotalSec: Map[String, Double] = Map("sf0.1" -> 68.0)
 
   /** Contended-run predicate (pure; pinned by BenchSpec). `loadBefore > 2`
     * is the empirically-idle threshold for this box: the round-6 driver
