@@ -473,7 +473,12 @@ object CypherEngine {
         /** relationship variables matching several edge types; the per-row
           * type is in the `__type__r` column (read by `type(r)`)
           */
-        multiRels: Set[String] = Set.empty) {
+        multiRels: Set[String] = Set.empty,
+        /** plain variables known to hold STRINGS (a projection alias like
+          * `WITH 'a' AS s` carries its string-typedness forward so `s + t`
+          * still dispatches to concatenation, not arithmetic)
+          */
+        strs: Set[String] = Set.empty) {
       def nodeLabel(v: String): Option[String] = labels.get(v)
     }
 
@@ -745,40 +750,45 @@ object CypherEngine {
           res0.select(col("__cd").as("__cs"), col("__cs").as("__cd"))
         else res0)
       }
-      var frontier = seeds.fold(e)(s => e.join(s, col("__cs") === col("__seed"), "left_semi"))
-        .select(col("__cs"), col("__cd"), array(col("__eid")).as("__seen"))
-        .localCheckpoint(true)
-      val empty = frontier.select(col("__cs"), col("__cd")).limit(0)
-      var paths = frontier.count()
-      var acc = if (lo <= 1) frontier.select("__cs", "__cd") else null
-      var len = 1
-      var done = paths == 0
-      while (!done) {
-        val next = frontier.join(e2, col("__cd") === col("__m") &&
-            !array_contains(col("__seen"), col("__eid2")))
-          .select(col("__cs"), col("__cd2").as("__cd"),
-            concat(col("__seen"), array(col("__eid2"))).as("__seen"))
+      // try/finally, not a post-loop unpersist: the budget-exceeded throw
+      // inside the loop must not leak the persisted doubled edge frame for
+      // the rest of the session (every checkpointed frame below is already
+      // materialized, so nothing recomputes against the unpersisted e)
+      try {
+        var frontier = seeds.fold(e)(s => e.join(s, col("__cs") === col("__seed"), "left_semi"))
+          .select(col("__cs"), col("__cd"), array(col("__eid")).as("__seen"))
           .localCheckpoint(true)
-        val n = next.count()
-        len += 1
-        if (n == 0) done = true
-        else {
-          paths += n
-          if (paths > maxPaths)
-            throw CypherException(
-              s"open-bound var-length enumerated more than $maxPaths " +
-                s"relationship-unique paths by length $len — bound the " +
-                s"pattern (*1..n) or raise $UniqueWalkMaxPathsKey")
-          if (len >= lo) {
-            val rows = next.select("__cs", "__cd")
-            acc = if (acc == null) rows else acc.unionByName(rows)
+        val empty = frontier.select(col("__cs"), col("__cd")).limit(0)
+        var paths = frontier.count()
+        var acc = if (lo <= 1) frontier.select("__cs", "__cd") else null
+        var len = 1
+        var done = paths == 0
+        while (!done) {
+          val next = frontier.join(e2, col("__cd") === col("__m") &&
+              !array_contains(col("__seen"), col("__eid2")))
+            .select(col("__cs"), col("__cd2").as("__cd"),
+              concat(col("__seen"), array(col("__eid2"))).as("__seen"))
+            .localCheckpoint(true)
+          val n = next.count()
+          len += 1
+          if (n == 0) done = true
+          else {
+            paths += n
+            if (paths > maxPaths)
+              throw CypherException(
+                s"open-bound var-length enumerated more than $maxPaths " +
+                  s"relationship-unique paths by length $len — bound the " +
+                  s"pattern (*1..n) or raise $UniqueWalkMaxPathsKey")
+            if (len >= lo) {
+              val rows = next.select("__cs", "__cd")
+              acc = if (acc == null) rows else acc.unionByName(rows)
+            }
+            frontier = next
           }
-          frontier = next
         }
-      }
-      e.unpersist(false)
-      val res = if (acc == null) empty else acc
-      if (seedOnDst) res.select(col("__cd").as("__cs"), col("__cs").as("__cd")) else res
+        val res = if (acc == null) empty else acc
+        if (seedOnDst) res.select(col("__cd").as("__cs"), col("__cs").as("__cd")) else res
+      } finally e.unpersist(false)
     }
 
     /** Single-task relationship-unique path enumeration — the local
@@ -2075,7 +2085,9 @@ object CypherEngine {
 
     private def isStringTyped(e: Expr, ctx: Ctx, lamStr: Set[String] = Set.empty): Boolean = e match {
       case Lit(_: String) => true
-      case Var(v) if lamStr.contains(v) => true
+      case Var(v) if lamStr.contains(v) || ctx.strs.contains(v) => true
+      // a concat chain is itself a string (`s + t + u`)
+      case Bin("+", l, r) => isStringTyped(l, ctx, lamStr) || isStringTyped(r, ctx, lamStr)
       case Index(Fn("split", _, _), _) => true // split(s, d)[i] is a string
       case Fn("tolower" | "lower" | "toupper" | "upper" | "tostring" | "trim"
         | "substring" | "replace" | "left" | "right" | "ltrim" | "rtrim", _, _) => true
@@ -2173,7 +2185,8 @@ object CypherEngine {
         plain.map(outName).toSet,
         Set.empty,
         plain.filter(i => elemIsString(i.expr, ctx, Set.empty)).map(outName).toSet,
-        multi = ctx.multi.filter { case (v, _) => carried.contains(v) })
+        multi = ctx.multi.filter { case (v, _) => carried.contains(v) },
+        strs = plain.filter(i => isStringTyped(i.expr, ctx)).map(outName).toSet)
       stage.where.foreach(w => out = out.filter(column(w, newCtx)))
       if (stage.orderBy.nonEmpty) {
         // a sort key that IS one of the projected items (aliased or not —
@@ -2739,11 +2752,22 @@ object CypherEngine {
         p: Projection): (DataFrame, Ctx, Projection) = {
       var df = df0
       var ctx = ctx0
+      // recurse through the same container nodes liftCountBlocks rewrites,
+      // so a COUNT {} nested in CASE/IN/IS NULL/index/list-literal still
+      // hits the intended "compute it as an item first" guidance instead
+      // of the generic not-supported-in-this-position error
       def hasBlock(e: Expr): Boolean = e match {
         case CountBlock(_, _) => true
         case Bin(_, l, r) => hasBlock(l) || hasBlock(r)
         case Not(x) => hasBlock(x)
         case Fn(_, args, _) => args.exists(hasBlock)
+        case IsNull(x, _) => hasBlock(x)
+        case In(a, b) => hasBlock(a) || hasBlock(b)
+        case ListLit(xs) => xs.exists(hasBlock)
+        case Index(c, i) => hasBlock(c) || hasBlock(i)
+        case CaseExpr(sj, bs, d) =>
+          sj.exists(hasBlock) || d.exists(hasBlock) ||
+            bs.exists { case (c, r) => hasBlock(c) || hasBlock(r) }
         case _ => false
       }
       p.where.foreach(w => if (hasBlock(w)) throw CypherException(
@@ -2804,7 +2828,8 @@ object CypherEngine {
         labels = ctx.labels.view.filterKeys(nodeImports.toSet).toMap,
         rels = Map.empty,
         plains = plainImports.toSet,
-        strLists = ctx.strLists.intersect(plainImports.toSet))
+        strLists = ctx.strLists.intersect(plainImports.toSet),
+        strs = ctx.strs.intersect(plainImports.toSet))
       // implicit carry: the imported variables join the body's RETURN as
       // bare items, so an aggregating subquery groups per imported key
       val ret2 = body.ret.copy(items =
@@ -2817,7 +2842,37 @@ object CypherEngine {
           plainImports
       val subSlim = sub.columns.filter(c => carryCols.contains(c) && !keyCols.contains(c))
         .foldLeft(sub)(_.drop(_))
-      (df.join(subSlim, keyCols, "inner"), mergeCallCtx(ctx, subCtx))
+      // An aggregate-only body returns exactly one row per input row in
+      // Neo4j even when its MATCH finds nothing (count()=0, sum()=0,
+      // collect()=[]); an inner join would silently drop those rows, so
+      // join left and backfill the empty-group identities — the same
+      // contract the COUNT {} lift implements. A body with any non-
+      // aggregate item keeps the inner join: zero body rows legitimately
+      // eliminate the input row (CALL is cardinality-changing there).
+      val aggOnly = keyCols.nonEmpty && body.ret.items.nonEmpty &&
+        body.ret.items.forall(i => containsAgg(i.expr))
+      if (!aggOnly) (df.join(subSlim, keyCols, "inner"), mergeCallCtx(ctx, subCtx))
+      else {
+        var joined = df.join(subSlim, keyCols, "left")
+        body.ret.items.foreach { i =>
+          val name = i.alias.getOrElse(genName(i.expr))
+          val c = col(s"`${name.replace("`", "``")}`")
+          emptyGroupIdentity(i.expr).foreach(z =>
+            joined = joined.withColumn(name, coalesce(c, z)))
+        }
+        (joined, mergeCallCtx(ctx, subCtx))
+      }
+    }
+
+    /** The value a Neo4j aggregate yields over ZERO rows, when that value
+      * is not null: count→0, sum→0, collect→[]; min/max/avg stay null.
+      * Used to backfill empty groups a left join reintroduces.
+      */
+    private def emptyGroupIdentity(e: Expr): Option[Column] = e match {
+      case Fn("count", _, _) => Some(lit(0L))
+      case Fn("sum", _, _) => Some(lit(0L))
+      case Fn("collect", _, _) => Some(array())
+      case _ => None
     }
 
     /** Enclosing bindings + the subquery's result bindings (aliases become
@@ -2828,6 +2883,7 @@ object CypherEngine {
         labels = sub.labels ++ outer.labels,
         plains = outer.plains ++ sub.plains,
         strLists = outer.strLists ++ sub.strLists,
+        strs = outer.strs ++ sub.strs,
         multi = sub.multi ++ outer.multi)
 
     private def compilePipeline(q: Query,

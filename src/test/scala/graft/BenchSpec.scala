@@ -29,4 +29,15 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.isContended(1.9, 500.0, None))
     assert(Bench.isContended(2.1, 1.0, None))
   }
+
+  test("a throwing query surfaces in the errors fragment") {
+    assert(Bench.errorsJson(Seq("q55_hll" -> "AnalysisException")) ==
+      ""","errors":{"q55_hll":"AnalysisException"}""")
+    assert(Bench.errorsJson(Seq("a" -> "X", "b" -> "Y")) ==
+      ""","errors":{"a":"X","b":"Y"}""")
+  }
+
+  test("all-green runs emit no errors fragment (artifact shape unchanged)") {
+    assert(Bench.errorsJson(Nil) == "")
+  }
 }

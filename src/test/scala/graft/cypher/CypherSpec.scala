@@ -763,6 +763,15 @@ class CypherSpec extends SparkSpec {
       val err = intercept[CypherEngine.CypherException](
         e.run("MATCH (a:UB {sid: 0})-[:GO*]->(b:UB) RETURN count(*) AS c"))
       assert(err.getMessage.contains("relationship-unique paths"))
+      // the DISTRIBUTED branch must throw the same loud budget error —
+      // through the try/finally that releases the persisted edge frame
+      // (the pre-r8 loop skipped the unpersist on this exact path)
+      spark.conf.set(CypherEngine.LocalPathEdgeCapKey, "0")
+      try {
+        val errD = intercept[CypherEngine.CypherException](
+          e.run("MATCH (a:UB {sid: 0})-[:GO*]->(b:UB) RETURN count(*) AS c"))
+        assert(errD.getMessage.contains("relationship-unique paths"))
+      } finally spark.conf.unset(CypherEngine.LocalPathEdgeCapKey)
     } finally spark.conf.unset(CypherEngine.UniqueWalkMaxPathsKey)
     // lower bound > 1 with an open upper bound enumerates walks too
     val err2 = intercept[CypherEngine.CypherException](
@@ -1349,5 +1358,85 @@ class CypherSpec extends SparkSpec {
       "MATCH (n:Nation) WHERE n.n_nationkey = 0 RETURN round(3.14159, 2) AS r2")
       .collect().head
     assert(rp.getDouble(0) == 3.14)
+  }
+
+  test("string-typedness survives WITH aliases: s + t concatenates, not arithmetic") {
+    // a string carried through a projection alias must still dispatch `+`
+    // to concat — the untracked-alias path silently produced NULL (cast
+    // of 'a' to double) before Ctx.strs
+    val r = engine.run(
+      """MATCH (x:Region {r_regionkey: 0})
+         WITH x.r_name AS rn, 'a' AS s, 'b' AS t
+         RETURN s + t AS st, rn + '!' AS bang, 'p:' + s + t AS chain""").collect().head
+    assert(r.getString(0) == "ab")
+    assert(r.getString(1) == "AFRICA!")
+    assert(r.getString(2) == "p:ab")
+    // across two WITH stages (the set must propagate stage to stage)
+    val r2 = engine.run(
+      """MATCH (x:Region {r_regionkey: 0})
+         WITH 'a' AS s WITH s AS u RETURN u + 'z' AS uz""").collect().head
+    assert(r2.getString(0) == "az")
+    // and through a CALL import
+    val r3 = engine.run(
+      """MATCH (x:Region {r_regionkey: 0})
+         WITH 'q' AS s
+         CALL { WITH s MATCH (n:Nation {n_nationkey: 7}) RETURN s + n.n_name AS sn }
+         RETURN sn""").collect().head
+    assert(r3.getString(0) == "qNATION_7")
+  }
+
+  test("correlated CALL with an aggregate-only body keeps zero-match rows") {
+    // Neo4j contract: an aggregate-only subquery returns exactly one row
+    // per input row even when its MATCH finds nothing — count()=0,
+    // sum()=0, collect()=[], max() stays null. An inner join-back would
+    // silently drop those input rows.
+    val r = engine.run(
+      """MATCH (n:Nation)
+         CALL { WITH n MATCH (c:Customer)-[:IN_NATION]->(n)
+                WHERE c.c_acctbal < -99999999
+                RETURN count(c) AS cc, sum(c.c_acctbal) AS sb,
+                       collect(c.c_name) AS names, max(c.c_acctbal) AS mx }
+         RETURN n.n_nationkey AS nk, cc, sb, names, mx ORDER BY nk""").collect()
+    assert(r.length == 25)
+    assert(r.forall(_.getLong(1) == 0L))
+    assert(r.forall(_.getDouble(2) == 0.0))
+    assert(r.forall(_.getSeq[String](3).isEmpty))
+    assert(r.forall(_.isNullAt(4)))
+    // agreement with the COUNT {} block (same contract, different surface)
+    val viaCall = engine.run(
+      """MATCH (n:Nation)
+         CALL { WITH n MATCH (c:Customer)-[:IN_NATION]->(n) RETURN count(c) AS cc }
+         RETURN n.n_nationkey AS nk, cc ORDER BY nk""").collect()
+      .map(x => (x.getAs[Number](0).longValue, x.getAs[Number](1).longValue)).toSeq
+    val viaBlock = engine.run(
+      """MATCH (n:Nation)
+         RETURN n.n_nationkey AS nk,
+                COUNT { (c:Customer)-[:IN_NATION]->(n) } AS cc ORDER BY nk""").collect()
+      .map(x => (x.getAs[Number](0).longValue, x.getAs[Number](1).longValue)).toSeq
+    assert(viaCall == viaBlock && viaCall.length == 25)
+    // a NON-aggregating zero-match body still eliminates the input row
+    // (CALL is cardinality-changing there — inner join is the contract)
+    val none = engine.run(
+      """MATCH (n:Nation)
+         CALL { WITH n MATCH (c:Customer)-[:IN_NATION]->(n)
+                WHERE c.c_acctbal < -99999999
+                RETURN c.c_name AS cn }
+         RETURN count(*) AS k""").collect().head.getLong(0)
+    assert(none == 0L)
+  }
+
+  test("COUNT {} nested in containers inside WITH ... WHERE hits the lift guidance") {
+    // nested in CASE / IS NULL / IN / list / index the guard must still
+    // point at "compute it as an item first", not the generic
+    // not-supported-in-this-position error
+    for (w <- Seq(
+        "CASE WHEN COUNT { (c:Customer)-[:IN_NATION]->(n) } > 0 THEN true ELSE false END",
+        "COUNT { (c:Customer)-[:IN_NATION]->(n) } IS NULL",
+        "COUNT { (c:Customer)-[:IN_NATION]->(n) } IN [1, 2]",
+        "[COUNT { (c:Customer)-[:IN_NATION]->(n) }][0] > 0")) {
+      val err = intercept[CypherEngine.CypherException](engine.run(
+        s"MATCH (n:Nation) WITH n WHERE $w RETURN count(*) AS c"))
+      assert(err.getMessage.contains("compute it as an item first"), w)
+    }
   }
 }
