@@ -63,6 +63,20 @@ object Ast {
     * the enclosing frame.
     */
   final case class CountBlock(paths: Seq[PathPat], where: Option[Expr]) extends Expr
+  /** `COLLECT { [MATCH] patterns [WHERE pred] RETURN expr }` — the third
+    * Neo4j-5 block form: the list of `expr` over every match, correlated
+    * like [[CountBlock]]; `[]` when nothing matches.
+    */
+  final case class CollectBlock(paths: Seq[PathPat], where: Option[Expr],
+      ret: Expr) extends Expr
+  /** `[(a)-[:R]->(b) WHERE pred | proj]` pattern comprehension — the
+    * expression form LLM-generated Cypher idiomatically spells "collect
+    * the neighbors' X inline" with (reference:
+    * final/langraph_neo4j3.py:154-181 accepts arbitrary questions).
+    * Same semantics as a [[CollectBlock]] over one path.
+    */
+  final case class PatternComp(path: PathPat, where: Option[Expr],
+      proj: Expr) extends Expr
   /** generic `CASE WHEN c THEN r ... ELSE d END` or simple
     * `CASE subj WHEN v THEN r ... END`
     */

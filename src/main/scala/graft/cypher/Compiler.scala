@@ -152,6 +152,10 @@ object CypherEngine {
       case PatternPred(p) => path(p, asRefs = true)
       case ExistsBlock(ps, w) => ps.foreach(path(_, asRefs = true)); w.foreach(expr)
       case CountBlock(ps, w) => ps.foreach(path(_, asRefs = true)); w.foreach(expr)
+      case CollectBlock(ps, w, r) =>
+        ps.foreach(path(_, asRefs = true)); w.foreach(expr); expr(r)
+      case PatternComp(p, w, pr) =>
+        path(p, asRefs = true); w.foreach(expr); expr(pr)
       case Param(_) | Lit(_) => ()
     }
     def node(n: NodePat, asRefs: Boolean): Unit = {
@@ -258,6 +262,22 @@ object CypherEngine {
           }
         }
         w.foreach(expr)
+      case CollectBlock(ps, w, r) =>
+        ps.foreach { p =>
+          p.head.props.foreach { case (_, e0) => expr(e0) }
+          p.hops.foreach { case (rl, n) =>
+            rl.props.foreach { case (_, e0) => expr(e0) }
+            n.props.foreach { case (_, e0) => expr(e0) }
+          }
+        }
+        w.foreach(expr); expr(r)
+      case PatternComp(p, w, pr) =>
+        p.head.props.foreach { case (_, e0) => expr(e0) }
+        p.hops.foreach { case (rl, n) =>
+          rl.props.foreach { case (_, e0) => expr(e0) }
+          n.props.foreach { case (_, e0) => expr(e0) }
+        }
+        w.foreach(expr); expr(pr)
       case Param(_) | Lit(_) => ()
     }
     def proj(p: Projection): Unit = {
@@ -392,6 +412,8 @@ object CypherEngine {
       case PatternPred(p) => PatternPred(goPath(p))
       case ExistsBlock(ps, w) => ExistsBlock(ps.map(goPath), w.map(go))
       case CountBlock(ps, w) => CountBlock(ps.map(goPath), w.map(go))
+      case CollectBlock(ps, w, r) => CollectBlock(ps.map(goPath), w.map(go), go(r))
+      case PatternComp(p, w, pr) => PatternComp(goPath(p), w.map(go), go(pr))
       case other => other // Prop / Var / Lit
     }
     def goNode(n: NodePat) = n.copy(props = n.props.map { case (k, v) => (k, go(v)) })
@@ -1879,6 +1901,13 @@ object CypherEngine {
         case CountBlock(_, _) => throw CypherException(
           "COUNT { } is not supported in this position — use it as a " +
             "RETURN/WITH item, in ORDER BY, or in a top-level WHERE")
+        case CollectBlock(_, _, _) => throw CypherException(
+          "COLLECT { } is not supported in this position — use it as a " +
+            "RETURN/WITH item, in ORDER BY, or in a top-level WHERE")
+        case PatternComp(_, _, _) => throw CypherException(
+          "pattern comprehensions are not supported in this position — " +
+            "use them as a RETURN/WITH item, in ORDER BY, or in a " +
+            "top-level WHERE")
         case PatternPred(_) => throw CypherException(
           "pattern predicates (exists((a)-[]->(b))) are only supported as " +
             "top-level AND conditions of a WHERE clause")
@@ -1940,6 +1969,29 @@ object CypherEngine {
           orElse.map(d => chained.otherwise(c(d))).getOrElse(chained)
       }
       c(e)
+    }
+
+    /** ISO-8601 duration literal → a constant interval Column. Month-free
+      * durations become a DAY TO SECOND interval (orderable, so
+      * `duration.inDays(a,b) < duration('P90D')` compares natively);
+      * year/month-bearing ones become a calendar interval (fine for
+      * `ts ± duration` arithmetic; not orderable — Neo4j also refuses to
+      * order durations). Components are literal, so Catalyst constant-folds
+      * the whole thing — nothing interpreted reaches the row path.
+      */
+    private val IsoDuration =
+      """(?i)P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)W)?(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?""".r
+    private def durationLiteral(s: String): Column = s match {
+      case IsoDuration(y, mo, w, d, h, mi, sec)
+          if Seq(y, mo, w, d, h, mi, sec).exists(_ != null) =>
+        def n(x: String) = Option(x).map(_.toLong).getOrElse(0L)
+        val secs = Option(sec).map(_.toDouble).getOrElse(0d)
+        if (n(y) == 0 && n(mo) == 0)
+          expr(s"make_dt_interval(${n(w) * 7 + n(d)}, ${n(h)}, ${n(mi)}, $secs)")
+        else
+          expr(s"make_interval(${n(y)}, ${n(mo)}, ${n(w)}, ${n(d)}, ${n(h)}, ${n(mi)}, $secs)")
+      case _ => throw CypherException(
+        s"malformed ISO-8601 duration literal: '$s' (expected P[nY][nM][nW][nD][T[nH][nM][nS]])")
     }
 
     private def binop(op: String, l: Column, r: Column): Column = op match {
@@ -2012,6 +2064,45 @@ object CypherEngine {
       case "coalesce" => coalesce(args: _*)
       case "date" => to_date(args.head)
       case "datetime" | "timestamp" => to_timestamp(args.head)
+      // ---- durations (SURVEY §2.8 temporal arithmetic; reference demand:
+      // the RCA loop's serial time-scoped questions,
+      // final/experimenting_new/rca.ipynb:345-354) -------------------------
+      case "duration" => rawArgs.head match {
+        case Lit(s: String) => durationLiteral(s)
+        case other => throw CypherException(
+          s"duration() expects an ISO-8601 string literal like 'P90D' or " +
+            s"'PT12H', got ${genName(other)}")
+      }
+      // duration.inDays / duration.inSeconds: the single-component Neo4j
+      // difference forms — a day-time interval whose total-days /
+      // total-seconds the component accessors below read back exactly
+      case "duration.indays" =>
+        (args(1).cast(TimestampType) - args(0).cast(TimestampType))
+          .cast(DayTimeIntervalType(DayTimeIntervalType.DAY, DayTimeIntervalType.DAY))
+      case "duration.inseconds" =>
+        args(1).cast(TimestampType) - args(0).cast(TimestampType)
+      // duration.between WITHOUT a component accessor is the same
+      // day-time difference (usable in interval comparisons and date
+      // arithmetic); its Neo4j CALENDAR decomposition (P1M14D-style
+      // months-then-days) is not implemented, so component accessors on
+      // it reject loudly below rather than silently diverge
+      case "duration.between" =>
+        args(1).cast(TimestampType) - args(0).cast(TimestampType)
+      case "days" | "hours" | "minutes" | "seconds" =>
+        rawArgs.head match {
+          case Fn("duration.between", _, _) => throw CypherException(
+            s"$name on duration.between is not supported: Neo4j decomposes " +
+              "it calendar-wise (months, then days). Use " +
+              "duration.inDays(a, b).days or duration.inSeconds(a, b).seconds")
+          case _ =>
+            val f = name match {
+              case "days" => DayTimeIntervalType.DAY
+              case "hours" => DayTimeIntervalType.HOUR
+              case "minutes" => DayTimeIntervalType.MINUTE
+              case "seconds" => DayTimeIntervalType.SECOND
+            }
+            args.head.cast(DayTimeIntervalType(f, f)).cast(LongType)
+        }
       case "year" => year(args.head)
       case "month" => month(args.head)
       case "day" => dayofmonth(args.head)
@@ -2123,6 +2214,8 @@ object CypherEngine {
       case PatternPred(_) => "exists(pattern)"
       case ExistsBlock(_, _) => "exists{block}"
       case CountBlock(_, _) => "count{block}"
+      case CollectBlock(_, _, _) => "collect{block}"
+      case PatternComp(_, _, _) => "pattern{comp}"
       case CaseExpr(s, bs, d) =>
         "CASE " + s.map(x => genName(x) + " ").getOrElse("") +
           bs.map { case (c, r) => s"WHEN ${genName(c)} THEN ${genName(r)}" }.mkString(" ") +
@@ -2703,30 +2796,46 @@ object CypherEngine {
         e0: Expr): (DataFrame, Ctx, Expr) = {
       var df = df0
       var ctx = ctx0
+      /** Common lift for the three block forms: assemble the pattern
+        * seeded by the shared variables, filter by the inner WHERE, group
+        * the per-key aggregate (`mkAgg` sees the sub-frame's context),
+        * LEFT-join it on and backfill `zero` for unmatched rows — the
+        * Neo4j contract (COUNT→0, COLLECT/comprehension→[]).
+        */
+      def lift(what: String, paths: Seq[PathPat], iw: Option[Expr],
+          mkAgg: Ctx => Column, zero: Column): Expr = {
+        cbCounter += 1
+        val alias = s"__cb$cbCounter"
+        val patVars = paths.flatMap(p =>
+          p.head.variable.toSeq ++ p.hops.flatMap(_._2.variable)).toSet
+        patVars.find(ctx.multi.contains).foreach(v => throw CypherException(
+          s"$what cannot correlate on $v: it matches multiple labels"))
+        val shared = patVars.filter(ctx.labels.contains).toSeq.sorted
+        val (sub0, subCtx) = assemble(paths,
+          ctx.labels.view.filterKeys(shared.toSet).toMap)
+        val sub = iw.map(w => sub0.filter(column(w, subCtx))).getOrElse(sub0)
+        if (shared.isEmpty) {
+          df = df.crossJoin(sub.agg(mkAgg(subCtx).as(alias)))
+        } else {
+          val keyCols = shared.map(v =>
+            s"${v}__${store.schema.node(subCtx.labels(v)).key}")
+          val grouped = sub.groupBy(keyCols.map(col): _*)
+            .agg(mkAgg(subCtx).as(alias))
+          df = df.join(grouped, keyCols, "left")
+            .withColumn(alias, coalesce(col(alias), zero))
+        }
+        ctx = ctx.copy(plains = ctx.plains + alias)
+        Var(alias)
+      }
       def go(e: Expr): Expr = e match {
         case CountBlock(paths, iw) =>
-          cbCounter += 1
-          val alias = s"__cb$cbCounter"
-          val patVars = paths.flatMap(p =>
-            p.head.variable.toSeq ++ p.hops.flatMap(_._2.variable)).toSet
-          patVars.find(ctx.multi.contains).foreach(v => throw CypherException(
-            s"COUNT {{ }} cannot correlate on $v: it matches multiple labels"))
-          val shared = patVars.filter(ctx.labels.contains).toSeq.sorted
-          val (sub0, subCtx) = assemble(paths,
-            ctx.labels.view.filterKeys(shared.toSet).toMap)
-          val sub = iw.map(w => sub0.filter(column(w, subCtx))).getOrElse(sub0)
-          if (shared.isEmpty) {
-            df = df.crossJoin(sub.agg(count(lit(1)).as(alias)))
-          } else {
-            val keyCols = shared.map(v =>
-              s"${v}__${store.schema.node(subCtx.labels(v)).key}")
-            val grouped = sub.groupBy(keyCols.map(col): _*)
-              .agg(count(lit(1)).as(alias))
-            df = df.join(grouped, keyCols, "left")
-              .withColumn(alias, coalesce(col(alias), lit(0L)))
-          }
-          ctx = ctx.copy(plains = ctx.plains + alias)
-          Var(alias)
+          lift("COUNT { }", paths, iw, _ => count(lit(1)), lit(0L))
+        case CollectBlock(paths, iw, ret) =>
+          lift("COLLECT { }", paths, iw, sc => collect_list(column(ret, sc)),
+            array())
+        case PatternComp(p, iw, proj) =>
+          lift("a pattern comprehension", Seq(p), iw,
+            sc => collect_list(column(proj, sc)), array())
         case Bin(op, l, r) => Bin(op, go(l), go(r))
         case Not(x) => Not(go(x))
         case Fn(n, args, d) => Fn(n, args.map(go), d)
@@ -2758,6 +2867,8 @@ object CypherEngine {
       // of the generic not-supported-in-this-position error
       def hasBlock(e: Expr): Boolean = e match {
         case CountBlock(_, _) => true
+        case CollectBlock(_, _, _) => true
+        case PatternComp(_, _, _) => true
         case Bin(_, l, r) => hasBlock(l) || hasBlock(r)
         case Not(x) => hasBlock(x)
         case Fn(_, args, _) => args.exists(hasBlock)

@@ -507,6 +507,15 @@ object Parser {
         if (trySym(".")) {
           val p = ident()
           e = e match {
+            // namespaced function call — `duration.between(a, b)`,
+            // `duration.inDays(a, b)`; claimed only for the known
+            // namespace so `v.prop` stays a property access everywhere
+            case Var(v) if v.equalsIgnoreCase("duration") && isSym("(") =>
+              eatSym("(")
+              val args = Seq.newBuilder[Expr]
+              if (!isSym(")")) { args += expr(); while (trySym(",")) args += expr() }
+              eatSym(")")
+              Fn(s"duration.${p.toLowerCase}", args.result())
             case Var(v) => Prop(v, p)
             case other => Fn(p.toLowerCase, Seq(other)) // date(x).year → year(date(x))
           }
@@ -517,6 +526,29 @@ object Parser {
         } else continue = false
       }
       e
+    }
+
+    /** Attempt `[(a)-[:R]->(b) [WHERE pred] | proj]` with the leading `[`
+      * already consumed; None (with `pos` restored) when the bracket turns
+      * out to be a list literal — a pattern comprehension is only claimed
+      * when the path parses WITH at least one hop and a `| proj` follows
+      * (Neo4j's grammar makes the projection mandatory).
+      */
+    private def patternComp(): Option[Expr] = {
+      val save = pos
+      val p = try Some(pathPattern()) catch { case _: ParseException => None }
+      p match {
+        case Some(pat) if pat.hops.nonEmpty &&
+            (isKw("WHERE") || isSym("|")) =>
+          val where = if (tryKw("WHERE")) Some(expr()) else None
+          if (!trySym("|")) { pos = save; None }
+          else {
+            val proj = expr()
+            eatSym("]")
+            Some(PatternComp(pat, where, proj))
+          }
+        case _ => pos = save; None
+      }
     }
 
     private def caseExpr(): Expr = {
@@ -537,7 +569,8 @@ object Parser {
       case Str(s) => Lit(s)
       case ParamT(s) => Param(s)
       case Sym("(") => val e = expr(); eatSym(")"); e
-      case Sym("[") => // list literal or `[x IN coll WHERE … | …]` comprehension
+      case Sym("[") => // list literal, `[x IN coll WHERE … | …]` comprehension,
+        // or `[(a)-[:R]->(b) WHERE … | proj]` pattern comprehension
         (peek, peek2) match {
           case (Ident(v), Ident(kw))
               if kw.equalsIgnoreCase("in") && !keywords.contains(v.toLowerCase) =>
@@ -547,6 +580,16 @@ object Parser {
             val proj = if (trySym("|")) Some(expr()) else None
             eatSym("]")
             ListComp(v, coll, where, proj)
+          case (Sym("("), _) =>
+            // `[(…` is ambiguous: a pattern comprehension or a list whose
+            // first element is parenthesized. Try the pattern (it must
+            // have ≥1 hop and a `| proj`), backtrack on any failure.
+            patternComp().getOrElse {
+              val b = Seq.newBuilder[Expr]
+              if (!isSym("]")) { b += expr(); while (trySym(",")) b += expr() }
+              eatSym("]")
+              ListLit(b.result())
+            }
           case _ =>
             val b = Seq.newBuilder[Expr]
             if (!isSym("]")) { b += expr(); while (trySym(",")) b += expr() }
@@ -593,6 +636,18 @@ object Parser {
         val w = if (tryKw("WHERE")) Some(expr()) else None
         eatSym("}")
         CountBlock(ps, w)
+      case Ident(s) if s.equalsIgnoreCase("collect") && isSym("{") =>
+        // COLLECT { [MATCH] patterns [WHERE pred] RETURN expr } — the
+        // third Neo4j-5 block form; RETURN is mandatory (it names what
+        // to collect)
+        eatSym("{")
+        tryKw("MATCH")
+        val ps = patternList()
+        val w = if (tryKw("WHERE")) Some(expr()) else None
+        eatKw("RETURN")
+        val r = expr()
+        eatSym("}")
+        CollectBlock(ps, w, r)
       case Ident(s) if s.equalsIgnoreCase("exists") && isSym("(") =>
         // exists((a)-[:R]->(b)) → pattern predicate;
         // exists(x.prop) → property-existence (IS NOT NULL)

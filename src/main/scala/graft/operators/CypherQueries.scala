@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{array_join, col, sort_array}
 
 import graft.cypher.CypherEngine
 import graft.graph.{GraphBuilder, GraphStore, GraphWriter}
@@ -342,6 +342,46 @@ object CypherQueries {
          RETURN n.n_name AS nn,
                 COUNT { (c:Customer)-[:IN_NATION]->(n) WHERE c.c_acctbal < 0 } AS neg
          ORDER BY nn"""),
+    // pattern comprehension: `[(pattern) WHERE pred | proj]` as an inline
+    // expression — the idiom LLM-generated Cypher spells "collect the
+    // neighbors' X" with (reference: final/langraph_neo4j3.py:154-181
+    // accepts arbitrary analytical questions). Compiled as a lifted
+    // grouped collect_list + left join + []-backfill; the list is sorted
+    // and comma-joined so the DuckDB string_agg oracle can hash-match it.
+    "q97_cypher_pattern_comp" -> ((s, dir) =>
+      CypherEngine(store(s, dir)).run(
+        """MATCH (n:Nation)
+           RETURN n.n_name AS nn,
+                  [(c:Customer)-[:IN_NATION]->(n) WHERE c.c_acctbal < 0 | c.c_name] AS names
+           ORDER BY nn""")
+        .withColumn("names", array_join(sort_array(col("names")), ","))),
+    // duration arithmetic: ISO-8601 duration literals added to / subtracted
+    // from timestamps, a duration-vs-duration window filter, and the
+    // duration.inDays difference accessor — the RCA loop's time-scoped
+    // question shape ("orders in the last 90 days", reference:
+    // final/experimenting_new/rca.ipynb:345-354). Intervals are constant
+    // expressions (Catalyst folds them), so the filter is a codegen'd
+    // timestamp comparison; the column-side addition is deliberate — it
+    // exercises interval arithmetic on the scan column rather than the
+    // pushdown-friendly rewritten form.
+    "q98_cypher_duration" -> cy(
+      """MATCH (o:Order)
+         WHERE o.o_orderdate + duration('P90D') >= datetime('1998-06-01')
+         RETURN count(*) AS recent,
+                min(toString(date(o.o_orderdate - duration('P30D')))) AS earliest_m30,
+                max(toString(date(o.o_orderdate + duration('P1Y2M')))) AS latest_p14m,
+                max(duration.inDays(o.o_orderdate, datetime('1998-08-02')).days) AS max_age"""),
+    // COLLECT { } block: the third Neo4j-5 block form (EXISTS q95 /
+    // COUNT q96 landed in round 7) — collects the body's RETURN
+    // expression per enclosing row, [] when the MATCH finds nothing
+    "q99_cypher_collect_block" -> ((s, dir) =>
+      CypherEngine(store(s, dir)).run(
+        """MATCH (r:Region)
+           RETURN r.r_name AS rn,
+                  COLLECT { MATCH (n:Nation)-[:IN_REGION]->(r)
+                            WHERE n.n_nationkey % 2 = 0 RETURN n.n_name } AS evens
+           ORDER BY rn""")
+        .withColumn("evens", array_join(sort_array(col("evens")), ","))),
     // CALL { } subquery: correlated per-imported-key aggregation (the body
     // counts nations per region through an importing WITH) composed with
     // an uncorrelated once-per-query branch would be overkill here — the
@@ -541,6 +581,27 @@ object CypherQueries {
               (SELECT count(*) FROM customer c
                WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal < 0) AS neg
          FROM nation n ORDER BY 1""",
+    "q97_cypher_pattern_comp" ->
+      """SELECT n.n_name AS nn,
+              coalesce((SELECT string_agg(c.c_name, ',' ORDER BY c.c_name)
+                        FROM customer c
+                        WHERE c.c_nationkey = n.n_nationkey
+                          AND c.c_acctbal < 0), '') AS names
+         FROM nation n ORDER BY 1""",
+    "q98_cypher_duration" ->
+      """SELECT count(*) AS recent,
+              CAST(min(CAST(o_orderdate - INTERVAL 30 DAY AS DATE)) AS VARCHAR) AS earliest_m30,
+              CAST(max(CAST(o_orderdate + INTERVAL 14 MONTH AS DATE)) AS VARCHAR) AS latest_p14m,
+              max(date_diff('day', o_orderdate, TIMESTAMP '1998-08-02')) AS max_age
+         FROM orders
+         WHERE o_orderdate + INTERVAL 90 DAY >= TIMESTAMP '1998-06-01'""",
+    "q99_cypher_collect_block" ->
+      """SELECT r.r_name AS rn,
+              coalesce((SELECT string_agg(n.n_name, ',' ORDER BY n.n_name)
+                        FROM nation n
+                        WHERE n.n_regionkey = r.r_regionkey
+                          AND n.n_nationkey % 2 = 0), '') AS evens
+         FROM region r ORDER BY 1""",
     "q95_cypher_exists_block" ->
       """SELECT n_name AS nn FROM nation n
          WHERE EXISTS (SELECT 1 FROM customer c

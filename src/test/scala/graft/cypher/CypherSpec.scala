@@ -1439,4 +1439,107 @@ class CypherSpec extends SparkSpec {
       assert(err.getMessage.contains("compute it as an item first"), w)
     }
   }
+
+  test("pattern comprehension collects correlated matches; [] when none") {
+    import org.apache.spark.sql.functions.{col, sort_array}
+    // per-nation list of negative-balance customer names, [] for nations
+    // with none — and its size must agree with the COUNT {} block
+    val r = engine.run(
+      """MATCH (n:Nation)
+         RETURN n.n_name AS nn,
+                [(c:Customer)-[:IN_NATION]->(n) WHERE c.c_acctbal < 0 | c.c_name] AS names,
+                COUNT { (c:Customer)-[:IN_NATION]->(n) WHERE c.c_acctbal < 0 } AS cnt
+         ORDER BY nn""")
+      .withColumn("names", sort_array(col("names"))).collect()
+    assert(r.length == 25)
+    r.foreach(row => assert(row.getSeq[String](1).length == row.getAs[Number](2).longValue))
+    assert(r.exists(_.getSeq[String](1).isEmpty)) // at least one empty group at sf0.001
+    assert(r.exists(_.getSeq[String](1).nonEmpty))
+    // projection can be an expression over the pattern variables
+    val ex = engine.run(
+      """MATCH (r:Region {r_regionkey: 0})
+         RETURN [(n:Nation)-[:IN_REGION]->(r) | n.n_nationkey * 10] AS tens""")
+      .withColumn("tens", sort_array(col("tens"))).collect().head
+    assert(ex.getSeq[Long](0).forall(_ % 10 == 0) && ex.getSeq[Long](0).nonEmpty)
+  }
+
+  test("bracket disambiguation: list literals with parenthesized heads still parse") {
+    // `[(…` must backtrack to a list literal when no pattern follows
+    val r = engine.run(
+      """MATCH (x:Region {r_regionkey: 0})
+         RETURN [(1 + 2), 4][0] AS three, [(x.r_regionkey), 9][1] AS nine""").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 9L)
+  }
+
+  test("COLLECT block collects the RETURN expression; [] when none; global form") {
+    import org.apache.spark.sql.functions.{col, sort_array}
+    val r = engine.run(
+      """MATCH (n:Nation)
+         RETURN n.n_name AS nn,
+                COLLECT { MATCH (c:Customer)-[:IN_NATION]->(n)
+                          WHERE c.c_acctbal < 0 RETURN c.c_name } AS names
+         ORDER BY nn""")
+      .withColumn("names", sort_array(col("names"))).collect()
+    assert(r.length == 25)
+    assert(r.exists(_.getSeq[String](1).isEmpty))
+    assert(r.exists(_.getSeq[String](1).nonEmpty))
+    // agreement with the equivalent pattern comprehension
+    val viaComp = engine.run(
+      """MATCH (n:Nation)
+         RETURN n.n_name AS nn,
+                [(c:Customer)-[:IN_NATION]->(n) WHERE c.c_acctbal < 0 | c.c_name] AS names
+         ORDER BY nn""")
+      .withColumn("names", sort_array(col("names"))).collect()
+    assert(r.map(x => (x.getString(0), x.getSeq[String](1))).toSeq ==
+      viaComp.map(x => (x.getString(0), x.getSeq[String](1))).toSeq)
+    // uncorrelated block: one global list cross-joined on
+    val g = engine.run(
+      """MATCH (n:Nation {n_nationkey: 0})
+         RETURN COLLECT { MATCH (r:Region) RETURN r.r_name } AS regions""")
+      .withColumn("regions", sort_array(col("regions"))).collect().head
+    assert(g.getSeq[String](0).length == 5)
+  }
+
+  test("duration literals, timestamp arithmetic, inDays/inSeconds accessors") {
+    val r = engine.run(
+      """MATCH (x:Region {r_regionkey: 0})
+         RETURN toString(date(datetime('1998-01-01') + duration('P90D'))) AS plus90,
+                toString(date(datetime('1998-01-01') - duration('P2W'))) AS minus2w,
+                toString(date(datetime('1998-01-31') + duration('P1M'))) AS clamped,
+                toString(date(datetime('1997-06-15') + duration('P1Y2M3D'))) AS ymd,
+                duration.inDays(datetime('1998-01-01'), datetime('1998-04-01')).days AS d90,
+                duration.inSeconds(datetime('1998-01-01'), datetime('1998-01-02')).seconds AS s1d,
+                duration.inSeconds(datetime('1998-01-01'), datetime('1998-01-02')).hours AS h1d,
+                duration.inSeconds(datetime('1998-01-01T00:00:00'),
+                                   datetime('1998-01-01T01:30:00')).minutes AS m90""").collect().head
+    assert(r.getString(0) == "1998-04-01")
+    assert(r.getString(1) == "1997-12-18")
+    assert(r.getString(2) == "1998-02-28") // month add clamps like Neo4j
+    assert(r.getString(3) == "1998-08-18")
+    assert(r.getLong(4) == 90L)
+    assert(r.getLong(5) == 86400L)
+    assert(r.getLong(6) == 24L)
+    assert(r.getLong(7) == 90L)
+    // interval comparison: day-time durations order natively
+    val cmp = engine.run(
+      """MATCH (x:Region {r_regionkey: 0})
+         RETURN toInteger(duration.inDays(datetime('1998-01-01'), datetime('1998-02-01'))
+                          < duration('P90D')) AS lt""").collect().head
+    assert(cmp.getLong(0) == 1L)
+    // time-bearing literal
+    val t = engine.run(
+      """MATCH (x:Region {r_regionkey: 0})
+         RETURN toString(datetime('1998-01-01T00:00:00') + duration('PT12H30M')) AS ts""")
+      .collect().head
+    assert(t.getString(0).startsWith("1998-01-01 12:30:00"))
+    // calendar decomposition accessors on duration.between reject loudly
+    val err = intercept[CypherEngine.CypherException](engine.run(
+      """MATCH (x:Region) RETURN
+           duration.between(datetime('1998-01-01'), datetime('1998-02-15')).days AS d"""))
+    assert(err.getMessage.contains("duration.inDays"))
+    // malformed literal rejects loudly
+    val err2 = intercept[CypherEngine.CypherException](engine.run(
+      "MATCH (x:Region) RETURN x.r_name + duration('90 days') AS d"))
+    assert(err2.getMessage.contains("ISO-8601"))
+  }
 }
