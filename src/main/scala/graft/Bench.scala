@@ -14,7 +14,8 @@ object Bench {
     * the re-record the round-7 verdict ordered, replacing the hand
     * estimate (68.0). See BASELINE.md's round-8 record section.
     */
-  val CommittedTotalSec: Map[String, Double] = Map("sf0.1" -> 65.8)
+  val CommittedTotalSec: Map[String, Double] =
+    Map("sf0.1" -> 65.8, "sf1" -> 154.7)
 
   /** Per-query error marker for the bench artifact: a query that throws
     * must surface in the JSON, not fold a bogus fast time into the total

@@ -2700,6 +2700,18 @@ object CypherEngine {
       case Some(_) =>
         if (hasWrites(q))
           throw CypherException("UNION is not supported in write queries")
+        compileUnion(q)._1
+    }
+
+    /** Compile a UNION [ALL] chain: branch frames union by name, the
+      * trailing ORDER BY/SKIP/LIMIT (syntactically attached to the last
+      * branch, applying to the whole union — Neo4j disallows branch-level
+      * ORDER BY) applies last. Shared by [[topQuery]] and uncorrelated
+      * [[callSubquery]] bodies; the returned Ctx is the first branch's
+      * result context (branches are union-compatible, so its output
+      * bindings describe every branch).
+      */
+    private def compileUnion(q: Query): (DataFrame, Ctx) = {
         var branches = Seq.empty[Query]
         var flags = Seq.empty[Boolean]
         var cur: Option[Query] = Some(q)
@@ -2714,7 +2726,8 @@ object CypherEngine {
         val last = branches.last
         val lastStripped =
           last.copy(ret = last.ret.copy(orderBy = Nil, skip = None, limit = None))
-        var out = (branches.init :+ lastStripped).map(compileSingle).reduce(_.unionByName(_))
+        val compiled = (branches.init :+ lastStripped).map(b => compilePipeline(b, None))
+        var out = compiled.map(_._1).reduce(_.unionByName(_))
         if (!all) out = out.distinct()
         def outName(i: Item): String = i.alias.getOrElse(genName(i.expr))
         def outCol(name: String) = col(s"`${name.replace("`", "``")}`")
@@ -2733,7 +2746,7 @@ object CypherEngine {
         }
         last.ret.skip.foreach(n => out = out.offset(n.toInt))
         last.ret.limit.foreach(n => out = out.limit(n.toInt))
-        out
+        (out, compiled.head._2)
     }
 
     /** Predicate split: pattern predicates must be top-level AND conjuncts
@@ -2901,36 +2914,41 @@ object CypherEngine {
       (df, ctx, p.copy(items = items2, orderBy = ob2))
     }
 
-    /** `CALL { … }` subquery (read-only). Uncorrelated: compiled once, its
-      * rows cross the enclosing frame. Correlated (`CALL { WITH v, … }`):
-      * the body compiles against the DISTINCT imported bindings, its final
-      * RETURN implicitly carries the imported variables as grouping keys,
-      * and the result joins back on the imported key columns — per
-      * distinct imported key, which is observationally per-row for a
-      * read-only body (duplicate enclosing rows share identical results).
-      * Subquery writes, UNION bodies, and per-input-row SKIP/LIMIT are
-      * rejected loudly rather than silently reinterpreted.
+    /** `CALL { … }` subquery (read-only). Uncorrelated: compiled once
+      * (UNION bodies ride [[compileUnion]]), its rows cross the enclosing
+      * frame. Correlated (`CALL { WITH v, … }`): the body compiles against
+      * the DISTINCT imported bindings, its final RETURN implicitly carries
+      * the imported variables as grouping keys, and the result joins back
+      * on the imported key columns — per distinct imported key, which is
+      * observationally per-row for a read-only body (duplicate enclosing
+      * rows share identical results). A correlated ORDER BY + SKIP/LIMIT
+      * applies PER IMPORTED KEY (Neo4j's "top-k per row" idiom) via a
+      * partitioned row_number window. Subquery writes, correlated UNION
+      * bodies, and unordered per-key LIMIT are rejected loudly rather than
+      * silently reinterpreted.
       */
     private def callSubquery(state: Option[(DataFrame, Ctx)],
         imports: Seq[String], body: Query): (DataFrame, Ctx) = {
       if (hasWrites(body))
         throw CypherException(
           "CALL { } subqueries are read-only — writes belong in the enclosing query")
-      if (body.union.nonEmpty)
-        throw CypherException("UNION inside CALL { } is not supported")
       if (imports.isEmpty) {
-        val (sub, subCtx) = compilePipeline(body, None)
+        val (sub, subCtx) =
+          if (body.union.nonEmpty) compileUnion(body) else compilePipeline(body, None)
         return state match {
           case None => (sub, subCtx)
           case Some((df, ctx)) => (df.crossJoin(sub), mergeCallCtx(ctx, subCtx))
         }
       }
+      if (body.union.nonEmpty)
+        throw CypherException("UNION inside a correlated CALL { } is not supported")
       val (df, ctx) = state.getOrElse(throw CypherException(
         "CALL { WITH … } needs a preceding MATCH to import from"))
-      if (body.ret.skip.nonEmpty || body.ret.limit.nonEmpty)
+      val perKeyWindow = body.ret.skip.nonEmpty || body.ret.limit.nonEmpty
+      if (perKeyWindow && body.ret.orderBy.isEmpty)
         throw CypherException(
-          "SKIP/LIMIT inside a correlated CALL would apply globally, not " +
-            "per input row — lift it out of the subquery")
+          "SKIP/LIMIT inside a correlated CALL applies per imported key and " +
+            "needs an ORDER BY in the body to be deterministic")
       imports.foreach { v =>
         if (!ctx.labels.contains(v) && !ctx.plains.contains(v))
           throw CypherException(s"CALL imports an unbound variable: $v" +
@@ -2949,15 +2967,48 @@ object CypherEngine {
         strLists = ctx.strLists.intersect(plainImports.toSet),
         strs = ctx.strs.intersect(plainImports.toSet))
       // implicit carry: the imported variables join the body's RETURN as
-      // bare items, so an aggregating subquery groups per imported key
-      val ret2 = body.ret.copy(items =
-        imports.map(v => Item(Var(v), None)) ++ body.ret.items)
-      val (sub, subCtx) = compilePipeline(body.copy(ret = ret2), Some((inDf, inCtx)))
+      // bare items, so an aggregating subquery groups per imported key.
+      // Under a per-key window the body's ORDER BY/SKIP/LIMIT are stripped
+      // here (a global sort+limit would be the wrong semantics) and
+      // re-applied per key below.
+      val ret2 = body.ret.copy(
+        items = imports.map(v => Item(Var(v), None)) ++ body.ret.items,
+        orderBy = if (perKeyWindow) Nil else body.ret.orderBy,
+        skip = None, limit = None)
+      val (sub0, subCtx) = compilePipeline(body.copy(ret = ret2), Some((inDf, inCtx)))
       // join back on the imported KEY columns only; the carried non-key
       // imported columns are duplicates of the enclosing frame's
       val keyCols: Seq[String] =
         nodeImports.map(v => s"${v}__${store.schema.node(ctx.labels(v)).key}") ++
           plainImports
+      // per-key ORDER BY + SKIP/LIMIT: rank within each imported key and
+      // keep the requested slice — Neo4j's "top-k per input row" idiom.
+      // Sort keys must be returned items (by alias or expression), so the
+      // window reads the already-computed output columns; anything else
+      // rejects loudly.
+      val sub = if (!perKeyWindow) sub0 else {
+        def outName(i: Item): String = i.alias.getOrElse(genName(i.expr))
+        def outCol(n: String) = col(s"`${n.replace("`", "``")}`")
+        val byOutput: Map[Expr, String] =
+          body.ret.items.map(i => i.expr -> outName(i)).toMap
+        val names = body.ret.items.map(outName).toSet
+        val sorts = body.ret.orderBy.map { so =>
+          val c = byOutput.get(so.expr).map(outCol).getOrElse(so.expr match {
+            case Var(v) if names(v) => outCol(v)
+            case _ => throw CypherException(
+              "ORDER BY in a SKIP/LIMITed CALL body must reference " +
+                "returned items — alias the sort expression in RETURN")
+          })
+          if (so.asc) c.asc else c.desc
+        }
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*).orderBy(sorts: _*)
+        val lo = body.ret.skip.getOrElse(0L)
+        val hi = body.ret.limit.map(lo + _).getOrElse(Long.MaxValue)
+        sub0.withColumn("__callrn", row_number().over(w))
+          .filter(col("__callrn") > lo && col("__callrn") <= hi)
+          .drop("__callrn")
+      }
       val subSlim = sub.columns.filter(c => carryCols.contains(c) && !keyCols.contains(c))
         .foldLeft(sub)(_.drop(_))
       // An aggregate-only body returns exactly one row per input row in

@@ -355,6 +355,16 @@ object CypherQueries {
                   [(c:Customer)-[:IN_NATION]->(n) WHERE c.c_acctbal < 0 | c.c_name] AS names
            ORDER BY nn""")
         .withColumn("names", array_join(sort_array(col("names")), ","))),
+    // correlated CALL with per-key ORDER BY + LIMIT — Neo4j's "top-k per
+    // input row" idiom (round-7 verdict residual): the body's slice
+    // compiles to a row_number window partitioned by the imported key,
+    // never a global sort+limit. Oracle is the equivalent SQL window.
+    "q100_cypher_call_topk" -> cy(
+      """MATCH (n:Nation)
+         CALL { WITH n MATCH (c:Customer)-[:IN_NATION]->(n)
+                RETURN c.c_name AS cn, c.c_acctbal AS bal
+                ORDER BY bal DESC, cn LIMIT 2 }
+         RETURN n.n_name AS nn, cn, bal ORDER BY nn, bal DESC, cn"""),
     // duration arithmetic: ISO-8601 duration literals added to / subtracted
     // from timestamps, a duration-vs-duration window filter, and the
     // duration.inDays difference accessor — the RCA loop's time-scoped
@@ -588,6 +598,13 @@ object CypherQueries {
                         WHERE c.c_nationkey = n.n_nationkey
                           AND c.c_acctbal < 0), '') AS names
          FROM nation n ORDER BY 1""",
+    "q100_cypher_call_topk" ->
+      """SELECT nn, cn, bal FROM (
+           SELECT n.n_name AS nn, c.c_name AS cn, c.c_acctbal AS bal,
+                  row_number() OVER (PARTITION BY n.n_nationkey
+                                     ORDER BY c.c_acctbal DESC, c.c_name) AS rn
+           FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey)
+         WHERE rn <= 2 ORDER BY nn, bal DESC, cn""",
     "q98_cypher_duration" ->
       """SELECT count(*) AS recent,
               CAST(min(CAST(o_orderdate - INTERVAL 30 DAY AS DATE)) AS VARCHAR) AS earliest_m30,

@@ -1122,7 +1122,7 @@ class CypherSpec extends SparkSpec {
                 RETURN count(p) AS reach }
          RETURN reach""").collect()
     assert(sp.length == 1 && sp.head.getLong(0) > 0)
-    // loud rejections: writes, per-row LIMIT
+    // loud rejections: writes, UNORDERED per-key LIMIT (nondeterministic)
     val w = intercept[CypherEngine.CypherException](engine.run(
       "MATCH (r:Region) CALL { MERGE (x:CX {cid: 1}) RETURN count(*) AS c } RETURN c"))
     assert(w.getMessage.contains("read-only"))
@@ -1131,7 +1131,73 @@ class CypherSpec extends SparkSpec {
          CALL { WITH r MATCH (n:Nation) WHERE n.n_regionkey = r.r_regionkey
                 RETURN n.n_name AS nn LIMIT 1 }
          RETURN count(*) AS c"""))
-    assert(lim.getMessage.contains("SKIP/LIMIT"))
+    assert(lim.getMessage.contains("ORDER BY"))
+  }
+
+  test("correlated CALL with ORDER BY + LIMIT keeps the top-k per imported key") {
+    // Neo4j's "top-k per row" idiom: 2 lowest-key nations per region
+    val r = engine.run(
+      """MATCH (r:Region)
+         CALL { WITH r MATCH (n:Nation) WHERE n.n_regionkey = r.r_regionkey
+                RETURN n.n_name AS nn ORDER BY nn LIMIT 2 }
+         RETURN r.r_name AS rn, nn ORDER BY rn, nn""").collect()
+    assert(r.length == 10) // 5 regions x 2
+    // matches the window-computed expectation per region
+    val grouped = r.groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSeq)
+    grouped.foreach { case (_, nns) => assert(nns.length == 2 && nns == nns.sorted) }
+    // SKIP slices past the first per key; SKIP+LIMIT composes
+    val s = engine.run(
+      """MATCH (r:Region)
+         CALL { WITH r MATCH (n:Nation) WHERE n.n_regionkey = r.r_regionkey
+                RETURN n.n_name AS nn ORDER BY nn SKIP 1 LIMIT 1 }
+         RETURN r.r_name AS rn, nn ORDER BY rn""").collect()
+    assert(s.length == 5)
+    // the SKIPped row per region is exactly the 2nd-lowest
+    val second = r.groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSeq.sorted(Ordering.String).apply(1))
+    s.foreach(row => assert(row.getString(1) == second(row.getString(0))))
+    // DESC ordering takes the other end
+    val d = engine.run(
+      """MATCH (r:Region {r_regionkey: 0})
+         CALL { WITH r MATCH (n:Nation) WHERE n.n_regionkey = r.r_regionkey
+                RETURN n.n_name AS nn ORDER BY nn DESC LIMIT 1 }
+         RETURN nn""").collect()
+    val all0 = engine.run(
+      """MATCH (n:Nation) WHERE n.n_regionkey = 0
+         RETURN n.n_name AS nn ORDER BY nn DESC LIMIT 1""").collect()
+    assert(d.head.getString(0) == all0.head.getString(0))
+    // sort key must be a returned item
+    val err = intercept[CypherEngine.CypherException](engine.run(
+      """MATCH (r:Region)
+         CALL { WITH r MATCH (n:Nation) WHERE n.n_regionkey = r.r_regionkey
+                RETURN n.n_name AS nn ORDER BY n.n_comment LIMIT 1 }
+         RETURN count(*) AS c"""))
+    assert(err.getMessage.contains("returned items"))
+  }
+
+  test("uncorrelated CALL body supports UNION and UNION ALL") {
+    val u = engine.run(
+      """MATCH (r:Region {r_regionkey: 0})
+         CALL { MATCH (n:Nation {n_nationkey: 1}) RETURN n.n_name AS name
+                UNION
+                MATCH (c:Customer {c_custkey: 1}) RETURN c.c_name AS name }
+         RETURN name ORDER BY name""").collect()
+    assert(u.length == 2)
+    // UNION ALL keeps duplicates
+    val ua = engine.run(
+      """MATCH (r:Region {r_regionkey: 0})
+         CALL { MATCH (n:Nation {n_nationkey: 1}) RETURN n.n_name AS name
+                UNION ALL
+                MATCH (n:Nation {n_nationkey: 1}) RETURN n.n_name AS name }
+         RETURN count(*) AS c""").collect()
+    assert(ua.head.getLong(0) == 2L)
+    // correlated UNION still rejects loudly
+    val err = intercept[CypherEngine.CypherException](engine.run(
+      """MATCH (r:Region)
+         CALL { WITH r MATCH (n:Nation) RETURN n.n_name AS x
+                UNION
+                MATCH (s:Supplier) RETURN s.s_name AS x }
+         RETURN count(*) AS c"""))
+    assert(err.getMessage.contains("correlated"))
   }
 
   test("var-length closure is seed-restricted by a bound anchor") {
