@@ -1964,6 +1964,13 @@ object CypherEngine {
         case Fn("properties", Seq(Var(v)), _) if ctx.labels.contains(v) =>
           val nt = store.schema.node(ctx.labels(v))
           struct((nt.key +: nt.properties).map(p => col(s"${v}__$p").as(p)): _*)
+        case Fn(acc @ ("years" | "months" | "days" | "hours" | "minutes" | "seconds"),
+            Seq(Fn("duration.between", Seq(x, y), _)), _) =>
+          // component accessors on duration.between need the OPERANDS, not
+          // the day-time difference: Neo4j decomposes calendar-wise
+          // (whole clamped months first, then whole days, then time)
+          durationBetweenComponent(acc,
+            c(x).cast(TimestampType), c(y).cast(TimestampType))
         case Fn(name, args, distinct) =>
           function(name, args.map(c), distinct, args, ctx, lamStr)
         case CaseExpr(subject, branches, orElse) =>
@@ -1976,6 +1983,38 @@ object CypherEngine {
           orElse.map(d => chained.otherwise(c(d))).getOrElse(chained)
       }
       c(e)
+    }
+
+    /** One component of Neo4j's `duration.between(a, b)` calendar
+      * decomposition: the duration is months-first (the largest whole
+      * count of CLAMPED calendar months you can add to `a` without passing
+      * `b` — Jan 31 + 1M clamps to Feb 28/29, Neo4j's own add), then whole
+      * days of the remainder, then the time remainder in seconds; every
+      * division truncates toward zero so both directions carry consistent
+      * signs (between(b, a) = -between(a, b) componentwise). Accessor
+      * semantics: `years` = months/12 truncated, `months` = the total
+      * months component, `hours`/`minutes`/`seconds` read the time
+      * remainder (sub-second precision is below the engine's second-level
+      * decomposition — the store's timestamps are ms-precision data).
+      * All column arithmetic — codegen'd, no UDF.
+      */
+    private def durationBetweenComponent(acc: String, a: Column, b: Column): Column = {
+      val m0 = (year(b) - year(a)) * 12 + (month(b) - month(a))
+      def shiftBy(m: Column) = timestamp_add("MONTH", m, a)
+      // clamped-add overshoot correction, direction-aware
+      val months = when(b >= a, when(shiftBy(m0) <= b, m0).otherwise(m0 - 1))
+        .otherwise(when(shiftBy(m0) >= b, m0).otherwise(m0 + 1))
+      lazy val diff = unix_timestamp(b) - unix_timestamp(shiftBy(months))
+      lazy val days = (diff / lit(86400)).cast(LongType) // trunc toward zero
+      lazy val secs = diff - days * 86400
+      acc match {
+        case "years" => (months / lit(12)).cast(LongType)
+        case "months" => months.cast(LongType)
+        case "days" => days
+        case "hours" => (secs / lit(3600)).cast(LongType)
+        case "minutes" => (secs / lit(60)).cast(LongType)
+        case "seconds" => secs
+      }
     }
 
     /** ISO-8601 duration literal → a constant interval Column. Month-free
@@ -2088,28 +2127,25 @@ object CypherEngine {
           .cast(DayTimeIntervalType(DayTimeIntervalType.DAY, DayTimeIntervalType.DAY))
       case "duration.inseconds" =>
         args(1).cast(TimestampType) - args(0).cast(TimestampType)
-      // duration.between WITHOUT a component accessor is the same
-      // day-time difference (usable in interval comparisons and date
-      // arithmetic); its Neo4j CALENDAR decomposition (P1M14D-style
-      // months-then-days) is not implemented, so component accessors on
-      // it reject loudly below rather than silently diverge
+      // duration.between WITHOUT a component accessor is the day-time
+      // difference (usable in interval comparisons and date arithmetic);
+      // WITH one, columnL intercepts the accessor and computes Neo4j's
+      // calendar decomposition from the operands (see
+      // [[durationBetweenComponent]]) — this branch never sees those
       case "duration.between" =>
         args(1).cast(TimestampType) - args(0).cast(TimestampType)
       case "days" | "hours" | "minutes" | "seconds" =>
-        rawArgs.head match {
-          case Fn("duration.between", _, _) => throw CypherException(
-            s"$name on duration.between is not supported: Neo4j decomposes " +
-              "it calendar-wise (months, then days). Use " +
-              "duration.inDays(a, b).days or duration.inSeconds(a, b).seconds")
-          case _ =>
-            val f = name match {
-              case "days" => DayTimeIntervalType.DAY
-              case "hours" => DayTimeIntervalType.HOUR
-              case "minutes" => DayTimeIntervalType.MINUTE
-              case "seconds" => DayTimeIntervalType.SECOND
-            }
-            args.head.cast(DayTimeIntervalType(f, f)).cast(LongType)
+        // single-component accessors over a day-time interval
+        // (duration.inDays / duration.inSeconds / a duration literal);
+        // duration.between accessors never reach here — columnL intercepts
+        // them with the calendar decomposition
+        val f = name match {
+          case "days" => DayTimeIntervalType.DAY
+          case "hours" => DayTimeIntervalType.HOUR
+          case "minutes" => DayTimeIntervalType.MINUTE
+          case "seconds" => DayTimeIntervalType.SECOND
         }
+        args.head.cast(DayTimeIntervalType(f, f)).cast(LongType)
       case "year" => year(args.head)
       case "month" => month(args.head)
       case "day" => dayofmonth(args.head)

@@ -1598,11 +1598,47 @@ class CypherSpec extends SparkSpec {
          RETURN toString(datetime('1998-01-01T00:00:00') + duration('PT12H30M')) AS ts""")
       .collect().head
     assert(t.getString(0).startsWith("1998-01-01 12:30:00"))
-    // calendar decomposition accessors on duration.between reject loudly
-    val err = intercept[CypherEngine.CypherException](engine.run(
-      """MATCH (x:Region) RETURN
-           duration.between(datetime('1998-01-01'), datetime('1998-02-15')).days AS d"""))
-    assert(err.getMessage.contains("duration.inDays"))
+    // duration.between component accessors follow Neo4j's CALENDAR
+    // decomposition: whole clamped months first, then whole days, then
+    // the time remainder — NOT the flat day-time difference
+    val bt = engine.run(
+      """MATCH (x:Region {r_regionkey: 0})
+         RETURN duration.between(datetime('1998-01-01'), datetime('1998-02-15')).months AS m,
+                duration.between(datetime('1998-01-01'), datetime('1998-02-15')).days AS d,
+                duration.between(datetime('2020-01-31'), datetime('2020-02-28')).months AS clamp_m,
+                duration.between(datetime('2020-01-31'), datetime('2020-02-28')).days AS clamp_d,
+                duration.between(datetime('2020-01-31'), datetime('2020-02-29')).months AS leap_m,
+                duration.between(datetime('2020-01-31'), datetime('2020-02-29')).days AS leap_d,
+                duration.between(datetime('2020-02-15'), datetime('2020-01-01')).months AS neg_m,
+                duration.between(datetime('2020-02-15'), datetime('2020-01-01')).days AS neg_d,
+                duration.between(datetime('1997-06-15'), datetime('1999-08-20')).years AS yy,
+                duration.between(datetime('1997-06-15'), datetime('1999-08-20')).months AS ym,
+                duration.between(datetime('1997-06-15'), datetime('1999-08-20')).days AS yd""")
+      .collect().head
+    // 1998-01-01 → 1998-02-15 = P1M14D
+    assert(bt.getLong(0) == 1L && bt.getLong(1) == 14L)
+    // Jan 31 + 1M clamps to Feb 29 (2020 leap) which overshoots Feb 28 →
+    // 0 months, 28 days; to Feb 29 exactly → 1 month, 0 days
+    assert(bt.getLong(2) == 0L && bt.getLong(3) == 28L)
+    assert(bt.getLong(4) == 1L && bt.getLong(5) == 0L)
+    // reverse direction: -(P1M14D), components truncate toward zero
+    assert(bt.getLong(6) == -1L && bt.getLong(7) == -14L)
+    // 1997-06-15 → 1999-08-20 = P2Y2M5D: years=2, months=26 (total), days=5
+    assert(bt.getLong(8) == 2L && bt.getLong(9) == 26L && bt.getLong(10) == 5L)
+    // time remainder: 10:00 → next day 13:30 = P1DT3H30M
+    val tt = engine.run(
+      """MATCH (x:Region {r_regionkey: 0})
+         RETURN duration.between(datetime('1998-01-01T10:00:00'),
+                                 datetime('1998-01-02T13:30:00')).days AS d,
+                duration.between(datetime('1998-01-01T10:00:00'),
+                                 datetime('1998-01-02T13:30:00')).hours AS h,
+                duration.between(datetime('1998-01-01T10:00:00'),
+                                 datetime('1998-01-02T13:30:00')).minutes AS mi,
+                duration.between(datetime('1998-01-01T10:00:00'),
+                                 datetime('1998-01-02T13:30:00')).seconds AS s""")
+      .collect().head
+    assert(tt.getLong(0) == 1L && tt.getLong(1) == 3L)
+    assert(tt.getLong(2) == 210L && tt.getLong(3) == 12600L)
     // malformed literal rejects loudly
     val err2 = intercept[CypherEngine.CypherException](engine.run(
       "MATCH (x:Region) RETURN x.r_name + duration('90 days') AS d"))
