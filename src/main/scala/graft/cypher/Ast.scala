@@ -69,6 +69,12 @@ object Ast {
     */
   final case class CollectBlock(paths: Seq[PathPat], where: Option[Expr],
       ret: Expr) extends Expr
+  /** `n {.prop, .*, alias: expr}` map projection — a struct of selected
+    * properties (`.*` = every stored property) plus computed entries;
+    * Neo4j's idiomatic "shape the output" form in generated Cypher.
+    */
+  final case class MapProj(variable: String, props: Seq[String],
+      star: Boolean, extras: Seq[(String, Expr)]) extends Expr
   /** `[(a)-[:R]->(b) WHERE pred | proj]` pattern comprehension — the
     * expression form LLM-generated Cypher idiomatically spells "collect
     * the neighbors' X inline" with (reference:

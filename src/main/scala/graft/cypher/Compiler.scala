@@ -137,6 +137,7 @@ object CypherEngine {
     def expr(e: Expr): Unit = e match {
       case Prop(v, _) => refs += v
       case Var(v) => refs += v
+      case MapProj(v, _, _, ex) => refs += v; ex.foreach { case (_, x) => expr(x) }
       case Fn(_, args, _) => args.foreach(expr)
       case Bin(_, l, r) => expr(l); expr(r)
       case Not(x) => expr(x)
@@ -226,6 +227,9 @@ object CypherEngine {
       case IsNull(Var(v), _) if v == pv => () // matched-test needs only __len
       case Var(v) => if (v == pv) used = true
       case Prop(v, _) => if (v == pv) used = true
+      case MapProj(v, _, _, ex) =>
+        if (v == pv) used = true
+        ex.foreach { case (_, x) => expr(x) }
       case Fn(_, args, _) => args.foreach(expr)
       case Bin(_, l, r) => expr(l); expr(r)
       case Not(x) => expr(x)
@@ -414,6 +418,8 @@ object CypherEngine {
       case CountBlock(ps, w) => CountBlock(ps.map(goPath), w.map(go))
       case CollectBlock(ps, w, r) => CollectBlock(ps.map(goPath), w.map(go), go(r))
       case PatternComp(p, w, pr) => PatternComp(goPath(p), w.map(go), go(pr))
+      case MapProj(v, ps, st, ex) =>
+        MapProj(v, ps, st, ex.map { case (k, x) => (k, go(x)) })
       case other => other // Prop / Var / Lit
     }
     def goNode(n: NodePat) = n.copy(props = n.props.map { case (k, v) => (k, go(v)) })
@@ -1862,6 +1868,27 @@ object CypherEngine {
           // element_at is 1-based from the front, negative from the back
           val i = c(idx)
           element_at(c(coll), when(i >= 0, i + 1).otherwise(i).cast("int"))
+        case MapProj(v, props, star, extras) =>
+          // struct of selected properties + computed entries; a selected
+          // property the label doesn't store reads null (Neo4j's
+          // missing-property semantics). `.*` expands the node's full
+          // stored schema at COMPILE time — a plain column selection, no
+          // runtime map machinery.
+          val base: Seq[(String, Column)] =
+            if (ctx.labels.contains(v)) {
+              val nt = store.schema.node(ctx.labels(v))
+              val avail = nt.key +: nt.properties
+              val want = if (star) avail else props
+              want.map(p =>
+                p -> (if (avail.contains(p)) col(s"${v}__$p") else lit(null)))
+            } else if (ctx.plains.contains(v)) {
+              if (star) throw CypherException(
+                s"$v {.*} needs a node variable (a plain value's keys are " +
+                  "not statically known)")
+              props.map(p => p -> col(v).getField(p))
+            } else throw CypherException(s"unbound variable: $v")
+          val computed = extras.map { case (k, x) => k -> c(x) }
+          struct((base ++ computed).map { case (k, cc) => cc.as(k) }: _*)
         case Prop(v, p) =>
           // multi-label/multi-type vars address the union frame's superset
           // columns; a label that lacks the property reads null (Neo4j's
@@ -2259,6 +2286,7 @@ object CypherEngine {
       case CountBlock(_, _) => "count{block}"
       case CollectBlock(_, _, _) => "collect{block}"
       case PatternComp(_, _, _) => "pattern{comp}"
+      case MapProj(v, _, _, _) => s"$v{map}"
       case CaseExpr(s, bs, d) =>
         "CASE " + s.map(x => genName(x) + " ").getOrElse("") +
           bs.map { case (c, r) => s"WHEN ${genName(c)} THEN ${genName(r)}" }.mkString(" ") +
@@ -2901,6 +2929,8 @@ object CypherEngine {
         case CaseExpr(sj, bs, d) =>
           CaseExpr(sj.map(go), bs.map { case (c, r) => (go(c), go(r)) }, d.map(go))
         case Index(c, i) => Index(go(c), go(i))
+        case MapProj(v, ps, st, ex) =>
+          MapProj(v, ps, st, ex.map { case (k, x) => (k, go(x)) })
         // lambda scopes (comprehensions/reduce/list predicates) keep their
         // own resolution; a COUNT block inside one errors in columnL
         case other => other
@@ -2935,6 +2965,7 @@ object CypherEngine {
         case CaseExpr(sj, bs, d) =>
           sj.exists(hasBlock) || d.exists(hasBlock) ||
             bs.exists { case (c, r) => hasBlock(c) || hasBlock(r) }
+        case MapProj(_, _, _, ex) => ex.exists { case (_, x) => hasBlock(x) }
         case _ => false
       }
       p.where.foreach(w => if (hasBlock(w)) throw CypherException(

@@ -523,6 +523,23 @@ object Parser {
           val i = expr()
           eatSym("]")
           e = Index(e, i)
+        } else if (isSym("{") && e.isInstanceOf[Var]) {
+          // map projection `n {.prop, .*, alias: expr}` — `{` after a bare
+          // variable is unambiguous in expression position (EXISTS/COUNT/
+          // COLLECT blocks are claimed earlier, at their keyword)
+          eatSym("{")
+          val props = Seq.newBuilder[String]
+          val extras = Seq.newBuilder[(String, Expr)]
+          var star = false
+          def item(): Unit =
+            if (trySym(".")) {
+              if (trySym("*")) star = true else props += ident()
+            } else {
+              val k = ident(); eatSym(":"); extras += ((k, expr()))
+            }
+          if (!isSym("}")) { item(); while (trySym(",")) item() }
+          eatSym("}")
+          e = MapProj(e.asInstanceOf[Var].name, props.result(), star, extras.result())
         } else continue = false
       }
       e

@@ -355,6 +355,15 @@ object CypherQueries {
                   [(c:Customer)-[:IN_NATION]->(n) WHERE c.c_acctbal < 0 | c.c_name] AS names
            ORDER BY nn""")
         .withColumn("names", array_join(sort_array(col("names")), ","))),
+    // map projection `n {.prop, alias: expr}` — generated Cypher's
+    // "shape the output" idiom: compiled to a struct column whose fields
+    // are plain column selections (no runtime map machinery), read back
+    // through dot access across a WITH boundary
+    "q101_cypher_map_projection" -> cy(
+      """MATCH (n:Nation)
+         WITH n {.n_name, .n_regionkey, key10: n.n_nationkey * 10} AS m
+         RETURN m.n_name AS nn, m.n_regionkey AS rk, m.key10 AS k10
+         ORDER BY nn"""),
     // correlated CALL with per-key ORDER BY + LIMIT — Neo4j's "top-k per
     // input row" idiom (round-7 verdict residual): the body's slice
     // compiles to a row_number window partitioned by the imported key,
@@ -598,6 +607,9 @@ object CypherQueries {
                         WHERE c.c_nationkey = n.n_nationkey
                           AND c.c_acctbal < 0), '') AS names
          FROM nation n ORDER BY 1""",
+    "q101_cypher_map_projection" ->
+      """SELECT n_name AS nn, n_regionkey AS rk, n_nationkey * 10 AS k10
+         FROM nation ORDER BY 1""",
     "q100_cypher_call_topk" ->
       """SELECT nn, cn, bal FROM (
            SELECT n.n_name AS nn, c.c_name AS cn, c.c_acctbal AS bal,

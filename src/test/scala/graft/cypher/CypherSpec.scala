@@ -1644,4 +1644,38 @@ class CypherSpec extends SparkSpec {
       "MATCH (x:Region) RETURN x.r_name + duration('90 days') AS d"))
     assert(err2.getMessage.contains("ISO-8601"))
   }
+
+  test("map projections: selected props, .*, computed entries, missing → null") {
+    val r = engine.run(
+      """MATCH (n:Nation {n_nationkey: 7})
+         RETURN n {.n_name, .n_regionkey, upper_name: toUpper(n.n_name), .no_such} AS m""")
+      .collect().head
+    val m = r.getStruct(0)
+    assert(m.getAs[String]("n_name") == "NATION_7")
+    assert(m.getAs[Number]("n_regionkey") != null)
+    assert(m.getAs[String]("upper_name") == "NATION_7")
+    assert(m.isNullAt(m.fieldIndex("no_such"))) // missing property → null entry
+    // .* expands the full stored schema (key + properties)
+    val star = engine.run(
+      """MATCH (r:Region {r_regionkey: 0}) RETURN r {.*} AS m""").collect().head
+    val sm = star.getStruct(0)
+    assert(sm.schema.fieldNames.contains("r_regionkey"))
+    assert(sm.schema.fieldNames.contains("r_name"))
+    // projected map flows through WITH; fields read back via dot access
+    val thru = engine.run(
+      """MATCH (n:Nation {n_nationkey: 3})
+         WITH n {.n_name} AS m
+         RETURN m.n_name AS nm""").collect().head
+    assert(thru.getString(0) == "NATION_3")
+    // a map projection on a plain (non-node) variable selects struct fields
+    val plain = engine.run(
+      """MATCH (n:Nation {n_nationkey: 3})
+         WITH n {.n_name, .n_regionkey} AS m
+         RETURN m {.n_name} AS mm""").collect().head
+    assert(plain.getStruct(0).getAs[String]("n_name") == "NATION_3")
+    // `.*` on a plain value rejects loudly
+    val err = intercept[CypherEngine.CypherException](engine.run(
+      """MATCH (n:Nation) WITH n.n_name AS s RETURN s {.*} AS m"""))
+    assert(err.getMessage.contains("node variable"))
+  }
 }
