@@ -63,12 +63,14 @@ object Ast {
     * the enclosing frame.
     */
   final case class CountBlock(paths: Seq[PathPat], where: Option[Expr]) extends Expr
-  /** `COLLECT { [MATCH] patterns [WHERE pred] RETURN expr }` — the third
-    * Neo4j-5 block form: the list of `expr` over every match, correlated
-    * like [[CountBlock]]; `[]` when nothing matches.
+  /** `COLLECT { [MATCH] patterns [WHERE pred] RETURN expr [ORDER BY …]
+    * [LIMIT n] }` — the third Neo4j-5 block form: the list of `expr` over
+    * every match, correlated like [[CountBlock]]; `[]` when nothing
+    * matches. ORDER BY sorts WITHIN each per-row list; LIMIT keeps its
+    * head (top-k list per row).
     */
   final case class CollectBlock(paths: Seq[PathPat], where: Option[Expr],
-      ret: Expr) extends Expr
+      ret: Expr, orderBy: Seq[Sort] = Nil, limit: Option[Long] = None) extends Expr
   /** `n {.prop, .*, alias: expr}` map projection — a struct of selected
     * properties (`.*` = every stored property) plus computed entries;
     * Neo4j's idiomatic "shape the output" form in generated Cypher.

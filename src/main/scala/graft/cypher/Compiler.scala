@@ -153,8 +153,8 @@ object CypherEngine {
       case PatternPred(p) => path(p, asRefs = true)
       case ExistsBlock(ps, w) => ps.foreach(path(_, asRefs = true)); w.foreach(expr)
       case CountBlock(ps, w) => ps.foreach(path(_, asRefs = true)); w.foreach(expr)
-      case CollectBlock(ps, w, r) =>
-        ps.foreach(path(_, asRefs = true)); w.foreach(expr); expr(r)
+      case CollectBlock(ps, w, r, ob, _) =>
+        ps.foreach(path(_, asRefs = true)); w.foreach(expr); expr(r); ob.foreach(s0 => expr(s0.expr))
       case PatternComp(p, w, pr) =>
         path(p, asRefs = true); w.foreach(expr); expr(pr)
       case Param(_) | Lit(_) => ()
@@ -266,7 +266,7 @@ object CypherEngine {
           }
         }
         w.foreach(expr)
-      case CollectBlock(ps, w, r) =>
+      case CollectBlock(ps, w, r, ob, _) =>
         ps.foreach { p =>
           p.head.props.foreach { case (_, e0) => expr(e0) }
           p.hops.foreach { case (rl, n) =>
@@ -274,7 +274,7 @@ object CypherEngine {
             n.props.foreach { case (_, e0) => expr(e0) }
           }
         }
-        w.foreach(expr); expr(r)
+        w.foreach(expr); expr(r); ob.foreach(s0 => expr(s0.expr))
       case PatternComp(p, w, pr) =>
         p.head.props.foreach { case (_, e0) => expr(e0) }
         p.hops.foreach { case (rl, n) =>
@@ -416,7 +416,8 @@ object CypherEngine {
       case PatternPred(p) => PatternPred(goPath(p))
       case ExistsBlock(ps, w) => ExistsBlock(ps.map(goPath), w.map(go))
       case CountBlock(ps, w) => CountBlock(ps.map(goPath), w.map(go))
-      case CollectBlock(ps, w, r) => CollectBlock(ps.map(goPath), w.map(go), go(r))
+      case CollectBlock(ps, w, r, ob, lim) =>
+        CollectBlock(ps.map(goPath), w.map(go), go(r), ob.map(s0 => s0.copy(expr = go(s0.expr))), lim)
       case PatternComp(p, w, pr) => PatternComp(goPath(p), w.map(go), go(pr))
       case MapProj(v, ps, st, ex) =>
         MapProj(v, ps, st, ex.map { case (k, x) => (k, go(x)) })
@@ -1935,7 +1936,7 @@ object CypherEngine {
         case CountBlock(_, _) => throw CypherException(
           "COUNT { } is not supported in this position — use it as a " +
             "RETURN/WITH item, in ORDER BY, or in a top-level WHERE")
-        case CollectBlock(_, _, _) => throw CypherException(
+        case CollectBlock(_, _, _, _, _) => throw CypherException(
           "COLLECT { } is not supported in this position — use it as a " +
             "RETURN/WITH item, in ORDER BY, or in a top-level WHERE")
         case PatternComp(_, _, _) => throw CypherException(
@@ -2284,7 +2285,7 @@ object CypherEngine {
       case PatternPred(_) => "exists(pattern)"
       case ExistsBlock(_, _) => "exists{block}"
       case CountBlock(_, _) => "count{block}"
-      case CollectBlock(_, _, _) => "collect{block}"
+      case CollectBlock(_, _, _, _, _) => "collect{block}"
       case PatternComp(_, _, _) => "pattern{comp}"
       case MapProj(v, _, _, _) => s"$v{map}"
       case CaseExpr(s, bs, d) =>
@@ -2914,9 +2915,29 @@ object CypherEngine {
       def go(e: Expr): Expr = e match {
         case CountBlock(paths, iw) =>
           lift("COUNT { }", paths, iw, _ => count(lit(1)), lit(0L))
-        case CollectBlock(paths, iw, ret) =>
-          lift("COLLECT { }", paths, iw, sc => collect_list(column(ret, sc)),
-            array())
+        case CollectBlock(paths, iw, ret, ob, lim) =>
+          // ordered collect: aggregate (sortkeys…, value) structs, sort the
+          // per-group array, project the values back out, slice to LIMIT.
+          // The transform lambda is interpreted (the q48 HOF lesson) but
+          // runs once per GROUP over an already-aggregated array — never
+          // in a per-row hot path.
+          def collectAgg(sc: Ctx): Column =
+            if (ob.isEmpty) {
+              if (lim.isDefined) throw CypherException(
+                "LIMIT inside COLLECT { } needs an ORDER BY to be deterministic")
+              collect_list(column(ret, sc))
+            } else {
+              if (ob.exists(_.asc) && ob.exists(!_.asc)) throw CypherException(
+                "COLLECT { } ORDER BY keys must share one direction " +
+                  "(all ASC or all DESC) — the per-list sort is lexicographic")
+              val fields = ob.zipWithIndex.map { case (s0, i) =>
+                column(s0.expr, sc).as(s"__k$i")
+              } :+ column(ret, sc).as("__v")
+              val sorted = sort_array(collect_list(struct(fields: _*)), ob.head.asc)
+              val values = transform(sorted, x => x.getField("__v"))
+              lim.fold(values)(n => slice(values, 1, n.toInt))
+            }
+          lift("COLLECT { }", paths, iw, collectAgg, array())
         case PatternComp(p, iw, proj) =>
           lift("a pattern comprehension", Seq(p), iw,
             sc => collect_list(column(proj, sc)), array())
@@ -2953,7 +2974,7 @@ object CypherEngine {
       // of the generic not-supported-in-this-position error
       def hasBlock(e: Expr): Boolean = e match {
         case CountBlock(_, _) => true
-        case CollectBlock(_, _, _) => true
+        case CollectBlock(_, _, _, _, _) => true
         case PatternComp(_, _, _) => true
         case Bin(_, l, r) => hasBlock(l) || hasBlock(r)
         case Not(x) => hasBlock(x)

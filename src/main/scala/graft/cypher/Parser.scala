@@ -663,8 +663,26 @@ object Parser {
         val w = if (tryKw("WHERE")) Some(expr()) else None
         eatKw("RETURN")
         val r = expr()
+        // optional ORDER BY (+ LIMIT): orders WITHIN each collected list,
+        // LIMIT keeps its head — the "top-k list per row" form
+        var ob = Seq.empty[Sort]
+        if (tryKw("ORDER")) {
+          eatKw("BY")
+          val b = Seq.newBuilder[Sort]
+          def sortItem(): Unit = {
+            val e = expr()
+            val asc =
+              if (tryKw("DESC") || tryKw("DESCENDING")) false
+              else { tryKw("ASC"); tryKw("ASCENDING"); true }
+            b += Sort(e, asc)
+          }
+          sortItem()
+          while (trySym(",")) sortItem()
+          ob = b.result()
+        }
+        val lim = if (tryKw("LIMIT")) Some(longLit()) else None
         eatSym("}")
-        CollectBlock(ps, w, r)
+        CollectBlock(ps, w, r, ob, lim)
       case Ident(s) if s.equalsIgnoreCase("exists") && isSym("(") =>
         // exists((a)-[:R]->(b)) → pattern predicate;
         // exists(x.prop) → property-existence (IS NOT NULL)

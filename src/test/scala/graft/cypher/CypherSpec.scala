@@ -1564,6 +1564,26 @@ class CypherSpec extends SparkSpec {
          RETURN COLLECT { MATCH (r:Region) RETURN r.r_name } AS regions""")
       .withColumn("regions", sort_array(col("regions"))).collect().head
     assert(g.getSeq[String](0).length == 5)
+    // ORDER BY inside the block orders WITHIN each collected list
+    val ord = engine.run(
+      """MATCH (r:Region {r_regionkey: 0})
+         RETURN COLLECT { MATCH (n:Nation)-[:IN_REGION]->(r)
+                          RETURN n.n_name ORDER BY n.n_name DESC } AS names""")
+      .collect().head.getSeq[String](0)
+    assert(ord.nonEmpty && ord == ord.sorted(Ordering.String.reverse))
+    // ORDER BY + LIMIT = top-k list per row; sort key need not be collected
+    val top = engine.run(
+      """MATCH (r:Region {r_regionkey: 0})
+         RETURN COLLECT { MATCH (n:Nation)-[:IN_REGION]->(r)
+                          RETURN n.n_name ORDER BY n.n_nationkey LIMIT 2 } AS first2""")
+      .collect().head.getSeq[String](0)
+    assert(top.length == 2)
+    // unordered LIMIT rejects loudly (nondeterministic slice)
+    val err2 = intercept[CypherEngine.CypherException](engine.run(
+      """MATCH (r:Region)
+         RETURN COLLECT { MATCH (n:Nation)-[:IN_REGION]->(r)
+                          RETURN n.n_name LIMIT 2 } AS x"""))
+    assert(err2.getMessage.contains("ORDER BY"))
   }
 
   test("duration literals, timestamp arithmetic, inDays/inSeconds accessors") {
