@@ -45,12 +45,17 @@ object GraphBuilder {
     // Deterministic last-wins: keep the row with the lexicographically
     // greatest property tuple, so the outcome does not depend on
     // partitioning (the reference's depends on nondeterministic batch
-    // arrival order — a defect we fix). Implemented as max(struct(props))
-    // — a HASH aggregate with map-side partial combine — rather than a
-    // row_number window, which would force a full sort shuffle; struct
-    // comparison orders nulls smallest, so max prefers non-null values,
-    // matching a desc_nulls_last ranking. When the catalog proves the key
-    // unique (declared PK, single table), dedup is skipped entirely.
+    // arrival order — a defect we fix). max(struct(props)) physically
+    // executes as a SortAggregate — a struct agg buffer is not
+    // UnsafeRow-mutable, so HashAggregateExec refuses it — but that costs
+    // one shuffle of (key, props) with per-partition sorts, with partial
+    // aggregation still map-side; a dedup-by-exception alternative
+    // (narrow keys-only duplicate count + broadcast anti/semi split)
+    // avoids the payload shuffle but pays three source scans and measured
+    // slower at sf0.1 AND sf1 (tools/ProfileDedupAB). Struct comparison
+    // orders nulls smallest, so max prefers non-null values, matching a
+    // desc_nulls_last ranking. When the catalog proves the key unique
+    // (declared PK, single table), dedup is skipped entirely.
     val deduped =
       if (nt.keyUnique && nt.tables.size == 1) withNullPad
       else if (nt.properties.isEmpty) withNullPad.dropDuplicates(Seq(nt.key))
@@ -84,8 +89,13 @@ object GraphBuilder {
     // Pair dedup is skipped when the catalog proves (keyS, keyT) unique.
     // With edge properties, `dropDuplicates` would keep a PARTITION-DEPENDENT
     // row for a duplicated pair — the kept row is made deterministic the
-    // same way node dedup is: last-wins via max(struct(props)), a hash
-    // aggregate with map-side combine (no sort shuffle).
+    // same way node dedup is: last-wins via max(struct(props)). Same
+    // physical caveat and A/B evidence as the node path: this is a
+    // single-shuffle SortAggregate, and it beat the shuffle-free
+    // dedup-by-exception scheme at both measured scales
+    // (tools/ProfileDedupAB; 65-71 duplicated pairs in 0.6-6M lineitem
+    // rows — duplicates are the exception, but the extra scans cost more
+    // than the per-partition sorts save).
     val raw =
       if (et.pairsUnique) selected
       else if (et.properties.isEmpty) selected.dropDuplicates(Seq(et.keyS, et.keyT))
