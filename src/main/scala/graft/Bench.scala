@@ -8,14 +8,14 @@ object Bench {
   /** Committed full-suite records (seconds) per sf-dir basename; a fresh
     * full run that exceeds its record by >15% is flagged contended no
     * matter what loadavg claimed. Update when a new record is committed
-    * to BASELINE.md. The sf0.1 value is the round-8 certified-clean
-    * record (contended: false, load_before 0.73, rerun_worst improved on
-    * rerun, zero errors) measured on an idle session at the round-8 HEAD —
-    * the re-record the round-7 verdict ordered, replacing the hand
-    * estimate (68.0). See BASELINE.md's round-8 record section.
+    * to BASELINE.md. Both values are round-8 certified-clean records over
+    * the full 109-query suite (contended: false, zero errors), measured
+    * on an idle session AFTER the load_before sampling fix — see
+    * BASELINE.md "Round-8 record, final". They supersede the interim
+    * 104-query 65.8 / 107-query 154.7 records.
     */
   val CommittedTotalSec: Map[String, Double] =
-    Map("sf0.1" -> 65.8, "sf1" -> 154.7)
+    Map("sf0.1" -> 62.1, "sf1" -> 117.9)
 
   /** Per-query error marker for the bench artifact: a query that throws
     * must surface in the JSON, not fold a bogus fast time into the total
@@ -43,6 +43,19 @@ object Bench {
     loadBefore > 2.0 || committedTotalSec.exists(b => totalSec > b * 1.15)
 
   def main(args: Array[String]): Unit = {
+    // Load guard sample (round-5 lesson: a contended driver window produced
+    // a 125 s "record" for a 68 s suite). MUST be the first thing in main,
+    // BEFORE the session and the untimed warmup: the warmup alone drives
+    // the 1-minute loadavg past the 2.0 threshold at sf1 (measured
+    // load_before 1.8-3.4 on an idle box when sampled after it — every sf1
+    // run self-flagged contended), which is the same self-measurement trap
+    // the dead loadAfter clause was removed for.
+    def loadavg(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadBefore = loadavg()
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -72,16 +85,6 @@ object Bench {
       Seq("region", "nation", "customer", "supplier", "part", "events", "embeddings")
         .foreach(t => sources.Tables.load(spark, sfDir, t).count())
     } catch { case _: Throwable => }
-
-    // Load guard (round-5 lesson: a contended driver window produced a
-    // 125 s "record" for a 68 s suite). Record the 1-minute loadavg before
-    // and after; [[isContended]] flags the run so a contended window can
-    // never silently become the committed baseline.
-    def loadavg(): Double =
-      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
-        .split(" ")(0).toDouble
-      catch { case _: Throwable => -1.0 }
-    val loadBefore = loadavg()
 
     // Optional positional args restrict the run to the named queries
     // (local iteration aid; the driver always runs the full set).

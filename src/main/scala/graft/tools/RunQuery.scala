@@ -16,8 +16,11 @@ object RunQuery {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.foreach { q =>
-      try println(s"$q -> rows=" + graft.SparkEntry.queries(q)(spark, sfDir).count())
-      catch { case t: Throwable => println(s"$q FAILED"); t.printStackTrace() }
+      val t0 = System.nanoTime()
+      try {
+        val n = graft.SparkEntry.queries(q)(spark, sfDir).count()
+        println(f"$q -> rows=$n  (${(System.nanoTime() - t0) / 1e9}%.2f s)")
+      } catch { case t: Throwable => println(s"$q FAILED"); t.printStackTrace() }
     }
     spark.stop()
   }
