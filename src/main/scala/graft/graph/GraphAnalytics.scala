@@ -130,14 +130,73 @@ object GraphAnalytics {
   /** BFS hop distance from `source`, bounded at `maxDepth` hops. Output:
     * (node: Long, dist: Int) for reached nodes only. Adaptive like
     * [[connectedComponents]]: single-task adjacency BFS under the local
-    * threshold, Pregel above it.
+    * threshold, level-synchronous DataFrame BFS ([[dfBfs]]) above it.
+    * The Pregel variant remains available ([[pregelBfs]]) for the A/B
+    * (tools/ProfileBfs) and as a fallback, but the DataFrame path is the
+    * distributed default: it stays in Tungsten memory end-to-end (no
+    * VertexPartition caching, no RDD GC churn — the source of q34's
+    * 10-75 s first-run spread at sf1), and per-level scans of the pruned
+    * edge frame are the normal distributed BFS shape at cluster scale.
     */
   def bfs(spark: SparkSession, edges: DataFrame, source: Long, maxDepth: Int,
       edgePartitions: Option[Int] = None,
       localThreshold: Long = LocalEdgeThreshold): DataFrame = {
-    import spark.implicits._
     if (underThreshold(edges, localThreshold))
       return localBfs(spark, edges, source, maxDepth)
+    dfBfs(spark, edges, source, maxDepth)
+  }
+
+  /** Level-synchronous single-source BFS as DataFrame joins: per level,
+    * join the frontier into the (undirected) edge frame, anti-join the
+    * already-reached set, checkpoint the new frontier. The same frontier
+    * discipline as the Cypher compiler's bfsFrames (Compiler.scala) —
+    * each frontier is localCheckpointed so level n+1's plan starts from
+    * the materialized frontier instead of re-deriving the whole lineage
+    * (Catalyst cannot see how small a frontier is; an unchecked plan
+    * sort-merge-joins the full edge frame per level).
+    */
+  private[graph] def dfBfs(spark: SparkSession, edges: DataFrame, source: Long,
+      maxDepth: Int): DataFrame = {
+    import spark.implicits._
+    val adj = {
+      val e = edges.select(col("src"), col("dst"))
+      e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    }
+    val seed = Seq(source).toDF("node")
+    // level 1 straight off the edge frame; source emitted at dist 0 iff it
+    // appears in some edge (matching Pregel/localBfs, which only
+    // materialize vertices present in the edge set)
+    var frontier = adj.filter(col("src") === source).select(col("dst").as("node"))
+      .distinct().localCheckpoint(true)
+    val levels = collection.mutable.ArrayBuffer[DataFrame]()
+    if (frontier.isEmpty) return spark.emptyDataset[(Long, Int)].toDF("node", "dist")
+    levels += seed.withColumn("dist", lit(0))
+    levels += frontier.withColumn("dist", lit(1))
+    var reached = frontier.unionByName(seed).localCheckpoint(true)
+    var depth = 1
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      frontier = frontier
+        .join(adj, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(reached, Seq("node"), "left_anti")
+        .localCheckpoint(true)
+      if (!frontier.isEmpty) {
+        levels += frontier.withColumn("dist", lit(depth))
+        reached = reached.unionByName(frontier).localCheckpoint(true)
+      }
+    }
+    levels.reduce(_.unionByName(_))
+      .select(col("node"), col("dist").cast(org.apache.spark.sql.types.IntegerType))
+  }
+
+  /** The GraphX Pregel BFS the DataFrame path replaced as the distributed
+    * default — kept for the strategy A/B (tools/ProfileBfs; BfsSpec pins
+    * the two agree) and as a reference implementation.
+    */
+  def pregelBfs(spark: SparkSession, edges: DataFrame, source: Long,
+      maxDepth: Int, edgePartitions: Option[Int] = None): DataFrame = {
+    import spark.implicits._
     val g = toGraph(edges, undirected = true, edgePartitions)
       .mapVertices((id, _) => if (id == source) 0 else Int.MaxValue)
     val res = g.pregel(Int.MaxValue, maxIterations = maxDepth)(

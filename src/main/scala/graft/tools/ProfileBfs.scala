@@ -45,8 +45,11 @@ object ProfileBfs {
       t(s"local  bfs #$i") {
         GraphAnalytics.bfs(spark, edges, 1L, 4, localThreshold = Long.MaxValue).count()
       }
-      t(s"pregel bfs #$i") {
+      t(s"df     bfs #$i") {
         GraphAnalytics.bfs(spark, edges, 1L, 4, localThreshold = 0L).count()
+      }
+      t(s"pregel bfs #$i") {
+        GraphAnalytics.pregelBfs(spark, edges, 1L, 4).count()
       }
     }
     spark.stop()

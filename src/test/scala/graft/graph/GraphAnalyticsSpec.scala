@@ -39,13 +39,43 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(ccLocal == ccPregel)
     assert(ccLocal(4L) == 1L && ccLocal(11L) == 10L)
 
-    val bfsPregel = GraphAnalytics.bfs(spark, edges, source = 2L, maxDepth = 3,
+    // localThreshold = 0 forces the distributed DataFrame BFS; pregelBfs
+    // is exercised directly (no longer the default distributed strategy)
+    val bfsDf = GraphAnalytics.bfs(spark, edges, source = 2L, maxDepth = 3,
         localThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val bfsPregel = GraphAnalytics.pregelBfs(spark, edges, source = 2L, maxDepth = 3)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     val bfsLocal = GraphAnalytics.bfs(spark, edges, source = 2L, maxDepth = 3)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(bfsLocal == bfsDf)
     assert(bfsLocal == bfsPregel)
     assert(bfsLocal == Map(2L -> 0, 1L -> 1, 3L -> 1, 4L -> 2))
+  }
+
+  test("the three BFS strategies agree on random graphs") {
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { _ =>
+      val n = 30
+      val es = Seq.fill(120)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val df = es.toDF("src", "dst")
+      val depth = 1 + rnd.nextInt(4)
+      val src = es.head._1
+      val local = GraphAnalytics.bfs(spark, df, src, depth)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val dist = GraphAnalytics.bfs(spark, df, src, depth, localThreshold = 0)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val pregel = GraphAnalytics.pregelBfs(spark, df, src, depth)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(local == dist)
+      assert(local == pregel)
+    }
+  }
+
+  test("DataFrame BFS: source absent from the edge set returns empty") {
+    assert(GraphAnalytics.bfs(spark, edges, source = 99L, maxDepth = 3,
+      localThreshold = 0).count() == 0)
   }
 
   test("local pagerank/triangles agree with GraphX") {
