@@ -2123,6 +2123,9 @@ object CypherEngine {
       case "tofloat" => args.head.cast("double")
       case "size" | "length" =>
         if (isStringTyped(rawArgs.head, ctx, lamStr)) length(args.head) else size(args.head)
+      case "isempty" => // isEmpty(string | list) — same type dispatch as size()
+        (if (isStringTyped(rawArgs.head, ctx, lamStr)) length(args.head)
+         else size(args.head)) === 0
       case "abs" => abs(args.head)
       case "round" =>
         // Cypher round(x) and round(x, precision)
@@ -2138,6 +2141,26 @@ object CypherEngine {
       case "coalesce" => coalesce(args: _*)
       case "date" => to_date(args.head)
       case "datetime" | "timestamp" => to_timestamp(args.head)
+      // date.truncate('month', d) / datetime.truncate('day', dt) — the
+      // Neo4j truncation surface, mapped onto Spark's date_trunc. The unit
+      // must be a string literal (it selects the codegen'd format at
+      // compile time); units Spark cannot truncate to (millennium,
+      // century, decade, weekYear) reject loudly rather than approximate.
+      case "date.truncate" | "datetime.truncate" =>
+        val unit = rawArgs.head match {
+          case Lit(u: String) => u.toLowerCase
+          case other => throw CypherException(
+            s"$name expects a string-literal unit, got ${genName(other)}")
+        }
+        val fmt = unit match {
+          case "year" | "quarter" | "month" | "week" | "day" => unit
+          case "hour" | "minute" | "second" | "millisecond" | "microsecond"
+              if name == "datetime.truncate" => unit
+          case other => throw CypherException(
+            s"$name: unsupported truncation unit '$other'")
+        }
+        val truncated = date_trunc(fmt, args(1).cast(TimestampType))
+        if (name == "date.truncate") to_date(truncated) else truncated
       // ---- durations (SURVEY §2.8 temporal arithmetic; reference demand:
       // the RCA loop's serial time-scoped questions,
       // final/experimenting_new/rca.ipynb:345-354) -------------------------

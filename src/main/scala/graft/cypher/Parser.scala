@@ -508,14 +508,17 @@ object Parser {
           val p = ident()
           e = e match {
             // namespaced function call — `duration.between(a, b)`,
-            // `duration.inDays(a, b)`; claimed only for the known
-            // namespace so `v.prop` stays a property access everywhere
-            case Var(v) if v.equalsIgnoreCase("duration") && isSym("(") =>
+            // `duration.inDays(a, b)`, `date.truncate(u, d)`,
+            // `datetime.truncate(u, dt)`; claimed only for the known
+            // namespaces AND only when a call follows, so `v.prop` stays
+            // a property access everywhere else
+            case Var(v) if isSym("(") &&
+                Seq("duration", "date", "datetime").exists(v.equalsIgnoreCase) =>
               eatSym("(")
               val args = Seq.newBuilder[Expr]
               if (!isSym(")")) { args += expr(); while (trySym(",")) args += expr() }
               eatSym(")")
-              Fn(s"duration.${p.toLowerCase}", args.result())
+              Fn(s"${v.toLowerCase}.${p.toLowerCase}", args.result())
             case Var(v) => Prop(v, p)
             case other => Fn(p.toLowerCase, Seq(other)) // date(x).year → year(date(x))
           }

@@ -88,8 +88,56 @@ object GraphAnalytics {
   def connectedComponents(spark: SparkSession, edges: DataFrame,
       edgePartitions: Option[Int] = None,
       localThreshold: Long = LocalEdgeThreshold): DataFrame = {
-    import spark.implicits._
     if (underThreshold(edges, localThreshold)) return localComponents(spark, edges)
+    dfComponents(spark, edges)
+  }
+
+  /** Min-label propagation CC as DataFrame joins — the same algorithm
+    * GraphX's `connectedComponents()` runs (so identical round counts:
+    * O(component diameter)), with the per-round frontier discipline of
+    * [[dfBfs]]: labels are localCheckpointed each round so round n+1's
+    * plan starts from materialized labels, and execution stays in
+    * Tungsten memory (no VertexPartition caching / RDD GC churn — the
+    * same stability argument that made the DataFrame BFS the distributed
+    * default; tools/ProfileBfs measured Pregel's 6-10x first-run spread
+    * in a loaded JVM). Labels converge to the min vertex id per
+    * component, matching [[localComponents]] and GraphX exactly.
+    */
+  private[graph] def dfComponents(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val adj = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = adj.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint(true)
+    // Delta iteration: a node's label can only drop via a neighbor whose
+    // label dropped last round, so only CHANGED labels re-propagate.
+    // Every value a node ever holds is broadcast to its neighbors the
+    // round after it is adopted (all nodes are active in round 1), so the
+    // fixpoint equals full re-propagation — but late rounds join a
+    // shrinking frontier against the edge frame instead of every label
+    // (the same frontier economics as [[dfBfs]]; GraphX's Pregel skips
+    // non-messaged vertices the same way).
+    var active = labels
+    while (!active.isEmpty) {
+      val cand = adj.join(active, col("src") === col("node"))
+        .groupBy(col("dst").as("__n")).agg(min(col("component")).as("__cand"))
+      val next = labels.join(cand, col("node") === col("__n"), "left")
+        .select(col("node"), col("component").as("__old"),
+          least(col("component"), coalesce(col("__cand"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      active = next.filter(col("component") < col("__old")).drop("__old")
+      labels = next.drop("__old")
+    }
+    labels
+  }
+
+  /** The GraphX CC the DataFrame path replaced as the distributed default
+    * — kept for the strategy A/B and as a reference implementation.
+    */
+  def pregelComponents(spark: SparkSession, edges: DataFrame,
+      edgePartitions: Option[Int] = None): DataFrame = {
+    import spark.implicits._
     toGraph(edges, undirected = true, edgePartitions)
       .connectedComponents()
       .vertices

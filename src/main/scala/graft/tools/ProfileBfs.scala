@@ -52,6 +52,14 @@ object ProfileBfs {
         GraphAnalytics.pregelBfs(spark, edges, 1L, 4).count()
       }
     }
+    (1 to 2).foreach { i =>
+      t(s"df     cc  #$i") {
+        GraphAnalytics.connectedComponents(spark, edges, localThreshold = 0).count()
+      }
+      t(s"pregel cc  #$i") {
+        GraphAnalytics.pregelComponents(spark, edges).count()
+      }
+    }
     spark.stop()
   }
 }

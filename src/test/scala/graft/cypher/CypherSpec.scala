@@ -1586,6 +1586,34 @@ class CypherSpec extends SparkSpec {
     assert(err2.getMessage.contains("ORDER BY"))
   }
 
+  test("date.truncate / datetime.truncate and isEmpty") {
+    val r = engine.run(
+      """MATCH (x:Region {r_regionkey: 0})
+         RETURN toString(date.truncate('month', datetime('1998-03-17'))) AS mo,
+                toString(date.truncate('year', datetime('1998-03-17'))) AS yr,
+                toString(date.truncate('quarter', datetime('1998-05-20'))) AS qt,
+                toString(date.truncate('week', datetime('1998-03-19'))) AS wk,
+                toString(datetime.truncate('hour', datetime('1998-03-17T14:45:31'))) AS hr,
+                toInteger(isEmpty('')) AS es, toInteger(isEmpty('x')) AS ns,
+                toInteger(isEmpty([])) AS el, toInteger(isEmpty([1])) AS nl""")
+      .collect().head
+    assert(r.getString(0) == "1998-03-01")
+    assert(r.getString(1) == "1998-01-01")
+    assert(r.getString(2) == "1998-04-01")
+    assert(r.getString(3) == "1998-03-16") // ISO week starts Monday
+    assert(r.getString(4).startsWith("1998-03-17 14:00:00"))
+    assert((r.getLong(5), r.getLong(6)) == (1L, 0L))
+    assert((r.getLong(7), r.getLong(8)) == (1L, 0L))
+    // unsupported unit and non-literal unit reject loudly
+    val bad = intercept[CypherEngine.CypherException](engine.run(
+      "MATCH (x:Region {r_regionkey: 0}) RETURN date.truncate('century', datetime('1998-01-01')) AS c"))
+    assert(bad.getMessage.contains("unsupported truncation unit"))
+    // time units are datetime.truncate-only
+    val tu = intercept[CypherEngine.CypherException](engine.run(
+      "MATCH (x:Region {r_regionkey: 0}) RETURN date.truncate('hour', datetime('1998-01-01')) AS h"))
+    assert(tu.getMessage.contains("unsupported truncation unit"))
+  }
+
   test("duration literals, timestamp arithmetic, inDays/inSeconds accessors") {
     val r = engine.run(
       """MATCH (x:Region {r_regionkey: 0})

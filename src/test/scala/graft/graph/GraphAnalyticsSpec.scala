@@ -32,10 +32,13 @@ class GraphAnalyticsSpec extends SparkSpec {
   test("adaptive local path agrees with the Pregel path") {
     // localThreshold = 0 forces the distributed Pregel implementation;
     // the default routes this 4-edge graph through single-task union-find.
-    val ccPregel = GraphAnalytics.connectedComponents(spark, edges, localThreshold = 0)
+    val ccDf = GraphAnalytics.connectedComponents(spark, edges, localThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ccPregel = GraphAnalytics.pregelComponents(spark, edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val ccLocal = GraphAnalytics.connectedComponents(spark, edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccLocal == ccDf)
     assert(ccLocal == ccPregel)
     assert(ccLocal(4L) == 1L && ccLocal(11L) == 10L)
 
@@ -68,6 +71,26 @@ class GraphAnalyticsSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
       val pregel = GraphAnalytics.pregelBfs(spark, df, src, depth)
         .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(local == dist)
+      assert(local == pregel)
+    }
+  }
+
+  test("the three CC strategies agree on random graphs (sparse: long chains)") {
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { _ =>
+      // sparse (n edges over 2n vertices) so components include chains —
+      // multi-round label propagation, not one-hop stars
+      val n = 40
+      val es = Seq.fill(n)((rnd.nextInt(2 * n).toLong, rnd.nextInt(2 * n).toLong))
+        .filter { case (a, b) => a != b }
+      val df = es.toDF("src", "dst")
+      val local = GraphAnalytics.connectedComponents(spark, df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = GraphAnalytics.connectedComponents(spark, df, localThreshold = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val pregel = GraphAnalytics.pregelComponents(spark, df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(local == dist)
       assert(local == pregel)
     }
