@@ -5,12 +5,12 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
 
-import graft.graph.{GraphAnalytics, GraphBuilder, GraphSchema}
+import graft.graph.{GraphAnalytics, GraphBuilder, GraphSchema, GraphStore}
 import graft.sources.Tables
 
 /** Graph operator surface (SURVEY.md §2.8): construction stats, degree
   * analytics, k-hop traversals, connected components, BFS. Q33/Q34 run
-  * through GraphX/Pregel ([[graft.graph.GraphAnalytics]]); the DuckDB oracle
+  * through adaptive local/DataFrame strategies ([[graft.graph.GraphAnalytics]]); the DuckDB oracle
   * reproduces them with recursive CTEs.
   */
 object GraphQueries {
@@ -43,7 +43,7 @@ object GraphQueries {
     // derived graph; the dedup join is the shared ingest step, not part of
     // any one algorithm's cost (same rationale as the Cypher store cache).
     // The persisted plan pins the dedup's 32-way shuffle partitioning (cached
-    // plans bypass AQE coalescing), so every Pregel iteration downstream
+    // plans bypass AQE coalescing), so every distributed iteration downstream
     // would otherwise schedule dozens of near-empty tasks over a tiny graph
     // — a measured 15.7x regression on q33 in round 2. Materialize once,
     // then hand out a view coalesced to ceil(rows / 512k), so the task count
@@ -96,7 +96,13 @@ object GraphQueries {
     * (final/inject_relationship.py:1017-1031).
     */
   private def q31b(s: SparkSession, dir: String): DataFrame =
-    GraphBuilder.buildAll(s, dir).describe(s)
+    // audits the same cached store the Cypher query family reads (keyed
+    // identically in CypherQueries.store) — the reference's count audits
+    // run against the injected database, not a rebuilt one
+    // (final/inject_relationship.py:1017-1031), and a fresh uncached
+    // build here re-paid every node/edge construction per call (~5 s of
+    // q31b's sf1 wall was the rebuild, not the counts)
+    GraphStore.cached(dir)(GraphBuilder.buildAll(s, dir)).describe(s)
 
   private val q31bSql: String = {
     val g = GraphSchema.testdata
@@ -156,7 +162,7 @@ object GraphQueries {
       |GROUP BY r_name, p_type ORDER BY r_name, p_type""".stripMargin
 
   // -------------------------------------------- Q33 connected components (G9)
-  /** G9: Pregel min-label connected components on a sampled bipartite
+  /** G9: min-label connected components on a sampled bipartite
     * subgraph (sampling keeps the oracle's recursive-CTE closure small; the
     * full graph is exercised in bench). Output: (component, member_count).
     */
@@ -180,7 +186,7 @@ object GraphQueries {
        |GROUP BY component ORDER BY component""".stripMargin
 
   // ------------------------------------------------------- Q34 BFS dist (G10)
-  /** G10: Pregel BFS hop distance from the first customer vertex, ≤ 4 hops,
+  /** G10: BFS hop distance from the first customer vertex, ≤ 4 hops,
     * on the full bipartite graph.
     */
   private def q34(s: SparkSession, dir: String): DataFrame = {
