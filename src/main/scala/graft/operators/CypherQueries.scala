@@ -390,6 +390,16 @@ object CypherQueries {
                 min(toString(date(o.o_orderdate - duration('P30D')))) AS earliest_m30,
                 max(toString(date(o.o_orderdate + duration('P1Y2M')))) AS latest_p14m,
                 max(duration.inDays(o.o_orderdate, datetime('1998-08-02')).days) AS max_age"""),
+    // date.truncate + isEmpty (round 8): the quarterly-histogram shape
+    // time-scoped generated questions produce ("orders per quarter") —
+    // truncation compiles to a constant-format date_trunc, isEmpty rides
+    // size()'s string/list type dispatch
+    "q102_cypher_truncate" -> cy(
+      """MATCH (o:Order)
+         WHERE NOT isEmpty(o.o_orderstatus)
+         WITH date.truncate('quarter', o.o_orderdate) AS qtr
+         RETURN toString(qtr) AS quarter, count(*) AS cnt
+         ORDER BY quarter"""),
     // COLLECT { } block: the third Neo4j-5 block form (EXISTS q95 /
     // COUNT q96 landed in round 7) — collects the body's RETURN
     // expression per enclosing row, [] when the MATCH finds nothing
@@ -624,6 +634,12 @@ object CypherQueries {
               max(date_diff('day', o_orderdate, TIMESTAMP '1998-08-02')) AS max_age
          FROM orders
          WHERE o_orderdate + INTERVAL 90 DAY >= TIMESTAMP '1998-06-01'""",
+    "q102_cypher_truncate" ->
+      """SELECT CAST(CAST(date_trunc('quarter', o_orderdate) AS DATE) AS VARCHAR) AS quarter,
+              count(*) AS cnt
+         FROM orders
+         WHERE NOT (length(o_orderstatus) = 0)
+         GROUP BY 1 ORDER BY 1""",
     "q99_cypher_collect_block" ->
       """SELECT r.r_name AS rn,
               coalesce((SELECT string_agg(n.n_name, ',' ORDER BY n.n_name)
