@@ -1,7 +1,7 @@
 package graft.graph
 
 import org.apache.spark.graphx.{Edge, Graph, PartitionStrategy, VertexId}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -309,12 +309,61 @@ object GraphAnalytics {
     import spark.implicits._
     if (underThreshold(edges, localThreshold))
       return localPageRank(spark, edges, iters)
+    // PageRank deliberately STAYS on GraphX where BFS/CC moved to
+    // DataFrame iterations (round 8): it is a dense every-vertex-every-
+    // round algorithm run for a fixed 10+ iterations, so GraphX's
+    // one-time partitioned graph build amortizes and its per-round cost
+    // beats a per-round DataFrame join — measured 2x at sf1
+    // (tools/ProfileBfs: df 15.8-17.8 s vs GraphX 6.9-8.8 s for 10
+    // iterations on the 6M-edge graph). The frontier algorithms moved
+    // because their per-round work SHRINKS (sparse frontiers, delta
+    // iteration); PageRank's never does. [[dfPageRank]] remains for the
+    // A/B, pinned equal within float tolerance by the spec.
     toGraph(edges, undirected = false, edgePartitions)
       .staticPageRank(iters)
       .vertices
       .map { case (id, pr) => (id, pr) }
       .toDF("node", "rank")
   }
+
+  /** Static power iteration as DataFrame joins — the A/B counterpart that
+    * measured SLOWER than GraphX for the dense fixed-iteration workload
+    * (see [[pageRank]]'s strategy note): per round, ranks join the
+    * directed edge frame, contributions hash-aggregate per destination,
+    * and the new ranks are localCheckpointed. Same update rule and final
+    * mass normalization as GraphX `staticPageRank` (ranks start at 1.0,
+    * r' = 0.15 + 0.85·Σ inbound r/outDeg, final mass scaled to the vertex
+    * count per SPARK-18847), which [[localPageRank]] mirrors — the spec
+    * pins all three within float tolerance.
+    */
+  def dfPageRank(spark: SparkSession, edges: DataFrame,
+      iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val vertices = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    // (src, dst, __deg) — the loop's constant; persist so 10 rounds don't
+    // re-derive the join (frame width: 2 keys + 1 long)
+    val contribEdges = e.join(outDeg, "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = vertices.withColumn("rank", lit(1.0)).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val msgs = contribEdges.join(ranks, col("src") === col("node"))
+        .groupBy(col("dst").as("__n"))
+        .agg(sum(col("rank") / col("__deg")).as("__m"))
+      ranks = ranks.join(msgs, col("node") === col("__n"), "left")
+        .select(col("node"),
+          (lit(0.15) + lit(0.85) * coalesce(col("__m"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+    }
+    contribEdges.unpersist(false)
+    // normalize final mass to the vertex count (GraphX SPARK-18847)
+    val Row(total: Double, n: Long) =
+      ranks.agg(sum(col("rank")), count(lit(1))).head()
+    val scale = if (total == 0.0) 1.0 else n / total
+    ranks.select(col("node"), (col("rank") * scale).as("rank"))
+  }
+
 
   private def localPageRank(spark: SparkSession, edges: DataFrame,
       iters: Int): DataFrame = {

@@ -60,6 +60,14 @@ object ProfileBfs {
         GraphAnalytics.pregelComponents(spark, edges).count()
       }
     }
+    (1 to 2).foreach { i =>
+      t(s"df     pr  #$i") {
+        GraphAnalytics.dfPageRank(spark, edges, iters = 10).count()
+      }
+      t(s"graphx pr  #$i") {
+        GraphAnalytics.pageRank(spark, edges, iters = 10, localThreshold = 0).count()
+      }
+    }
     spark.stop()
   }
 }

@@ -96,6 +96,26 @@ class GraphAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("the three PageRank strategies agree on random graphs (float tolerance)") {
+    val rnd = new scala.util.Random(13)
+    val n = 25
+    val es = Seq.fill(80)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val df = es.toDF("src", "dst")
+    def toMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val local = toMap(GraphAnalytics.pageRank(spark, df, iters = 10))
+    // localThreshold = 0 forces the distributed default (GraphX — see
+    // pageRank's strategy note); dfPageRank is the measured-slower A/B
+    val graphx = toMap(GraphAnalytics.pageRank(spark, df, iters = 10, localThreshold = 0))
+    val dfIter = toMap(GraphAnalytics.dfPageRank(spark, df, iters = 10))
+    assert(local.keySet == graphx.keySet && local.keySet == dfIter.keySet)
+    local.foreach { case (k, v) =>
+      assert(math.abs(v - graphx(k)) < 1e-6, s"graphx mismatch at $k")
+      assert(math.abs(v - dfIter(k)) < 1e-6, s"df mismatch at $k")
+    }
+  }
+
   test("DataFrame BFS: source absent from the edge set returns empty") {
     assert(GraphAnalytics.bfs(spark, edges, source = 99L, maxDepth = 3,
       localThreshold = 0).count() == 0)
