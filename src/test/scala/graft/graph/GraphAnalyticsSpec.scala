@@ -96,6 +96,16 @@ class GraphAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("DataFrame CC converges on a worst-case-diameter path graph") {
+    // a 60-node path: min-label propagation needs ~n rounds to flood the
+    // min id end-to-end — pins the delta iteration's termination and
+    // correctness at maximum diameter (not just shallow star components)
+    val chain = (1L until 60L).map(i => (i, i + 1)).toDF("src", "dst")
+    val cc = GraphAnalytics.dfComponents(spark, chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.size == 60 && cc.values.forall(_ == 1L))
+  }
+
   test("the three PageRank strategies agree on random graphs (float tolerance)") {
     val rnd = new scala.util.Random(13)
     val n = 25
