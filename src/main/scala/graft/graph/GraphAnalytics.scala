@@ -211,6 +211,9 @@ object GraphAnalytics {
       e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
     }
     val seed = Seq(source).toDF("node")
+    if (maxDepth < 1) // degenerate bound: source at dist 0 iff it has an edge
+      return seed.join(adj, col("node") === col("src"), "left_semi")
+        .withColumn("dist", lit(0))
     // level 1 straight off the edge frame; source emitted at dist 0 iff it
     // appears in some edge (matching Pregel/localBfs, which only
     // materialize vertices present in the edge set)
@@ -357,9 +360,11 @@ object GraphAnalytics {
         .localCheckpoint(true)
     }
     contribEdges.unpersist(false)
-    // normalize final mass to the vertex count (GraphX SPARK-18847)
+    // normalize final mass to the vertex count (GraphX SPARK-18847);
+    // coalesce guards the empty-graph degenerate (sum over zero rows is
+    // null, which would MatchError the Row extractor)
     val Row(total: Double, n: Long) =
-      ranks.agg(sum(col("rank")), count(lit(1))).head()
+      ranks.agg(coalesce(sum(col("rank")), lit(0.0)), count(lit(1))).head()
     val scale = if (total == 0.0) 1.0 else n / total
     ranks.select(col("node"), (col("rank") * scale).as("rank"))
   }

@@ -131,6 +131,23 @@ class GraphAnalyticsSpec extends SparkSpec {
       localThreshold = 0).count() == 0)
   }
 
+  test("degenerate bounds: maxDepth 0 and empty graphs") {
+    // maxDepth = 0: source at dist 0 iff present in some edge — all three
+    // BFS strategies agree
+    val d0 = GraphAnalytics.bfs(spark, edges, source = 2L, maxDepth = 0,
+        localThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(d0 == Map(2L -> 0))
+    assert(GraphAnalytics.bfs(spark, edges, source = 2L, maxDepth = 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap == d0)
+    assert(GraphAnalytics.bfs(spark, edges, source = 99L, maxDepth = 0,
+      localThreshold = 0).count() == 0)
+    // empty edge frame: PageRank must not throw on the null mass sum
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(GraphAnalytics.dfPageRank(spark, empty, iters = 3).count() == 0)
+    assert(GraphAnalytics.dfComponents(spark, empty).count() == 0)
+  }
+
   test("local pagerank/triangles agree with GraphX") {
     import spark.implicits._
     // triangle {1,2,3} plus a pendant 4 and a disconnected pair
