@@ -45,6 +45,22 @@ object Bench {
                   committedTotalSec: Option[Double]): Boolean =
     loadBefore > 2.0 || committedTotalSec.exists(b => totalSec > b * 1.15)
 
+  /** Artifact routing (pure; pinned by BenchSpec): neither a contended
+    * run nor a subset run may clobber a certified record. The round-8
+    * driver run overwrote the committed clean BENCH_FULL.json with a
+    * contended artifact and only a restore commit saved the record — so
+    * when `isContended` fires, the JSON goes to `<base>.contended.json`;
+    * a positional-args subset run (whose total is not comparable to the
+    * full-suite record) goes to `<base>.subset.json`; the certified file
+    * is written only by a clean full-suite run.
+    */
+  def artifactPath(out: String, contended: Boolean, subset: Boolean = false): String = {
+    val tag = if (contended) ".contended" else if (subset) ".subset" else ""
+    if (tag.isEmpty) out
+    else if (out.endsWith(".json")) out.stripSuffix(".json") + tag + ".json"
+    else out + tag
+  }
+
   def main(args: Array[String]): Unit = {
     // Load guard sample (round-5 lesson: a contended driver window produced
     // a 125 s "record" for a 68 s suite). MUST be the first thing in main,
@@ -131,7 +147,9 @@ object Bench {
     println(json)
     // The driver captures a stdout TAIL, which has truncated early queries
     // in past rounds — always persist the complete per-query object too.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    val out = artifactPath(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"),
+      contended, subset = args.nonEmpty)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: Exception => System.err.println(s"[bench] could not write $out: $e") }
     spark.stop()

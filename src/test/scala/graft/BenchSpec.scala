@@ -40,4 +40,30 @@ class BenchSpec extends AnyFunSuite {
   test("all-green runs emit no errors fragment (artifact shape unchanged)") {
     assert(Bench.errorsJson(Nil) == "")
   }
+
+  test("a contended run routes away from the certified record file") {
+    // the round-8 incident: the driver's contended run clobbered the
+    // certified BENCH_FULL.json; only a restore commit saved the record
+    assert(Bench.artifactPath("BENCH_FULL.json", contended = true) ==
+      "BENCH_FULL.contended.json")
+    assert(Bench.artifactPath("/tmp/out/bench.json", contended = true) ==
+      "/tmp/out/bench.contended.json")
+    assert(Bench.artifactPath("bench_raw", contended = true) ==
+      "bench_raw.contended")
+  }
+
+  test("a clean full-suite run writes the certified record path unchanged") {
+    assert(Bench.artifactPath("BENCH_FULL.json", contended = false) ==
+      "BENCH_FULL.json")
+  }
+
+  test("a subset run routes away from the certified record file") {
+    // subset totals are not comparable to the full-suite record; they
+    // must never replace it
+    assert(Bench.artifactPath("BENCH_FULL.json", contended = false, subset = true) ==
+      "BENCH_FULL.subset.json")
+    // contended beats subset in the tag (the stronger warning wins)
+    assert(Bench.artifactPath("BENCH_FULL.json", contended = true, subset = true) ==
+      "BENCH_FULL.contended.json")
+  }
 }
