@@ -3086,7 +3086,32 @@ object CypherEngine {
         items = imports.map(v => Item(Var(v), None)) ++ body.ret.items,
         orderBy = if (perKeyWindow) Nil else body.ret.orderBy,
         skip = None, limit = None)
-      val (sub0, subCtx) = compilePipeline(body.copy(ret = ret2), Some((inDf, inCtx)))
+      // …and through every intermediate WITH: Neo4j runs a correlated body
+      // per input row, so `WITH count(o) AS n` inside it aggregates per
+      // imported key, and a non-aggregating WITH that doesn't mention the
+      // import must still carry it to the join-back. Prepending the imports
+      // (unless the stage already binds that name) makes aggregating
+      // stages group by them and plain stages carry them. An intermediate
+      // SKIP/LIMIT would be a PER-KEY slice in Neo4j but a global one
+      // here — reject loudly rather than silently reinterpret (the final
+      // RETURN's per-key window idiom covers the top-k-per-row use).
+      val stages2 = body.stages.map { st =>
+        st.projection match {
+          case Some(p) if !p.star =>
+            if (p.skip.nonEmpty || p.limit.nonEmpty)
+              throw CypherException(
+                "SKIP/LIMIT in an intermediate WITH of a correlated CALL " +
+                  "body applies per imported key — move it to the body's " +
+                  "final RETURN (with ORDER BY) to get the per-key slice")
+            val missing = imports.filterNot(v => p.items.exists(i =>
+              i.alias.contains(v) || (i.alias.isEmpty && i.expr == Var(v))))
+            st.copy(projection =
+              Some(p.copy(items = missing.map(v => Item(Var(v), None)) ++ p.items)))
+          case _ => st
+        }
+      }
+      val (sub0, subCtx) =
+        compilePipeline(body.copy(stages = stages2, ret = ret2), Some((inDf, inCtx)))
       // join back on the imported KEY columns only; the carried non-key
       // imported columns are duplicates of the enclosing frame's
       val keyCols: Seq[String] =
