@@ -219,12 +219,23 @@ object CypherEngine {
     * widest column in every frontier shuffle — and carries `(src, dst,
     * len)` only.
     */
-  private[cypher] def pathUsesNodes(q: Query, pv: String): Boolean = {
+  private[cypher] def pathUsesNodes(q: Query, pv: String): Boolean =
+    pathUsage(q, pv)._1
+
+  /** (needs node sequence, calls `relationships(pv)`). The second flag
+    * drives carrying the per-hop relationship-TYPE array through a
+    * type-disjunction BFS — a single-type path renders a constant type and
+    * never needs it.
+    */
+  private[cypher] def pathUsage(q: Query, pv: String): (Boolean, Boolean) = {
     var used = false
+    var usedRels = false
     var star = false
     def expr(e: Expr): Unit = e match {
       case Fn("length" | "size" | "count", Seq(Var(v)), _) if v == pv => ()
       case IsNull(Var(v), _) if v == pv => () // matched-test needs only __len
+      case Fn("relationships", Seq(Var(v)), _) if v == pv =>
+        used = true; usedRels = true
       case Var(v) => if (v == pv) used = true
       case Prop(v, _) => if (v == pv) used = true
       case MapProj(v, _, _, ex) =>
@@ -328,7 +339,7 @@ object CypherEngine {
       q0.union.foreach { case (_, next) => go(next) }
     }
     go(q)
-    used || star
+    (used || star, usedRels)
   }
 
   // ------------------------------------------- shortestPath local strategy
@@ -491,6 +502,11 @@ object CypherEngine {
         strLists: Set[String] = Set.empty,
         /** path variable → relationship type (for `relationships(p)`) */
         pathRels: Map[String, String] = Map.empty,
+        /** path variables that carry a PER-HOP relationship-type array in
+          * `${pv}__rels` (type-disjunction paths, where no single constant
+          * type exists — read by `relationships(p)`)
+          */
+        pathRelSeqs: Set[String] = Set.empty,
         /** node variables that match SEVERAL labels (untyped/disjunctive
           * patterns whose interpretations bind the variable differently);
           * the frame is a union of the per-interpretation branches, with a
@@ -1148,6 +1164,7 @@ object CypherEngine {
 
       (df, Ctx(labels.toMap, relVars.toMap, plains, pathVars,
         pathRels = pathRelVars,
+        pathRelSeqs = initial.map(_._2.pathRelSeqs).getOrElse(Set.empty),
         multi = initial.map(_._2.multi).getOrElse(Map.empty),
         multiRels = initial.map(_._2.multiRels).getOrElse(Set.empty) ++ multiRelVars))
     }
@@ -1168,6 +1185,7 @@ object CypherEngine {
       */
     private def shortestPathRead(state: Option[(DataFrame, Ctx)], pv: String,
         path: PathPat, all: Boolean, needNodes: Boolean,
+        needRels: Boolean = false,
         optional: Boolean = false): (DataFrame, Ctx) = {
       if (path.hops.size != 1)
         throw CypherException("shortestPath expects a single relationship pattern")
@@ -1191,8 +1209,11 @@ object CypherEngine {
       // allShortestPaths rows ARE the distinct minimum-length paths, so the
       // path array must be carried even when nothing reads nodes(p); plain
       // shortestPath with only length(p) read drops it — the path is the
-      // widest column in every BFS frontier shuffle
-      val withPath = needNodes || all
+      // widest column in every BFS frontier shuffle.
+      // relationships(p) needs the node sequence too (each hop's src/dst),
+      // and over a TYPE DISJUNCTION additionally the per-hop type array —
+      // a single type renders as a constant and skips the extra column.
+      val withPath = needNodes || all || needRels
       if (rel.labels.isEmpty)
         throw CypherException("shortestPath needs a relationship type")
       val ets = rel.labels.map(l => store.schema.edges.find(_.label == l).getOrElse(
@@ -1264,7 +1285,8 @@ object CypherEngine {
         // ONE join — inner normally, left_outer under OPTIONAL (rows with
         // no path keep nulls for p and an unbound b).
         val bBound = ctx1.labels.contains(bVar)
-        var p = heteroDistDf(ets, lo, hi, seeds, aLabel, all, withPath)
+        val withRels = needRels && ets.size > 1
+        var p = heteroDistDf(ets, lo, hi, seeds, aLabel, all, withPath, withRels)
           .filter(col("__dd.__l") === lit(bLabel))
         var ctx2 = ctx1
         if (!bBound) {
@@ -1276,9 +1298,10 @@ object CypherEngine {
           }
         }
         p = p.withColumn(s"${pv}__len", col("__len"))
-        if (needNodes)
+        if (needNodes || needRels)
           p = p.withColumn(s"${pv}__nodes", transform(col("__path"),
             s => concat_ws(":", s.getField("__l"), s.getField("__k").cast(StringType))))
+        if (withRels) p = p.withColumn(s"${pv}__rels", col("__rels"))
         var cond = p("__ds").getField("__k") === k(col(aKeyCol))
         if (optional) path.head.props.foreach { case (pn, v) =>
           cond = cond && (col(s"${aVar}__$pn") === literal(v))
@@ -1291,12 +1314,13 @@ object CypherEngine {
           }
         }
         val df = df1.join(p, cond, if (optional) "left_outer" else "inner")
-          .drop("__ds", "__dd", "__len", "__path")
-        // a disjunction path has no single relationship type —
-        // relationships(p) then fails loudly (same rule as the scalar BFS)
+          .drop("__ds", "__dd", "__len", "__path", "__rels")
+        // a single-type path renders relationships(p) with a constant type;
+        // a disjunction carries the per-hop type array instead (withRels)
         return (df, ctx2.copy(paths = ctx2.paths + pv,
           pathRels = if (ets.size == 1) ctx2.pathRels + (pv -> et.label)
-                     else ctx2.pathRels))
+                     else ctx2.pathRels,
+          pathRelSeqs = if (withRels) ctx2.pathRelSeqs + pv else ctx2.pathRelSeqs))
       }
 
       val fitsFwd = et.src == aLabel && wantB.forall(_ == et.dst)
@@ -1316,8 +1340,10 @@ object CypherEngine {
       // path frame, then one (optionally left_outer) join onto the
       // enclosing frame
       val bBound = ctx1.labels.contains(bVar)
+      val withRels = needRels && ets.size > 1
       var p = distDf(ets, lo, hiEff,
-        undirected = rel.dir == Undirected, reversed = !along, seeds, all, withPath)
+        undirected = rel.dir == Undirected, reversed = !along, seeds, all,
+        withPath, withRels)
       var ctx2 = ctx1
       if (!bBound) {
         p = p.join(nodeDf(bVar, bLabel),
@@ -1328,7 +1354,9 @@ object CypherEngine {
         }
       }
       p = p.withColumn(s"${pv}__len", col("__len"))
-      if (needNodes) p = p.withColumn(s"${pv}__nodes", col("__path"))
+      if (needNodes || needRels)
+        p = p.withColumn(s"${pv}__nodes", col("__path"))
+      if (withRels) p = p.withColumn(s"${pv}__rels", col("__rels"))
       var cond = col(aKeyCol) === p("__ds")
       if (optional) path.head.props.foreach { case (pn, v) =>
         cond = cond && (col(s"${aVar}__$pn") === literal(v))
@@ -1341,13 +1369,13 @@ object CypherEngine {
         }
       }
       val df = df1.join(p, cond, if (optional) "left_outer" else "inner")
-        .drop("__ds", "__dd", "__len", "__path")
-      // a disjunction path has no single relationship type, so pathRels
-      // stays unset — relationships(p) then fails loudly instead of
-      // fabricating one type for mixed-type hops
+        .drop("__ds", "__dd", "__len", "__path", "__rels")
+      // a single-type path renders relationships(p) with a constant type; a
+      // disjunction carries the per-hop type array instead (withRels)
       val pathRels2 =
         if (ets.size == 1) ctx2.pathRels + (pv -> et.label) else ctx2.pathRels
-      (df, ctx2.copy(paths = ctx2.paths + pv, pathRels = pathRels2))
+      (df, ctx2.copy(paths = ctx2.paths + pv, pathRels = pathRels2,
+        pathRelSeqs = if (withRels) ctx2.pathRelSeqs + pv else ctx2.pathRelSeqs))
     }
 
     /** Minimum-hop (src, dst, len, path) rows within lo..hi over one edge
@@ -1359,19 +1387,23 @@ object CypherEngine {
       */
     private def distDf(ets: Seq[EdgeType], lo: Int, hi: Int,
         undirected: Boolean, reversed: Boolean, seeds0: DataFrame,
-        keepAll: Boolean, withPath: Boolean): DataFrame = {
+        keepAll: Boolean, withPath: Boolean,
+        withRels: Boolean = false): DataFrame = {
       validatePathBounds(lo, hi)
       ets.foreach { et =>
         if (hi > 1 && et.src != et.dst)
           throw CypherException(s"shortestPath over ${et.label} needs ${et.src}=${et.dst}")
       }
       // a type GROUP unions the edge sets before the BFS — each step may
-      // take any member type (mixed-type walks, the closure's semantics)
+      // take any member type (mixed-type walks, the closure's semantics).
+      // Under withRels each edge row carries its member type so the BFS
+      // can accumulate the per-hop type sequence (`relationships(p)`)
       val base = ets.map { et =>
         val raw = store.edges(et.label)
         val fwd = raw.select(col(et.keyS).as("__ds"), col(et.keyT).as("__dd"))
         val bwd = raw.select(col(et.keyT).as("__ds"), col(et.keyS).as("__dd"))
-        if (undirected) fwd.unionByName(bwd) else if (reversed) bwd else fwd
+        val d = if (undirected) fwd.unionByName(bwd) else if (reversed) bwd else fwd
+        if (withRels) d.withColumn("__rt", lit(et.label)) else d
       }.reduce(_.unionByName(_))
       // NOT distinct'd: that would shuffle the whole edge frame once per
       // query. Builder stores are pair-deduped already; residual duplicates
@@ -1400,7 +1432,11 @@ object CypherEngine {
       // count and takes the distributed path).
       val edgeCap = base.sparkSession.conf
         .getOption(LocalPathEdgeCapKey).map(_.toLong).getOrElse(LocalPathEdgeCap)
-      if (lo == 1 && keyComparator(keyType).isDefined) {
+      // withRels bypasses the single-task strategy: the local BFS tracks
+      // node paths only, and a type-disjunction relationships(p) query is
+      // a path-materializing shape, not the high-QPS scalar case the gate
+      // exists for
+      if (lo == 1 && !withRels && keyComparator(keyType).isDefined) {
         // exact, not an estimate: base unions the full member-type frames
         // (doubled under the undirected union), so the store's memoized
         // per-type counts replace the per-query O(edges) sizing scan
@@ -1414,7 +1450,7 @@ object CypherEngine {
           return out
         }
       }
-      val out = bfsFrames(e0, seeds, lo, hi, keepAll, withPath)
+      val out = bfsFrames(e0, seeds, lo, hi, keepAll, withPath, withRels)
       seeds.unpersist(false)
       out
     }
@@ -1468,7 +1504,8 @@ object CypherEngine {
       */
     private def heteroDistDf(ets: Seq[EdgeType], lo: Int, hi: Int,
         seeds0: DataFrame, seedLabel: String,
-        keepAll: Boolean, withPath: Boolean): DataFrame = {
+        keepAll: Boolean, withPath: Boolean,
+        withRels: Boolean = false): DataFrame = {
       validatePathBounds(lo, hi)
       val mixedKeys = heteroMixedKeys(ets)
       def tag(l: String, c: Column): Column =
@@ -1476,14 +1513,17 @@ object CypherEngine {
           (if (mixedKeys) c.cast(StringType) else c).as("__k"))
       // a type GROUP unions every member's tagged edge set before the BFS
       // — each step may take any member type (mixed-type walks, the same
-      // semantics as [[distDf]]'s scalar-key group)
+      // semantics as [[distDf]]'s scalar-key group). Under withRels each
+      // edge row carries its member type so the BFS can accumulate the
+      // per-hop type sequence (`relationships(p)`)
       val base = ets.map { et =>
         val raw = store.edges(et.label)
         val fwd = raw.select(tag(et.src, col(et.keyS)).as("__ds"),
           tag(et.dst, col(et.keyT)).as("__dd"))
         val bwd = raw.select(tag(et.dst, col(et.keyT)).as("__ds"),
           tag(et.src, col(et.keyS)).as("__dd"))
-        fwd.unionByName(bwd)
+        val both = fwd.unionByName(bwd)
+        if (withRels) both.withColumn("__rt", lit(et.label)) else both
       }.reduce(_.unionByName(_))
       // not distinct'd — see distDf: label tags make fwd/bwd disjoint, the
       // store is pair-deduped, and the BFS dedups its own frontiers.
@@ -1495,7 +1535,7 @@ object CypherEngine {
       val e0 = base
       val seeds = seeds0.select(tag(seedLabel, col("__seed")).as("__seed"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val out = bfsFrames(e0, seeds, lo, hi, keepAll, withPath)
+      val out = bfsFrames(e0, seeds, lo, hi, keepAll, withPath, withRels)
       seeds.unpersist(false)
       out
     }
@@ -1510,7 +1550,11 @@ object CypherEngine {
       * __path)` frame, so callers may unpersist the inputs immediately.
       */
     private def bfsFrames(e0: DataFrame, seeds: DataFrame,
-        lo: Int, hi: Int, keepAll: Boolean, withPath: Boolean): DataFrame = {
+        lo: Int, hi: Int, keepAll: Boolean, withPath: Boolean,
+        withRels: Boolean = false): DataFrame = {
+      // the per-hop type sequence only exists alongside the node path
+      // (relationships(p) reads both); callers guarantee the pairing
+      require(!withRels || withPath, "withRels requires withPath")
       // one hop forward. Frontier discipline per mode:
       //  - shortestPath + path read: keep ONE (lexicographically minimal)
       //    path per (src, dst) — frontier bounded by the pair closure;
@@ -1527,6 +1571,20 @@ object CypherEngine {
           col("__dd") === col("__m"))
         if (!withPath)
           stepped.select(col("__ds"), col("__dd2").as("__dd")).distinct()
+        else if (withRels) {
+          // append the hop's edge type alongside the node; the single-path
+          // prune picks the lexicographic-min (path, type-seq) pair —
+          // deterministic even when parallel edges of different types
+          // connect the same node pair
+          val ext = stepped.select(col("__ds"), col("__dd2").as("__dd"),
+            concat(col("__path"), array(col("__dd2"))).as("__path"),
+            concat(col("__rels"), array(col("__rt"))).as("__rels"))
+          if (keepAll) ext.distinct()
+          else ext.groupBy("__ds", "__dd")
+            .agg(min(struct(col("__path"), col("__rels"))).as("__m"))
+            .select(col("__ds"), col("__dd"),
+              col("__m.__path").as("__path"), col("__m.__rels").as("__rels"))
+        }
         else if (keepAll)
           stepped.select(col("__ds"), col("__dd2").as("__dd"),
             concat(col("__path"), array(col("__dd2"))).as("__path")).distinct()
@@ -1546,9 +1604,22 @@ object CypherEngine {
       // Catalyst can't see the seed restriction made it small, so level 2
       // would sort-merge join, shuffling the WHOLE edge frame, instead of
       // broadcasting the frontier (measured at sf1: q85 13.5 -> ~6 s warm)
-      val e0p = (if (withPath)
-        e0s.withColumn("__path", array(col("__ds"), col("__dd"))) else e0s)
-        .localCheckpoint(true)
+      val e0p = {
+        // fold the edge-type column into the level-1 type sequence; without
+        // the reduce a pair connected by TWO member types would enter the
+        // single-path mode twice (distinct saw distinct __rt values)
+        val w = if (!withRels) e0s
+          else e0s.withColumn("__rels", array(col("__rt"))).drop("__rt")
+        val p0 = if (withPath)
+          w.withColumn("__path", array(col("__ds"), col("__dd"))) else w
+        val p1 = if (withRels && !keepAll)
+          p0.groupBy("__ds", "__dd")
+            .agg(min(struct(col("__path"), col("__rels"))).as("__m"))
+            .select(col("__ds"), col("__dd"),
+              col("__m.__path").as("__path"), col("__m.__rels").as("__rels"))
+        else p0
+        p1.localCheckpoint(true)
+      }
       if (lo == 1) {
         var dist = e0p.withColumn("__len", lit(1L))
         var frontier = e0p
@@ -1612,6 +1683,13 @@ object CypherEngine {
             .localCheckpoint(true)
         } else if (!withPath) {
           dist.groupBy("__ds", "__dd").agg(min(col("__len")).as("__len"))
+            .localCheckpoint(true)
+        } else if (withRels) {
+          dist.groupBy("__ds", "__dd")
+            .agg(min(struct(col("__len"), col("__path"), col("__rels"))).as("__m"))
+            .select(col("__ds"), col("__dd"),
+              col("__m.__len").as("__len"), col("__m.__path").as("__path"),
+              col("__m.__rels").as("__rels"))
             .localCheckpoint(true)
         } else {
           // min(struct) picks the shortest admissible length and its
@@ -1962,15 +2040,21 @@ object CypherEngine {
           col(s"${v}__nodes") // node keys along the bound shortest path
         case Fn("relationships", Seq(Var(v)), _) if ctx.paths.contains(v) =>
           // derived from the node list: consecutive (src, dst) key pairs
-          // plus the single relationship type the pattern traversed
+          // plus the hop's relationship type — a constant for a single-type
+          // pattern, the BFS-accumulated per-hop array for a disjunction
           val ns = col(s"${v}__nodes")
-          val t = ctx.pathRels.getOrElse(v, throw CypherException(
-            s"relationships($v) is not supported over a type disjunction — " +
-              "the path carries node keys only, not per-hop types"))
+          val hopType: Column => Column = ctx.pathRels.get(v) match {
+            case Some(t) => _ => lit(t)
+            case None if ctx.pathRelSeqs.contains(v) =>
+              i => element_at(col(s"${v}__rels"), i)
+            case None => throw CypherException(
+              s"relationships($v): the path carries node keys only, not " +
+                "per-hop types")
+          }
           transform(sequence(lit(1), size(ns) - 1), i =>
             struct(element_at(ns, i).as("src"),
               element_at(ns, i + lit(1)).as("dst"),
-              lit(t).as("type")))
+              hopType(i).as("type")))
         // graph introspection — resolved from the binding context, so they
         // compile to literals/columns, not lookups (free at any scale);
         // multi-label/multi-type vars read their per-row tag columns
@@ -3034,9 +3118,10 @@ object CypherEngine {
       * observationally per-row for a read-only body (duplicate enclosing
       * rows share identical results). A correlated ORDER BY + SKIP/LIMIT
       * applies PER IMPORTED KEY (Neo4j's "top-k per row" idiom) via a
-      * partitioned row_number window. Subquery writes, correlated UNION
-      * bodies, and unordered per-key LIMIT are rejected loudly rather than
-      * silently reinterpreted.
+      * partitioned row_number window. A correlated UNION body compiles each
+      * branch through the same machinery and unions by name (bare UNION
+      * dedupes per key). Subquery writes and unordered per-key LIMIT are
+      * rejected loudly rather than silently reinterpreted.
       */
     private def callSubquery(state: Option[(DataFrame, Ctx)],
         imports: Seq[String], body: Query): (DataFrame, Ctx) = {
@@ -3051,12 +3136,28 @@ object CypherEngine {
           case Some((df, ctx)) => (df.crossJoin(sub), mergeCallCtx(ctx, subCtx))
         }
       }
-      if (body.union.nonEmpty)
-        throw CypherException("UNION inside a correlated CALL { } is not supported")
       val (df, ctx) = state.getOrElse(throw CypherException(
         "CALL { WITH … } needs a preceding MATCH to import from"))
-      val perKeyWindow = body.ret.skip.nonEmpty || body.ret.limit.nonEmpty
-      if (perKeyWindow && body.ret.orderBy.isEmpty)
+      // flatten a correlated UNION chain: each branch repeats the importing
+      // WITH (parser-enforced) and compiles independently through the same
+      // import-prepending machinery; frames union by name, bare UNION
+      // dedupes per imported key (the carried import columns are part of
+      // the row), and a trailing ORDER BY/SKIP/LIMIT on the LAST branch
+      // applies per key across the whole union
+      var branchQs = Seq.empty[Query]
+      var unionFlags = Seq.empty[Boolean]
+      var curQ: Option[Query] = Some(body)
+      while (curQ.isDefined) {
+        branchQs :+= curQ.get
+        curQ.get.union.foreach { case (a, _) => unionFlags :+= a }
+        curQ = curQ.get.union.map(_._2)
+      }
+      if (unionFlags.distinct.size > 1)
+        throw CypherException("cannot mix UNION and UNION ALL in one query")
+      val multi = branchQs.size > 1
+      val lastQ = branchQs.last
+      val perKeyWindow = lastQ.ret.skip.nonEmpty || lastQ.ret.limit.nonEmpty
+      if (perKeyWindow && lastQ.ret.orderBy.isEmpty)
         throw CypherException(
           "SKIP/LIMIT inside a correlated CALL applies per imported key and " +
             "needs an ORDER BY in the body to be deterministic")
@@ -3077,46 +3178,103 @@ object CypherEngine {
         plains = plainImports.toSet,
         strLists = ctx.strLists.intersect(plainImports.toSet),
         strs = ctx.strs.intersect(plainImports.toSet))
-      // implicit carry: the imported variables join the body's RETURN as
-      // bare items, so an aggregating subquery groups per imported key.
-      // Under a per-key window the body's ORDER BY/SKIP/LIMIT are stripped
-      // here (a global sort+limit would be the wrong semantics) and
-      // re-applied per key below.
-      val ret2 = body.ret.copy(
-        items = imports.map(v => Item(Var(v), None)) ++ body.ret.items,
-        orderBy = if (perKeyWindow) Nil else body.ret.orderBy,
-        skip = None, limit = None)
-      // …and through every intermediate WITH: Neo4j runs a correlated body
-      // per input row, so `WITH count(o) AS n` inside it aggregates per
-      // imported key, and a non-aggregating WITH that doesn't mention the
-      // import must still carry it to the join-back. Prepending the imports
-      // (unless the stage already binds that name) makes aggregating
-      // stages group by them and plain stages carry them. An intermediate
-      // SKIP/LIMIT would be a PER-KEY slice in Neo4j but a global one
-      // here — reject loudly rather than silently reinterpret (the final
-      // RETURN's per-key window idiom covers the top-k-per-row use).
-      val stages2 = body.stages.map { st =>
-        st.projection match {
-          case Some(p) if !p.star =>
-            if (p.skip.nonEmpty || p.limit.nonEmpty)
-              throw CypherException(
-                "SKIP/LIMIT in an intermediate WITH of a correlated CALL " +
-                  "body applies per imported key — move it to the body's " +
-                  "final RETURN (with ORDER BY) to get the per-key slice")
-            val missing = imports.filterNot(v => p.items.exists(i =>
-              i.alias.contains(v) || (i.alias.isEmpty && i.expr == Var(v))))
-            st.copy(projection =
-              Some(p.copy(items = missing.map(v => Item(Var(v), None)) ++ p.items)))
-          case _ => st
-        }
-      }
-      val (sub0, subCtx) =
-        compilePipeline(body.copy(stages = stages2, ret = ret2), Some((inDf, inCtx)))
       // join back on the imported KEY columns only; the carried non-key
       // imported columns are duplicates of the enclosing frame's
       val keyCols: Seq[String] =
         nodeImports.map(v => s"${v}__${store.schema.node(ctx.labels(v)).key}") ++
           plainImports
+      val importSet = imports.toSet
+      def isImportCarry(i: Item): Boolean = i.alias.isEmpty && (i.expr match {
+        case Var(v) => importSet(v)
+        case _ => false
+      })
+      // union the keys a frame dropped back in with the empty-group
+      // identity for each aggregate item (count()=0, sum()=0, collect()=[],
+      // min/max/avg stay null) — Neo4j aggregates the empty invocation
+      def restoreKeys(d: DataFrame, items: Seq[Item]): DataFrame = {
+        val dropped = inDf.join(
+          d.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+        val restored = items.foldLeft(dropped) { (m, i) =>
+          val n = i.alias.getOrElse(genName(i.expr))
+          m.withColumn(n, emptyGroupIdentity(i.expr).getOrElse(lit(null)))
+        }
+        d.unionByName(restored)
+      }
+      /** One correlated branch. The imported variables join the branch's
+        * RETURN as bare items, so an aggregating subquery groups per
+        * imported key — and every intermediate WITH gets the same
+        * treatment: Neo4j runs a correlated body per input row, so
+        * `WITH count(o) AS n` inside it aggregates per imported key, and a
+        * non-aggregating WITH that doesn't mention the import must still
+        * carry it to the join-back. An aggregate-only intermediate WITH
+        * must yield one row per imported key even when that key's MATCH
+        * found nothing, so the body steps stage-by-stage and dropped keys
+        * are restored after each such stage — BEFORE the stage's
+        * post-aggregation WHERE, which must see the zero row to eliminate
+        * it the way a real per-row invocation would. An intermediate
+        * SKIP/LIMIT would be a PER-KEY slice in Neo4j but a global one
+        * here — rejected loudly (the final RETURN's per-key window idiom
+        * covers the top-k-per-row use).
+        */
+      def compileBranch(br: Query): (DataFrame, Ctx) = {
+        val ret2 = br.ret.copy(
+          items = imports.map(v => Item(Var(v), None)) ++ br.ret.items,
+          orderBy = if (perKeyWindow || multi) Nil else br.ret.orderBy,
+          skip = None, limit = None)
+        val stages2 = br.stages.map { st =>
+          st.projection match {
+            case Some(p) if !p.star =>
+              if (p.skip.nonEmpty || p.limit.nonEmpty)
+                throw CypherException(
+                  "SKIP/LIMIT in an intermediate WITH of a correlated CALL " +
+                    "body applies per imported key — move it to the body's " +
+                    "final RETURN (with ORDER BY) to get the per-key slice")
+              val missing = imports.filterNot(v => p.items.exists(i =>
+                i.alias.contains(v) || (i.alias.isEmpty && i.expr == Var(v))))
+              st.copy(projection =
+                Some(p.copy(items = missing.map(v => Item(Var(v), None)) ++ p.items)))
+            case _ => st
+          }
+        }
+        val body2 = br.copy(stages = stages2, ret = ret2, union = None)
+        var bodyState: Option[(DataFrame, Ctx)] = Some((inDf, inCtx))
+        stages2.foreach { stage =>
+          val aggItems = stage.projection match {
+            case Some(p) if !p.star =>
+              val rest = p.items.filterNot(isImportCarry)
+              if (rest.nonEmpty && rest.forall(i => containsAgg(i.expr))) rest else Nil
+            case _ => Nil
+          }
+          bodyState = Some {
+            if (aggItems.isEmpty) runStage(body2, bodyState, stage)
+            else {
+              val p = stage.projection.get
+              val (d0, c0) = runStage(body2, bodyState,
+                stage.copy(projection = Some(p.copy(where = None))))
+              var d1 = restoreKeys(d0, aggItems)
+              p.where.foreach(w => d1 = d1.filter(column(w, c0)))
+              (d1, c0)
+            }
+          }
+        }
+        val (fd, fc, fr) = liftProjection(bodyState.get._1, bodyState.get._2, ret2)
+        project(fd, fr, fc)
+      }
+      val (sub0, subCtx) = {
+        val compiled = branchQs.map { br =>
+          val (d, c) = compileBranch(br)
+          // in a union an aggregate-only branch contributes its one row per
+          // key even when that key matched nothing — restore BEFORE the
+          // union so a sibling branch's rows can't mask the missing key
+          if (multi && br.ret.items.nonEmpty &&
+              br.ret.items.forall(i => containsAgg(i.expr)))
+            (restoreKeys(d, br.ret.items), c)
+          else (d, c)
+        }
+        var u = compiled.map(_._1).reduce(_.unionByName(_))
+        if (multi && !unionFlags.head) u = u.distinct()
+        (u, compiled.head._2)
+      }
       // per-key ORDER BY + SKIP/LIMIT: rank within each imported key and
       // keep the requested slice — Neo4j's "top-k per input row" idiom.
       // Sort keys must be returned items (by alias or expression), so the
@@ -3126,9 +3284,9 @@ object CypherEngine {
         def outName(i: Item): String = i.alias.getOrElse(genName(i.expr))
         def outCol(n: String) = col(s"`${n.replace("`", "``")}`")
         val byOutput: Map[Expr, String] =
-          body.ret.items.map(i => i.expr -> outName(i)).toMap
-        val names = body.ret.items.map(outName).toSet
-        val sorts = body.ret.orderBy.map { so =>
+          lastQ.ret.items.map(i => i.expr -> outName(i)).toMap
+        val names = lastQ.ret.items.map(outName).toSet
+        val sorts = lastQ.ret.orderBy.map { so =>
           val c = byOutput.get(so.expr).map(outCol).getOrElse(so.expr match {
             case Var(v) if names(v) => outCol(v)
             case _ => throw CypherException(
@@ -3139,8 +3297,8 @@ object CypherEngine {
         }
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keyCols.map(col): _*).orderBy(sorts: _*)
-        val lo = body.ret.skip.getOrElse(0L)
-        val hi = body.ret.limit.map(lo + _).getOrElse(Long.MaxValue)
+        val lo = lastQ.ret.skip.getOrElse(0L)
+        val hi = lastQ.ret.limit.map(lo + _).getOrElse(Long.MaxValue)
         sub0.withColumn("__callrn", row_number().over(w))
           .filter(col("__callrn") > lo && col("__callrn") <= hi)
           .drop("__callrn")
@@ -3154,7 +3312,9 @@ object CypherEngine {
       // contract the COUNT {} lift implements. A body with any non-
       // aggregate item keeps the inner join: zero body rows legitimately
       // eliminate the input row (CALL is cardinality-changing there).
-      val aggOnly = keyCols.nonEmpty && body.ret.items.nonEmpty &&
+      // Union bodies always take the inner join: any aggregate-only BRANCH
+      // already restored its zero-match keys before the union.
+      val aggOnly = !multi && keyCols.nonEmpty && body.ret.items.nonEmpty &&
         body.ret.items.forall(i => containsAgg(i.expr))
       if (!aggOnly) (df.join(subSlim, keyCols, "inner"), mergeCallCtx(ctx, subCtx))
       else {
@@ -3194,7 +3354,19 @@ object CypherEngine {
     private def compilePipeline(q: Query,
         initial: Option[(DataFrame, Ctx)]): (DataFrame, Ctx) = {
       var state: Option[(DataFrame, Ctx)] = initial
-      q.stages.foreach { st =>
+      q.stages.foreach { st => state = Some(runStage(q, state, st)) }
+      val (fd, fc, fr) = liftProjection(state.get._1, state.get._2, q.ret)
+      project(fd, fr, fc)
+    }
+
+    /** One pipeline stage: reads, WHERE, writes, optional WITH projection.
+      * Factored out of [[compilePipeline]] so [[callSubquery]] can step a
+      * correlated body stage-by-stage and restore zero-match imported keys
+      * between stages.
+      */
+    private def runStage(q: Query, initial: Option[(DataFrame, Ctx)],
+        st: Stage): (DataFrame, Ctx) = {
+      var state: Option[(DataFrame, Ctx)] = initial
         // reading clauses apply in written order: MATCH extends the frame
         // by pattern joins, OPTIONAL MATCH left-joins, UNWIND explodes a
         // list into rows (one output row per element; a row-batch param
@@ -3207,8 +3379,9 @@ object CypherEngine {
               throw CypherException("OPTIONAL MATCH cannot start a query"))
             state = Some(attachOptional(df, ctx, paths))
           case ShortestPathClause(pv, p, all, opt) =>
+            val (needNodes, needRels) = pathUsage(q, pv)
             state = Some(shortestPathRead(state, pv, p, all,
-              needNodes = pathUsesNodes(q, pv), optional = opt))
+              needNodes = needNodes, needRels = needRels, optional = opt))
           case UnwindClause(e, alias) =>
             state = Some(rowsParam(e) match {
               case Some(rows) =>
@@ -3260,10 +3433,7 @@ object CypherEngine {
           val (d2, c2) = project(d1, p1, c1)
           df = d2; ctx = c2
         }
-        state = Some((df, ctx))
-      }
-      val (fd, fc, fr) = liftProjection(state.get._1, state.get._2, q.ret)
-      project(fd, fr, fc)
+        (df, ctx)
     }
   }
 }

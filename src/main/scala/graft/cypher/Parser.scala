@@ -144,9 +144,22 @@ object Parser {
     /** `inSub` = parsing a `CALL { … }` body: the closing `}` acts as the
       * end-of-query token instead of EOF.
       */
-    private def query(inSub: Boolean): Query = {
+    private def query(inSub: Boolean, callImports: Option[Seq[String]] = None): Query = {
       var stages = Seq.empty[Stage]
       var ret: Projection = null
+      // a UNION branch inside a correlated CALL body repeats the importing
+      // WITH (Neo4j requires it, and requires it be IDENTICAL per branch);
+      // the first branch's was consumed by the CALL clause parser
+      if (callImports.exists(_.nonEmpty) && isKw("WITH")) {
+        eatKw("WITH")
+        val br = Seq.newBuilder[String]
+        br += ident()
+        while (trySym(",")) br += ident()
+        if (br.result() != callImports.get)
+          throw ParseException(
+            "every branch of a correlated CALL { } body must begin with the " +
+              s"same importing WITH (${callImports.get.mkString(", ")})")
+      }
       // first stage must read or write something
       if (!isKw("MATCH") && !isKw("UNWIND") && !isKw("CREATE") && !isKw("MERGE") &&
           !isKw("FOREACH"))
@@ -174,7 +187,8 @@ object Parser {
               imports += ident()
               while (trySym(",")) imports += ident()
             }
-            clauses :+= CallClause(imports.result(), query(inSub = true))
+            val imps = imports.result()
+            clauses :+= CallClause(imps, query(inSub = true, Some(imps)))
             eatSym("}")
           } else more = false
         }
@@ -197,7 +211,8 @@ object Parser {
       }
       if (tryKw("UNION")) {
         val all = tryKw("ALL")
-        Query(stages, ret, Some((all, query(inSub)))) // consumes to EOF / `}`
+        // consumes to EOF / `}`
+        Query(stages, ret, Some((all, query(inSub, callImports))))
       } else if (inSub && isSym("}")) Query(stages, ret) // caller eats `}`
       else peek match {
         case EOF => Query(stages, ret)

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{array_join, col, sort_array}
+import org.apache.spark.sql.functions.{array_join, col, sort_array, transform}
 
 import graft.cypher.CypherEngine
 import graft.graph.{GraphBuilder, GraphStore, GraphWriter}
@@ -420,6 +420,35 @@ object CypherQueries {
          CALL { WITH r MATCH (n:Nation) WHERE n.n_regionkey = r.r_regionkey
                 RETURN count(n) AS cnt, max(n.n_name) AS mx }
          RETURN r.r_name AS rn, cnt, mx ORDER BY rn"""),
+    // correlated CALL with an INTERMEDIATE aggregating WITH (round 9): the
+    // body aggregates per imported key mid-pipeline, a second projection
+    // transforms the aggregate, and zero-match keys still surface with the
+    // empty-group identity (count()=0) — Neo4j runs the body once per
+    // input row, so the aggregate over an empty invocation still yields a
+    // row. Compiled stage-by-stage with a keyed left-anti restore between
+    // stages (one grouped aggregate + one anti join — never a correlated
+    // subplan).
+    // correlated CALL with a UNION body (round 9): each branch repeats the
+    // importing WITH (Neo4j's rule) and compiles through the same
+    // import-prepending machinery; bare UNION dedupes per imported key.
+    // One union of two keyed joins — never a per-row loop.
+    "q104_cypher_call_union" -> cy(
+      """MATCH (r:Region)
+         CALL { WITH r MATCH (n:Nation)-[:IN_REGION]->(r)
+                WHERE n.n_nationkey % 2 = 0
+                RETURN n.n_name AS member, 'even' AS par
+                UNION
+                WITH r MATCH (n:Nation)-[:IN_REGION]->(r)
+                WHERE n.n_nationkey % 2 = 1
+                RETURN n.n_name AS member, 'odd' AS par }
+         RETURN r.r_name AS rn, member, par ORDER BY rn, member"""),
+    "q103_cypher_call_stage_agg" -> cy(
+      """MATCH (n:Nation)
+         CALL { WITH n MATCH (c:Customer)-[:IN_NATION]->(n)
+                WHERE c.c_acctbal < -900
+                WITH count(c) AS neg
+                RETURN neg, neg * 2 AS neg2 }
+         RETURN n.n_name AS nn, neg, neg2 ORDER BY nn"""),
     // FOREACH write iteration: fold the nation keys into a list, MERGE one
     // node per distinct (key % 5), then read the created label back —
     // exercises list explode + write-per-element + store composition
@@ -450,6 +479,21 @@ object CypherQueries {
     "q91_cypher_hetero_disjunction" -> cy(
       """MATCH p = shortestPath((o:Order {o_orderkey: 1})-[:CONTAINS|PLACED_BY*1..3]-(c:Customer))
          RETURN toInteger(c.c_custkey) AS ck, length(p) AS len ORDER BY ck"""),
+    // relationships(p) through a heterogeneous type-disjunction
+    // shortestPath (round 9): the BFS carries a per-hop relationship-type
+    // array next to the tagged node path, so each hop renders its REAL
+    // type (the reference's multi-edge fixtures make "show me the path"
+    // questions hit this: final/experimenting_new/notebook1.ipynb:272 has
+    // 9 edge types). Oracle: recursive CTE over the tagged undirected
+    // union accumulating the type list, representative path picked by the
+    // engine's own (len, lexicographic-min struct path) rule.
+    "q105_cypher_path_rels" -> ((s, dir) =>
+      CypherEngine(store(s, dir)).run(
+        """MATCH p = shortestPath((o:Order {o_orderkey: 1})-[:CONTAINS|PLACED_BY*1..3]-(c:Customer))
+           RETURN toInteger(c.c_custkey) AS ck, length(p) AS len,
+                  relationships(p) AS rels ORDER BY ck""")
+        .withColumn("rels",
+          array_join(transform(col("rels"), r => r.getField("type")), ","))),
     // list predicates over the shortestPath node sequence — the open
     // text2cypher surface's idiomatic path filter (reference:
     // final/langraph_neo4j3.py:154-181 accepts arbitrary analytical
@@ -656,6 +700,24 @@ object CypherQueries {
       """SELECT r.r_name AS rn, count(*) AS cnt, max(n.n_name) AS mx
          FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
          GROUP BY 1 ORDER BY 1""",
+    "q104_cypher_call_union" ->
+      """SELECT rn, member, par FROM (
+           SELECT r.r_name AS rn, n.n_name AS member, 'even' AS par
+           FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+           WHERE n.n_nationkey % 2 = 0
+           UNION
+           SELECT r.r_name, n.n_name, 'odd'
+           FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+           WHERE n.n_nationkey % 2 = 1)
+         ORDER BY rn, member""",
+    "q103_cypher_call_stage_agg" ->
+      """SELECT n.n_name AS nn, coalesce(x.neg, 0) AS neg,
+              coalesce(x.neg, 0) * 2 AS neg2
+         FROM nation n LEFT JOIN (
+           SELECT c_nationkey, count(*) AS neg FROM customer
+           WHERE c_acctbal < -900 GROUP BY 1) x
+           ON x.c_nationkey = n.n_nationkey
+         ORDER BY 1""",
     "q94_cypher_foreach" ->
       """SELECT DISTINCT CAST(n_nationkey % 5 AS BIGINT) AS fid
          FROM nation ORDER BY 1""",
@@ -677,6 +739,36 @@ object CypherQueries {
          FROM walks GROUP BY 1 ORDER BY 1""",
     // label-tagged undirected BFS over CONTAINS ∪ PLACED_BY, min distance
     // per reached Customer — mirrors the engine's tagged-union frontier
+    "q105_cypher_path_rels" ->
+      """WITH RECURSIVE e(la, ka, lb, kb, t) AS (
+           SELECT 'Order', l_orderkey, 'Part', l_partkey, 'CONTAINS'
+           FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+           UNION ALL
+           SELECT 'Order', o_orderkey, 'Customer', o_custkey, 'PLACED_BY'
+           FROM orders
+         ), und(la, ka, lb, kb, t) AS (
+           SELECT la, ka, lb, kb, t FROM e
+           UNION ALL
+           SELECT lb, kb, la, ka, t FROM e
+         ), walk(lbl, k, len, path, rels) AS (
+           SELECT lb, kb, 1,
+                  [{'l': 'Order', 'k': CAST(1 AS BIGINT)},
+                   {'l': lb, 'k': CAST(kb AS BIGINT)}],
+                  [t]
+           FROM und WHERE la = 'Order' AND ka = 1
+           UNION ALL
+           SELECT u.lb, u.kb, w.len + 1,
+                  list_append(w.path, {'l': u.lb, 'k': CAST(u.kb AS BIGINT)}),
+                  list_append(w.rels, u.t)
+           FROM walk w JOIN und u ON u.la = w.lbl AND u.ka = w.k
+           WHERE w.len < 3
+         )
+         SELECT CAST(k AS BIGINT) AS ck, CAST(len AS BIGINT) AS len,
+                array_to_string(rels, ',') AS rels
+         FROM (SELECT k, len, rels,
+                      row_number() OVER (PARTITION BY k ORDER BY len, path) AS rn
+               FROM walk WHERE lbl = 'Customer')
+         WHERE rn = 1 ORDER BY ck""",
     "q91_cypher_hetero_disjunction" ->
       """WITH RECURSIVE e(la, ka, lb, kb) AS (
            SELECT 'O', l_orderkey, 'P', l_partkey

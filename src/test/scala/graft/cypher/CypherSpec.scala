@@ -922,11 +922,15 @@ class CypherSpec extends SparkSpec {
       """MATCH p = shortestPath((a:TD {sid: 2})-[:FWD*]->(b:TD))
          RETURN b.sid AS dst ORDER BY dst""").collect().map(_.getLong(0)).toSeq
     assert(fwdOnly == Seq(3L, 4L))
-    // relationships(p) over a disjunction cannot fabricate one type
-    val err = intercept[CypherEngine.CypherException](e.run(
+    // relationships(p) over a disjunction carries the REAL per-hop types
+    // (round 9 — the old loud rejection is gone): 2→3→4 ride FWD, the
+    // wrap 4→1 is the BACK edge
+    val rs = e.run(
       """MATCH p = shortestPath((a:TD {sid: 2})-[:FWD|BACK*]->(b:TD {sid: 1}))
-         RETURN relationships(p) AS rs"""))
-    assert(err.getMessage.contains("type disjunction"))
+         RETURN relationships(p) AS rs""").collect().head
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(rs.map(r => (r.getLong(0), r.getLong(1), r.getString(2))) ==
+      Seq((2L, 3L, "FWD"), (3L, 4L, "FWD"), (4L, 1L, "BACK")))
   }
 
   test("OPTIONAL MATCH shortestPath keeps rows with no path as nulls") {
@@ -1190,14 +1194,61 @@ class CypherSpec extends SparkSpec {
                 MATCH (n:Nation {n_nationkey: 1}) RETURN n.n_name AS name }
          RETURN count(*) AS c""").collect()
     assert(ua.head.getLong(0) == 2L)
-    // correlated UNION still rejects loudly
-    val err = intercept[CypherEngine.CypherException](engine.run(
+    // correlated UNION: each branch repeats the importing WITH and
+    // correlates per key; evens + odds partition each region's 5 nations
+    val cu = engine.run(
       """MATCH (r:Region)
-         CALL { WITH r MATCH (n:Nation) RETURN n.n_name AS x
+         CALL { WITH r MATCH (n:Nation)-[:IN_REGION]->(r)
+                WHERE n.n_nationkey % 2 = 0 RETURN n.n_name AS x
                 UNION
-                MATCH (s:Supplier) RETURN s.s_name AS x }
+                WITH r MATCH (n:Nation)-[:IN_REGION]->(r)
+                WHERE n.n_nationkey % 2 = 1 RETURN n.n_name AS x }
+         RETURN r.r_name AS rn, count(*) AS c ORDER BY rn""").collect()
+    assert(cu.length == 5 && cu.forall(_.getLong(1) == 5L))
+    // overlapping correlated branches: bare UNION dedupes per key,
+    // UNION ALL keeps both copies
+    val dd = engine.run(
+      """MATCH (r:Region {r_regionkey: 0})
+         CALL { WITH r MATCH (n:Nation)-[:IN_REGION]->(r) RETURN n.n_name AS x
+                UNION
+                WITH r MATCH (n:Nation)-[:IN_REGION]->(r) RETURN n.n_name AS x }
+         RETURN count(*) AS c""").collect().head.getLong(0)
+    assert(dd == 5L)
+    val da = engine.run(
+      """MATCH (r:Region {r_regionkey: 0})
+         CALL { WITH r MATCH (n:Nation)-[:IN_REGION]->(r) RETURN n.n_name AS x
+                UNION ALL
+                WITH r MATCH (n:Nation)-[:IN_REGION]->(r) RETURN n.n_name AS x }
+         RETURN count(*) AS c""").collect().head.getLong(0)
+    assert(da == 10L)
+    // trailing ORDER BY + LIMIT on the last branch slices PER KEY across
+    // the whole union (2 of each region's 5, 10 rows total)
+    val topk = engine.run(
+      """MATCH (r:Region)
+         CALL { WITH r MATCH (n:Nation)-[:IN_REGION]->(r) RETURN n.n_name AS x
+                UNION
+                WITH r MATCH (n:Nation)-[:IN_REGION]->(r) RETURN n.n_name AS x
+                ORDER BY x LIMIT 2 }
+         RETURN r.r_name AS rn, x ORDER BY rn, x""").collect()
+    assert(topk.length == 10)
+    // an aggregate-only branch contributes its zero-row aggregate even
+    // when the sibling branch has rows for that key
+    val ag = engine.run(
+      """MATCH (r:Region {r_regionkey: 0})
+         CALL { WITH r MATCH (n:Nation)-[:IN_REGION]->(r)
+                WHERE n.n_nationkey < -1 RETURN count(n) AS x
+                UNION ALL
+                WITH r MATCH (n:Nation)-[:IN_REGION]->(r) RETURN count(n) AS x }
+         RETURN x ORDER BY x""").collect()
+    assert(ag.map(_.getAs[Number](0).longValue).toSeq == Seq(0L, 5L))
+    // a branch whose importing WITH differs from the first's rejects at parse
+    val perr = intercept[Parser.ParseException](engine.run(
+      """MATCH (r:Region), (s:Supplier)
+         CALL { WITH r MATCH (n:Nation)-[:IN_REGION]->(r) RETURN n.n_name AS x
+                UNION
+                WITH s MATCH (n:Nation) RETURN n.n_name AS x }
          RETURN count(*) AS c"""))
-    assert(err.getMessage.contains("correlated"))
+    assert(perr.getMessage.contains("same importing WITH"))
   }
 
   test("var-length closure is seed-restricted by a bound anchor") {
@@ -1331,6 +1382,55 @@ class CypherSpec extends SparkSpec {
       """MATCH p = shortestPath((o:Order {o_orderkey: 1})-[:CONTAINS|PLACED_BY*1..3]->(c:Customer))
          RETURN length(p) AS len"""))
     assert(err2.getMessage.contains("undirected"))
+  }
+
+  test("relationships(p) through a type-disjunction shortestPath carries per-hop types") {
+    import org.apache.spark.sql.functions.col
+    // the BFS accumulates the edge type taken at each hop, so
+    // relationships(p) renders (src, dst, type) with the REAL per-hop
+    // type — a length-1 path is the direct PLACED_BY, a length-3 path is
+    // CONTAINS,CONTAINS,PLACED_BY (Order→Part→Order→Customer)
+    val rows = engine.run(
+      """MATCH p = shortestPath((o:Order {o_orderkey: 1})-[:CONTAINS|PLACED_BY*1..3]-(c:Customer))
+         RETURN toInteger(c.c_custkey) AS ck, length(p) AS len,
+                relationships(p) AS rels ORDER BY ck""").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val len = r.getLong(1)
+      val rels = r.getSeq[org.apache.spark.sql.Row](2)
+      assert(rels.length == len.toInt)
+      val types = rels.map(_.getString(2))
+      if (len == 1L) assert(types == Seq("PLACED_BY"))
+      else assert(types == Seq("CONTAINS", "CONTAINS", "PLACED_BY"))
+      // hop endpoints chain: dst of hop i == src of hop i+1, and the ends
+      // are the tagged order/customer ids
+      assert(rels.head.getString(0) == "Order:1")
+      rels.sliding(2).foreach {
+        case Seq(a, b) => assert(a.getString(1) == b.getString(0))
+        case _ => ()
+      }
+      assert(rels.last.getString(1) == s"Customer:${r.getLong(0)}")
+    }
+    // the same surface over a SAME-LABEL disjunction (scalar-key BFS):
+    // HOP (+1 mod 25) and JUMP (+5 mod 25) on Nation — per-hop types real
+    val nation = graft.sources.Tables.load(spark, sf, "nation")
+    val k = col("n_nationkey")
+    var st = graft.graph.GraphWriter.mergeNodes(GraphStore.empty, "Nation",
+      nation.select(k, col("n_name")), Seq("n_nationkey"))
+    st = graft.graph.GraphWriter.mergeEdges(st, "HOP", "Nation", "Nation",
+      "src", "dst", nation.select(k.as("src"), ((k + 1) % 25).as("dst")))
+    st = graft.graph.GraphWriter.mergeEdges(st, "JUMP", "Nation", "Nation",
+      "src", "dst", nation.select(k.as("src"), ((k + 5) % 25).as("dst")))
+    val byDst = CypherEngine(st).run(
+      """MATCH p = shortestPath((a:Nation {n_nationkey: 0})-[:HOP|JUMP*1..2]-(b:Nation))
+         RETURN toInteger(b.n_nationkey) AS dst, relationships(p) AS rels
+         ORDER BY dst""").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(2))).toMap
+    // loud-rejection removed: direct neighbors carry their edge's type
+    assert(byDst(1L) == Seq("HOP") && byDst(5L) == Seq("JUMP"))
+    assert(byDst(24L) == Seq("HOP") && byDst(20L) == Seq("JUMP"))
+    byDst.values.foreach(_.foreach(t => assert(Set("HOP", "JUMP").contains(t))))
   }
 
   test("hetero shortestPath composes with unbounded * and allShortestPaths") {
@@ -1489,6 +1589,66 @@ class CypherSpec extends SparkSpec {
                 RETURN c.c_name AS cn }
          RETURN count(*) AS k""").collect().head.getLong(0)
     assert(none == 0L)
+  }
+
+  test("correlated CALL body with intermediate WITH stages") {
+    // an aggregating intermediate WITH aggregates PER IMPORTED KEY (the
+    // import is prepended as a grouping key), and must agree with the
+    // direct aggregate-RETURN form
+    val viaWith = engine.run(
+      """MATCH (r:Region)
+         CALL { WITH r MATCH (n:Nation)-[:IN_REGION]->(r)
+                WITH count(n) AS cnt RETURN cnt }
+         RETURN r.r_name AS name, cnt ORDER BY name""").collect()
+      .map(x => (x.getString(0), x.getAs[Number](1).longValue)).toSeq
+    val direct = engine.run(
+      """MATCH (r:Region)
+         CALL { WITH r MATCH (n:Nation)-[:IN_REGION]->(r)
+                RETURN count(n) AS cnt }
+         RETURN r.r_name AS name, cnt ORDER BY name""").collect()
+      .map(x => (x.getString(0), x.getAs[Number](1).longValue)).toSeq
+    assert(viaWith == direct && viaWith.length == 5)
+    assert(viaWith.forall(_._2 == 5L))
+    // a zero-match key still yields one row from the aggregating stage
+    // (Neo4j aggregates the empty invocation), and a later plain WITH
+    // carries both the import and the transformed aggregate
+    val zero = engine.run(
+      """MATCH (n:Nation)
+         CALL { WITH n MATCH (c:Customer)-[:IN_NATION]->(n)
+                WHERE c.c_acctbal < -99999999
+                WITH count(c) AS cc
+                WITH cc * 2 + 1 AS odd
+                RETURN odd }
+         RETURN n.n_nationkey AS nk, odd ORDER BY nk""").collect()
+    assert(zero.length == 25)
+    assert(zero.forall(_.getAs[Number](1).longValue == 1L))
+    // the stage's post-aggregation WHERE sees the restored zero row —
+    // `WHERE cc = 0` keeps every key, `WHERE cc > 0` eliminates them all
+    val kept = engine.run(
+      """MATCH (n:Nation)
+         CALL { WITH n MATCH (c:Customer)-[:IN_NATION]->(n)
+                WHERE c.c_acctbal < -99999999
+                WITH count(c) AS cc WHERE cc = 0
+                RETURN cc }
+         RETURN count(*) AS k""").collect().head.getLong(0)
+    assert(kept == 25L)
+    val gone = engine.run(
+      """MATCH (n:Nation)
+         CALL { WITH n MATCH (c:Customer)-[:IN_NATION]->(n)
+                WHERE c.c_acctbal < -99999999
+                WITH count(c) AS cc WHERE cc > 0
+                RETURN cc }
+         RETURN count(*) AS k""").collect().head.getLong(0)
+    assert(gone == 0L)
+    // intermediate SKIP/LIMIT would be a per-key slice in Neo4j but a
+    // global one here — rejected loudly with guidance
+    val err = intercept[CypherEngine.CypherException](engine.run(
+      """MATCH (r:Region)
+         CALL { WITH r MATCH (n:Nation)-[:IN_REGION]->(r)
+                WITH n.n_name AS nm ORDER BY nm LIMIT 2
+                RETURN count(*) AS c }
+         RETURN r.r_name AS name, c"""))
+    assert(err.getMessage.contains("intermediate WITH of a correlated CALL"))
   }
 
   test("COUNT {} nested in containers inside WITH ... WHERE hits the lift guidance") {
