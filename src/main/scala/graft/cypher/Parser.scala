@@ -321,9 +321,81 @@ object Parser {
       var continue = true
       while (continue) {
         if (isSym("-") || isSym("<-")) hops += ((relPattern(), nodePattern()))
+        else if (isSym("(") && peek2 == Sym("(")) hops += quantifiedGroup()
         else continue = false
       }
       PathPat(head, hops.result())
+    }
+
+    /** Neo4j-5 quantified path pattern `(s) (()-[:R]->()){m,n} (t)` —
+      * parser surface only, desugared to the var-length relationship the
+      * group repeats (`(s)-[:R*m..n]->(t)`, the G13 machinery; Neo4j's
+      * relationship-uniqueness semantics are identical for both
+      * spellings). The group must be a single hop with ANONYMOUS inner
+      * nodes: a var-length walk cannot bind or constrain intermediate
+      * nodes, and a relationship variable inside a group would bind a
+      * LIST (a group variable) — both reject loudly rather than silently
+      * change meaning. Zero-length quantifiers ({0,n}, *) reject too:
+      * a length-0 path binds both endpoints to one node.
+      */
+    private def quantifiedGroup(): (RelPat, NodePat) = {
+      eatSym("(")
+      val inner = pathPattern()
+      eatSym(")")
+      val (lo, hi) = quantifier()
+      if (inner.hops.size != 1)
+        throw ParseException(
+          "a quantified path pattern group must contain exactly one " +
+            s"relationship (got ${inner.hops.size}) — chain separate groups instead")
+      val (rel, innerDst) = inner.hops.head
+      def anon(n: NodePat, side: String): Unit =
+        if (n.variable.nonEmpty || n.label.nonEmpty || n.props.nonEmpty)
+          throw ParseException(
+            s"quantified path patterns support anonymous inner nodes only — the " +
+              s"$side node binds a variable/label/props, which a var-length " +
+              "walk cannot apply per step; constrain the outer endpoints instead")
+      anon(inner.head, "left")
+      anon(innerDst, "right")
+      if (rel.variable.nonEmpty)
+        throw ParseException(
+          s"a relationship variable inside a quantified group (${rel.variable.get}) " +
+            "binds a list of relationships (a group variable) — not supported; " +
+            "drop the variable")
+      if (rel.varLength.nonEmpty)
+        throw ParseException(
+          "a var-length relationship inside a quantified group nests " +
+            "quantifiers — use a single *m..n or {m,n}")
+      (rel.copy(varLength = Some((lo, hi))), nodePattern())
+    }
+
+    /** `{n}` / `{m,n}` / `{m,}` / `+` after a quantified group or
+      * relationship. `*` and `{0,…}` (zero-length) reject loudly.
+      */
+    private def quantifier(): (Int, Int) = {
+      if (trySym("+")) (1, Unbounded)
+      else if (trySym("*"))
+        throw ParseException(
+          "the * quantifier admits zero-length paths (both endpoints one " +
+            "node) — not supported; use + or {1,n}")
+      else {
+        eatSym("{")
+        val lo = peek match {
+          case Num(s) => pos += 1; Some(s.toInt)
+          case _ => None
+        }
+        val hi =
+          if (trySym(",")) peek match {
+            case Num(s) => pos += 1; Some(s.toInt)
+            case _ => None // open upper bound
+          }
+          else lo // `{n}` exact
+        eatSym("}")
+        if (lo.getOrElse(0) < 1)
+          throw ParseException(
+            "a zero-length quantifier ({0,n} / {,n}) binds both endpoints " +
+              "to one node — not supported; use a lower bound >= 1")
+        (lo.get, hi.getOrElse(Unbounded))
+      }
     }
 
     def nodePattern(): NodePat = {
@@ -399,7 +471,14 @@ object Parser {
         if (leftArrow) In
         else if (rightArrow) Out
         else Undirected
-      RelPat(variable, labels.distinct, dir, varLength, props)
+      // Neo4j-5 quantified relationship `-[:R]->{m,n}` / `->+` — the QPP
+      // shorthand; a pattern always continues with a `(` node, so a `{` or
+      // `+` here is unambiguous. Desugars to the same var-length spec.
+      val varLength2 =
+        if (varLength.isEmpty && (isSym("{") || isSym("+") || isSym("*")))
+          Some(quantifier())
+        else varLength
+      RelPat(variable, labels.distinct, dir, varLength2, props)
     }
 
     // ----------------------------------------------------------- projection

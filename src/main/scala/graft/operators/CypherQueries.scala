@@ -286,6 +286,16 @@ object CypherQueries {
         """MATCH (a:Nation {n_nationkey: 0})-[:HOP|JUMP*1..2]->(b:Nation)
            RETURN toInteger(b.n_nationkey) AS dst, count(*) AS paths
            ORDER BY dst""")),
+    // quantified path pattern (round 9): the Neo4j-5 QPP spelling of q84 —
+    // `(()-[:R]->()){m,n}` desugars at PARSE time to the identical
+    // var-length AST (CypherSpec pins AST equality), so the closure
+    // machinery, plans, and semantics are shared; the oracle is the same
+    // walk-counting recursive CTE
+    "q106_cypher_qpp" -> ((s, dir) =>
+      CypherEngine(ring2Store(s, dir)).run(
+        """MATCH (a:Nation {n_nationkey: 0}) (()-[:HOP|JUMP]->()){1,2} (b:Nation)
+           RETURN toInteger(b.n_nationkey) AS dst, count(*) AS paths
+           ORDER BY dst""")),
     // heterogeneous-label shortestPath: undirected BFS over the bipartite
     // Order–Part CONTAINS graph (hops alternate sides; node ids are
     // label-tagged so key spaces can't collide) vs a DuckDB recursive CTE
@@ -902,6 +912,19 @@ object CypherQueries {
            FROM nation WHERE n_nationkey < 5
          ) ORDER BY typ, dst""",
     "q84_cypher_varlen_disjunction" ->
+      """WITH RECURSIVE e AS (
+           SELECT n_nationkey AS src, (n_nationkey + 1) % 25 AS dst FROM nation
+           UNION ALL
+           SELECT n_nationkey, (n_nationkey + 5) % 25 FROM nation
+         ), walks(dst, len) AS (
+           SELECT dst, 1 AS len FROM e WHERE src = 0
+           UNION ALL
+           SELECT e.dst, w.len + 1 FROM walks w JOIN e ON e.src = w.dst
+           WHERE w.len < 2
+         )
+         SELECT CAST(dst AS BIGINT) AS dst, count(*) AS paths
+         FROM walks GROUP BY 1 ORDER BY 1""",
+    "q106_cypher_qpp" ->
       """WITH RECURSIVE e AS (
            SELECT n_nationkey AS src, (n_nationkey + 1) % 25 AS dst FROM nation
            UNION ALL

@@ -1384,6 +1384,63 @@ class CypherSpec extends SparkSpec {
     assert(err2.getMessage.contains("undirected"))
   }
 
+  test("quantified path patterns desugar to the var-length machinery") {
+    import org.apache.spark.sql.functions.col
+    // the desugar is exact: the QPP spelling and the var-length spelling
+    // parse to IDENTICAL ASTs, so every downstream plan is shared
+    assert(Parser.parse("MATCH (a:X) (()-[:R]->()){1,3} (b:X) RETURN a.k AS k") ==
+      Parser.parse("MATCH (a:X)-[:R*1..3]->(b:X) RETURN a.k AS k"))
+    assert(Parser.parse("MATCH (a:X) (()-[:R]->()){2} (b:X) RETURN a.k AS k") ==
+      Parser.parse("MATCH (a:X)-[:R*2]->(b:X) RETURN a.k AS k"))
+    assert(Parser.parse("MATCH (a:X) (()-[:R]->()){2,} (b:X) RETURN a.k AS k") ==
+      Parser.parse("MATCH (a:X)-[:R*2..]->(b:X) RETURN a.k AS k"))
+    assert(Parser.parse("MATCH (a:X) (()-[:R]->())+ (b:X) RETURN a.k AS k") ==
+      Parser.parse("MATCH (a:X)-[:R*]->(b:X) RETURN a.k AS k"))
+    // the quantified-relationship shorthand too
+    assert(Parser.parse("MATCH (a:X)-[:R]->{1,3}(b:X) RETURN a.k AS k") ==
+      Parser.parse("MATCH (a:X)-[:R*1..3]->(b:X) RETURN a.k AS k"))
+    assert(Parser.parse("MATCH (a:X)<-[:R]-{2}(b:X) RETURN a.k AS k") ==
+      Parser.parse("MATCH (a:X)<-[:R*2]-(b:X) RETURN a.k AS k"))
+    // end-to-end on the two-type ring: QPP rows == var-length rows
+    val nation = graft.sources.Tables.load(spark, sf, "nation")
+    val k = col("n_nationkey")
+    var st = graft.graph.GraphWriter.mergeNodes(GraphStore.empty, "Nation",
+      nation.select(k, col("n_name")), Seq("n_nationkey"))
+    st = graft.graph.GraphWriter.mergeEdges(st, "HOP", "Nation", "Nation",
+      "src", "dst", nation.select(k.as("src"), ((k + 1) % 25).as("dst")))
+    st = graft.graph.GraphWriter.mergeEdges(st, "JUMP", "Nation", "Nation",
+      "src", "dst", nation.select(k.as("src"), ((k + 5) % 25).as("dst")))
+    val eng = CypherEngine(st)
+    def rows(q: String): Seq[(Long, Long)] = eng.run(q).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val qpp = rows(
+      """MATCH (a:Nation {n_nationkey: 0}) (()-[:HOP|JUMP]->()){1,2} (b:Nation)
+         RETURN toInteger(b.n_nationkey) AS dst, count(*) AS paths ORDER BY dst""")
+    val vl = rows(
+      """MATCH (a:Nation {n_nationkey: 0})-[:HOP|JUMP*1..2]->(b:Nation)
+         RETURN toInteger(b.n_nationkey) AS dst, count(*) AS paths ORDER BY dst""")
+    assert(qpp == vl && qpp.nonEmpty)
+    // the shapes a var-length walk can't express reject loudly
+    def rejects(q: String, msg: String): Unit = {
+      val e = intercept[Parser.ParseException](Parser.parse(q))
+      assert(e.getMessage.contains(msg), s"$q => ${e.getMessage}")
+    }
+    rejects("MATCH (a:X) (()-[:R]->()-[:S]->()){1,2} (b:X) RETURN a.k AS k",
+      "exactly one relationship")
+    rejects("MATCH (a:X) ((x)-[:R]->()){1,2} (b:X) RETURN a.k AS k",
+      "anonymous inner nodes")
+    rejects("MATCH (a:X) (()-[:R]->(:L)){1,2} (b:X) RETURN a.k AS k",
+      "anonymous inner nodes")
+    rejects("MATCH (a:X) (()-[r:R]->()){1,2} (b:X) RETURN a.k AS k",
+      "group variable")
+    rejects("MATCH (a:X) (()-[:R]->()){0,2} (b:X) RETURN a.k AS k",
+      "zero-length")
+    rejects("MATCH (a:X) (()-[:R]->())* (b:X) RETURN a.k AS k",
+      "zero-length")
+    rejects("MATCH (a:X) (()-[:R*1..2]->()){1,2} (b:X) RETURN a.k AS k",
+      "nests quantifiers")
+  }
+
   test("relationships(p) through a type-disjunction shortestPath carries per-hop types") {
     import org.apache.spark.sql.functions.col
     // the BFS accumulates the edge type taken at each hop, so
