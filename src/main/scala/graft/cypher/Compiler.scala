@@ -803,20 +803,20 @@ object CypherEngine {
       // the rest of the session (every checkpointed frame below is already
       // materialized, so nothing recomputes against the unpersisted e)
       try {
-        var frontier = seeds.fold(e)(s => e.join(s, col("__cs") === col("__seed"), "left_semi"))
-          .select(col("__cs"), col("__cd"), array(col("__eid")).as("__seen"))
-          .localCheckpoint(true)
+        val ck = new graft.graph.GraphAnalytics.IterCheckpointer(e.sparkSession)
+        var frontier = ck.cut(
+          seeds.fold(e)(s => e.join(s, col("__cs") === col("__seed"), "left_semi"))
+            .select(col("__cs"), col("__cd"), array(col("__eid")).as("__seen")))
         val empty = frontier.select(col("__cs"), col("__cd")).limit(0)
         var paths = frontier.count()
         var acc = if (lo <= 1) frontier.select("__cs", "__cd") else null
         var len = 1
         var done = paths == 0
         while (!done) {
-          val next = frontier.join(e2, col("__cd") === col("__m") &&
+          val next = ck.cut(frontier.join(e2, col("__cd") === col("__m") &&
               !array_contains(col("__seen"), col("__eid2")))
             .select(col("__cs"), col("__cd2").as("__cd"),
-              concat(col("__seen"), array(col("__eid2"))).as("__seen"))
-            .localCheckpoint(true)
+              concat(col("__seen"), array(col("__eid2"))).as("__seen")))
           val n = next.count()
           len += 1
           if (n == 0) done = true
@@ -1555,6 +1555,10 @@ object CypherEngine {
       // the per-hop type sequence only exists alongside the node path
       // (relationships(p) reads both); callers guarantee the pairing
       require(!withRels || withPath, "withRels requires withPath")
+      // per-level lineage cuts ride the shared policy: localCheckpoint by
+      // default, every k-th cut reliable when graft.checkpoint.dir is set
+      // (fault tolerance on preemptible clusters — see GraphAnalytics)
+      val ck = new graft.graph.GraphAnalytics.IterCheckpointer(e0.sparkSession)
       // one hop forward. Frontier discipline per mode:
       //  - shortestPath + path read: keep ONE (lexicographically minimal)
       //    path per (src, dst) — frontier bounded by the pair closure;
@@ -1618,7 +1622,7 @@ object CypherEngine {
             .select(col("__ds"), col("__dd"),
               col("__m.__path").as("__path"), col("__m.__rels").as("__rels"))
         else p0
-        p1.localCheckpoint(true)
+        ck.cut(p1)
       }
       if (lo == 1) {
         var dist = e0p.withColumn("__len", lit(1L))
@@ -1634,9 +1638,8 @@ object CypherEngine {
           // the logical plan doubles per level and planning itself OOMs
           // long before the data does. The checkpoint also lets the loop
           // stop as soon as a frontier comes back empty.
-          val fresh = oneHop(frontier)
-            .join(dist.select("__ds", "__dd"), Seq("__ds", "__dd"), "left_anti")
-            .localCheckpoint(true)
+          val fresh = ck.cut(oneHop(frontier)
+            .join(dist.select("__ds", "__dd"), Seq("__ds", "__dd"), "left_anti"))
           if (fresh.isEmpty) exhausted = true
           else {
             dist = dist.unionByName(fresh.withColumn("__len", lit(n.toLong)))
@@ -1665,12 +1668,12 @@ object CypherEngine {
         var cur = e0p
         var exhausted = cur.isEmpty
         for (_ <- 2 to lo if !exhausted) {
-          cur = oneHop(cur).localCheckpoint(true)
+          cur = ck.cut(oneHop(cur))
           exhausted = cur.isEmpty
         }
         var dist = cur.withColumn("__len", lit(lo.toLong))
         for (n <- lo + 1 to hi if !exhausted) {
-          cur = oneHop(cur).localCheckpoint(true)
+          cur = ck.cut(oneHop(cur))
           if (cur.isEmpty) exhausted = true
           else dist = dist.unionByName(cur.withColumn("__len", lit(n.toLong)))
         }

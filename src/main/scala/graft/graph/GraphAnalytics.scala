@@ -40,6 +40,42 @@ object GraphAnalytics {
     */
   val LocalEdgeThreshold: Long = 5L * 1000 * 1000
 
+  /** Conf key: when set to a (fault-tolerant, e.g. HDFS) directory, every
+    * [[CheckpointIntervalKey]]-th lineage cut in an iterative loop
+    * (dfBfs / dfComponents / dfPageRank here, bfsFrames in the Cypher
+    * compiler) uses a RELIABLE `checkpoint()` into it instead of
+    * `localCheckpoint`. Local checkpoints live in executor block storage:
+    * losing ONE executor kills the whole iterative job, and the pinned
+    * blocks block dynamic allocation — on a preemptible 100 TB cluster
+    * the reliable cut bounds recovery to the interval. Unset (the
+    * local[n] default) every cut stays local — no distributed FS needed,
+    * no write amplification.
+    */
+  val CheckpointDirKey = "graft.checkpoint.dir"
+
+  /** Conf key: reliable-checkpoint cadence (every k-th cut; default 5).
+    * Between reliable cuts the loop still localCheckpoints, so plan
+    * growth stays bounded per round while the replicated writes are paid
+    * only k times less often.
+    */
+  val CheckpointIntervalKey = "graft.checkpoint.interval"
+
+  /** Per-loop lineage-cutter implementing the policy above. One instance
+    * per iterative invocation (the round counter is loop-local).
+    */
+  private[graft] final class IterCheckpointer(spark: SparkSession) {
+    private val dir = spark.conf.getOption(CheckpointDirKey)
+    private val every = math.max(1,
+      spark.conf.getOption(CheckpointIntervalKey).map(_.toInt).getOrElse(5))
+    private var n = 0
+    dir.foreach(spark.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame = {
+      n += 1
+      if (dir.nonEmpty && n % every == 0) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    }
+  }
+
   /** Bytes-per-row bound used by the plan-stats prescreen in
     * [[underThreshold]]: an edge row is two Longs (~16 B data, ~48 B with
     * in-memory overheads); 64 B/row makes the byte cap a generous
@@ -104,11 +140,11 @@ object GraphAnalytics {
     * component, matching [[localComponents]] and GraphX exactly.
     */
   private[graph] def dfComponents(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val ck = new IterCheckpointer(spark)
     val e = edges.select(col("src"), col("dst"))
     val adj = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-    var labels = adj.select(col("src").as("node")).distinct()
-      .withColumn("component", col("node"))
-      .localCheckpoint(true)
+    var labels = ck.cut(adj.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node")))
     // Delta iteration: a node's label can only drop via a neighbor whose
     // label dropped last round, so only CHANGED labels re-propagate.
     // Every value a node ever holds is broadcast to its neighbors the
@@ -121,11 +157,10 @@ object GraphAnalytics {
     while (!active.isEmpty) {
       val cand = adj.join(active, col("src") === col("node"))
         .groupBy(col("dst").as("__n")).agg(min(col("component")).as("__cand"))
-      val next = labels.join(cand, col("node") === col("__n"), "left")
+      val next = ck.cut(labels.join(cand, col("node") === col("__n"), "left")
         .select(col("node"), col("component").as("__old"),
           least(col("component"), coalesce(col("__cand"), col("component")))
-            .as("component"))
-        .localCheckpoint(true)
+            .as("component")))
       active = next.filter(col("component") < col("__old")).drop("__old")
       labels = next.drop("__old")
     }
@@ -206,6 +241,7 @@ object GraphAnalytics {
   private[graph] def dfBfs(spark: SparkSession, edges: DataFrame, source: Long,
       maxDepth: Int): DataFrame = {
     import spark.implicits._
+    val ck = new IterCheckpointer(spark)
     val adj = {
       val e = edges.select(col("src"), col("dst"))
       e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
@@ -217,24 +253,23 @@ object GraphAnalytics {
     // level 1 straight off the edge frame; source emitted at dist 0 iff it
     // appears in some edge (matching Pregel/localBfs, which only
     // materialize vertices present in the edge set)
-    var frontier = adj.filter(col("src") === source).select(col("dst").as("node"))
-      .distinct().localCheckpoint(true)
+    var frontier = ck.cut(adj.filter(col("src") === source)
+      .select(col("dst").as("node")).distinct())
     val levels = collection.mutable.ArrayBuffer[DataFrame]()
     if (frontier.isEmpty) return spark.emptyDataset[(Long, Int)].toDF("node", "dist")
     levels += seed.withColumn("dist", lit(0))
     levels += frontier.withColumn("dist", lit(1))
-    var reached = frontier.unionByName(seed).localCheckpoint(true)
+    var reached = ck.cut(frontier.unionByName(seed))
     var depth = 1
     while (depth < maxDepth && !frontier.isEmpty) {
       depth += 1
-      frontier = frontier
+      frontier = ck.cut(frontier
         .join(adj, col("node") === col("src"))
         .select(col("dst").as("node")).distinct()
-        .join(reached, Seq("node"), "left_anti")
-        .localCheckpoint(true)
+        .join(reached, Seq("node"), "left_anti"))
       if (!frontier.isEmpty) {
         levels += frontier.withColumn("dist", lit(depth))
-        reached = reached.unionByName(frontier).localCheckpoint(true)
+        reached = ck.cut(reached.unionByName(frontier))
       }
     }
     levels.reduce(_.unionByName(_))
@@ -349,15 +384,15 @@ object GraphAnalytics {
     // re-derive the join (frame width: 2 keys + 1 long)
     val contribEdges = e.join(outDeg, "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var ranks = vertices.withColumn("rank", lit(1.0)).localCheckpoint(true)
+    val ck = new IterCheckpointer(spark)
+    var ranks = ck.cut(vertices.withColumn("rank", lit(1.0)))
     for (_ <- 1 to iters) {
       val msgs = contribEdges.join(ranks, col("src") === col("node"))
         .groupBy(col("dst").as("__n"))
         .agg(sum(col("rank") / col("__deg")).as("__m"))
-      ranks = ranks.join(msgs, col("node") === col("__n"), "left")
+      ranks = ck.cut(ranks.join(msgs, col("node") === col("__n"), "left")
         .select(col("node"),
-          (lit(0.15) + lit(0.85) * coalesce(col("__m"), lit(0.0))).as("rank"))
-        .localCheckpoint(true)
+          (lit(0.15) + lit(0.85) * coalesce(col("__m"), lit(0.0))).as("rank")))
     }
     contribEdges.unpersist(false)
     // normalize final mass to the vertex count (GraphX SPARK-18847);

@@ -1384,6 +1384,25 @@ class CypherSpec extends SparkSpec {
     assert(err2.getMessage.contains("undirected"))
   }
 
+  test("shortestPath BFS agrees under the reliable-checkpoint mode") {
+    // graft.checkpoint.dir routes bfsFrames' per-level cuts through a
+    // reliable checkpoint() every k-th cut — same rows as the local default
+    val q =
+      """MATCH p = shortestPath((o:Order {o_orderkey: 1})-[:CONTAINS*1..3]-(b:Part))
+         RETURN toInteger(b.p_partkey) AS pk, length(p) AS len ORDER BY pk"""
+    val before = engine.run(q).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-cy").toString
+    spark.conf.set(graft.graph.GraphAnalytics.CheckpointDirKey, dir)
+    spark.conf.set(graft.graph.GraphAnalytics.CheckpointIntervalKey, "1")
+    try {
+      val after = engine.run(q).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(after == before && before.nonEmpty)
+    } finally {
+      spark.conf.unset(graft.graph.GraphAnalytics.CheckpointDirKey)
+      spark.conf.unset(graft.graph.GraphAnalytics.CheckpointIntervalKey)
+    }
+  }
+
   test("quantified path patterns desugar to the var-length machinery") {
     import org.apache.spark.sql.functions.col
     // the desugar is exact: the QPP spelling and the var-length spelling

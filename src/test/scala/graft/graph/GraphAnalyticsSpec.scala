@@ -96,6 +96,41 @@ class GraphAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("reliable-checkpoint mode agrees with the localCheckpoint default") {
+    // graft.checkpoint.dir routes every k-th lineage cut through a
+    // reliable checkpoint() (fault tolerance on preemptible clusters);
+    // results must be bit-identical to the local default in every loop
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val chain = (1L until 25L).map(i => (i, i + 1)).toDF("src", "dst")
+    val bfsBefore = GraphAnalytics.bfs(spark, chain, 1L, 30, localThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ccBefore = GraphAnalytics.dfComponents(spark, chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prBefore = GraphAnalytics.dfPageRank(spark, chain, 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    spark.conf.set(GraphAnalytics.CheckpointDirKey, dir)
+    spark.conf.set(GraphAnalytics.CheckpointIntervalKey, "2")
+    try {
+      val bfsAfter = GraphAnalytics.bfs(spark, chain, 1L, 30, localThreshold = 0)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val ccAfter = GraphAnalytics.dfComponents(spark, chain)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val prAfter = GraphAnalytics.dfPageRank(spark, chain, 5)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(bfsAfter == bfsBefore)
+      assert(ccAfter == ccBefore)
+      assert(prAfter.keySet == prBefore.keySet &&
+        prAfter.forall { case (k, v) => math.abs(v - prBefore(k)) < 1e-9 })
+      // the reliable cut actually wrote into the directory
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "expected reliable checkpoint files under the conf'd dir")
+    } finally {
+      spark.conf.unset(GraphAnalytics.CheckpointDirKey)
+      spark.conf.unset(GraphAnalytics.CheckpointIntervalKey)
+    }
+  }
+
   test("DataFrame CC converges on a worst-case-diameter path graph") {
     // a 60-node path: min-label propagation needs ~n rounds to flood the
     // min id end-to-end — pins the delta iteration's termination and
