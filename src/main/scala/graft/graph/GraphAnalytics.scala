@@ -76,6 +76,26 @@ object GraphAnalytics {
     }
   }
 
+  /** Conf key: delta-iteration rounds [[dfComponents]] runs before
+    * escalating to pointer-doubling ([[jumpComponents]]); default
+    * [[CcEscalateRoundsDefault]]. The delta iteration is O(component
+    * diameter) rounds with a SHRINKING frontier — cheapest on the
+    * bounded-diameter graphs FK schemas produce (3-5 rounds). A
+    * chain-shaped graph (event sequences, linked logs) would run
+    * thousands of rounds; once the round count passes this bound the
+    * structure is provably deep, and pointer-doubling finishes in
+    * O(log n) further rounds regardless of diameter. 0 = always
+    * pointer-doubling (the tests' and A/B's lever).
+    */
+  val CcEscalateRoundsKey = "graft.cc.escalateRounds"
+  val CcEscalateRoundsDefault = 10
+
+  /** Observability for tests/tools: (delta rounds, pointer-doubling
+    * rounds) of the last [[dfComponents]] invocation in this JVM.
+    */
+  private[graft] val LastCcRounds =
+    new java.util.concurrent.atomic.AtomicReference[(Int, Int)]((0, 0))
+
   /** Bytes-per-row bound used by the plan-stats prescreen in
     * [[underThreshold]]: an edge row is two Longs (~16 B data, ~48 B with
     * in-memory overheads); 64 B/row makes the byte cap a generous
@@ -141,6 +161,8 @@ object GraphAnalytics {
     */
   private[graph] def dfComponents(spark: SparkSession, edges: DataFrame): DataFrame = {
     val ck = new IterCheckpointer(spark)
+    val escalateAfter = spark.conf.getOption(CcEscalateRoundsKey)
+      .map(_.toInt).getOrElse(CcEscalateRoundsDefault)
     val e = edges.select(col("src"), col("dst"))
     val adj = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
     var labels = ck.cut(adj.select(col("src").as("node")).distinct()
@@ -152,9 +174,18 @@ object GraphAnalytics {
     // fixpoint equals full re-propagation — but late rounds join a
     // shrinking frontier against the edge frame instead of every label
     // (the same frontier economics as [[dfBfs]]; GraphX's Pregel skips
-    // non-messaged vertices the same way).
+    // non-messaged vertices the same way). The round count is O(component
+    // diameter); past `escalateAfter` rounds the structure is provably
+    // deep and the loop hands its labels to [[jumpComponents]], which
+    // finishes in O(log n) rounds on any diameter.
     var active = labels
+    var rounds = 0
     while (!active.isEmpty) {
+      if (rounds >= escalateAfter) {
+        LastCcRounds.set((rounds, 0))
+        return jumpComponents(adj, labels, ck)
+      }
+      rounds += 1
       val cand = adj.join(active, col("src") === col("node"))
         .groupBy(col("dst").as("__n")).agg(min(col("component")).as("__cand"))
       val next = ck.cut(labels.join(cand, col("node") === col("__n"), "left")
@@ -164,6 +195,47 @@ object GraphAnalytics {
       active = next.filter(col("component") < col("__old")).drop("__old")
       labels = next.drop("__old")
     }
+    LastCcRounds.set((rounds, 0))
+    labels
+  }
+
+  /** Pointer-doubling (label-shortcutting) connected components: each
+    * round runs one neighbor-min propagation and one pointer JUMP
+    * (`l ← l(l)`, a self-join of the label frame on the label column).
+    * The jump halves label-chain depth, so convergence is O(log n) rounds
+    * on ANY diameter — the Shiloach-Vishkin discipline, vs min-label
+    * propagation's O(diameter). Each round joins the FULL label set twice
+    * (no shrinking frontier), which is why this is the escalation path
+    * rather than the default: FK-derived graphs converge in 3-5 delta
+    * rounds, and only chain-shaped data (event sequences, linked logs)
+    * ever reaches it. Invariant: every label is a node id inside its own
+    * component and only decreases, so the fixpoint (labels constant
+    * across every edge and stable under the jump) is the component-min
+    * id — identical output to the delta iteration, union-find, and
+    * GraphX.
+    */
+  private[graph] def jumpComponents(adj: DataFrame, labels0: DataFrame,
+      ck: IterCheckpointer): DataFrame = {
+    var labels = labels0
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0) {
+      rounds += 1
+      val nbr = adj.join(labels, col("src") === col("node"))
+        .groupBy(col("dst").as("__n")).agg(min(col("component")).as("__c"))
+      val l1 = ck.cut(labels.join(nbr, col("node") === col("__n"), "left")
+        .select(col("node"), col("component").as("__old"),
+          least(col("component"), coalesce(col("__c"), col("component")))
+            .as("component")))
+      val jump = l1.select(col("node").as("__jn"), col("component").as("__jc"))
+      val l2 = ck.cut(l1.join(jump, col("component") === col("__jn"), "left")
+        .select(col("node"), col("__old"),
+          least(col("component"), coalesce(col("__jc"), col("component")))
+            .as("component")))
+      changed = l2.filter(col("component") < col("__old")).count()
+      labels = l2.drop("__old")
+    }
+    LastCcRounds.set((LastCcRounds.get()._1, rounds))
     labels
   }
 

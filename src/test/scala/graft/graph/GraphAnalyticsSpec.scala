@@ -93,6 +93,14 @@ class GraphAnalyticsSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(local == dist)
       assert(local == pregel)
+      // the pointer-doubling escalation path (escalateRounds=0 forces it
+      // from round 1) must agree with all three
+      spark.conf.set(GraphAnalytics.CcEscalateRoundsKey, "0")
+      try {
+        val jump = GraphAnalytics.connectedComponents(spark, df, localThreshold = 0)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(local == jump)
+      } finally spark.conf.unset(GraphAnalytics.CcEscalateRoundsKey)
     }
   }
 
@@ -132,13 +140,20 @@ class GraphAnalyticsSpec extends SparkSpec {
   }
 
   test("DataFrame CC converges on a worst-case-diameter path graph") {
-    // a 60-node path: min-label propagation needs ~n rounds to flood the
-    // min id end-to-end — pins the delta iteration's termination and
-    // correctness at maximum diameter (not just shallow star components)
+    // a 60-node path: min-label propagation would need ~n rounds to flood
+    // the min id end-to-end — past the escalation bound the delta
+    // iteration hands off to pointer-doubling, which finishes in O(log n)
+    // rounds; the result is still the component-min label for every node
     val chain = (1L until 60L).map(i => (i, i + 1)).toDF("src", "dst")
     val cc = GraphAnalytics.dfComponents(spark, chain)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc.size == 60 && cc.values.forall(_ == 1L))
+    // the round accounting proves the escalation fired and the doubling
+    // loop beat O(diameter): ~59 propagation rounds collapse into the
+    // 10-round delta budget plus O(log 60) jump rounds
+    val (delta, jump) = GraphAnalytics.LastCcRounds.get()
+    assert(delta == GraphAnalytics.CcEscalateRoundsDefault, s"delta=$delta")
+    assert(jump > 0 && jump <= 12, s"jump=$jump")
   }
 
   test("the three PageRank strategies agree on random graphs (float tolerance)") {
