@@ -212,22 +212,26 @@ object RelationalQueries {
     T(s, dir, "lineitem")
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        sum(dec4(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
-        sum(dec4(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+        sum(dec4(col("l_quantity"))).cast(DecimalType(38, 4))
+          .cast(StringType).as("sum_qty"),
+        sum(dec4(col("l_extendedprice"))).cast(DecimalType(38, 4))
+          .cast(StringType).as("sum_base_price"),
         sum(dec4(col("l_extendedprice")) * (lit(BigDecimal(1)).cast(D18_4) - dec4(col("l_discount"))))
-          .cast(DoubleType).as("sum_disc_price"),
+          .cast(DecimalType(38, 8)).cast(StringType).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
   // Aggregation happens in DECIMAL (exact, order-independent across
-  // partitionings); the FINAL value is emitted as DOUBLE — the one numeric
-  // type every engine/stack canonicalizes identically (decimal→double is a
-  // single correctly-rounded IEEE conversion in both Spark and DuckDB).
+  // partitionings); the FINAL value is emitted as a FIXED-SCALE DECIMAL
+  // STRING. The old double emission died at sf0.1: DuckDB's
+  // decimal→double cast is off by one ulp on boundary values (exact sum
+  // 5045798393.01230000 → DuckDB 5045798393.0123005, Spark's correctly
+  // rounded ...0123) — same convention as timestamps-as-strings.
   private val q12Sql =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_qty,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS VARCHAR) AS sum_base_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DECIMAL(38,8)) AS VARCHAR) AS sum_disc_price,
       |  COUNT(*) AS count_order
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
