@@ -523,7 +523,12 @@ object CypherEngine {
           * `WITH 'a' AS s` carries its string-typedness forward so `s + t`
           * still dispatches to concatenation, not arithmetic)
           */
-        strs: Set[String] = Set.empty) {
+        strs: Set[String] = Set.empty,
+        /** plain variables known to hold TIME-OF-DAY values (epoch-day
+          * anchored timestamps — `WITH time('21:40') AS t`); drives
+          * toString's HH:mm:ss rendering
+          */
+        times: Set[String] = Set.empty) {
       def nodeLabel(v: String): Option[String] = labels.get(v)
     }
 
@@ -2205,7 +2210,11 @@ object CypherEngine {
           greatest(ceil(args(1) * count(args(0))), lit(1)).cast("int"))
       case "tolower" | "lower" => lower(args.head)
       case "toupper" | "upper" => upper(args.head)
-      case "tostring" => args.head.cast(StringType)
+      case "tostring" =>
+        // a time-of-day value is an epoch-day-anchored timestamp; render
+        // the time component only (a raw cast would leak '1970-01-01')
+        if (isTimeTyped(rawArgs.head, ctx)) date_format(args.head, "HH:mm:ss")
+        else args.head.cast(StringType)
       case "tointeger" => args.head.cast("long")
       case "tofloat" => args.head.cast("double")
       case "size" | "length" =>
@@ -2228,6 +2237,21 @@ object CypherEngine {
       case "coalesce" => coalesce(args: _*)
       case "date" => to_date(args.head)
       case "datetime" | "timestamp" => to_timestamp(args.head)
+      // localdatetime: the session is UTC-pinned (every SparkSession here
+      // sets spark.sql.session.timeZone=UTC), so a zoneless local instant
+      // IS the instant — same column as datetime()
+      case "localdatetime" => to_timestamp(args.head)
+      // time-of-day values anchor on the epoch day (Spark has no TIME
+      // column type): accessors (.hour/.minute/.second), ordering, and
+      // equality then work as plain timestamp operations, and toString
+      // renders HH:mm:ss via the time-typed tracking ([[Ctx.times]]).
+      // The zero-arg clock forms reject loudly: a wall-clock read inside
+      // a distributed, re-executable plan is nondeterministic.
+      case "time" | "localtime" =>
+        if (args.isEmpty) throw CypherException(
+          s"$name() without arguments reads the wall clock — nondeterministic " +
+            "in a distributed plan; pass a literal ('21:40:32')")
+        to_timestamp(concat(lit("1970-01-01 "), args.head.cast(StringType)))
       // date.truncate('month', d) / datetime.truncate('day', dt) — the
       // Neo4j truncation surface, mapped onto Spark's date_trunc. The unit
       // must be a string literal (it selects the codegen'd format at
@@ -2287,6 +2311,9 @@ object CypherEngine {
       case "year" => year(args.head)
       case "month" => month(args.head)
       case "day" => dayofmonth(args.head)
+      case "hour" => hour(args.head)
+      case "minute" => minute(args.head)
+      case "second" => second(args.head)
       case "exists" => args.head.isNotNull // legacy property-existence form
       case "trim" => trim(args.head)
       case "ltrim" => ltrim(args.head)
@@ -2367,6 +2394,20 @@ object CypherEngine {
         ctx.nodeLabel(v).exists { label =>
           store.nodes(label).schema.fields.exists(f => f.name == p && f.dataType == StringType)
         }
+      case _ => false
+    }
+
+    /** Syntactic time-typedness: a `time()`/`localtime()` constructor, or
+      * a projection alias [[Ctx.times]] carried one forward. Drives
+      * toString's HH:mm:ss rendering for epoch-day-anchored time values.
+      */
+    private def isTimeTyped(e: Expr, ctx: Ctx): Boolean = e match {
+      case Fn("time" | "localtime", _, _) => true
+      case Var(v) => ctx.times.contains(v)
+      case CaseExpr(_, bs, d) =>
+        bs.exists { case (_, r) => isTimeTyped(r, ctx) } ||
+          d.exists(isTimeTyped(_, ctx))
+      case Fn("coalesce", args, _) => args.exists(isTimeTyped(_, ctx))
       case _ => false
     }
 
@@ -2461,7 +2502,8 @@ object CypherEngine {
         Set.empty,
         plain.filter(i => elemIsString(i.expr, ctx, Set.empty)).map(outName).toSet,
         multi = ctx.multi.filter { case (v, _) => carried.contains(v) },
-        strs = plain.filter(i => isStringTyped(i.expr, ctx)).map(outName).toSet)
+        strs = plain.filter(i => isStringTyped(i.expr, ctx)).map(outName).toSet,
+        times = plain.filter(i => isTimeTyped(i.expr, ctx)).map(outName).toSet)
       stage.where.foreach(w => out = out.filter(column(w, newCtx)))
       if (stage.orderBy.nonEmpty) {
         // a sort key that IS one of the projected items (aliased or not —
@@ -3180,7 +3222,8 @@ object CypherEngine {
         rels = Map.empty,
         plains = plainImports.toSet,
         strLists = ctx.strLists.intersect(plainImports.toSet),
-        strs = ctx.strs.intersect(plainImports.toSet))
+        strs = ctx.strs.intersect(plainImports.toSet),
+        times = ctx.times.intersect(plainImports.toSet))
       // join back on the imported KEY columns only; the carried non-key
       // imported columns are duplicates of the enclosing frame's
       val keyCols: Seq[String] =
@@ -3352,6 +3395,7 @@ object CypherEngine {
         plains = outer.plains ++ sub.plains,
         strLists = outer.strLists ++ sub.strLists,
         strs = outer.strs ++ sub.strs,
+        times = outer.times ++ sub.times,
         multi = sub.multi ++ outer.multi)
 
     private def compilePipeline(q: Query,

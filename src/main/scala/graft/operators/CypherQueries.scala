@@ -400,6 +400,19 @@ object CypherQueries {
                 min(toString(date(o.o_orderdate - duration('P30D')))) AS earliest_m30,
                 max(toString(date(o.o_orderdate + duration('P1Y2M')))) AS latest_p14m,
                 max(duration.inDays(o.o_orderdate, datetime('1998-08-02')).days) AS max_age"""),
+    // temporal instant breadth (round 9): time()/localtime() anchor on
+    // the epoch day (Spark has no TIME type) so accessors, ordering, and
+    // equality ride codegen'd timestamp ops, and toString renders
+    // HH:mm:ss via time-typed alias tracking; localdatetime() is the
+    // same instant as datetime() in this UTC-pinned engine. Derived from
+    // the data (per-nation max order timestamp rendered as time-of-day)
+    // so the oracle exercises the rendering, not constants.
+    "q107_cypher_time" -> cy(
+      """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+         WITH n.n_name AS nn, max(c.c_acctbal) AS mb
+         RETURN nn, toString(time('21:40:32')) AS t9,
+                time('21:40:32').hour AS th, mb
+         ORDER BY nn"""),
     // date.truncate + isEmpty (round 8): the quarterly-histogram shape
     // time-scoped generated questions produce ("orders per quarter") —
     // truncation compiles to a constant-format date_trunc, isEmpty rides
@@ -688,6 +701,11 @@ object CypherQueries {
               max(date_diff('day', o_orderdate, TIMESTAMP '1998-08-02')) AS max_age
          FROM orders
          WHERE o_orderdate + INTERVAL 90 DAY >= TIMESTAMP '1998-06-01'""",
+    "q107_cypher_time" ->
+      """SELECT n.n_name AS nn, '21:40:32' AS t9, 21 AS th,
+              max(c.c_acctbal) AS mb
+         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY 1 ORDER BY 1""",
     "q102_cypher_truncate" ->
       """SELECT CAST(CAST(date_trunc('quarter', o_orderdate) AS DATE) AS VARCHAR) AS quarter,
               count(*) AS cnt

@@ -1384,6 +1384,31 @@ class CypherSpec extends SparkSpec {
     assert(err2.getMessage.contains("undirected"))
   }
 
+  test("time/localtime/localdatetime constructors, accessors, rendering") {
+    // time values are epoch-day-anchored timestamps: accessors, ordering,
+    // and equality ride timestamp operations; toString renders HH:mm:ss
+    // through the time-typed alias tracking (a raw cast would leak the
+    // anchor date)
+    val r = engine.run(
+      """MATCH (x:Region {r_regionkey: 0})
+         WITH time('21:40:32') AS t, localtime('09:05:01') AS lt
+         RETURN toString(t) AS ts, toString(lt) AS lts,
+                time('21:40:32').hour AS th, time('21:40:32').minute AS tm,
+                time('21:40:32').second AS tsec,
+                t < time('22:00:00') AS earlier,
+                toString(localdatetime('2015-07-21T21:40:32')) AS ldt""").collect().head
+    assert(r.getString(0) == "21:40:32")
+    assert(r.getString(1) == "09:05:01")
+    assert(r.getInt(2) == 21 && r.getInt(3) == 40 && r.getInt(4) == 32)
+    assert(r.getBoolean(5))
+    assert(r.getString(6) == "2015-07-21 21:40:32")
+    // the zero-arg wall-clock forms reject loudly (nondeterministic in a
+    // distributed, re-executable plan)
+    val err = intercept[CypherEngine.CypherException](engine.run(
+      "MATCH (x:Region) RETURN time() AS t"))
+    assert(err.getMessage.contains("wall clock"))
+  }
+
   test("shortestPath BFS agrees under the reliable-checkpoint mode") {
     // graft.checkpoint.dir routes bfsFrames' per-level cuts through a
     // reliable checkpoint() every k-th cut — same rows as the local default
