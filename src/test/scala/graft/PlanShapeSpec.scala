@@ -42,6 +42,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"q04 fell back to sort-merge join:\n$p")
   }
 
+  test("correlated CALL shapes compile to keyed joins, never correlated subplans") {
+    // q103 (intermediate aggregating WITH + zero-match restore): ONE
+    // grouped aggregate, a left-anti keyed restore, a union, and keyed
+    // join-backs — no per-key loop, no cartesian, nothing quadratic
+    val p103 = plan("q103_cypher_call_stage_agg")
+    assert(p103.contains("LeftAnti"), s"q103 lost the keyed zero-match restore:\n$p103")
+    assert(p103.contains("Union"), s"q103 lost the restore union:\n$p103")
+    assert(!p103.contains("CartesianProduct") && !p103.contains("BroadcastNestedLoopJoin"),
+      s"q103 grew a cartesian/nested-loop join:\n$p103")
+    // q104 (correlated UNION body): the two branches are keyed joins
+    // unioned by name; bare UNION's dedupe is an aggregate, not a loop
+    val p104 = plan("q104_cypher_call_union")
+    assert(p104.contains("Union"), s"q104 lost the branch union:\n$p104")
+    assert(!p104.contains("CartesianProduct") && !p104.contains("BroadcastNestedLoopJoin"),
+      s"q104 grew a cartesian/nested-loop join:\n$p104")
+    // q100 (per-key top-k): still the partitioned row_number window
+    val p100 = plan("q100_cypher_call_topk")
+    assert(p100.contains("Window"), s"q100 lost its per-key window:\n$p100")
+    assert(!p100.contains("CartesianProduct"),
+      s"q100 grew a cartesian:\n$p100")
+  }
+
   test("filter+project (q02) pushes predicates and prunes columns at the scan") {
     val p = plan("q02_filter_project")
     val pushed = p.linesIterator.exists(l =>
