@@ -5,20 +5,23 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 object Bench {
-  /** Committed full-suite records (seconds) per sf-dir basename; a fresh
-    * full run that exceeds its record by >15% is flagged contended no
-    * matter what loadavg claimed. Update when a new record is committed
-    * to BASELINE.md. Both values are round-8 certified-clean records over
-    * the full 109-query suite (contended: false, zero errors), measured
-    * on an idle session AFTER the load_before sampling fix — see
-    * BASELINE.md "Round-8 record, final". They supersede the interim
-    * 104-query 65.8 / 107-query 154.7 records. (q102 joined the suite
-    * after the records were cut; its ~0.2 s sits well inside the 1.15x
-    * guard headroom, and later structural wins — DataFrame BFS, cached
-    * q31b store — push the expected fast-window totals BELOW the records.)
+  /** Committed full-suite records per sf-dir basename, as (query count,
+    * seconds): a fresh full run that exceeds its record by >15% is
+    * flagged contended no matter what loadavg claimed — but ONLY when the
+    * suite size matches the record's. A grown suite legitimately costs
+    * more than the old record, so comparing across sizes would mislabel
+    * every clean run contended and the new suite could never certify; a
+    * size-mismatched run falls back to the loadavg-only check. Update
+    * when a new record is committed to BASELINE.md. Current values are
+    * the round-8 certified-clean records over the then-full 109-query
+    * suite (contended: false, zero errors, idle session, post
+    * load_before-sampling-fix — BASELINE.md "Round-8 record, final");
+    * round 9 added q103-q107 (115 queries), certification pending a
+    * clean measurement window (the box ran its slow mode all evening —
+    * BASELINE.md "Round-9 measurements").
     */
-  val CommittedTotalSec: Map[String, Double] =
-    Map("sf0.1" -> 62.1, "sf1" -> 117.9)
+  val CommittedTotalSec: Map[String, (Int, Double)] =
+    Map("sf0.1" -> (109, 62.1), "sf1" -> (109, 117.9))
 
   /** Per-query error marker for the bench artifact: a query that throws
     * must surface in the JSON, not fold a bogus fast time into the total
@@ -121,6 +124,7 @@ object Bench {
     val timed = wanted.map { case (name, fn) => name -> time1(fn) }
     val results = timed.map { case (name, (sec, _)) => name -> sec }
     val errors = timed.collect { case (name, (_, Some(e))) => name -> e }
+    val suiteSize = wanted.size
     // Noise probe: rerun the single most expensive query and RECORD both
     // timings without touching the headline numbers. (The pre-r7 damper
     // kept the cheaper of the two, which biased the suite total downward
@@ -133,10 +137,12 @@ object Bench {
     }
     val loadAfter = loadavg()
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // Committed-record comparison only applies to full-suite runs (subset
-    // totals are not comparable to the record).
+    // Committed-record comparison only applies to full-suite runs whose
+    // size matches the record's (subset totals and grown suites are not
+    // comparable to it).
     val committed = if (args.isEmpty)
       CommittedTotalSec.get(java.nio.file.Paths.get(sfDir).getFileName.toString)
+        .collect { case (n, sec) if n == suiteSize => sec }
     else None
     val contended = isContended(loadBefore, total, committed)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

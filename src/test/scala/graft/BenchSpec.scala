@@ -30,6 +30,16 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.isContended(2.1, 1.0, None))
   }
 
+  test("the committed record carries its suite size") {
+    // a grown suite legitimately costs more than the old record; comparing
+    // across sizes would mislabel every clean run contended and the new
+    // suite could never certify — main only passes the record through
+    // when the run's query count matches the record's
+    Bench.CommittedTotalSec.foreach { case (sf, (n, sec)) =>
+      assert(n > 0 && sec > 0, s"$sf record malformed")
+    }
+  }
+
   test("a throwing query surfaces in the errors fragment") {
     assert(Bench.errorsJson(Seq("q55_hll" -> "AnalysisException")) ==
       ""","errors":{"q55_hll":"AnalysisException"}""")
