@@ -1483,6 +1483,16 @@ class CypherSpec extends SparkSpec {
       "zero-length")
     rejects("MATCH (a:X) (()-[:R*1..2]->()){1,2} (b:X) RETURN a.k AS k",
       "nests quantifiers")
+    // QPP spellings compose with shortestPath: the shorthand inside the
+    // path function desugars to the same var-length AST
+    assert(Parser.parse(
+      "MATCH p = shortestPath((a:X)-[:R]->+(b:X)) RETURN length(p) AS l") ==
+      Parser.parse(
+        "MATCH p = shortestPath((a:X)-[:R*]->(b:X)) RETURN length(p) AS l"))
+    assert(Parser.parse(
+      "MATCH p = shortestPath((a:X) (()-[:R]-()){1,3} (b:X)) RETURN length(p) AS l") ==
+      Parser.parse(
+        "MATCH p = shortestPath((a:X)-[:R*1..3]-(b:X)) RETURN length(p) AS l"))
   }
 
   test("relationships(p) through a type-disjunction shortestPath carries per-hop types") {
@@ -1567,6 +1577,25 @@ class CypherSpec extends SparkSpec {
       """MATCH p = allShortestPaths((a:HL {lid: 1})-[:OWNS*]-(b:HR {rid: 12}))
          RETURN length(p) AS len, count(*) AS paths""").collect()
     assert(all.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((3L, 2L)))
+    // relationships(p) under allShortestPaths + a (single-member) type
+    // group widened to a disjunction with a second type: add PREFERS
+    // edges L1-R12 so a length-1 mixed-type path displaces the len-3
+    // routes, and each hop must carry its REAL member type (keepAll +
+    // withRels: distinctness includes the type sequence)
+    val st2 = CypherEngine(st).execute(
+      """UNWIND $rows AS row
+         MATCH (s:HL) WHERE s.lid = row.a
+         WITH s, row
+         MATCH (t:HR) WHERE t.rid = row.b
+         MERGE (s)-[r:PREFERS]->(t)""",
+      Map("rows" -> Seq((1L, 12L))
+        .map { case (a, b) => Map[String, Any]("a" -> a, "b" -> b) })).store
+    val rels = CypherEngine(st2).run(
+      """MATCH p = allShortestPaths((a:HL {lid: 1})-[:OWNS|PREFERS*]-(b:HR {rid: 12}))
+         RETURN length(p) AS len, relationships(p) AS rs""").collect()
+    assert(rels.length == 1)
+    val hop = rels.head.getSeq[org.apache.spark.sql.Row](1)
+    assert(rels.head.getLong(0) == 1L && hop.map(_.getString(2)) == Seq("PREFERS"))
   }
 
   test("graph introspection: labels/type/id/keys/properties") {
