@@ -1249,6 +1249,30 @@ class CypherSpec extends SparkSpec {
                 WITH s MATCH (n:Nation) RETURN n.n_name AS x }
          RETURN count(*) AS c"""))
     assert(perr.getMessage.contains("same importing WITH"))
+    // full composition: one branch aggregates through an intermediate WITH
+    // (its zero-match restore runs inside the branch), the sibling branch
+    // is plain, and the trailing ORDER BY + LIMIT slices per key across
+    // the union — per region: count-of-nations (5) from branch A, the two
+    // smallest nation names from branch B, sliced to the per-key top-2 of
+    // the union by x ascending (the count 5 sorts before the names)
+    val comp = engine.run(
+      """MATCH (r:Region)
+         CALL { WITH r MATCH (n:Nation)-[:IN_REGION]->(r)
+                WITH count(n) AS cnt
+                RETURN toString(cnt) AS x
+                UNION ALL
+                WITH r MATCH (n:Nation)-[:IN_REGION]->(r)
+                RETURN n.n_name AS x
+                ORDER BY x LIMIT 2 }
+         RETURN r.r_name AS rn, x ORDER BY rn, x""").collect()
+      .map(rr => (rr.getString(0), rr.getString(1))).toSeq
+    assert(comp.length == 10)
+    // every region keeps exactly 2 rows and the '5' count row wins the
+    // ascending sort (digits < letters in UTF-8)
+    comp.grouped(2).foreach { g =>
+      assert(g.map(_._1).distinct.size == 1)
+      assert(g.head._2 == "5")
+    }
   }
 
   test("var-length closure is seed-restricted by a bound anchor") {
