@@ -30,6 +30,43 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.isContended(2.1, 1.0, None))
   }
 
+  test("a slow-mode run flags on the per-query median ratio at idle loadavg") {
+    // the round-9 trap: hypervisor-level slowness invisible to loadavg
+    // (q85 probes 7.3-14.7 s vs its 3.45 s record at loadavg 0.09) on a
+    // GROWN suite, where the size-mismatched total clause cannot compare —
+    // without the median clause such a run would certify as a clean record
+    assert(Bench.isContended(0.09, 87.0, None, Some(1.55)))
+    assert(!Bench.isContended(0.09, 87.0, None, Some(1.1)))
+    assert(!Bench.isContended(0.09, 87.0, None, None))
+  }
+
+  test("medianRatio compares shared queries above the noise floor") {
+    val record = (1 to 30).map(i => s"q$i" -> 1.0).toMap + ("q31" -> 0.05)
+    // uniform 2x inflation over 30 shared queries; the sub-floor q31 and
+    // the record-less q99 are ignored
+    val run = (1 to 30).map(i => s"q$i" -> 2.0) :+ ("q31" -> 50.0) :+ ("q99" -> 9.0)
+    assert(Bench.medianRatio(run, record).contains(2.0))
+    // under 20 shared queries: no anchor (a subset must not flag on a
+    // handful of ratios)
+    val few = (1 to 10).map(i => s"q$i" -> 2.0)
+    assert(Bench.medianRatio(few, record).isEmpty)
+  }
+
+  test("recordQueries refuses a contaminated or missing record") {
+    assert(Bench.recordQueries("/nonexistent/path.json").isEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("bench-rec")
+    val contaminated = dir.resolve("c.json")
+    java.nio.file.Files.writeString(contaminated,
+      """{"queries":{"q01_x":1.5},"contended":true}""")
+    assert(Bench.recordQueries(contaminated.toString).isEmpty)
+    val clean = dir.resolve("ok.json")
+    java.nio.file.Files.writeString(clean,
+      """{"queries":{"q01_x":1.5,"q02_y":0.25},"contended":false,""" +
+        """"rerun_worst":{"name":"q01_x","first":1.5,"second":1.2}}""")
+    assert(Bench.recordQueries(clean.toString) ==
+      Map("q01_x" -> 1.5, "q02_y" -> 0.25))
+  }
+
   test("the committed record carries its suite size") {
     // a grown suite legitimately costs more than the old record; comparing
     // across sizes would mislabel every clean run contended and the new
