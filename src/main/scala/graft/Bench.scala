@@ -52,7 +52,13 @@ object Bench {
                   committedTotalSec: Option[Double],
                   medRatioVsRecord: Option[Double] = None): Boolean =
     loadBefore > 2.0 || committedTotalSec.exists(b => totalSec > b * 1.15) ||
-      medRatioVsRecord.exists(_ > 1.3)
+      // 1.25: a clean same-HEAD rerun medians ~1.0-1.05 (per-query noise
+      // ±10%), while the box's MILD slow mode measured exactly 1.30 — the
+      // first threshold tried (1.3) straddled it (a 92.1 s run labeled
+      // clean at median 1.2998). A legitimately-slower future HEAD that
+      // trips this re-certifies by committing its artifact manually —
+      // the flag only routes the file, it doesn't block promotion.
+      medRatioVsRecord.exists(_ > 1.25)
 
   /** Median per-query ratio vs the committed certified record (pure;
     * BenchSpec-pinned). Only queries the record also timed above a 0.15 s

@@ -36,6 +36,8 @@ class BenchSpec extends AnyFunSuite {
     // GROWN suite, where the size-mismatched total clause cannot compare —
     // without the median clause such a run would certify as a clean record
     assert(Bench.isContended(0.09, 87.0, None, Some(1.55)))
+    // the observed mild-slow-mode median (1.2998, a 92.1 s run) must flag
+    assert(Bench.isContended(0.09, 92.1, None, Some(1.2998)))
     assert(!Bench.isContended(0.09, 87.0, None, Some(1.1)))
     assert(!Bench.isContended(0.09, 87.0, None, None))
   }
