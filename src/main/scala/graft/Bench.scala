@@ -13,15 +13,31 @@ object Bench {
     * every clean run contended and the new suite could never certify; a
     * size-mismatched run falls back to the loadavg-only check. Update
     * when a new record is committed to BASELINE.md. Current values are
-    * the round-8 certified-clean records over the then-full 109-query
-    * suite (contended: false, zero errors, idle session, post
-    * load_before-sampling-fix — BASELINE.md "Round-8 record, final");
-    * round 9 added q103-q107 (115 queries), certification pending a
-    * clean measurement window (the box ran its slow mode all evening —
-    * BASELINE.md "Round-9 measurements").
+    * the round-10 certified-clean 115-query records (contended: false,
+    * zero errors, idle session; sf0.1 median ratio 1.047 vs the r8
+    * record — BASELINE.md "Round-10 record").
     */
   val CommittedTotalSec: Map[String, (Int, Double)] =
-    Map("sf0.1" -> (109, 62.1), "sf1" -> (109, 117.9))
+    Map("sf0.1" -> (115, 73.8), "sf1" -> (115, 139.0))
+
+  /** Per-SF certified record artifact (per-query times for the median-
+    * ratio clause; ADVICE r9: the guard previously anchored at sf0.1
+    * only, leaving sf1 slow-mode runs guarded by loadavg alone).
+    * Resolved against the first existing candidate so a bench launched
+    * from another CWD still finds the committed record.
+    */
+  def recordPath(sfName: String): Option[String] = {
+    val file = sfName match {
+      case "sf0.1" => Some("BENCH_FULL.json")
+      case "sf1" => Some("BENCH_FULL.sf1.json")
+      case _ => None
+    }
+    file.map { f =>
+      Seq(f, s"/root/repo/$f")
+        .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+        .getOrElse(f)
+    }
+  }
 
   /** Per-query error marker for the bench artifact: a query that throws
     * must surface in the JSON, not fold a bogus fast time into the total
@@ -80,9 +96,22 @@ object Bench {
   def recordQueries(path: String): Map[String, Double] =
     try {
       val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
-      if (!txt.contains("\"contended\":false")) Map.empty
-      else """"(q[0-9][^"]*)":([0-9][0-9.eE-]*)""".r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      // tolerant-whitespace parse, scoped to the "queries" object so a
+      // q-named key elsewhere in the artifact can never pollute the
+      // anchor (ADVICE r9: the old whole-file regex + exact substring
+      // test failed open on any formatting change)
+      val contended = """"contended"\s*:\s*(true|false)""".r
+        .findFirstMatchIn(txt).map(_.group(1))
+      if (!contended.contains("false")) Map.empty
+      else {
+        val start = txt.indexOf("\"queries\"")
+        val open = if (start < 0) -1 else txt.indexOf('{', start)
+        val close = if (open < 0) -1 else txt.indexOf('}', open)
+        if (close < 0) Map.empty
+        else """"(q[0-9][^"]*)"\s*:\s*([0-9][0-9.eE+-]*)""".r
+          .findAllMatchIn(txt.substring(open, close))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
     } catch { case _: Throwable => Map.empty }
 
   /** Artifact routing (pure; pinned by BenchSpec): neither a contended
@@ -181,11 +210,11 @@ object Bench {
       CommittedTotalSec.get(java.nio.file.Paths.get(sfDir).getFileName.toString)
         .collect { case (n, sec) if n == suiteSize => sec }
     else None
-    // the certified per-query anchor only exists for the record's own SF
+    // the certified per-query anchor is per-SF (sf0.1 + sf1 records)
+    val sfName = java.nio.file.Paths.get(sfDir).getFileName.toString
     val medRatio =
-      if (args.nonEmpty ||
-          java.nio.file.Paths.get(sfDir).getFileName.toString != "sf0.1") None
-      else medianRatio(results, recordQueries("BENCH_FULL.json"))
+      if (args.nonEmpty) None
+      else recordPath(sfName).flatMap(p => medianRatio(results, recordQueries(p)))
     val contended = isContended(loadBefore, total, committed, medRatio)
     val medJson = medRatio.map(r => s""","median_ratio_vs_record":$r""").getOrElse("")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -196,8 +225,11 @@ object Bench {
     println(json)
     // The driver captures a stdout TAIL, which has truncated early queries
     // in past rounds — always persist the complete per-query object too.
+    // per-SF default artifact name: an sf1 full run must never clobber
+    // the certified sf0.1 record file (and vice versa)
+    val defaultOut = if (sfName == "sf1") "BENCH_FULL.sf1.json" else "BENCH_FULL.json"
     val out = artifactPath(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json"),
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut),
       contended, subset = args.nonEmpty)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: Exception => System.err.println(s"[bench] could not write $out: $e") }

@@ -2617,9 +2617,20 @@ object CypherEngine {
       * must be bound node variables; one row per frame row becomes an edge
       * (MERGE skips rows whose full written pattern already exists — one
       * anti join). Orientation corrects against the schema like reads do.
+      *
+      * With `sets`/`onCreate`/`onMatch` (MERGE only — the idiomatic edge
+      * counter `MERGE (a)-[r:T]->(b) ON CREATE SET r.n = 1 ON MATCH SET
+      * r.n = r.n + 1`), the frame first LEFT-joins the CURRENT edge store
+      * on (endpoint keys + merge props), which binds `r`'s current
+      * properties and yields a matched marker — the same pre-join shape as
+      * [[mergeNodeWrite]] — then hands the resolved values to
+      * [[GraphWriter.upsertEdges]]'s full-outer upsert.
       */
     private def mergeEdgeWrite(df: DataFrame, ctx: Ctx, path: PathPat,
-        create: Boolean): (DataFrame, Ctx) = {
+        create: Boolean,
+        sets: Seq[(String, Expr)] = Nil,
+        onCreate: Seq[(String, Expr)] = Nil,
+        onMatch: Seq[(String, Expr)] = Nil): (DataFrame, Ctx) = {
       val (rel, dstPat) = path.hops.head
       val aVar = path.head.variable.getOrElse(
         throw CypherException("relationship write needs named endpoints"))
@@ -2653,20 +2664,86 @@ object CypherEngine {
           val kt0 = store.schema.node(dLabel).key
           (ks, if (kt0 == ks) kt0 + "_dst" else kt0, s0, d0)
       }
-      val incoming = df.select(
-        nodeKeyCol(srcVar, ctx).as(keyS) +: nodeKeyCol(dstVar, ctx).as(keyT) +:
-          rel.props.map { case (p, e) => column(e, ctx).as(p) }: _*)
-      // endpoint keys come from MATCHed or just-CREATEd node frames, so
-      // the merged rows keep the endpoint-validated invariant
-      store = GraphWriter.mergeEdges(store, label, ctx.labels(srcVar), ctx.labels(dstVar),
-        keyS, keyT, incoming, create, endpointsValidated = true)
-      rel.variable match {
-        case Some(rv) =>
-          val d = rel.props.foldLeft(df) { case (acc, (p, e)) =>
-            acc.withColumn(s"${rv}__$p", column(e, ctx))
-          }
-          (d, ctx.copy(rels = ctx.rels + (rv -> RelInfo(label, srcVar, dstVar))))
-        case None => (df, ctx)
+      if (sets.isEmpty && onCreate.isEmpty && onMatch.isEmpty) {
+        val incoming = df.select(
+          nodeKeyCol(srcVar, ctx).as(keyS) +: nodeKeyCol(dstVar, ctx).as(keyT) +:
+            rel.props.map { case (p, e) => column(e, ctx).as(p) }: _*)
+        // endpoint keys come from MATCHed or just-CREATEd node frames, so
+        // the merged rows keep the endpoint-validated invariant
+        store = GraphWriter.mergeEdges(store, label, ctx.labels(srcVar), ctx.labels(dstVar),
+          keyS, keyT, incoming, create, endpointsValidated = true)
+        rel.variable match {
+          case Some(rv) =>
+            val d = rel.props.foldLeft(df) { case (acc, (p, e)) =>
+              acc.withColumn(s"${rv}__$p", column(e, ctx))
+            }
+            (d, ctx.copy(rels = ctx.rels + (rv -> RelInfo(label, srcVar, dstVar))))
+          case None => (df, ctx)
+        }
+      } else {
+        if (create)
+          throw CypherException("ON CREATE/ON MATCH SET applies to MERGE, not CREATE")
+        val rv = rel.variable.getOrElse(anonVar())
+        if (ctx.rels.contains(rv) || ctx.labels.contains(rv))
+          throw CypherException(s"MERGE relationship variable $rv is already bound")
+        val mergeKeys = rel.props.map(_._1)
+        def toMap(xs: Seq[(String, Expr)]) = {
+          val m = collection.mutable.LinkedHashMap[String, Expr]()
+          xs.foreach { case (k, e) => if (!mergeKeys.contains(k)) m(k) = e }
+          m
+        }
+        val setMap = toMap(sets)
+        val ocMap = toMap(onCreate)
+        val omMap = toMap(onMatch)
+        val touched = (setMap.keys ++ ocMap.keys ++ omMap.keys).toSeq.distinct
+        val mark = s"__emerged_$rv"
+        // captured BEFORE the upsert mutates `store`: valueOf is evaluated
+        // again for the post-write frame refresh
+        val brandNew = !store.edges.contains(label)
+        val existedProps: Seq[String] =
+          if (!brandNew) store.schema.edge(label).properties else Nil
+        val joined = store.edges.get(label) match {
+          case Some(ed0) =>
+            val ed = ed0.columns.foldLeft(ed0)((d, c) =>
+              d.withColumnRenamed(c, s"${rv}__$c")).withColumn(mark, lit(true))
+            val cond = (nodeKeyCol(srcVar, ctx) <=> col(s"${rv}__$keyS")) &&
+              (nodeKeyCol(dstVar, ctx) <=> col(s"${rv}__$keyT")) &&
+              rel.props.map { case (p, e) => column(e, ctx) <=> col(s"${rv}__$p") }
+                .foldLeft(lit(true))(_ && _)
+            df.join(ed, cond, "left_outer")
+          case None => df.withColumn(mark, lit(null).cast("boolean"))
+        }
+        val ctxN = ctx.copy(rels = ctx.rels + (rv -> RelInfo(label, srcVar, dstVar)))
+        val matched = col(mark).isNotNull
+        def cur(p: String): Column =
+          if (existedProps.contains(p)) col(s"${rv}__$p") else lit(null)
+        def valueOf(p: String): Column =
+          if (brandNew)
+            // brand-new type: nothing can match — compile only the create
+            // branch (ON MATCH may reference properties that don't exist)
+            ocMap.get(p).orElse(setMap.get(p)).map(e => columnL(e, ctxN, Map.empty))
+              .getOrElse(lit(null))
+          else
+            when(matched,
+              omMap.get(p).orElse(setMap.get(p)).map(e => columnL(e, ctxN, Map.empty))
+                .getOrElse(cur(p)))
+              .otherwise(
+                ocMap.get(p).orElse(setMap.get(p)).map(e => columnL(e, ctxN, Map.empty))
+                  .getOrElse(lit(null)))
+        val incoming = joined.select(
+          nodeKeyCol(srcVar, ctx).as(keyS) +: nodeKeyCol(dstVar, ctx).as(keyT) +:
+            (rel.props.map { case (p, e) => column(e, ctx).as(p) } ++
+              touched.map(p => valueOf(p).as(p))): _*)
+        store = GraphWriter.upsertEdges(store, label, ctx.labels(srcVar),
+          ctx.labels(dstVar), keyS, keyT, incoming, mergeKeys,
+          endpointsValidated = true)
+        // refresh the binding in place: merge props from the pattern exprs,
+        // touched properties from the same value expressions the store got
+        var out = joined.withColumns(
+          rel.props.map { case (p, e) => s"${rv}__$p" -> column(e, ctx) }.toMap ++
+            touched.map(p => s"${rv}__$p" -> valueOf(p)).toMap)
+        out = out.drop(mark)
+        (out, ctxN)
       }
     }
 
@@ -2718,25 +2795,47 @@ object CypherEngine {
       (df, ctx)
     }
 
-    /** Standalone SET on an already-bound node variable: upsert the store
-      * on the node key, refresh the frame's columns in place.
+    /** Standalone SET on an already-bound node or relationship variable:
+      * upsert the store (node key / edge identity), refresh the frame's
+      * columns in place. A relationship's identity is its endpoint keys
+      * plus every property column the match bound — the same parallel-edge
+      * rule as DELETE r ([[deleteVar]]): `SET r.w = 1` on a matched
+      * `()-[r:T {k: 2}]->()` touches only the parallel edges whose
+      * properties matched.
       */
     private def standaloneSet(df: DataFrame, ctx: Ctx, item: SetItem): (DataFrame, Ctx) = {
       val (v, pairs) = item match {
         case SetPlus(x, m) => (x, m)
         case SetProp(x, p, e) => (x, Seq((p, e)))
       }
-      val label = ctx.labels.getOrElse(v,
-        throw CypherException(s"SET target $v is not a bound node variable"))
-      val nt = store.schema.node(label)
-      val incoming = df.select(
-        col(s"${v}__${nt.key}").as(nt.key) +:
-          pairs.map { case (p, e) => column(e, ctx).as(p) }: _*)
-      store = GraphWriter.mergeNodes(store, label, incoming, Seq(nt.key))
-      val d = pairs.foldLeft(df) { case (acc, (p, e)) =>
-        acc.withColumn(s"${v}__$p", column(e, ctx))
+      ctx.labels.get(v) match {
+        case Some(label) =>
+          val nt = store.schema.node(label)
+          val incoming = df.select(
+            col(s"${v}__${nt.key}").as(nt.key) +:
+              pairs.map { case (p, e) => column(e, ctx).as(p) }: _*)
+          store = GraphWriter.mergeNodes(store, label, incoming, Seq(nt.key))
+          val d = pairs.foldLeft(df) { case (acc, (p, e)) =>
+            acc.withColumn(s"${v}__$p", column(e, ctx))
+          }
+          (d, ctx)
+        case None =>
+          val RelInfo(label, sV, dV) = ctx.rels.getOrElse(v,
+            throw CypherException(
+              s"SET target $v is not a bound node or single-type relationship variable"))
+          val et = store.schema.edge(label)
+          val idProps = et.properties
+            .filter(p => df.columns.contains(s"${v}__$p"))
+          val sel = Seq(nodeKeyCol(sV, ctx).as(et.keyS),
+              nodeKeyCol(dV, ctx).as(et.keyT)) ++
+            idProps.map(p => col(s"${v}__$p").as(p)) ++
+            pairs.map { case (p, e) => column(e, ctx).as(s"__set_$p") }
+          store = GraphWriter.updateEdges(store, label, df.select(sel: _*))
+          val d = pairs.foldLeft(df) { case (acc, (p, e)) =>
+            acc.withColumn(s"${v}__$p", column(e, ctx))
+          }
+          (d, ctx)
       }
-      (d, ctx)
     }
 
     /** `[DETACH] DELETE v` — node or relationship variable. The frame keeps
@@ -2809,12 +2908,36 @@ object CypherEngine {
             df = d2; ctx = c2
             i = j
           case MergeClause(path, onCreate, onMatch) if path.hops.size == 1 =>
-            if (onCreate.nonEmpty || onMatch.nonEmpty)
-              throw CypherException(
-                "ON CREATE/ON MATCH SET is not supported on relationship MERGE")
-            val (d2, c2) = mergeEdgeWrite(df, ctx, path, create = false)
+            // ON CREATE/ON MATCH SET and immediately-following SET clauses
+            // must target the merge's relationship variable (node-endpoint
+            // SETs are separate standalone clauses, not part of the merge)
+            val rvOpt = path.hops.head._1.variable
+            def relTargets(items: Seq[SetItem]): Unit = items.foreach {
+              case SetPlus(x, _) if !rvOpt.contains(x) => throw CypherException(
+                s"ON CREATE/ON MATCH SET on a relationship MERGE must target " +
+                  s"its relationship variable${rvOpt.fold("")(" " + _)}")
+              case SetProp(x, _, _) if !rvOpt.contains(x) => throw CypherException(
+                s"ON CREATE/ON MATCH SET on a relationship MERGE must target " +
+                  s"its relationship variable${rvOpt.fold("")(" " + _)}")
+              case _ => ()
+            }
+            relTargets(onCreate); relTargets(onMatch)
+            val sets = Seq.newBuilder[(String, Expr)]
+            var j = i + 1
+            var fusing = rvOpt.nonEmpty
+            while (fusing && j < writes.length) writes(j) match {
+              case SetClause(items) if items.forall {
+                    case SetPlus(x, _) => rvOpt.contains(x)
+                    case SetProp(x, _, _) => rvOpt.contains(x)
+                  } =>
+                sets ++= flat(items)
+                j += 1
+              case _ => fusing = false
+            }
+            val (d2, c2) = mergeEdgeWrite(df, ctx, path, create = false,
+              sets.result(), flat(onCreate), flat(onMatch))
             df = d2; ctx = c2
-            i += 1
+            i = j max (i + 1)
           case MergeClause(_, _, _) =>
             throw CypherException(
               "MERGE supports a single node or a single-relationship pattern")

@@ -207,6 +207,126 @@ object GraphWriter {
     }
   }
 
+  /** MERGE-with-SET upsert of edge rows — the store half of
+    * `MERGE (a)-[r:T {…}]->(b) ON CREATE SET … ON MATCH SET … [SET r.p = …]`
+    * (the idiomatic generated-Cypher edge-counter pattern the plain
+    * [[mergeEdges]] anti-join cannot express; reference surface:
+    * final/langraph_neo4j3.py:154-181 accepts arbitrary write Cypher).
+    * Rows matching an existing edge on (keyS, keyT, mergeProps) overwrite
+    * exactly the non-match incoming columns — the caller computes ON
+    * MATCH values against the pre-merge store, so self-references
+    * (`r.n = r.n + 1`) arrive already resolved; unmatched rows become new
+    * edges carrying their ON CREATE values. Same full-outer shape and
+    * type-cast guard as [[mergeNodes]]: ONE shuffle on the match columns,
+    * broadcastable when the incoming side is small.
+    */
+  def upsertEdges(
+      store: GraphStore,
+      label: String,
+      srcLabel: String,
+      dstLabel: String,
+      keyS: String,
+      keyT: String,
+      incoming: DataFrame,
+      mergeProps: Seq[String],
+      endpointsValidated: Boolean = false): GraphStore = {
+    val matchCols = Seq(keyS, keyT) ++ mergeProps
+    matchCols.foreach(k =>
+      require(incoming.columns.contains(k), s"incoming lacks match column $k"))
+    // a null endpoint key never lands in a store (MERGE on null throws in
+    // Neo4j; here the row is dropped with the same rationale as mergeNodes)
+    val dd = dedupOn(incoming.na.drop("any", Seq(keyS, keyT)), matchCols)
+    store.edges.get(label) match {
+      case None =>
+        val et = EdgeType(label, srcLabel, dstLabel, keyS, keyT,
+          properties = dd.columns.filterNot(c => c == keyS || c == keyT).toSeq,
+          pairsUnique = false)
+        store.copy(
+          schema = store.schema.copy(edges = store.schema.edges :+ et),
+          edges = store.edges + (label -> dd),
+          validatedEdges =
+            if (endpointsValidated) store.validatedEdges + label
+            else store.validatedEdges - label)
+      case Some(existing) =>
+        val et0 = store.schema.edge(label)
+        require(keyS == et0.keyS && keyT == et0.keyT,
+          s"edge $label key columns are ${et0.keyS}/${et0.keyT}")
+        val existingType = existing.schema.fields.map(f => f.name -> f.dataType).toMap
+        val dd2 = dd.columns.foldLeft(dd) { (d, c) =>
+          existingType.get(c).filter(_ != d.schema(c).dataType)
+            .fold(d)(t => d.withColumn(c, col(c).cast(t)))
+        }
+        val setCols = dd2.columns.filterNot(matchCols.contains).toSeq
+        val allCols = (existing.columns ++ dd2.columns).distinct.toSeq
+        val pfx = "__w_"
+        val r = dd2.columns.foldLeft(dd2)((d, c) => d.withColumnRenamed(c, pfx + c))
+          .withColumn("__w__m", lit(true))
+        val cond = matchCols.map(k => col(k) <=> col(pfx + k)).reduce(_ && _)
+        val out = allCols.map { c =>
+          if (matchCols.contains(c)) coalesce(col(c), col(pfx + c)).as(c)
+          else if (setCols.contains(c) && existing.columns.contains(c))
+            when(col("__w__m"), col(pfx + c)).otherwise(col(c)).as(c)
+          else if (setCols.contains(c)) col(pfx + c).as(c) // brand-new property
+          else col(c).as(c) // untouched existing property (null for created)
+        }
+        val merged = existing.join(r, cond, "full_outer").select(out: _*)
+        val et = et0.copy(
+          properties = allCols.filterNot(c => c == keyS || c == keyT),
+          pairsUnique = false)
+        store.copy(
+          schema = store.schema.copy(edges =
+            store.schema.edges.map(e => if (e.label == label) et else e)),
+          edges = store.edges + (label -> merged),
+          // validated new rows keep an already-validated label validated;
+          // they cannot retroactively validate existing rows
+          validatedEdges =
+            if (endpointsValidated) store.validatedEdges
+            else store.validatedEdges - label)
+    }
+  }
+
+  /** Standalone `SET r.p = …` on already-matched relationships. `pairs`
+    * carries the edge identity (keyS/keyT plus any bound property columns,
+    * CURRENT values — the same parallel-edge identity rule as
+    * [[deleteEdges]]) and the new values as `__set_<p>` columns. Matched
+    * store rows overwrite exactly the set columns; nothing else moves.
+    * One left join; within-batch identity collisions collapse last-wins.
+    */
+  def updateEdges(store: GraphStore, label: String, pairs: DataFrame): GraphStore = {
+    val et0 = store.schema.edge(label)
+    val setCols = pairs.columns.filter(_.startsWith("__set_"))
+      .map(_.stripPrefix("__set_")).toSeq
+    val matchCols = pairs.columns.filterNot(_.startsWith("__set_")).toSeq
+    require(matchCols.contains(et0.keyS) && matchCols.contains(et0.keyT),
+      s"updateEdges pairs for $label need ${et0.keyS}/${et0.keyT} columns")
+    val before = store.edges(label)
+    val beforeType = before.schema.fields.map(f => f.name -> f.dataType).toMap
+    val dd0 = dedupOn(pairs, matchCols)
+    // a store column has ONE type — incoming set values cast to it
+    val dd = setCols.foldLeft(dd0) { (d, c) =>
+      beforeType.get(c).filter(_ != d.schema(s"__set_$c").dataType)
+        .fold(d)(t => d.withColumn(s"__set_$c", col(s"__set_$c").cast(t)))
+    }
+    val pfx = "__u_"
+    val p = dd.columns.foldLeft(dd)((d, c) => d.withColumnRenamed(c, pfx + c))
+      .withColumn("__u__m", lit(true))
+    val cond = matchCols.map(c => col(c) <=> col(pfx + c)).reduce(_ && _)
+    val allCols = (before.columns ++ setCols).distinct.toSeq
+    val out = allCols.map { c =>
+      if (setCols.contains(c) && before.columns.contains(c))
+        when(col("__u__m"), col(s"${pfx}__set_$c")).otherwise(col(c)).as(c)
+      else if (setCols.contains(c))
+        when(col("__u__m"), col(s"${pfx}__set_$c")).otherwise(lit(null)).as(c)
+      else col(c).as(c)
+    }
+    val merged = before.join(p, cond, "left_outer").select(out: _*)
+    val et = et0.copy(properties = (et0.properties ++ setCols).distinct)
+    store.copy(
+      schema = store.schema.copy(edges =
+        store.schema.edges.map(e => if (e.label == label) et else e)),
+      edges = store.edges + (label -> merged))
+  }
+
   /** DELETE nodes whose key appears in `keys` (a one-column frame named by
     * the node key). With `detach`, incident edges of every type go too —
     * Neo4j `DETACH DELETE`. Without it, edges are left untouched (Neo4j

@@ -306,6 +306,113 @@ class CypherWriteSpec extends SparkSpec {
     assert(read === Array(Row(flagged)))
   }
 
+  // ------------------- relationship MERGE ON CREATE / ON MATCH SET (r10)
+
+  private def personCityStore(): GraphStore = {
+    val base = CypherEngine(GraphStore.empty).execute(
+      """UNWIND $rows AS row MERGE (n:City {city_id: row.city_id})
+         SET n += {city_id: row.city_id}""",
+      Map("rows" -> rows(Map("city_id" -> 1L), Map("city_id" -> 2L)))).store
+    CypherEngine(base).execute(
+      """UNWIND $rows AS row MERGE (n:Person {pid: row.pid})
+         SET n += {pid: row.pid}""",
+      Map("rows" -> rows(Map("pid" -> 10L), Map("pid" -> 11L)))).store
+  }
+
+  test("relationship MERGE ON CREATE SET / ON MATCH SET counter (create then match)") {
+    val cypher =
+      """UNWIND $rows AS row
+        MATCH (s:Person) WHERE s.pid = row.pid
+        WITH s, row
+        MATCH (t:City) WHERE t.city_id = row.city_id
+        WITH s, t
+        MERGE (s)-[r:VISITED]->(t)
+        ON CREATE SET r.n = 1
+        ON MATCH SET r.n = r.n + 1
+        RETURN count(r) AS processed"""
+    val batch = Map("rows" -> rows(
+      Map("pid" -> 10L, "city_id" -> 1L), Map("pid" -> 11L, "city_id" -> 2L)))
+    // pass 1: both edges created with n=1 (ON CREATE)
+    val st1 = CypherEngine(personCityStore()).execute(cypher, batch).store
+    assert(st1.edges("VISITED").orderBy("pid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ===
+      Array((10L, 1L, 1L), (11L, 2L, 1L)))
+    // pass 2 over a subset: only the matched edge increments
+    // (self-referential ON MATCH reads the pre-merge store value)
+    val st2 = CypherEngine(st1).execute(cypher,
+      Map("rows" -> rows(Map("pid" -> 10L, "city_id" -> 1L)))).store
+    assert(st2.edges("VISITED").orderBy("pid").collect()
+      .map(r => (r.getLong(0), r.getLong(2))) === Array((10L, 2L), (11L, 1L)))
+    // pass 3: a new pair creates (n=1) while an old pair increments —
+    // both branches in ONE batch
+    val st3 = CypherEngine(st2).execute(cypher,
+      Map("rows" -> rows(
+        Map("pid" -> 10L, "city_id" -> 1L), Map("pid" -> 10L, "city_id" -> 2L)))).store
+    assert(st3.edges("VISITED").orderBy("pid", "city_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ===
+      Array((10L, 1L, 3L), (10L, 2L, 1L), (11L, 2L, 1L)))
+  }
+
+  test("SET clause fused after relationship MERGE targets the rel variable") {
+    val st = CypherEngine(personCityStore()).execute(
+      """UNWIND $rows AS row
+        MATCH (s:Person) WHERE s.pid = row.pid
+        WITH s, row
+        MATCH (t:City) WHERE t.city_id = row.city_id
+        WITH s, t, row
+        MERGE (s)-[r:RATED]->(t)
+        SET r.score = row.score
+        RETURN count(r) AS processed""",
+      Map("rows" -> rows(
+        Map("pid" -> 10L, "city_id" -> 1L, "score" -> 7L)))).store
+    assert(st.edges("RATED").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))) === Array((10L, 1L, 7L)))
+  }
+
+  test("standalone SET r.prop updates only the matched parallel edges") {
+    // two parallel edges between the same endpoints, different props —
+    // the same identity rule DELETE r uses
+    var st = personCityStore()
+    st = CypherEngine(st).execute(
+      """MATCH (s:Person {pid: 10}), (t:City {city_id: 1})
+         CREATE (s)-[r:TRIP {kind: 'work'}]->(t)""").store
+    st = CypherEngine(st).execute(
+      """MATCH (s:Person {pid: 10}), (t:City {city_id: 1})
+         CREATE (s)-[r:TRIP {kind: 'fun'}]->(t)""").store
+    val upd = CypherEngine(st).execute(
+      """MATCH (s:Person)-[r:TRIP {kind: 'fun'}]->(t:City)
+         SET r.flag = true""").store
+    val got = upd.edges("TRIP").orderBy("kind").collect()
+      .map(r => (r.getString(2), r.isNullAt(3), if (r.isNullAt(3)) false else r.getBoolean(3)))
+    assert(got === Array(("fun", false, true), ("work", true, false)))
+  }
+
+  test("ON CREATE/ON MATCH SET on a relationship MERGE must target the rel variable") {
+    val e = intercept[CypherEngine.CypherException] {
+      CypherEngine(personCityStore()).execute(
+        """MATCH (s:Person {pid: 10}), (t:City {city_id: 1})
+           MERGE (s)-[r:VISITED]->(t)
+           ON CREATE SET s.seen = true""")
+    }
+    assert(e.getMessage.contains("must target its relationship variable"))
+  }
+
+  test("GraphWriter.upsertEdges full-outer shape matches the Cypher counter result") {
+    import spark.implicits._
+    var st = personCityStore()
+    val b1 = Seq((10L, 1L, 1L), (11L, 2L, 1L)).toDF("pid", "city_id", "n")
+    st = GraphWriter.upsertEdges(st, "VISITED", "Person", "City",
+      "pid", "city_id", b1, Nil, endpointsValidated = true)
+    // second batch: matched row arrives with its already-resolved value
+    val b2 = Seq((10L, 1L, 2L)).toDF("pid", "city_id", "n")
+    st = GraphWriter.upsertEdges(st, "VISITED", "Person", "City",
+      "pid", "city_id", b2, Nil, endpointsValidated = true)
+    assert(st.edges("VISITED").orderBy("pid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ===
+      Array((10L, 1L, 2L), (11L, 2L, 1L)))
+    assert(st.validatedEdges.contains("VISITED"))
+  }
+
   test("GraphWriter DataFrame-native API (the scale path) matches Cypher writes") {
     import spark.implicits._
     val incoming = Seq((1L, "a"), (2L, "b")).toDF("gid", "name")
