@@ -704,15 +704,31 @@ object CypherEngine {
       * At scale this is the difference between enumerating a bounded
       * neighborhood and enumerating the whole graph's closure.
       */
+    /** Edge frame for `et` with a hop's inline property filters applied —
+      * var-length / shortestPath property semantics (`[:R*1..3 {p: v}]`):
+      * EVERY traversed hop must satisfy the props, so the walk machinery
+      * simply sees only the satisfying edges. A member type that lacks the
+      * property contributes no edges (Cypher: a missing property reads
+      * null, and `null = v` is never true).
+      */
+    private def filteredEdges(et: EdgeType, props: Seq[(String, Expr)]): DataFrame = {
+      val raw = store.edges(et.label)
+      props.foldLeft(raw) { case (d, (p, v)) =>
+        if (et.properties.contains(p)) d.filter(col(p) === literal(v))
+        else d.filter(lit(false))
+      }
+    }
+
     private def closure(ets: Seq[EdgeType], lo: Int, hi: Int,
-        seeds: Option[DataFrame] = None, seedOnDst: Boolean = false): DataFrame = {
+        seeds: Option[DataFrame] = None, seedOnDst: Boolean = false,
+        props: Seq[(String, Expr)] = Nil): DataFrame = {
       if (hi == Parser.Unbounded) {
         // a heterogeneous group cannot compose steps (dst label never
         // matches the next src label), so the open bound degenerates to
         // the single-hop closure — same cap as the bounded branch below
         if (ets.exists(e => e.src != e.dst))
-          return closure(ets, lo, math.max(lo, 1), seeds, seedOnDst)
-        return uniqueWalkClosure(ets, lo, seeds, seedOnDst)
+          return closure(ets, lo, math.max(lo, 1), seeds, seedOnDst, props)
+        return uniqueWalkClosure(ets, lo, seeds, seedOnDst, props)
       }
       if (lo < 1 || hi < lo || hi > Parser.MaxVarLength)
         throw CypherException(s"var-length bounds out of range: *$lo..$hi")
@@ -722,7 +738,7 @@ object CypherEngine {
           s"var-length over ${ets.map(_.label).mkString("|")} needs " +
             s"${ets.head.src}=${ets.head.dst} for paths longer than 1")
       val e0 = ets.map(et =>
-          store.edges(et.label).select(col(et.keyS).as("__cs"), col(et.keyT).as("__cd")))
+          filteredEdges(et, props).select(col(et.keyS).as("__cs"), col(et.keyT).as("__cd")))
         .reduce(_.unionByName(_))
       val e = if (seedOnDst) e0.select(col("__cd").as("__cs"), col("__cs").as("__cd")) else e0
       val first = seeds.fold(e)(s => e.join(s, col("__cs") === col("__seed"), "left_semi"))
@@ -757,11 +773,12 @@ object CypherEngine {
       * truncation. See SCALING.md.
       */
     private def uniqueWalkClosure(ets: Seq[EdgeType], lo: Int,
-        seeds: Option[DataFrame] = None, seedOnDst: Boolean = false): DataFrame = {
+        seeds: Option[DataFrame] = None, seedOnDst: Boolean = false,
+        props: Seq[(String, Expr)] = Nil): DataFrame = {
       if (lo < 1)
         throw CypherException(s"var-length bounds out of range: *$lo..")
       val e0 = ets.zipWithIndex.map { case (et, ti) =>
-        store.edges(et.label).select(
+        filteredEdges(et, props).select(
           col(et.keyS).as("__cs"), col(et.keyT).as("__cd"),
           // one struct type must fit every member type's keys
           struct(lit(ti).as("__t"), col(et.keyS).cast(StringType).as("__es"),
@@ -1118,17 +1135,16 @@ object CypherEngine {
 
           hop.varLength match {
             case Some((lo, hi)) =>
-              if (hop.relProps.nonEmpty)
-                throw CypherException("relationship properties are not supported on var-length patterns")
               // a bound anchor hands its distinct keys to the closure so
               // the path enumeration starts at the anchored neighborhood
               // instead of every edge (the attach join would discard the
-              // rest anyway — shortestPath's seeding argument)
+              // rest anyway — shortestPath's seeding argument).
+              // hop.relProps filter EVERY traversed edge ([[filteredEdges]])
               val seedsOpt = if (bound(anchorVar))
                 Some(df.select(col(keyColName(anchorVar)).as("__seed")).distinct())
               else None
               val cl = closure(hop.edges, lo, hi, seedsOpt,
-                seedOnDst = anchorVar != hop.srcVar)
+                seedOnDst = anchorVar != hop.srcVar, props = hop.relProps)
               val (anchorSide, otherSide) =
                 if (anchorVar == hop.srcVar) ("__cs", "__cd") else ("__cd", "__cs")
               attach(cl, anchorSide)
@@ -1291,7 +1307,8 @@ object CypherEngine {
         // no path keep nulls for p and an unbound b).
         val bBound = ctx1.labels.contains(bVar)
         val withRels = needRels && ets.size > 1
-        var p = heteroDistDf(ets, lo, hi, seeds, aLabel, all, withPath, withRels)
+        var p = heteroDistDf(ets, lo, hi, seeds, aLabel, all, withPath, withRels,
+          rel.props)
           .filter(col("__dd.__l") === lit(bLabel))
         var ctx2 = ctx1
         if (!bBound) {
@@ -1348,7 +1365,7 @@ object CypherEngine {
       val withRels = needRels && ets.size > 1
       var p = distDf(ets, lo, hiEff,
         undirected = rel.dir == Undirected, reversed = !along, seeds, all,
-        withPath, withRels)
+        withPath, withRels, rel.props)
       var ctx2 = ctx1
       if (!bBound) {
         p = p.join(nodeDf(bVar, bLabel),
@@ -1393,7 +1410,8 @@ object CypherEngine {
     private def distDf(ets: Seq[EdgeType], lo: Int, hi: Int,
         undirected: Boolean, reversed: Boolean, seeds0: DataFrame,
         keepAll: Boolean, withPath: Boolean,
-        withRels: Boolean = false): DataFrame = {
+        withRels: Boolean = false,
+        props: Seq[(String, Expr)] = Nil): DataFrame = {
       validatePathBounds(lo, hi)
       ets.foreach { et =>
         if (hi > 1 && et.src != et.dst)
@@ -1404,7 +1422,7 @@ object CypherEngine {
       // Under withRels each edge row carries its member type so the BFS
       // can accumulate the per-hop type sequence (`relationships(p)`)
       val base = ets.map { et =>
-        val raw = store.edges(et.label)
+        val raw = filteredEdges(et, props)
         val fwd = raw.select(col(et.keyS).as("__ds"), col(et.keyT).as("__dd"))
         val bwd = raw.select(col(et.keyT).as("__ds"), col(et.keyS).as("__dd"))
         val d = if (undirected) fwd.unionByName(bwd) else if (reversed) bwd else fwd
@@ -1510,7 +1528,8 @@ object CypherEngine {
     private def heteroDistDf(ets: Seq[EdgeType], lo: Int, hi: Int,
         seeds0: DataFrame, seedLabel: String,
         keepAll: Boolean, withPath: Boolean,
-        withRels: Boolean = false): DataFrame = {
+        withRels: Boolean = false,
+        props: Seq[(String, Expr)] = Nil): DataFrame = {
       validatePathBounds(lo, hi)
       val mixedKeys = heteroMixedKeys(ets)
       def tag(l: String, c: Column): Column =
@@ -1522,7 +1541,7 @@ object CypherEngine {
       // edge row carries its member type so the BFS can accumulate the
       // per-hop type sequence (`relationships(p)`)
       val base = ets.map { et =>
-        val raw = store.edges(et.label)
+        val raw = filteredEdges(et, props)
         val fwd = raw.select(tag(et.src, col(et.keyS)).as("__ds"),
           tag(et.dst, col(et.keyT)).as("__dd"))
         val bwd = raw.select(tag(et.dst, col(et.keyT)).as("__ds"),

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{array_join, col, sort_array, transform}
+import org.apache.spark.sql.functions.{array_join, col, lit, sort_array, transform}
 
 import graft.cypher.CypherEngine
 import graft.graph.{GraphBuilder, GraphStore, GraphWriter}
@@ -66,6 +66,23 @@ object CypherQueries {
       nation.select(k, col("n_name")), Seq("n_nationkey"))
     val hops = nation.select(k.as("src"), ((k + 1) % 25).as("dst"))
       .unionByName(nation.select(k.as("src"), ((k + 5) % 25).as("dst")))
+    GraphWriter.mergeEdges(st, "HOP", "Nation", "Nation", "src", "dst", hops)
+  }
+
+  /** The ring with a PROPERTY on every edge (w: +1 edges carry src%2, +5
+    * edges carry 1) — the fixture for var-length relationship-property
+    * filters `[:HOP*1..n {w: 1}]`: the filter must apply at EVERY hop
+    * (blocking even-source +1 edges), which a post-hoc filter on the
+    * first/last hop would get wrong. Small enough for a recursive-CTE
+    * oracle that bakes the same filter into its edge set.
+    */
+  private def wringStore(s: SparkSession, dir: String): GraphStore = cachedStore("wring", dir) {
+    val nation = Tables.load(s, dir, "nation")
+    val k = col("n_nationkey")
+    val st = GraphWriter.mergeNodes(GraphStore.empty, "Nation",
+      nation.select(k, col("n_name")), Seq("n_nationkey"))
+    val hops = nation.select(k.as("src"), ((k + 1) % 25).as("dst"), (k % 2).as("w"))
+      .unionByName(nation.select(k.as("src"), ((k + 5) % 25).as("dst"), lit(1L).as("w")))
     GraphWriter.mergeEdges(st, "HOP", "Nation", "Nation", "src", "dst", hops)
   }
 
@@ -284,6 +301,16 @@ object CypherQueries {
     "q84_cypher_varlen_disjunction" -> ((s, dir) =>
       CypherEngine(ring2Store(s, dir)).run(
         """MATCH (a:Nation {n_nationkey: 0})-[:HOP|JUMP*1..2]->(b:Nation)
+           RETURN toInteger(b.n_nationkey) AS dst, count(*) AS paths
+           ORDER BY dst""")),
+    // var-length pattern with relationship properties (round 10; closes
+    // the r9 verdict's "What's missing #3"): `{w: 1}` must filter EVERY
+    // hop of the walk — the closure enumerates over the pre-filtered edge
+    // set. Oracle: walk-counting recursive CTE whose edge set bakes in
+    // the same filter (+1 edges only from odd sources, all +5 edges).
+    "q109_cypher_varlen_props" -> ((s, dir) =>
+      CypherEngine(wringStore(s, dir)).run(
+        """MATCH (a:Nation {n_nationkey: 0})-[:HOP*1..3 {w: 1}]->(b:Nation)
            RETURN toInteger(b.n_nationkey) AS dst, count(*) AS paths
            ORDER BY dst""")),
     // quantified path pattern (round 9): the Neo4j-5 QPP spelling of q84 —
@@ -1023,6 +1050,23 @@ object CypherQueries {
          FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
          WHERE r.r_regionkey <> 0
          GROUP BY 1 ORDER BY 1""",
+    // q109: the w=1 edge set is (+1 from odd sources) ∪ (all +5); walk
+    // counting mirrors the engine's one-row-per-path closure semantics
+    "q109_cypher_varlen_props" ->
+      """WITH RECURSIVE e AS (
+           SELECT n_nationkey AS src, (n_nationkey + 1) % 25 AS dst
+           FROM nation WHERE n_nationkey % 2 = 1
+           UNION ALL
+           SELECT n_nationkey, (n_nationkey + 5) % 25 FROM nation
+         ),
+         walk(dst, len) AS (
+           SELECT dst, 1 FROM e WHERE src = 0
+           UNION ALL
+           SELECT e.dst, w.len + 1 FROM walk w JOIN e ON e.src = w.dst
+           WHERE w.len < 3
+         )
+         SELECT CAST(dst AS BIGINT) AS dst, CAST(count(*) AS BIGINT) AS paths
+         FROM walk GROUP BY 1 ORDER BY 1""",
     // q108: create-pass gives every nation's edge cnt=1; the second merge
     // pass increments region<2 counters; the standalone SET scales
     // region-0 counters x10 — final counter is a pure fn of n_regionkey

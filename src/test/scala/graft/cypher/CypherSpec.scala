@@ -599,6 +599,47 @@ class CypherSpec extends SparkSpec {
     assert(filtered == Seq(2L, 3L))
   }
 
+  test("var-length and shortestPath relationship-property filters apply at every hop") {
+    spark
+    // chain 1→2→3→4 (all w=1) plus a w=0 shortcut 1→4 and a tail 4→5 (w=1)
+    val st0 = CypherEngine(GraphStore.empty).execute(
+      "UNWIND $rows AS row MERGE (n:WP {sid: row.sid}) SET n += {sid: row.sid}",
+      Map("rows" -> Seq(1L, 2L, 3L, 4L, 5L).map(i => Map[String, Any]("sid" -> i)))).store
+    val st = CypherEngine(st0).execute(
+      """UNWIND $rows AS row
+         MATCH (s:WP) WHERE s.sid = row.a
+         WITH s, row
+         MATCH (t:WP) WHERE t.sid = row.b
+         WITH s, t, row
+         MERGE (s)-[r:STEP {w: row.w}]->(t)""",
+      Map("rows" -> Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (1L, 4L, 0L), (4L, 5L, 1L))
+        .map { case (a, b, w) => Map[String, Any]("a" -> a, "b" -> b, "w" -> w) })).store
+    val e = CypherEngine(st)
+    // closure: the w=0 shortcut is excluded from EVERY level, so node 4 is
+    // reachable only by the 3-hop chain (unfiltered it has 2 paths: len 1+3)
+    val walks = e.run(
+      """MATCH (a:WP {sid: 1})-[:STEP*1..3 {w: 1}]->(b:WP)
+         RETURN b.sid AS dst, count(*) AS paths ORDER BY dst""").collect()
+    assert(walks.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, 1L), (3L, 1L), (4L, 1L)))
+    // shortestPath: the filter must reach the BFS edge set — distance to 4
+    // is 3 (not the unfiltered shortcut's 1), and 5 sits behind it at 4
+    val sp = e.run(
+      """MATCH p = shortestPath((a:WP {sid: 1})-[:STEP*1..5 {w: 1}]->(b:WP))
+         RETURN b.sid AS dst, length(p) AS len ORDER BY dst""").collect()
+    assert(sp.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L)))
+    val spNo = e.run(
+      """MATCH p = shortestPath((a:WP {sid: 1})-[:STEP*1..5]->(b:WP))
+         RETURN b.sid AS dst, length(p) AS len ORDER BY dst""").collect()
+    assert(spNo.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, 1L), (3L, 2L), (4L, 1L), (5L, 2L)))
+    // a property the type lacks matches no edge (missing prop reads null)
+    assert(e.run(
+      """MATCH (a:WP {sid: 1})-[:STEP*1..2 {nope: 1}]->(b:WP)
+         RETURN b.sid AS dst""").collect().isEmpty)
+  }
+
   test("shortestPath: minimum hops, direction, bounds, undirected") {
     spark // empty-store writes resolve the session via SparkSession.active
     // ring with a shortcut: 1→2→3→4 and 1→4

@@ -43,10 +43,15 @@ def frame(con, rel):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    import os
     for t in TABLES:
+        # driver testdata are single files; GenData/Spark-written tables
+        # (e.g. the in-repo sf1) are directories of part files
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
         try:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
         except Exception:
             pass
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
