@@ -2270,6 +2270,18 @@ object CypherEngine {
         if (args.isEmpty) throw CypherException(
           s"$name() without arguments reads the wall clock — nondeterministic " +
             "in a distributed plan; pass a literal ('21:40:32')")
+        rawArgs.head match {
+          // statically-known-wrong forms reject loudly instead of silently
+          // producing null via the string cast (Neo4j's map constructor
+          // `time({hour: 21})` is not supported — pass the string form)
+          case Lit(v) if !v.isInstanceOf[String] => throw CypherException(
+            s"$name() expects a string like '21:40:32', got literal $v " +
+              "(the map constructor form is not supported)")
+          case ListLit(_) | MapProj(_, _, _, _) => throw CypherException(
+            s"$name() expects a string like '21:40:32' " +
+              "(the map constructor form is not supported)")
+          case _ => ()
+        }
         to_timestamp(concat(lit("1970-01-01 "), args.head.cast(StringType)))
       // date.truncate('month', d) / datetime.truncate('day', dt) — the
       // Neo4j truncation surface, mapped onto Spark's date_trunc. The unit
@@ -3066,10 +3078,31 @@ object CypherEngine {
       * trailing ORDER BY/SKIP/LIMIT (syntactically attached to the last
       * branch, applying to the whole union — Neo4j disallows branch-level
       * ORDER BY) applies last. Shared by [[topQuery]] and uncorrelated
-      * [[callSubquery]] bodies; the returned Ctx is the first branch's
-      * result context (branches are union-compatible, so its output
-      * bindings describe every branch).
+      * [[callSubquery]] bodies; the returned Ctx is the [[mergeCtxs]]
+      * merge of every branch's result context.
       */
+    /** Merge the per-branch result contexts of a UNION: type knowledge
+      * contributed by ANY branch survives (a column string-typed in one
+      * branch must still dispatch `+` to concat downstream), while
+      * structural bindings (labels/rels/paths/multi) survive only where
+      * every branch agrees — a variable bound differently per branch has
+      * no single downstream meaning, so it degrades to a plain value.
+      */
+    private def mergeCtxs(cs: Seq[Ctx]): Ctx = cs.reduce { (a, b) =>
+      Ctx(
+        labels = a.labels.filter { case (k, v) => b.labels.get(k).contains(v) },
+        rels = a.rels.filter { case (k, v) => b.rels.get(k).contains(v) },
+        plains = a.plains ++ b.plains,
+        paths = a.paths.intersect(b.paths),
+        strLists = a.strLists ++ b.strLists,
+        pathRels = a.pathRels.filter { case (k, v) => b.pathRels.get(k).contains(v) },
+        pathRelSeqs = a.pathRelSeqs.intersect(b.pathRelSeqs),
+        multi = a.multi.filter { case (k, v) => b.multi.get(k).contains(v) },
+        multiRels = a.multiRels.intersect(b.multiRels),
+        strs = a.strs ++ b.strs,
+        times = a.times ++ b.times)
+    }
+
     private def compileUnion(q: Query): (DataFrame, Ctx) = {
         var branches = Seq.empty[Query]
         var flags = Seq.empty[Boolean]
@@ -3105,7 +3138,7 @@ object CypherEngine {
         }
         last.ret.skip.foreach(n => out = out.offset(n.toInt))
         last.ret.limit.foreach(n => out = out.limit(n.toInt))
-        (out, compiled.head._2)
+        (out, mergeCtxs(compiled.map(_._2)))
     }
 
     /** Predicate split: pattern predicates must be top-level AND conjuncts
@@ -3461,7 +3494,7 @@ object CypherEngine {
         }
         var u = compiled.map(_._1).reduce(_.unionByName(_))
         if (multi && !unionFlags.head) u = u.distinct()
-        (u, compiled.head._2)
+        (u, mergeCtxs(compiled.map(_._2)))
       }
       // per-key ORDER BY + SKIP/LIMIT: rank within each imported key and
       // keep the requested slice — Neo4j's "top-k per input row" idiom.

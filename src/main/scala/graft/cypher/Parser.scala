@@ -144,12 +144,14 @@ object Parser {
     /** `inSub` = parsing a `CALL { … }` body: the closing `}` acts as the
       * end-of-query token instead of EOF.
       */
-    private def query(inSub: Boolean, callImports: Option[Seq[String]] = None): Query = {
+    private def query(inSub: Boolean, callImports: Option[Seq[String]] = None,
+                      requireImportWith: Boolean = false): Query = {
       var stages = Seq.empty[Stage]
       var ret: Projection = null
       // a UNION branch inside a correlated CALL body repeats the importing
-      // WITH (Neo4j requires it, and requires it be IDENTICAL per branch);
-      // the first branch's was consumed by the CALL clause parser
+      // WITH (Neo4j requires it per-branch, and requires it be IDENTICAL);
+      // the first branch's was consumed by the CALL clause parser, so the
+      // requirement is only enforced on UNION branches (requireImportWith)
       if (callImports.exists(_.nonEmpty) && isKw("WITH")) {
         eatKw("WITH")
         val br = Seq.newBuilder[String]
@@ -159,7 +161,11 @@ object Parser {
           throw ParseException(
             "every branch of a correlated CALL { } body must begin with the " +
               s"same importing WITH (${callImports.get.mkString(", ")})")
-      }
+      } else if (callImports.exists(_.nonEmpty) && requireImportWith)
+        throw ParseException(
+          "every branch of a correlated CALL { } body must begin with the " +
+            s"same importing WITH (${callImports.get.mkString(", ")}); " +
+            s"found $peek")
       // first stage must read or write something
       if (!isKw("MATCH") && !isKw("UNWIND") && !isKw("CREATE") && !isKw("MERGE") &&
           !isKw("FOREACH"))
@@ -212,7 +218,7 @@ object Parser {
       if (tryKw("UNION")) {
         val all = tryKw("ALL")
         // consumes to EOF / `}`
-        Query(stages, ret, Some((all, query(inSub, callImports))))
+        Query(stages, ret, Some((all, query(inSub, callImports, requireImportWith = true))))
       } else if (inSub && isSym("}")) Query(stages, ret) // caller eats `}`
       else peek match {
         case EOF => Query(stages, ret)

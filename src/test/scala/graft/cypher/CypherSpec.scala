@@ -1235,6 +1235,16 @@ class CypherSpec extends SparkSpec {
                 MATCH (n:Nation {n_nationkey: 1}) RETURN n.n_name AS name }
          RETURN count(*) AS c""").collect()
     assert(ua.head.getLong(0) == 2L)
+    // the union's result context merges ALL branches: string-typedness
+    // contributed only by the SECOND branch (a concat) still dispatches
+    // the downstream `+` to concatenation, not arithmetic
+    val sm = engine.run(
+      """MATCH (r:Region {r_regionkey: 0})
+         CALL { MATCH (n:Nation {n_nationkey: 1}) RETURN coalesce(n.n_name, '?') AS v
+                UNION ALL
+                MATCH (n:Nation {n_nationkey: 2}) RETURN 'B:' + n.n_name AS v }
+         RETURN v + '!' AS w ORDER BY w""").collect()
+    assert(sm.length == 2 && sm.forall(_.getString(0).endsWith("!")))
     // correlated UNION: each branch repeats the importing WITH and
     // correlates per key; evens + odds partition each region's 5 nations
     val cu = engine.run(
@@ -1290,6 +1300,16 @@ class CypherSpec extends SparkSpec {
                 WITH s MATCH (n:Nation) RETURN n.n_name AS x }
          RETURN count(*) AS c"""))
     assert(perr.getMessage.contains("same importing WITH"))
+    // a branch that OMITS the importing WITH entirely also rejects at
+    // parse (Neo4j requires every branch to repeat it) — previously it
+    // was silently compiled as correlated
+    val merr = intercept[Parser.ParseException](engine.run(
+      """MATCH (r:Region)
+         CALL { WITH r MATCH (n:Nation)-[:IN_REGION]->(r) RETURN n.n_name AS x
+                UNION
+                MATCH (n:Nation) RETURN n.n_name AS x }
+         RETURN count(*) AS c"""))
+    assert(merr.getMessage.contains("must begin with the same importing WITH"))
     // full composition: one branch aggregates through an intermediate WITH
     // (its zero-match restore runs inside the branch), the sibling branch
     // is plain, and the trailing ORDER BY + LIMIT slices per key across
@@ -1472,6 +1492,14 @@ class CypherSpec extends SparkSpec {
     val err = intercept[CypherEngine.CypherException](engine.run(
       "MATCH (x:Region) RETURN time() AS t"))
     assert(err.getMessage.contains("wall clock"))
+    // a non-string literal (Neo4j's map form would need `{...}`, which the
+    // expression grammar already rejects) errors loudly instead of
+    // silently producing null through the string cast
+    val nerr = intercept[CypherEngine.CypherException](engine.run(
+      "MATCH (x:Region) RETURN time(2140) AS t"))
+    assert(nerr.getMessage.contains("expects a string"))
+    intercept[Exception](engine.run(
+      "MATCH (x:Region) RETURN time({hour: 21, minute: 40}) AS t"))
   }
 
   test("shortestPath BFS agrees under the reliable-checkpoint mode") {
