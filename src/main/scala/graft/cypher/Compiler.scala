@@ -563,7 +563,14 @@ object CypherEngine {
         srcVar: String,
         dstVar: String,
         varLength: Option[(Int, Int)],
-        relProps: Seq[(String, Expr)])
+        relProps: Seq[(String, Expr)],
+        /** a USER-written variable on a var-length hop binds a LIST of
+          * relationships (Neo4j's group-variable semantics — both the
+          * legacy `-[r:R*1..3]->` spelling and a QPP group variable):
+          * the closure then carries a per-hop array of relationship
+          * structs bound under the variable's name
+          */
+        relList: Boolean = false)
 
     /** One hop's resolution under one interpretation: the edge types it
       * traverses (same endpoint labels, unioned at bind time) and whether
@@ -721,13 +728,13 @@ object CypherEngine {
 
     private def closure(ets: Seq[EdgeType], lo: Int, hi: Int,
         seeds: Option[DataFrame] = None, seedOnDst: Boolean = false,
-        props: Seq[(String, Expr)] = Nil): DataFrame = {
+        props: Seq[(String, Expr)] = Nil, withRels: Boolean = false): DataFrame = {
       if (hi == Parser.Unbounded) {
         // a heterogeneous group cannot compose steps (dst label never
         // matches the next src label), so the open bound degenerates to
         // the single-hop closure — same cap as the bounded branch below
         if (ets.exists(e => e.src != e.dst))
-          return closure(ets, lo, math.max(lo, 1), seeds, seedOnDst, props)
+          return closure(ets, lo, math.max(lo, 1), seeds, seedOnDst, props, withRels)
         return uniqueWalkClosure(ets, lo, seeds, seedOnDst, props)
       }
       if (lo < 1 || hi < lo || hi > Parser.MaxVarLength)
@@ -737,20 +744,61 @@ object CypherEngine {
         throw CypherException(
           s"var-length over ${ets.map(_.label).mkString("|")} needs " +
             s"${ets.head.src}=${ets.head.dst} for paths longer than 1")
-      val e0 = ets.map(et =>
-          filteredEdges(et, props).select(col(et.keyS).as("__cs"), col(et.keyT).as("__cd")))
-        .reduce(_.unionByName(_))
-      val e = if (seedOnDst) e0.select(col("__cd").as("__cs"), col("__cs").as("__cd")) else e0
-      val first = seeds.fold(e)(s => e.join(s, col("__cs") === col("__seed"), "left_semi"))
+      // group-variable support: each edge row carries a relationship
+      // struct (type + endpoint keys + the member types' property
+      // superset) that the chain fold accumulates into a pattern-order
+      // array. One struct type must fit every member type: property and
+      // key fields cast to string when the member frames disagree.
+      val relFields: Seq[(String, org.apache.spark.sql.types.DataType)] =
+        if (!withRels) Nil
+        else ets.flatMap { et =>
+          val sch = store.edges(et.label).schema
+          et.properties.map(p => p -> sch(p).dataType)
+        }.groupBy(_._1).toSeq.sortBy(_._1).map { case (p, ts) =>
+          p -> (if (ts.map(_._2).distinct.sizeIs == 1) ts.head._2 else StringType)
+        }
+      val mixedKeys = withRels && ets.sizeIs > 1 && heteroMixedKeys(ets)
+      def relStruct(et: EdgeType): Column = {
+        def k(c: Column): Column = if (mixedKeys) c.cast(StringType) else c
+        struct(Seq(lit(et.label).as("type"),
+          k(col(et.keyS)).as("src"), k(col(et.keyT)).as("dst")) ++
+          relFields.map { case (p, dt) =>
+            (if (et.properties.contains(p)) col(p).cast(dt)
+             else lit(null).cast(dt)).as(p)
+          }: _*)
+      }
+      val e0 = ets.map { et =>
+        val cols = Seq(col(et.keyS).as("__cs"), col(et.keyT).as("__cd")) ++
+          (if (withRels) Seq(relStruct(et).as("__rel")) else Nil)
+        filteredEdges(et, props).select(cols: _*)
+      }.reduce(_.unionByName(_))
+      val e = if (seedOnDst)
+        e0.withColumn("__tmp", col("__cs")).withColumn("__cs", col("__cd"))
+          .withColumn("__cd", col("__tmp")).drop("__tmp")
+      else e0
+      val first0 = seeds.fold(e)(s => e.join(s, col("__cs") === col("__seed"), "left_semi"))
+      val first = if (withRels)
+        first0.select(col("__cs"), col("__cd"), array(col("__rel")).as("__rels"))
+      else first0
       val chains = (lo to effHi).map { n =>
         (2 to n).foldLeft(first) { (acc, _) =>
-          acc.join(e.withColumnRenamed("__cs", "__m").withColumnRenamed("__cd", "__cd2"),
-              col("__cd") === col("__m"))
-            .select(col("__cs"), col("__cd2").as("__cd"))
+          val step = e.withColumnRenamed("__cs", "__m").withColumnRenamed("__cd", "__cd2")
+            .withColumnRenamed("__rel", "__rel2")
+          val j = acc.join(step, col("__cd") === col("__m"))
+          if (withRels)
+            j.select(col("__cs"), col("__cd2").as("__cd"),
+              concat(col("__rels"), array(col("__rel2"))).as("__rels"))
+          else j.select(col("__cs"), col("__cd2").as("__cd"))
         }
       }
       val out = chains.reduce(_.unionByName(_))
-      if (seedOnDst) out.select(col("__cd").as("__cs"), col("__cs").as("__cd")) else out
+      if (seedOnDst) {
+        // flip back to schema orientation; the accumulated hop order ran
+        // anchor-outward (reverse pattern order), so the list reverses too
+        val cols = Seq(col("__cd").as("__cs"), col("__cs").as("__cd")) ++
+          (if (withRels) Seq(reverse(col("__rels")).as("__rels")) else Nil)
+        out.select(cols: _*)
+      } else out
     }
 
     /** One row per RELATIONSHIP-UNIQUE path of length >= `lo` over the
@@ -1059,6 +1107,7 @@ object CypherEngine {
 
       val assignIt = assignment.iterator
       val multiRelVars = collection.mutable.Set[String]()
+      val relListVars = collection.mutable.Set[String]()
       patterns.foreach { path =>
         val headVar = path.head.variable.getOrElse(freshVar("n"))
         // apply the chain's assigned types first so labels are bound
@@ -1071,12 +1120,16 @@ object CypherEngine {
           if (!choice.flipped) { labels(prevVar) = et0.src; labels(nodeVar) = et0.dst }
           else { labels(prevVar) = et0.dst; labels(nodeVar) = et0.src }
           val relVar = rel.variable.getOrElse(freshVar("r"))
+          val relList = rel.variable.isDefined && rel.varLength.isDefined
           val hop =
             if (!choice.flipped)
-              ResolvedHop(choice.edges, relVar, prevVar, nodeVar, rel.varLength, rel.props)
+              ResolvedHop(choice.edges, relVar, prevVar, nodeVar, rel.varLength,
+                rel.props, relList)
             else
-              ResolvedHop(choice.edges, relVar, nodeVar, prevVar, rel.varLength, rel.props)
-          if (choice.edges.sizeIs == 1)
+              ResolvedHop(choice.edges, relVar, nodeVar, prevVar, rel.varLength,
+                rel.props, relList)
+          if (relList) () // list-bound in the var-length branch below
+          else if (choice.edges.sizeIs == 1)
             relVars(relVar) = RelInfo(et0.label, hop.srcVar, hop.dstVar)
           else if (rel.varLength.isEmpty)
             multiRelVars += relVar // per-row type lands in typeColOf(relVar)
@@ -1143,11 +1196,23 @@ object CypherEngine {
               val seedsOpt = if (bound(anchorVar))
                 Some(df.select(col(keyColName(anchorVar)).as("__seed")).distinct())
               else None
+              if (hop.relList && hi == Parser.Unbounded)
+                throw CypherException(
+                  s"a list-bound relationship variable (${hop.relVar}) on an " +
+                    "open-bound pattern enumerates unbounded per-path state — " +
+                    s"bound the pattern (*$lo..n or {$lo,n})")
               val cl = closure(hop.edges, lo, hi, seedsOpt,
-                seedOnDst = anchorVar != hop.srcVar, props = hop.relProps)
+                seedOnDst = anchorVar != hop.srcVar, props = hop.relProps,
+                withRels = hop.relList)
               val (anchorSide, otherSide) =
                 if (anchorVar == hop.srcVar) ("__cs", "__cd") else ("__cd", "__cs")
               attach(cl, anchorSide)
+              if (hop.relList) {
+                // pattern-order list of per-hop relationship structs,
+                // bound under the user's variable name as a plain value
+                df = df.withColumnRenamed("__rels", hop.relVar)
+                relListVars += hop.relVar
+              }
               if (bound(otherVar)) df = df.filter(col(otherSide) === col(keyColName(otherVar)))
               else if (elidableNode(nodePat, otherVar) && hopValidated(hop))
                 bindElided(otherVar, otherSide)
@@ -1183,7 +1248,7 @@ object CypherEngine {
         }
       }
 
-      (df, Ctx(labels.toMap, relVars.toMap, plains, pathVars,
+      (df, Ctx(labels.toMap, relVars.toMap, plains ++ relListVars, pathVars,
         pathRels = pathRelVars,
         pathRelSeqs = initial.map(_._2.pathRelSeqs).getOrElse(Set.empty),
         multi = initial.map(_._2.multi).getOrElse(Map.empty),
@@ -2089,6 +2154,10 @@ object CypherEngine {
           array(lit(ctx.labels(v)))
         case Fn("labels", Seq(Var(v)), _) if ctx.multi.contains(v) =>
           array(col(labelColOf(v)))
+        case Fn("type", Seq(Var(v)), _) if lam.contains(v) =>
+          // a lambda variable iterating a relationship list (a var-length
+          // group variable) is a struct whose `type` field type() reads
+          lam(v).getField("type")
         case Fn("type", Seq(Var(v)), _) if ctx.rels.contains(v) =>
           lit(ctx.rels(v).label)
         case Fn("type", Seq(Var(v)), _) if ctx.multiRels.contains(v) =>

@@ -339,10 +339,11 @@ object Parser {
       * relationship-uniqueness semantics are identical for both
       * spellings). The group must be a single hop with ANONYMOUS inner
       * nodes: a var-length walk cannot bind or constrain intermediate
-      * nodes, and a relationship variable inside a group would bind a
-      * LIST (a group variable) — both reject loudly rather than silently
-      * change meaning. Zero-length quantifiers ({0,n}, *) reject too:
-      * a length-0 path binds both endpoints to one node.
+      * nodes, so those reject loudly rather than silently change meaning.
+      * A relationship variable inside the group is a GROUP VARIABLE — it
+      * survives the desugar and the compiler binds it to the LIST of
+      * traversed relationships. Zero-length quantifiers ({0,n}, *)
+      * reject: a length-0 path binds both endpoints to one node.
       */
     private def quantifiedGroup(): (RelPat, NodePat) = {
       eatSym("(")
@@ -362,11 +363,11 @@ object Parser {
               "walk cannot apply per step; constrain the outer endpoints instead")
       anon(inner.head, "left")
       anon(innerDst, "right")
-      if (rel.variable.nonEmpty)
-        throw ParseException(
-          s"a relationship variable inside a quantified group (${rel.variable.get}) " +
-            "binds a list of relationships (a group variable) — not supported; " +
-            "drop the variable")
+      // a relationship variable inside the group is a GROUP VARIABLE —
+      // it binds the LIST of relationships the repetitions traverse.
+      // The desugared var-length RelPat keeps the variable; the compiler
+      // list-binds it (same machinery as the legacy `-[r:R*1..3]->`
+      // spelling, whose variable binds the identical list in Neo4j).
       if (rel.varLength.nonEmpty)
         throw ParseException(
           "a var-length relationship inside a quantified group nests " +

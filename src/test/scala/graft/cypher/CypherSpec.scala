@@ -1568,8 +1568,6 @@ class CypherSpec extends SparkSpec {
       "anonymous inner nodes")
     rejects("MATCH (a:X) (()-[:R]->(:L)){1,2} (b:X) RETURN a.k AS k",
       "anonymous inner nodes")
-    rejects("MATCH (a:X) (()-[r:R]->()){1,2} (b:X) RETURN a.k AS k",
-      "group variable")
     rejects("MATCH (a:X) (()-[:R]->()){0,2} (b:X) RETURN a.k AS k",
       "zero-length")
     rejects("MATCH (a:X) (()-[:R]->())* (b:X) RETURN a.k AS k",
@@ -1586,6 +1584,64 @@ class CypherSpec extends SparkSpec {
       "MATCH p = shortestPath((a:X) (()-[:R]-()){1,3} (b:X)) RETURN length(p) AS l") ==
       Parser.parse(
         "MATCH p = shortestPath((a:X)-[:R*1..3]-(b:X)) RETURN length(p) AS l"))
+  }
+
+  test("group variables bind the relationship list of a quantified/var-length pattern") {
+    import org.apache.spark.sql.functions.col
+    // +1-mod-25 ring with a weight property w = src%3 + 1
+    val nation = graft.sources.Tables.load(spark, sf, "nation")
+    val k = col("n_nationkey")
+    var st = graft.graph.GraphWriter.mergeNodes(GraphStore.empty, "Nation",
+      nation.select(k, col("n_name")), Seq("n_nationkey"))
+    st = graft.graph.GraphWriter.mergeEdges(st, "W", "Nation", "Nation",
+      "src", "dst",
+      nation.select(k.as("src"), ((k + 1) % 25).as("dst"), (k % 3 + 1).as("w")))
+    st = graft.graph.GraphWriter.mergeEdges(st, "JUMP", "Nation", "Nation",
+      "src", "dst", nation.select(k.as("src"), ((k + 5) % 25).as("dst")))
+    val eng = CypherEngine(st)
+    // QPP group variable: r is the LIST of traversed relationships, in
+    // pattern order — size, reduce over a property, per-hop type()
+    val r = eng.run(
+      """MATCH (a:Nation {n_nationkey: 0}) (()-[r:W]->()){3} (b:Nation)
+         RETURN toInteger(b.n_nationkey) AS dst, size(r) AS hops,
+                reduce(s = 0, x IN r | s + x.w) AS tw,
+                [x IN r | toInteger(x.src)] AS srcs,
+                [x IN r | type(x)] AS types""").collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(0) == 3L && r.head.getInt(1) == 3)
+    // w(0)=1, w(1)=2, w(2)=3
+    assert(r.head.getAs[Number](2).longValue == 6L)
+    assert(r.head.getSeq[Long](3) == Seq(0L, 1L, 2L))
+    assert(r.head.getSeq[String](4) == Seq("W", "W", "W"))
+    // the legacy var-length spelling binds the identical list
+    val legacy = eng.run(
+      """MATCH (a:Nation {n_nationkey: 0})-[r:W*3]->(b:Nation)
+         RETURN reduce(s = 0, x IN r | s + x.w) AS tw""").collect()
+    assert(legacy.head.getAs[Number](0).longValue == 6L)
+    // dst-side anchor (a unbound, b bound): the list still reads in
+    // PATTERN order a→b, not enumeration order
+    val rev = eng.run(
+      """MATCH (b:Nation {n_nationkey: 3}) MATCH (a:Nation)-[r:W*2]->(b)
+         RETURN [x IN r | toInteger(x.src)] AS srcs""").collect()
+    assert(rev.length == 1 && rev.head.getSeq[Long](0) == Seq(1L, 2L))
+    // a type-disjunction group carries the real per-hop type; a member
+    // type lacking the property reads null (filtered by the lambda)
+    val mixed = eng.run(
+      """MATCH (a:Nation {n_nationkey: 0}) (()-[r:W|JUMP]->()){2} (b:Nation {n_nationkey: 6})
+         RETURN [x IN r | type(x)] AS types ORDER BY types""").collect()
+    val mts = mixed.map(_.getSeq[String](0)).toSeq
+    assert(mts.contains(Seq("W", "JUMP")) && mts.contains(Seq("JUMP", "W")))
+    // WHERE-side list predicates ride the same binding
+    val filt = eng.run(
+      """MATCH (a:Nation {n_nationkey: 0})-[r:W*1..3]->(b:Nation)
+         WHERE all(x IN r WHERE x.w <= 2)
+         RETURN count(*) AS c""").collect()
+    // paths: [w1]=ok, [w1,w2]=ok, [w1,w2,w3]=no (w=3 at src 2)
+    assert(filt.head.getLong(0) == 2L)
+    // an open bound with a list-bound variable rejects loudly
+    val err = intercept[CypherEngine.CypherException](eng.run(
+      "MATCH (a:Nation {n_nationkey: 0})-[r:W*]->(b:Nation) RETURN size(r) AS s"))
+    assert(err.getMessage.contains("bound the pattern"))
   }
 
   test("relationships(p) through a type-disjunction shortestPath carries per-hop types") {
