@@ -184,6 +184,11 @@ object Ast {
   final case class SetPlus(variable: String, map: Seq[(String, Expr)]) extends SetItem
   /** `SET v.prop = expr`. */
   final case class SetProp(variable: String, prop: String, value: Expr) extends SetItem
+  /** `SET v = {k: e, …}` — REPLACE the entity's properties: every stored
+    * property absent from the map resets to null (the fixed-schema
+    * analogue of Neo4j's property removal).
+    */
+  final case class SetAll(variable: String, map: Seq[(String, Expr)]) extends SetItem
 
   /** A writing clause: CREATE / MERGE / SET / DELETE, in written order. */
   sealed trait WriteClause

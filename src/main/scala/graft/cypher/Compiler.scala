@@ -179,6 +179,7 @@ object CypherEngine {
     def setItem(s: SetItem): Unit = s match {
       case SetPlus(v, m) => refs += v; m.foreach { case (_, e) => expr(e) }
       case SetProp(v, _, e) => refs += v; expr(e)
+      case SetAll(v, m) => refs += v; m.foreach { case (_, e) => expr(e) }
     }
     def write(w: WriteClause): Unit = w match {
       case CreateClause(ps) => ps.foreach(path(_, asRefs = true))
@@ -304,6 +305,7 @@ object CypherEngine {
     def setItem(s: SetItem): Unit = s match {
       case SetPlus(v, m) => if (v == pv) used = true; m.foreach { case (_, e) => expr(e) }
       case SetProp(v, _, e) => if (v == pv) used = true; expr(e)
+      case SetAll(v, m) => if (v == pv) used = true; m.foreach { case (_, e) => expr(e) }
     }
     def patProps(p: PathPat): Unit = {
       p.head.props.foreach { case (_, e) => expr(e) }
@@ -445,6 +447,7 @@ object CypherEngine {
     def goSet(s: SetItem): SetItem = s match {
       case SetPlus(v, m) => SetPlus(v, m.map { case (k, x) => (k, go(x)) })
       case SetProp(v, p, x) => SetProp(v, p, go(x))
+      case SetAll(v, m) => SetAll(v, m.map { case (k, x) => (k, go(x)) })
     }
     def goWrite(w: WriteClause): WriteClause = w match {
       case CreateClause(ps) => CreateClause(ps.map(goPath))
@@ -2904,19 +2907,48 @@ object CypherEngine {
       * properties matched.
       */
     private def standaloneSet(df: DataFrame, ctx: Ctx, item: SetItem): (DataFrame, Ctx) = {
+      // normalize to (prop, value-column) pairs; `SET v = {…}` (replace-
+      // all) expands to EVERY stored property — absent ones reset to a
+      // typed null (the fixed-schema analogue of Neo4j's removal)
+      def replaceAll(v: String, m: Seq[(String, Expr)],
+          stored: Seq[String], schema: StructType,
+          keyNames: Seq[String], what: String): Seq[(String, Column)] = {
+        m.foreach { case (p, _) =>
+          if (keyNames.contains(p)) throw CypherException(
+            s"SET $v = {…} cannot replace '$p' — it is the $what's identity; " +
+              "use explicit SET items for non-identity properties")
+          if (!stored.contains(p)) throw CypherException(
+            s"SET $v = {…}: unknown property '$p' for the $what (the store " +
+              "schema is fixed)")
+        }
+        stored.map(p => p -> m.find(_._1 == p).map { case (_, e) => column(e, ctx) }
+          .getOrElse(lit(null).cast(schema(p).dataType)))
+      }
       val (v, pairs) = item match {
-        case SetPlus(x, m) => (x, m)
-        case SetProp(x, p, e) => (x, Seq((p, e)))
+        case SetPlus(x, m) => (x, m.map { case (p, e) => p -> column(e, ctx) })
+        case SetProp(x, p, e) => (x, Seq(p -> column(e, ctx)))
+        case SetAll(x, m) => ctx.labels.get(x) match {
+          case Some(label) =>
+            val nt = store.schema.node(label)
+            (x, replaceAll(x, m, nt.properties, store.nodes(label).schema,
+              Seq(nt.key), s"node :$label"))
+          case None =>
+            val ri = ctx.rels.getOrElse(x, throw CypherException(
+              s"SET target $x is not a bound node or single-type relationship variable"))
+            val et = store.schema.edge(ri.label)
+            (x, replaceAll(x, m, et.properties, store.edges(ri.label).schema,
+              Seq(et.keyS, et.keyT), s"relationship :${ri.label}"))
+        }
       }
       ctx.labels.get(v) match {
         case Some(label) =>
           val nt = store.schema.node(label)
           val incoming = df.select(
             col(s"${v}__${nt.key}").as(nt.key) +:
-              pairs.map { case (p, e) => column(e, ctx).as(p) }: _*)
+              pairs.map { case (p, c) => c.as(p) }: _*)
           store = GraphWriter.mergeNodes(store, label, incoming, Seq(nt.key))
-          val d = pairs.foldLeft(df) { case (acc, (p, e)) =>
-            acc.withColumn(s"${v}__$p", column(e, ctx))
+          val d = pairs.foldLeft(df) { case (acc, (p, c)) =>
+            acc.withColumn(s"${v}__$p", c)
           }
           (d, ctx)
         case None =>
@@ -2929,10 +2961,10 @@ object CypherEngine {
           val sel = Seq(nodeKeyCol(sV, ctx).as(et.keyS),
               nodeKeyCol(dV, ctx).as(et.keyT)) ++
             idProps.map(p => col(s"${v}__$p").as(p)) ++
-            pairs.map { case (p, e) => column(e, ctx).as(s"__set_$p") }
+            pairs.map { case (p, c) => c.as(s"__set_$p") }
           store = GraphWriter.updateEdges(store, label, df.select(sel: _*))
-          val d = pairs.foldLeft(df) { case (acc, (p, e)) =>
-            acc.withColumn(s"${v}__$p", column(e, ctx))
+          val d = pairs.foldLeft(df) { case (acc, (p, c)) =>
+            acc.withColumn(s"${v}__$p", c)
           }
           (d, ctx)
       }
@@ -2977,6 +3009,10 @@ object CypherEngine {
       def flat(items: Seq[SetItem]): Seq[(String, Expr)] = items.map {
         case SetPlus(_, m) => m
         case SetProp(_, p, e) => Seq((p, e))
+        case SetAll(x, _) => throw CypherException(
+          s"SET $x = {…} (replace-all) is not supported inside a MERGE's ON " +
+            "CREATE/ON MATCH SET or fused SET — use += / explicit properties, " +
+            "or a separate standalone SET clause")
       }.flatten
       while (i < writes.length) {
         writes(i) match {
@@ -2988,6 +3024,8 @@ object CypherEngine {
                 s"ON CREATE/ON MATCH SET must target the merge variable $who")
               case SetProp(x, _, _) if x != who => throw CypherException(
                 s"ON CREATE/ON MATCH SET must target the merge variable $who")
+              case SetAll(x, _) if x != who => throw CypherException(
+                s"ON CREATE/ON MATCH SET must target the merge variable $who")
               case _ => ()
             }
             targets(onCreate, v); targets(onMatch, v)
@@ -2998,6 +3036,7 @@ object CypherEngine {
               case SetClause(items) if items.forall {
                     case SetPlus(x, _) => x == v
                     case SetProp(x, _, _) => x == v
+                    case SetAll(_, _) => false // never fuses; standalone below
                   } =>
                 sets ++= flat(items)
                 j += 1
@@ -3019,6 +3058,9 @@ object CypherEngine {
               case SetProp(x, _, _) if !rvOpt.contains(x) => throw CypherException(
                 s"ON CREATE/ON MATCH SET on a relationship MERGE must target " +
                   s"its relationship variable${rvOpt.fold("")(" " + _)}")
+              case SetAll(x, _) if !rvOpt.contains(x) => throw CypherException(
+                s"ON CREATE/ON MATCH SET on a relationship MERGE must target " +
+                  s"its relationship variable${rvOpt.fold("")(" " + _)}")
               case _ => ()
             }
             relTargets(onCreate); relTargets(onMatch)
@@ -3029,6 +3071,7 @@ object CypherEngine {
               case SetClause(items) if items.forall {
                     case SetPlus(x, _) => rvOpt.contains(x)
                     case SetProp(x, _, _) => rvOpt.contains(x)
+                    case SetAll(_, _) => false // never fuses; standalone below
                   } =>
                 sets ++= flat(items)
                 j += 1
@@ -3138,8 +3181,11 @@ object CypherEngine {
     private def topQuery(q: Query): DataFrame = q.union match {
       case None => compileSingle(q)
       case Some(_) =>
-        if (hasWrites(q))
-          throw CypherException("UNION is not supported in write queries")
+        // write branches compile in order against the threaded store, so
+        // a later branch reads an earlier branch's (lazy) writes —
+        // Neo4j's eager branch-by-branch execution order. Each branch
+        // must RETURN explicitly (the no-RETURN `rows` synthesis applies
+        // to whole queries only).
         compileUnion(q)._1
     }
 

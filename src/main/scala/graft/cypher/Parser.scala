@@ -252,9 +252,12 @@ object Parser {
           val v = ident()
           if (trySym(".")) {
             val p = ident(); eatSym("="); items += SetProp(v, p, expr())
-          } else {
-            eatSym("+"); eatSym("=") // `SET n = {…}` (replace-all) unsupported
+          } else if (isSym("+")) {
+            eatSym("+"); eatSym("=")
             items += SetPlus(v, propMap())
+          } else {
+            eatSym("=") // `SET n = {…}` — replace-all
+            items += SetAll(v, propMap())
           }
         }
         one()

@@ -162,6 +162,64 @@ class CypherWriteSpec extends SparkSpec {
     assert(r.store.schema.node("Acct").properties.contains("frozen"))
   }
 
+  test("SET n = {…} replaces all properties (absent ones reset to null)") {
+    val base = CypherEngine(GraphStore.empty).execute(
+      """UNWIND $rows AS row MERGE (n:Acct2 {aid: row.aid})
+         SET n += {bal: row.bal, tag: row.tag}""",
+      Map("rows" -> rows(Map("aid" -> 1L, "bal" -> 10L, "tag" -> "a"),
+        Map("aid" -> 2L, "bal" -> 5L, "tag" -> "b")))).store
+    val r = CypherEngine(base).execute(
+      "MATCH (a:Acct2 {aid: 1}) SET a = {bal: 99} RETURN a.bal AS bal, a.tag AS tag")
+    assert(r.result.collect() === Array(Row(99L, null)))
+    assert(r.store.nodes("Acct2").orderBy("aid").collect() ===
+      Array(Row(1L, 99L, null), Row(2L, 5L, "b")))
+    // the key is identity — replacing it rejects loudly
+    val kerr = intercept[CypherEngine.CypherException](CypherEngine(base).execute(
+      "MATCH (a:Acct2 {aid: 1}) SET a = {aid: 7}"))
+    assert(kerr.getMessage.contains("identity"))
+    // unknown properties reject loudly (fixed store schema)
+    val perr = intercept[CypherEngine.CypherException](CypherEngine(base).execute(
+      "MATCH (a:Acct2 {aid: 1}) SET a = {nope: 1}"))
+    assert(perr.getMessage.contains("unknown property"))
+    // replace-all inside ON CREATE/ON MATCH SET rejects with guidance
+    val merr = intercept[CypherEngine.CypherException](CypherEngine(base).execute(
+      "MERGE (a:Acct2 {aid: 1}) ON MATCH SET a = {bal: 1}"))
+    assert(merr.getMessage.contains("replace-all"))
+  }
+
+  test("SET r = {…} replaces relationship properties by edge identity") {
+    var st = personCityStore()
+    st = CypherEngine(st).execute(
+      """MATCH (s:Person {pid: 10}), (t:City {city_id: 1})
+         CREATE (s)-[r:TRIP2 {kind: 'work', n: 1}]->(t)""").store
+    st = CypherEngine(st).execute(
+      """MATCH (s:Person {pid: 10}), (t:City {city_id: 1})
+         CREATE (s)-[r:TRIP2 {kind: 'fun', n: 2}]->(t)""").store
+    val upd = CypherEngine(st).execute(
+      """MATCH (s:Person)-[r:TRIP2 {kind: 'fun'}]->(t:City)
+         SET r = {kind: 'vacation'}""").store
+    val got = upd.edges("TRIP2").orderBy("kind").collect()
+      .map(r => (r.getString(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    // matched parallel edge replaced (n reset to null); sibling untouched
+    assert(got === Array(("vacation", -1L), ("work", 1L)))
+  }
+
+  test("UNION in write queries executes every branch against the threaded store") {
+    val r = CypherEngine(GraphStore.empty).execute(
+      """MERGE (a:U1 {uid: 1}) RETURN 'a' AS tag
+         UNION
+         MERGE (b:U1 {uid: 2}) RETURN 'b' AS tag""")
+    assert(r.result.collect().map(_.getString(0)).sorted === Array("a", "b"))
+    assert(r.store.nodes("U1").orderBy("uid").collect() === Array(Row(1L), Row(2L)))
+    // a later branch reads an earlier branch's writes (Neo4j's eager
+    // branch-by-branch order)
+    val r2 = CypherEngine(GraphStore.empty).execute(
+      """MERGE (a:U2 {uid: 1}) RETURN count(a) AS c
+         UNION ALL
+         MATCH (x:U2) RETURN count(x) AS c""")
+    assert(r2.result.collect().map(_.getLong(0)).toSeq === Seq(1L, 1L))
+  }
+
   test("SET += with explicit null removes the property value (Neo4j semantics)") {
     val base = CypherEngine(GraphStore.empty).execute(
       "MERGE (n:K {kid: 1}) SET n += {kid: 1, v: 'x'}").store
