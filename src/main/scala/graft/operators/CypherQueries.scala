@@ -324,6 +324,22 @@ object CypherQueries {
            RETURN toInteger(b.n_nationkey) AS dst, toInteger(size(r)) AS hops,
                   toInteger(reduce(s = 0, x IN r | s + x.w)) AS tw
            ORDER BY dst, hops, tw""")),
+    // SET n = {…} replace-all + UNION in a write query (round 10; closes
+    // the r9 verdict's "What's missing #5"): replace-all resets absent
+    // properties to null (nation 0's n_regionkey), the write-union's
+    // second branch reads the first branch's MERGE through the threaded
+    // store (Neo4j's eager branch order).
+    "q111_cypher_set_replace_union" -> ((s, dir) => {
+      val st = CypherEngine(store(s, dir)).execute(
+        "MATCH (n:Nation {n_nationkey: 0}) SET n = {n_name: 'REPLACED'}").store
+      CypherEngine(st).execute(
+        """MATCH (n:Nation) WHERE n.n_regionkey IS NULL
+           MERGE (t:Tally {tid: 1}) ON CREATE SET t.cnt = toInteger(n.n_nationkey) + 100
+           RETURN toInteger(t.cnt) AS v
+           UNION
+           MATCH (t:Tally) RETURN toInteger(t.cnt) + 1 AS v
+           ORDER BY v""").result
+    }),
     // quantified path pattern (round 9): the Neo4j-5 QPP spelling of q84 —
     // `(()-[:R]->()){m,n}` desugars at PARSE time to the identical
     // var-length AST (CypherSpec pins AST equality), so the closure
@@ -1078,6 +1094,14 @@ object CypherQueries {
          )
          SELECT CAST(dst AS BIGINT) AS dst, CAST(count(*) AS BIGINT) AS paths
          FROM walk GROUP BY 1 ORDER BY 1""",
+    // q111: replace-all nulls nation 0's n_regionkey (the only null in
+    // the column), so both union branches resolve to nation-0-derived
+    // constants the table still certifies
+    "q111_cypher_set_replace_union" ->
+      """SELECT CAST(n_nationkey + 100 AS BIGINT) AS v FROM nation WHERE n_nationkey = 0
+         UNION
+         SELECT CAST(n_nationkey + 101 AS BIGINT) FROM nation WHERE n_nationkey = 0
+         ORDER BY v""",
     // q110: one CTE row per walk carrying the accumulated weight — the
     // group variable's reduce() over x.w must equal the CTE's running sum
     "q110_cypher_group_vars" ->
