@@ -47,7 +47,7 @@ final case class CypherEngine(store: GraphStore) {
     * injection shape).
     */
   def run(query: String, params: Map[String, Any]): DataFrame = {
-    val q = bindParams(Parser.parse(query), params)
+    val q = bindShortestRelVars(bindParams(Parser.parse(query), params))
     if (hasWrites(q))
       throw CypherException(
         "write clauses (CREATE/MERGE/SET/DELETE) mutate the store — use execute()")
@@ -61,7 +61,7 @@ final case class CypherEngine(store: GraphStore) {
     * be checkpointed by saving, exactly like any iterative Spark lineage.
     */
   def execute(query: String, params: Map[String, Any] = Map.empty): WriteResult = {
-    val q = bindParams(Parser.parse(query), params)
+    val q = bindShortestRelVars(bindParams(Parser.parse(query), params))
     val in = new Interp(store, params)
     val df = in.top(q)
     WriteResult(in.store, df)
@@ -74,7 +74,8 @@ final case class CypherEngine(store: GraphStore) {
     */
   def validate(query: String): Seq[String] =
     try {
-      new Interp(store, Map.empty).top(Parser.parse(query)).queryExecution.analyzed
+      new Interp(store, Map.empty).top(bindShortestRelVars(Parser.parse(query)))
+        .queryExecution.analyzed
       Nil
     } catch {
       case e: Parser.ParseException => Seq(s"syntax: ${e.msg}")
@@ -403,6 +404,97 @@ object CypherEngine {
     * A `Seq[Map[_, _]]` (row batch) is left as a [[Param]] node: the
     * interpreter binds it to a DataFrame at its `UNWIND`.
     */
+  /** `p = shortestPath((a)-[r:T*1..3]->(b))`: Neo4j binds `r` to the LIST
+    * of relationships along the matched path — which is exactly
+    * `relationships(p)`. Purely syntactic normalization: every expression
+    * use of `r` substitutes to `relationships(p)` (so the existing
+    * per-hop machinery, including type disjunctions, renders it), with
+    * lambda scoping respected (a comprehension variable named `r` shadows
+    * the binding) and bare projection items keeping `r` as their output
+    * name. The pattern keeps its variable (ignored downstream).
+    */
+  private def bindShortestRelVars(q: Query): Query = {
+    // collect (relVar -> pathVar) per shortestPath clause, recursing into
+    // CALL bodies and union branches (each rewritten independently below)
+    val pairs = q.stages.flatMap(_.reads).collect {
+      // var-length only: on a single-hop `shortestPath((a)-[r:T]->(b))`
+      // Neo4j binds r as a scalar relationship, not a list — that form
+      // keeps the existing scalar machinery
+      case ShortestPathClause(pv, p, _, _)
+          if p.hops.headOption.exists(_._1.varLength.isDefined) =>
+        p.hops.headOption.flatMap(_._1.variable).map(_ -> pv)
+    }.flatten
+    pairs.groupBy(_._1).foreach { case (rv, xs) =>
+      if (xs.sizeIs > 1) throw CypherException(
+        s"relationship variable $rv is bound by more than one shortestPath")
+    }
+    val q1 = pairs.foldLeft(q) { case (acc, (rv, pv)) => substRelVar(acc, rv, pv) }
+    val q2 = q1.copy(stages = q1.stages.map { st =>
+      st.copy(reads = st.reads.map {
+        case CallClause(i, body) => CallClause(i, bindShortestRelVars(body))
+        case other => other
+      })
+    })
+    q2.union match {
+      case Some((all, next)) => q2.copy(union = Some((all, bindShortestRelVars(next))))
+      case None => q2
+    }
+  }
+
+  /** Substitute expression uses of `rv` with `relationships(pv)` across
+    * one query level (stages + return; not CALL bodies/union branches —
+    * [[bindShortestRelVars]] recurses those). Lambda variables shadow.
+    */
+  private def substRelVar(q: Query, rv: String, pv: String): Query = {
+    val repl = Fn("relationships", Seq(Var(pv)))
+    def go(e: Expr, sh: Set[String]): Expr = e match {
+      case Var(v) if v == rv && !sh(rv) => repl
+      case Prop(v, p) if v == rv && !sh(rv) => throw CypherException(
+        s"$v.$p: $v is a shortestPath relationship LIST — index it or iterate it")
+      case Fn(n, args, d) => Fn(n, args.map(go(_, sh)), d)
+      case Bin(op, l, r) => Bin(op, go(l, sh), go(r, sh))
+      case Not(x) => Not(go(x, sh))
+      case IsNull(x, neg) => IsNull(go(x, sh), neg)
+      case In(x, coll) => In(go(x, sh), go(coll, sh))
+      case ListLit(xs) => ListLit(xs.map(go(_, sh)))
+      case ListComp(v, coll, w, pr) =>
+        ListComp(v, go(coll, sh), w.map(go(_, sh + v)), pr.map(go(_, sh + v)))
+      case ReduceExpr(a, init, v, coll, step) =>
+        ReduceExpr(a, go(init, sh), v, go(coll, sh), go(step, sh + a + v))
+      case ListPred(k, v, coll, p) => ListPred(k, v, go(coll, sh), go(p, sh + v))
+      case Index(coll, i) => Index(go(coll, sh), go(i, sh))
+      case CaseExpr(s, bs, d) => CaseExpr(s.map(go(_, sh)),
+        bs.map { case (c, r) => (go(c, sh), go(r, sh)) }, d.map(go(_, sh)))
+      case ExistsBlock(ps, w) => ExistsBlock(ps, w.map(go(_, sh)))
+      case CountBlock(ps, w) => CountBlock(ps, w.map(go(_, sh)))
+      case CollectBlock(ps, w, r, ob, lim) => CollectBlock(ps, w.map(go(_, sh)),
+        go(r, sh), ob.map(s0 => s0.copy(expr = go(s0.expr, sh))), lim)
+      case PatternComp(p, w, pr) => PatternComp(p, w.map(go(_, sh)), go(pr, sh))
+      case MapProj(v, ps, st, ex) =>
+        MapProj(v, ps, st, ex.map { case (k, x) => (k, go(x, sh)) })
+      case other => other
+    }
+    def goProj(p: Projection) = p.copy(
+      items = p.items.map { i =>
+        val e2 = go(i.expr, Set.empty)
+        // `RETURN r` keeps r as the output column name
+        val alias = i.expr match {
+          case Var(v) if i.alias.isEmpty && (e2 != i.expr) => Some(v)
+          case _ => i.alias
+        }
+        Item(e2, alias)
+      },
+      where = p.where.map(go(_, Set.empty)),
+      orderBy = p.orderBy.map(s => s.copy(expr = go(s.expr, Set.empty))))
+    Query(
+      q.stages.map { st =>
+        Stage(st.reads, st.where.map(go(_, Set.empty)),
+          st.projection.map(goProj), st.writes)
+      },
+      goProj(q.ret),
+      q.union)
+  }
+
   private def bindParams(q: Query, params: Map[String, Any]): Query = {
     if (params.isEmpty) return q
     def go(e: Expr): Expr = e match {

@@ -1586,6 +1586,41 @@ class CypherSpec extends SparkSpec {
         "MATCH p = shortestPath((a:X)-[:R*1..3]-(b:X)) RETURN length(p) AS l"))
   }
 
+  test("a relationship variable on a var-length shortestPath binds the relationship list") {
+    // Neo4j semantics: `p = shortestPath((a)-[rs:T*..]->(b))` binds rs to
+    // the LIST of relationships along p — normalized to relationships(p)
+    // (the per-hop type machinery renders disjunctions), with bare items
+    // keeping the variable's output name
+    val rows = engine.run(
+      """MATCH p = shortestPath((o:Order {o_orderkey: 1})-[rs:CONTAINS|PLACED_BY*1..3]-(c:Customer))
+         RETURN toInteger(c.c_custkey) AS ck, size(rs) AS n, length(p) AS len,
+                [x IN rs | x.type] AS ts, relationships(p) AS rels
+         ORDER BY ck""").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(1).toLong == r.getLong(2)) // size(rs) == length(p)
+      val ts = r.getSeq[String](3)
+      val rels = r.getSeq[org.apache.spark.sql.Row](4)
+      assert(ts == rels.map(_.getString(2)))
+    }
+    // bare `RETURN rs` keeps the variable's column name
+    val named = engine.run(
+      """MATCH p = shortestPath((a:Nation {n_nationkey: 0})-[rs:IN_REGION*1..1]->(b:Region))
+         RETURN rs""").collect()
+    assert(named.nonEmpty)
+    // a lambda variable with the same name shadows the binding
+    val sh = engine.run(
+      """MATCH p = shortestPath((a:Nation {n_nationkey: 0})-[rs:IN_REGION*1..1]->(b:Region))
+         RETURN [rs IN [1, 2] | rs + 1] AS xs, size(rs) AS n""").collect().head
+    assert(sh.getSeq[Long](0) == Seq(2L, 3L) && sh.getInt(1) == 1)
+    // two shortestPaths binding the same relationship variable reject
+    val err = intercept[CypherEngine.CypherException](engine.run(
+      """MATCH p = shortestPath((a:Nation {n_nationkey: 0})-[rs:IN_REGION*1..1]->(b:Region))
+         MATCH q = shortestPath((c:Nation {n_nationkey: 1})-[rs:IN_REGION*1..1]->(d:Region))
+         RETURN size(rs) AS n"""))
+    assert(err.getMessage.contains("more than one shortestPath"))
+  }
+
   test("group variables bind the relationship list of a quantified/var-length pattern") {
     import org.apache.spark.sql.functions.col
     // +1-mod-25 ring with a weight property w = src%3 + 1
