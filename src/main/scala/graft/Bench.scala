@@ -13,12 +13,13 @@ object Bench {
     * every clean run contended and the new suite could never certify; a
     * size-mismatched run falls back to the loadavg-only check. Update
     * when a new record is committed to BASELINE.md. Current values are
-    * the round-10 certified-clean 115-query records (contended: false,
-    * zero errors, idle session; sf0.1 median ratio 1.047 vs the r8
-    * record — BASELINE.md "Round-10 record").
+    * the round-10 certified-clean 119-query records (contended: false,
+    * zero errors, idle fast window; sf0.1 median ratio 0.899 and sf1
+    * 0.992 vs the 115-query records — BASELINE.md "Round-10 record,
+    * final").
     */
   val CommittedTotalSec: Map[String, (Int, Double)] =
-    Map("sf0.1" -> (115, 73.8), "sf1" -> (115, 139.0))
+    Map("sf0.1" -> (119, 81.2), "sf1" -> (119, 135.6))
 
   /** Per-SF certified record artifact (per-query times for the median-
     * ratio clause; ADVICE r9: the guard previously anchored at sf0.1
