@@ -1677,6 +1677,18 @@ class CypherSpec extends SparkSpec {
     val err = intercept[CypherEngine.CypherException](eng.run(
       "MATCH (a:Nation {n_nationkey: 0})-[r:W*]->(b:Nation) RETURN size(r) AS s"))
     assert(err.getMessage.contains("bound the pattern"))
+    // inline hop props COMPOSE with the group variable: the filter holds
+    // at every hop AND the bound structs carry the filtered property
+    val pw = eng.run(
+      """MATCH (a:Nation {n_nationkey: 1})-[r:W*2 {w: 3}]->(b:Nation)
+         RETURN [x IN r | x.w] AS ws""").collect()
+    // ring weights w = src%3+1: from 1, w(1)=2 — no w=3 first hop, so no rows;
+    // from 2 the first hop has w(2)=3 but we anchored at 1 → empty
+    assert(pw.isEmpty)
+    val pw2 = eng.run(
+      """MATCH (a:Nation {n_nationkey: 2})-[r:W*1 {w: 3}]->(b:Nation)
+         RETURN [x IN r | x.w] AS ws""").collect()
+    assert(pw2.length == 1 && pw2.head.getSeq[Long](0) == Seq(3L))
   }
 
   test("relationships(p) through a type-disjunction shortestPath carries per-hop types") {
