@@ -64,6 +64,17 @@ class PlanShapeSpec extends SparkSpec {
       s"q100 grew a cartesian:\n$p100")
   }
 
+  test("group-variable closure (q110) stays keyed: seed semi-join, no cartesian") {
+    // the bounded closure with relationship-struct accumulation is still
+    // the same join chain: a bound anchor seed-restricts the first hop
+    // (left semi), every chain step is a keyed join, and the per-hop
+    // struct array is pure projection — no loop, no cartesian
+    val p = plan("q110_cypher_group_vars")
+    assert(p.contains("LeftSemi"), s"q110 lost its anchored seed semi-join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q110 grew a cartesian/nested-loop join:\n$p")
+  }
+
   test("filter+project (q02) pushes predicates and prunes columns at the scan") {
     val p = plan("q02_filter_project")
     val pushed = p.linesIterator.exists(l =>
