@@ -133,6 +133,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bounded-closure group-variable lists equal brute-force walk enumeration") {
+    import graft.cypher.CypherEngine
+    import graft.graph.{GraphStore, GraphWriter}
+    // random directed graphs with a deterministic per-edge weight; the
+    // bounded closure enumerates FREE walks (edges may repeat within a
+    // walk — Neo4j's bounded var-length semantics as pinned by q84's
+    // oracle), so the brute force does too
+    val edgeGen = Gen.listOfN(12,
+      for { a <- Gen.choose(0L, 5L); b <- Gen.choose(0L, 5L) if a != b } yield (a, b))
+      .map(_.distinct)
+    def w(a: Long, b: Long): Long = (a * 3 + b) % 5
+    def brute(edges: Seq[(Long, Long)], src: Long, maxLen: Int): Seq[(Long, Long, Long)] = {
+      // every walk of length 1..maxLen: (dst, hops, weight sum) with
+      // multiplicity — one row per walk, like the engine's closure
+      val out = Seq.newBuilder[(Long, Long, Long)]
+      def go(cur: Long, len: Int, tw: Long): Unit =
+        if (len < maxLen) edges.foreach { case (a, b) =>
+          if (a == cur) { out += ((b, (len + 1).toLong, tw + w(a, b))); go(b, len + 1, tw + w(a, b)) }
+        }
+      go(src, 0, 0L)
+      out.result()
+    }
+    (1 to 3).foreach { seed =>
+      val edges = sample(edgeGen, seed + 4100)
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      if (nodes.nonEmpty) {
+        val st0 = GraphWriter.mergeNodes(GraphStore.empty, "WG",
+          nodes.toDF("gid"), Seq("gid"))
+        val st = GraphWriter.mergeEdges(st0, "WE", "WG", "WG", "src", "dst",
+          edges.map { case (a, b) => (a, b, w(a, b)) }.toDF("src", "dst", "w"))
+        val srcNode = nodes.min
+        val expected = brute(edges, srcNode, 3).sorted
+        val got = CypherEngine(st).run(
+          s"""MATCH (a:WG {gid: $srcNode}) (()-[r:WE]->()){1,3} (b:WG)
+              RETURN b.gid AS dst, toInteger(size(r)) AS hops,
+                     toInteger(reduce(s = 0, x IN r | s + x.w)) AS tw""").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+        assert(got == expected, s"seed=$seed")
+      }
+    }
+  }
+
   test("timestamp decomposition roundtrips to second precision") {
     val tsGen = Gen.choose(0L, 4102444800L) // 1970..2100
     (1 to 5).foreach { seed =>
