@@ -14,12 +14,12 @@ object Bench {
     * size-mismatched run falls back to the loadavg-only check. Update
     * when a new record is committed to BASELINE.md. Current values are
     * the round-10 certified-clean 119-query records (contended: false,
-    * zero errors, idle fast window; sf0.1 median ratio 0.899 and sf1
-    * 0.992 vs the 115-query records — BASELINE.md "Round-10 record,
-    * final").
+    * zero errors, idle fast window; sf0.1 median ratio 0.907 vs the
+    * interim 81.17 s record and sf1 0.992 vs the 115-query record —
+    * BASELINE.md "Round-10 record, final").
     */
   val CommittedTotalSec: Map[String, (Int, Double)] =
-    Map("sf0.1" -> (119, 81.2), "sf1" -> (119, 135.6))
+    Map("sf0.1" -> (119, 73.3), "sf1" -> (119, 135.6))
 
   /** Per-SF certified record artifact (per-query times for the median-
     * ratio clause; ADVICE r9: the guard previously anchored at sf0.1
