@@ -19,7 +19,7 @@ object Bench {
     * BASELINE.md "Round-10 record, final").
     */
   val CommittedTotalSec: Map[String, (Int, Double)] =
-    Map("sf0.1" -> (119, 73.3), "sf1" -> (119, 135.6))
+    Map("sf0.1" -> (119, 73.3), "sf1" -> (119, 132.5))
 
   /** Per-SF certified record artifact (per-query times for the median-
     * ratio clause; ADVICE r9: the guard previously anchored at sf0.1
