@@ -788,11 +788,20 @@ object CypherEngine {
     }
 
     /** (src,dst) pairs reachable in lo..hi hops over a TYPE GROUP — bounded
-      * var-length closure as a union of join chains (one row per path,
-      * Cypher semantics). With several types (`[:A|B*1..n]`) each STEP may
-      * take any type — the chains join over the union of the edge sets,
-      * Neo4j's mixed-type walk semantics, not a per-type union of
-      * homogeneous walks. A heterogeneous group (src label ≠ dst label)
+      * var-length closure as an incremental frontier expansion (one row per
+      * path, Cypher semantics). Paths are RELATIONSHIP-UNIQUE (trail
+      * semantics, Neo4j's rule for var-length and QPP matching): a path
+      * never traverses the same relationship twice, so each frontier row
+      * carries its visited-edge-identity array and every expansion
+      * anti-filters against it (edge identity = (type, src, dst), matching
+      * [[uniqueWalkClosure]]). Free walks would differ on any graph with a
+      * 2-cycle (extra rows / size(r) / reduce results); PropertySpec pins
+      * agreement with a relationship-unique brute-force DFS and q112's
+      * oracle pins it against a visited-set-tracking recursive CTE.
+      * With several types (`[:A|B*1..n]`) each STEP may
+      * take any type — the expansion runs over the union of the edge sets,
+      * Neo4j's mixed-type trail semantics, not a per-type union of
+      * homogeneous trails. A heterogeneous group (src label ≠ dst label)
       * cannot compose steps, so its reachable lengths cap at 1
       * ([[enumerate]] drops interpretations whose lower bound needs more).
       *
@@ -862,8 +871,14 @@ object CypherEngine {
              else lit(null).cast(dt)).as(p)
           }: _*)
       }
+      // each edge row carries its identity (schema orientation, keys
+      // string-cast so one struct type fits every member type — same
+      // contract as uniqueWalkClosure) for the per-path visited set
       val e0 = ets.map { et =>
-        val cols = Seq(col(et.keyS).as("__cs"), col(et.keyT).as("__cd")) ++
+        val cols = Seq(col(et.keyS).as("__cs"), col(et.keyT).as("__cd"),
+          struct(lit(et.label).as("__t"),
+            col(et.keyS).cast(StringType).as("__es"),
+            col(et.keyT).cast(StringType).as("__ed")).as("__eid")) ++
           (if (withRels) Seq(relStruct(et).as("__rel")) else Nil)
         filteredEdges(et, props).select(cols: _*)
       }.reduce(_.unionByName(_))
@@ -872,21 +887,28 @@ object CypherEngine {
           .withColumn("__cd", col("__tmp")).drop("__tmp")
       else e0
       val first0 = seeds.fold(e)(s => e.join(s, col("__cs") === col("__seed"), "left_semi"))
-      val first = if (withRels)
-        first0.select(col("__cs"), col("__cd"), array(col("__rel")).as("__rels"))
-      else first0
-      val chains = (lo to effHi).map { n =>
-        (2 to n).foldLeft(first) { (acc, _) =>
-          val step = e.withColumnRenamed("__cs", "__m").withColumnRenamed("__cd", "__cd2")
-            .withColumnRenamed("__rel", "__rel2")
-          val j = acc.join(step, col("__cd") === col("__m"))
-          if (withRels)
-            j.select(col("__cs"), col("__cd2").as("__cd"),
-              concat(col("__rels"), array(col("__rel2"))).as("__rels"))
-          else j.select(col("__cs"), col("__cd2").as("__cd"))
-        }
+      // incremental frontier: length n extends length n-1 (shared join
+      // prefix across the emitted lengths, instead of rebuilding each
+      // chain from scratch); the visited array bounds at effHi entries
+      var cur = first0.select(Seq(col("__cs"), col("__cd"),
+        array(col("__eid")).as("__seen")) ++
+        (if (withRels) Seq(array(col("__rel")).as("__rels")) else Nil): _*)
+      val step = e.select(Seq(col("__cs").as("__m"), col("__cd").as("__cd2"),
+        col("__eid").as("__eid2")) ++
+        (if (withRels) Seq(col("__rel").as("__rel2")) else Nil): _*)
+      val frames = Seq.newBuilder[DataFrame]
+      if (lo <= 1) frames += cur
+      for (n <- 2 to effHi) {
+        cur = cur.join(step, col("__cd") === col("__m") &&
+            !array_contains(col("__seen"), col("__eid2")))
+          .select(Seq(col("__cs"), col("__cd2").as("__cd"),
+            concat(col("__seen"), array(col("__eid2"))).as("__seen")) ++
+            (if (withRels)
+              Seq(concat(col("__rels"), array(col("__rel2"))).as("__rels"))
+            else Nil): _*)
+        if (n >= lo) frames += cur
       }
-      val out = chains.reduce(_.unionByName(_))
+      val out = frames.result().reduce(_.unionByName(_)).drop("__seen")
       if (seedOnDst) {
         // flip back to schema orientation; the accumulated hop order ran
         // anchor-outward (reverse pattern order), so the list reverses too

@@ -378,15 +378,15 @@ object Parser {
       (rel.copy(varLength = Some((lo, hi))), nodePattern())
     }
 
-    /** `{n}` / `{m,n}` / `{m,}` / `+` after a quantified group or
-      * relationship. `*` and `{0,…}` (zero-length) reject loudly.
+    /** `{n}` / `{m,n}` / `{m,}` / `{,n}` / `+` / `*` after a quantified
+      * group or relationship. Zero-length lower bounds (`*`, `{0,n}`,
+      * `{,n}`) are accepted (round 11): a length-0 path binds both
+      * endpoints to ONE node — the compiler unions an identity frame
+      * under the closure.
       */
     private def quantifier(): (Int, Int) = {
       if (trySym("+")) (1, Unbounded)
-      else if (trySym("*"))
-        throw ParseException(
-          "the * quantifier admits zero-length paths (both endpoints one " +
-            "node) — not supported; use + or {1,n}")
+      else if (trySym("*")) (0, Unbounded)
       else {
         eatSym("{")
         val lo = peek match {
@@ -400,11 +400,8 @@ object Parser {
           }
           else lo // `{n}` exact
         eatSym("}")
-        if (lo.getOrElse(0) < 1)
-          throw ParseException(
-            "a zero-length quantifier ({0,n} / {,n}) binds both endpoints " +
-              "to one node — not supported; use a lower bound >= 1")
-        (lo.get, hi.getOrElse(Unbounded))
+        // GQL/Neo4j: `{,n}` means 0..n
+        (lo.getOrElse(0), hi.getOrElse(Unbounded))
       }
     }
 

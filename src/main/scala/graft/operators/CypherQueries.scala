@@ -102,6 +102,23 @@ object CypherQueries {
       nation.select(k.as("src"), ((k + 5) % 25).as("dst")))
   }
 
+  /** Bidirectional ring (+1 and −1 mod 25 in ONE edge type) — every
+    * adjacent pair forms a 2-cycle, the exact fixture where trail
+    * semantics (relationship-unique paths, Neo4j's var-length rule)
+    * diverge from free walks: a length-3 free walk 0→1→0→1 reuses the
+    * 0→1 edge and must NOT count. The oracle tracks the visited edge set
+    * in its recursive CTE.
+    */
+  private def cycStore(s: SparkSession, dir: String): GraphStore = cachedStore("cyc", dir) {
+    val nation = Tables.load(s, dir, "nation")
+    val k = col("n_nationkey")
+    val st = GraphWriter.mergeNodes(GraphStore.empty, "Nation",
+      nation.select(k, col("n_name")), Seq("n_nationkey"))
+    val cyc = nation.select(k.as("src"), ((k + 1) % 25).as("dst"))
+      .unionByName(nation.select(k.as("src"), ((k + 24) % 25).as("dst")))
+    GraphWriter.mergeEdges(st, "CYC", "Nation", "Nation", "src", "dst", cyc)
+  }
+
   /** DAG variant of the ring (+1/+5 WITHOUT the wraparound): keys only
     * increase, so high sources genuinely cannot reach low targets — the
     * fixture for OPTIONAL shortestPath's null-preserving left join.
@@ -340,6 +357,16 @@ object CypherQueries {
            MATCH (t:Tally) RETURN toInteger(t.cnt) + 1 AS v
            ORDER BY v""").result
     }),
+    // trail semantics (round 11; closes the r10 ADVICE medium): bounded
+    // var-length paths are RELATIONSHIP-UNIQUE — on the bidirectional
+    // ring a free-walk closure would count 0→1→0→1 (reusing the 0→1
+    // edge) and report 4 paths to nodes 1/24 instead of 3. The oracle's
+    // recursive CTE carries the visited edge set.
+    "q112_cypher_trail_semantics" -> ((s, dir) =>
+      CypherEngine(cycStore(s, dir)).run(
+        """MATCH (a:Nation {n_nationkey: 0})-[:CYC*1..3]->(b:Nation)
+           RETURN toInteger(b.n_nationkey) AS dst, count(*) AS paths
+           ORDER BY dst""")),
     // quantified path pattern (round 9): the Neo4j-5 QPP spelling of q84 —
     // `(()-[:R]->()){m,n}` desugars at PARSE time to the identical
     // var-length AST (CypherSpec pins AST equality), so the closure
@@ -1121,6 +1148,23 @@ object CypherQueries {
          SELECT CAST(dst AS BIGINT) AS dst, CAST(len AS BIGINT) AS hops,
                 CAST(tw AS BIGINT) AS tw
          FROM walk ORDER BY dst, hops, tw""",
+    // q112: visited-set-tracking walk CTE — relationship-unique trails
+    // over the bidirectional ring (edge id = src*100+dst; keys < 25 and
+    // one type, so the encoding is injective)
+    "q112_cypher_trail_semantics" ->
+      """WITH RECURSIVE e AS (
+           SELECT n_nationkey AS src, (n_nationkey + 1) % 25 AS dst FROM nation
+           UNION ALL
+           SELECT n_nationkey, (n_nationkey + 24) % 25 FROM nation
+         ), walk(dst, len, seen) AS (
+           SELECT dst, 1 AS len, [src * 100 + dst] AS seen FROM e WHERE src = 0
+           UNION ALL
+           SELECT e.dst, w.len + 1, list_append(w.seen, e.src * 100 + e.dst)
+           FROM walk w JOIN e ON e.src = w.dst
+           WHERE w.len < 3 AND NOT list_contains(w.seen, e.src * 100 + e.dst)
+         )
+         SELECT CAST(dst AS BIGINT) AS dst, count(*) AS paths
+         FROM walk GROUP BY 1 ORDER BY 1""",
     // q108: create-pass gives every nation's edge cnt=1; the second merge
     // pass increments region<2 counters; the standalone SET scales
     // region-0 counters x10 — final counter is a pure fn of n_regionkey

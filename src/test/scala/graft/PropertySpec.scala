@@ -133,26 +133,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("bounded-closure group-variable lists equal brute-force walk enumeration") {
+  test("bounded-closure group-variable lists equal brute-force trail enumeration") {
     import graft.cypher.CypherEngine
     import graft.graph.{GraphStore, GraphWriter}
     // random directed graphs with a deterministic per-edge weight; the
-    // bounded closure enumerates FREE walks (edges may repeat within a
-    // walk — Neo4j's bounded var-length semantics as pinned by q84's
-    // oracle), so the brute force does too
+    // bounded closure enumerates RELATIONSHIP-UNIQUE paths (trail
+    // semantics — Neo4j's rule for var-length and QPP matching: a path
+    // never traverses the same relationship twice), so the brute force
+    // tracks its used-edge set. On graphs with a 2-cycle this differs
+    // from free walks — exactly the divergence the r10 ADVICE flagged.
     val edgeGen = Gen.listOfN(12,
       for { a <- Gen.choose(0L, 5L); b <- Gen.choose(0L, 5L) if a != b } yield (a, b))
       .map(_.distinct)
     def w(a: Long, b: Long): Long = (a * 3 + b) % 5
     def brute(edges: Seq[(Long, Long)], src: Long, maxLen: Int): Seq[(Long, Long, Long)] = {
-      // every walk of length 1..maxLen: (dst, hops, weight sum) with
-      // multiplicity — one row per walk, like the engine's closure
+      // every relationship-unique path of length 1..maxLen:
+      // (dst, hops, weight sum) with multiplicity — one row per path,
+      // like the engine's closure
       val out = Seq.newBuilder[(Long, Long, Long)]
-      def go(cur: Long, len: Int, tw: Long): Unit =
-        if (len < maxLen) edges.foreach { case (a, b) =>
-          if (a == cur) { out += ((b, (len + 1).toLong, tw + w(a, b))); go(b, len + 1, tw + w(a, b)) }
+      def go(cur: Long, len: Int, tw: Long, used: Set[Int]): Unit =
+        if (len < maxLen) edges.zipWithIndex.foreach { case ((a, b), i) =>
+          if (a == cur && !used(i)) {
+            out += ((b, (len + 1).toLong, tw + w(a, b)))
+            go(b, len + 1, tw + w(a, b), used + i)
+          }
         }
-      go(src, 0, 0L)
+      go(src, 0, 0L, Set.empty)
       out.result()
     }
     (1 to 3).foreach { seed =>
