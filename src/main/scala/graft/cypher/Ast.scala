@@ -31,6 +31,12 @@ object Ast {
   final case class In(e: Expr, coll: Expr) extends Expr
   /** `[e1, e2, …]` list literal */
   final case class ListLit(items: Seq[Expr]) extends Expr
+  /** `{k1: e1, k2: e2, …}` map literal in EXPRESSION position — the
+    * temporal constructors' map form (`datetime({year: 2024, month: 1})`,
+    * `time({hour: 21})`). Pattern prop maps and SET maps parse separately
+    * (they are clause syntax, not expressions).
+    */
+  final case class MapLit(items: Seq[(String, Expr)]) extends Expr
   /** `[x IN coll WHERE pred | proj]` list comprehension (both parts optional) */
   final case class ListComp(variable: String, coll: Expr,
       where: Option[Expr], proj: Option[Expr]) extends Expr

@@ -690,6 +690,9 @@ object Parser {
       case Str(s) => Lit(s)
       case ParamT(s) => Param(s)
       case Sym("(") => val e = expr(); eatSym(")"); e
+      case Sym("{") => // map literal (temporal constructor argument form)
+        pos -= 1
+        MapLit(propMap())
       case Sym("[") => // list literal, `[x IN coll WHERE … | …]` comprehension,
         // or `[(a)-[:R]->(b) WHERE … | proj]` pattern comprehension
         (peek, peek2) match {

@@ -1498,8 +1498,50 @@ class CypherSpec extends SparkSpec {
     val nerr = intercept[CypherEngine.CypherException](engine.run(
       "MATCH (x:Region) RETURN time(2140) AS t"))
     assert(nerr.getMessage.contains("expects a string"))
-    intercept[Exception](engine.run(
-      "MATCH (x:Region) RETURN time({hour: 21, minute: 40}) AS t"))
+    // map-form constructors (round 11): component maps compile to
+    // make_date/make_timestamp; omitted smaller units default to their
+    // minimum (Neo4j's clamp), and the values may be expressions
+    val mp = engine.run(
+      """MATCH (x:Region {r_regionkey: 0})
+         RETURN toString(time({hour: 21, minute: 40})) AS t1,
+                toString(time({hour: 9})) AS t2,
+                toString(datetime({year: 2024, month: 2, day: 29, hour: 6})) AS dt,
+                toString(datetime({year: 2024})) AS dtmin,
+                toString(date({year: 1998, month: 3, day: 17})) AS d1,
+                toString(date({year: 1998})) AS d2,
+                toString(localdatetime({year: 2015, month: 7, day: 21,
+                  hour: 21, minute: 40, second: 32})) AS ldt,
+                date({year: 1990 + toInteger(x.r_regionkey),
+                  month: 2}) AS dexpr""").collect().head
+    assert(mp.getString(0) == "21:40:00")
+    assert(mp.getString(1) == "09:00:00")
+    assert(mp.getString(2) == "2024-02-29 06:00:00")
+    assert(mp.getString(3) == "2024-01-01 00:00:00")
+    assert(mp.getString(4) == "1998-03-17")
+    assert(mp.getString(5) == "1998-01-01")
+    assert(mp.getString(6) == "2015-07-21 21:40:32")
+    assert(mp.getDate(7).toString == "1990-02-01")
+    // map-form component accessors + comparison ride the time-typed path
+    val mcmp = engine.run(
+      """MATCH (x:Region {r_regionkey: 0})
+         RETURN time({hour: 21, minute: 40}).hour AS h,
+                time({hour: 21}) < time('22:00:00') AS lt""").collect().head
+    assert(mcmp.getInt(0) == 21 && mcmp.getBoolean(1))
+    // non-contiguous components (gap), unknown keys, and empty maps
+    // reject loudly (Neo4j rejects gaps like {year, day} too)
+    def mrejects(q: String, msg: String): Unit = {
+      val e = intercept[CypherEngine.CypherException](engine.run(q))
+      assert(e.getMessage.contains(msg), s"$q => ${e.getMessage}")
+    }
+    mrejects("MATCH (x:Region) RETURN datetime({year: 2024, day: 5}) AS t",
+      "contiguous component prefix")
+    mrejects("MATCH (x:Region) RETURN time({minute: 40}) AS t",
+      "contiguous component prefix")
+    mrejects("MATCH (x:Region) RETURN datetime({yr: 2024}) AS t",
+      "unsupported component")
+    mrejects("MATCH (x:Region) RETURN date({}) AS t", "no components")
+    // a map literal outside a temporal constructor rejects with guidance
+    mrejects("MATCH (x:Region) RETURN {a: 1} AS m", "temporal constructor")
   }
 
   test("shortestPath BFS agrees under the reliable-checkpoint mode") {
@@ -1568,10 +1610,13 @@ class CypherSpec extends SparkSpec {
       "anonymous inner nodes")
     rejects("MATCH (a:X) (()-[:R]->(:L)){1,2} (b:X) RETURN a.k AS k",
       "anonymous inner nodes")
-    rejects("MATCH (a:X) (()-[:R]->()){0,2} (b:X) RETURN a.k AS k",
-      "zero-length")
-    rejects("MATCH (a:X) (()-[:R]->())* (b:X) RETURN a.k AS k",
-      "zero-length")
+    // zero-length quantifiers parse (round 11): `*` = {0,}, `{,n}` = {0,n}
+    assert(Parser.parse("MATCH (a:X) (()-[:R]->()){0,2} (b:X) RETURN a.k AS k") ==
+      Parser.parse("MATCH (a:X)-[:R*0..2]->(b:X) RETURN a.k AS k"))
+    assert(Parser.parse("MATCH (a:X) (()-[:R]->())* (b:X) RETURN a.k AS k") ==
+      Parser.parse("MATCH (a:X)-[:R*0..]->(b:X) RETURN a.k AS k"))
+    assert(Parser.parse("MATCH (a:X) (()-[:R]->()){,2} (b:X) RETURN a.k AS k") ==
+      Parser.parse("MATCH (a:X)-[:R*0..2]->(b:X) RETURN a.k AS k"))
     rejects("MATCH (a:X) (()-[:R*1..2]->()){1,2} (b:X) RETURN a.k AS k",
       "nests quantifiers")
     // QPP spellings compose with shortestPath: the shorthand inside the
@@ -1689,6 +1734,74 @@ class CypherSpec extends SparkSpec {
       """MATCH (a:Nation {n_nationkey: 2})-[r:W*1 {w: 3}]->(b:Nation)
          RETURN [x IN r | x.w] AS ws""").collect()
     assert(pw2.length == 1 && pw2.head.getSeq[Long](0) == Seq(3L))
+  }
+
+  test("zero-length quantifiers: identity row unions under the closure") {
+    import org.apache.spark.sql.functions.col
+    // +1-mod-25 ring with weight w = src%3+1 (same fixture family as the
+    // group-variable test)
+    val nation = graft.sources.Tables.load(spark, sf, "nation")
+    val k = col("n_nationkey")
+    var st = graft.graph.GraphWriter.mergeNodes(GraphStore.empty, "Nation",
+      nation.select(k, col("n_name")), Seq("n_nationkey"))
+    st = graft.graph.GraphWriter.mergeEdges(st, "W", "Nation", "Nation",
+      "src", "dst",
+      nation.select(k.as("src"), ((k + 1) % 25).as("dst"), (k % 3 + 1).as("w")))
+    val eng = CypherEngine(st)
+    def pairs(q: String): Seq[(Long, Long)] = eng.run(q).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    // *0..1: the length-0 path binds b to a itself
+    assert(pairs("""MATCH (a:Nation {n_nationkey: 0})-[:W*0..1]->(b:Nation)
+                    RETURN toInteger(b.n_nationkey) AS dst, count(*) AS c
+                    ORDER BY dst""") == Seq((0L, 1L), (1L, 1L)))
+    // *0..0 / {0}: identity only
+    assert(pairs("""MATCH (a:Nation {n_nationkey: 7})-[:W*0..0]->(b:Nation)
+                    RETURN toInteger(b.n_nationkey) AS dst, count(*) AS c""") ==
+      Seq((7L, 1L)))
+    // group variable over {0,2}: the zero-length row carries an EMPTY list
+    val gv = eng.run(
+      """MATCH (a:Nation {n_nationkey: 0}) (()-[r:W]->()){0,2} (b:Nation)
+         RETURN toInteger(b.n_nationkey) AS dst, size(r) AS hops,
+                reduce(s = 0, x IN r | s + x.w) AS tw ORDER BY dst""").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getAs[Number](2).longValue)).toSeq
+    assert(gv == Seq((0L, 0, 0L), (1L, 1, 1L), (2L, 2, 3L)))
+    // QPP `*` (0..∞): relationship-unique walks + the identity row — on
+    // the one-out-edge ring every node is reached by exactly one path,
+    // node 0 twice (length 0 and the full 25-edge cycle)
+    val star = eng.run(
+      """MATCH (a:Nation {n_nationkey: 0}) (()-[:W]->())* (b:Nation)
+         RETURN count(*) AS paths""").collect()
+    assert(star.head.getLong(0) == 26L)
+    // dst-side anchor: identity respects the seed restriction
+    assert(pairs("""MATCH (b:Nation {n_nationkey: 3}) MATCH (a:Nation)-[:W*0..1]->(b)
+                    RETURN toInteger(a.n_nationkey) AS src, count(*) AS c
+                    ORDER BY src""") == Seq((2L, 1L), (3L, 1L)))
+    // inline props never constrain the zero-length row (no traversed
+    // relationships to filter — Neo4j semantics): w=99 matches no edge,
+    // so only the identity survives
+    assert(pairs("""MATCH (a:Nation {n_nationkey: 5})-[:W*0..3 {w: 99}]->(b:Nation)
+                    RETURN toInteger(b.n_nationkey) AS dst, count(*) AS c""") ==
+      Seq((5L, 1L)))
+    // heterogeneous endpoints: zero-length can never unify two labels —
+    // *0..1 silently equals *1..1, *0..0 rejects loudly
+    val h1 = engine.run(
+      """MATCH (o:Order {o_orderkey: 1})-[:CONTAINS*0..1]->(p:Part)
+         RETURN count(*) AS c""").collect().head.getLong(0)
+    val h2 = engine.run(
+      """MATCH (o:Order {o_orderkey: 1})-[:CONTAINS*1..1]->(p:Part)
+         RETURN count(*) AS c""").collect().head.getLong(0)
+    assert(h1 == h2 && h1 > 0)
+    val err = intercept[CypherEngine.CypherException](engine.run(
+      "MATCH (o:Order {o_orderkey: 1})-[:CONTAINS*0..0]->(p:Part) RETURN count(*) AS c"))
+    assert(err.getMessage.contains("zero-length"))
+    // shortestPath with lo=0: the zero-length path IS the shortest for
+    // (a, a) — dist 0, path [a]; other pairs keep their BFS minimum
+    val sp = eng.run(
+      """MATCH p = shortestPath((a:Nation {n_nationkey: 0})-[:W*0..3]->(b:Nation))
+         RETURN toInteger(b.n_nationkey) AS dst, length(p) AS len,
+                size(nodes(p)) AS nn ORDER BY dst""").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(sp == Seq((0L, 0L, 1), (1L, 1L, 2), (2L, 2L, 3), (3L, 3L, 4)))
   }
 
   test("relationships(p) through a type-disjunction shortestPath carries per-hop types") {
