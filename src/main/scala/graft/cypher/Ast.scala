@@ -37,6 +37,13 @@ object Ast {
     * (they are clause syntax, not expressions).
     */
   final case class MapLit(items: Seq[(String, Expr)]) extends Expr
+  /** COMPILER-INTERNAL (never parsed): a null of a known store column
+    * type — the replace-all expansion of `SET v = {…}` inside a MERGE's
+    * ON CREATE/ON MATCH resets absent properties through the same
+    * (prop, Expr) plumbing as explicit SET items, and the reset must keep
+    * the store column's type.
+    */
+  final case class TypedNull(dt: org.apache.spark.sql.types.DataType) extends Expr
   /** `[x IN coll WHERE pred | proj]` list comprehension (both parts optional) */
   final case class ListComp(variable: String, coll: Expr,
       where: Option[Expr], proj: Option[Expr]) extends Expr

@@ -166,9 +166,12 @@ object Parser {
           "every branch of a correlated CALL { } body must begin with the " +
             s"same importing WITH (${callImports.get.mkString(", ")}); " +
             s"found $peek")
-      // first stage must read or write something
-      if (!isKw("MATCH") && !isKw("UNWIND") && !isKw("CREATE") && !isKw("MERGE") &&
-          !isKw("FOREACH"))
+      // first stage must read or write something. OPTIONAL (MATCH) is
+      // accepted HERE so the compiler can reject a query-starting
+      // OPTIONAL MATCH with its semantic error instead of a parse error
+      // (found by the round-trip fuzzer, round 11)
+      if (!isKw("MATCH") && !isKw("OPTIONAL") && !isKw("UNWIND") &&
+          !isKw("CREATE") && !isKw("MERGE") && !isKw("FOREACH"))
         eatKw("MATCH")
       var done = false
       while (!done) {
@@ -206,14 +209,24 @@ object Parser {
           stages :+= Stage(clauses, where, None, writes)
           ret = projection(allowWhere = false)
           done = true
-        } else if ((peek == EOF || (inSub && isSym("}"))) && writes.nonEmpty) {
+        } else if ((peek == EOF || (inSub && isSym("}"))) && writes.nonEmpty &&
+            !requireImportWith) {
           // a write query needs no RETURN (reference injection scripts end
           // on MERGE/SET); synthesize `RETURN count(*) AS rows` so every
-          // execution yields a summary row
+          // execution yields a summary row. NOT inside a UNION branch
+          // (requireImportWith flags those): every branch must RETURN the
+          // same columns explicitly, and a synthesized `rows` column would
+          // mismatch the other branches with an obscure union error
+          // downstream instead of this parse error (r10 ADVICE).
           stages :+= Stage(clauses, where, None, writes)
           ret = Projection(Seq(Item(Fn("count", Nil), Some("rows"))), distinct = false)
           done = true
-        } else eatKw("RETURN") // error with the expected-keyword message
+        } else if (peek == EOF && writes.nonEmpty && requireImportWith)
+          throw ParseException(
+            "every UNION branch must RETURN explicitly (a write-only final " +
+              "branch cannot synthesize one — its columns must match the " +
+              "other branches)")
+        else eatKw("RETURN") // error with the expected-keyword message
       }
       if (tryKw("UNION")) {
         val all = tryKw("ALL")
