@@ -24,6 +24,14 @@ object ProfilePath {
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // A/B aid: SPARK_GRAFT_CONF="k1=v1;k2=v2" sets runtime confs before
+    // the timed runs (e.g. graft.cypher.unionCacheMaxEdges=0 to profile
+    // the uncached BFS edge-union build against the cached default)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     def t(name: String)(f: => Long): Unit = {
       val s = System.nanoTime
       val n = f
