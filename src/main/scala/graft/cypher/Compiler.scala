@@ -2538,6 +2538,10 @@ object CypherEngine {
         case Fn(name @ ("date" | "datetime" | "timestamp" | "localdatetime"
             | "time" | "localtime"), Seq(m: MapLit), _) =>
           temporalFromMap(name, m.items, c)
+        // duration's map form compiles from the RAW map (literal-only) —
+        // route past the eager arg compile like the constructors above
+        case Fn("duration", Seq(m: MapLit), _) =>
+          function("duration", Nil, distinct = false, Seq(m), ctx, lamStr)
         case MapLit(_) => throw CypherException(
           "a map literal is only supported as a temporal constructor " +
             "argument (datetime({year: …}), time({hour: …})) — " +
@@ -2788,9 +2792,41 @@ object CypherEngine {
       // final/experimenting_new/rca.ipynb:345-354) -------------------------
       case "duration" => rawArgs.head match {
         case Lit(s: String) => durationLiteral(s)
+        // map form `duration({days: 90, hours: 12})` (round 11, Neo4j's
+        // other idiomatic spelling) — literal components only, like the
+        // ISO form; no contiguity requirement (unlike datetime maps)
+        case MapLit(items) =>
+          val known = Seq("years", "months", "weeks", "days",
+            "hours", "minutes", "seconds")
+          val m = items.map {
+            case (k, Lit(v: Long)) => k.toLowerCase -> v.toDouble
+            case (k, Lit(v: Double)) if k.equalsIgnoreCase("seconds") =>
+              k.toLowerCase -> v
+            case (k, Lit(_: Double)) => throw CypherException(
+              s"duration() map form: only the seconds component may be " +
+                s"fractional (got fractional $k)")
+            case (k, other) => throw CypherException(
+              s"duration() map form: component $k must be a numeric " +
+                s"literal, got ${genName(other)}")
+          }.toMap
+          val unknown = m.keys.filterNot(known.contains)
+          if (unknown.nonEmpty) throw CypherException(
+            s"duration() map form: unsupported component(s) " +
+              s"${unknown.mkString(", ")} (supported: ${known.mkString(", ")})")
+          if (m.isEmpty) throw CypherException(
+            "duration({}) has no components")
+          def n(k: String): Long = m.getOrElse(k, 0d).toLong
+          val secs = m.getOrElse("seconds", 0d)
+          if (n("years") == 0 && n("months") == 0)
+            expr(s"make_dt_interval(${n("weeks") * 7 + n("days")}, " +
+              s"${n("hours")}, ${n("minutes")}, $secs)")
+          else
+            expr(s"make_interval(${n("years")}, ${n("months")}, " +
+              s"${n("weeks")}, ${n("days")}, ${n("hours")}, " +
+              s"${n("minutes")}, $secs)")
         case other => throw CypherException(
-          s"duration() expects an ISO-8601 string literal like 'P90D' or " +
-            s"'PT12H', got ${genName(other)}")
+          s"duration() expects an ISO-8601 string literal like 'P90D' / " +
+            s"'PT12H' or a component map like {days: 90}, got ${genName(other)}")
       }
       // duration.inDays / duration.inSeconds: the single-component Neo4j
       // difference forms — a day-time interval whose total-days /

@@ -485,10 +485,10 @@ object CypherQueries {
     // pushdown-friendly rewritten form.
     "q98_cypher_duration" -> cy(
       """MATCH (o:Order)
-         WHERE o.o_orderdate + duration('P90D') >= datetime('1998-06-01')
+         WHERE o.o_orderdate + duration({days: 90}) >= datetime('1998-06-01')
          RETURN count(*) AS recent,
                 min(toString(date(o.o_orderdate - duration('P30D')))) AS earliest_m30,
-                max(toString(date(o.o_orderdate + duration('P1Y2M')))) AS latest_p14m,
+                max(toString(date(o.o_orderdate + duration({years: 1, months: 2})))) AS latest_p14m,
                 max(duration.inDays(o.o_orderdate, datetime('1998-08-02')).days) AS max_age"""),
     // temporal instant breadth (round 9): time()/localtime() anchor on
     // the epoch day (Spark has no TIME type) so accessors, ordering, and

@@ -2333,6 +2333,30 @@ class CypherSpec extends SparkSpec {
     assert(r.getLong(5) == 86400L)
     assert(r.getLong(6) == 24L)
     assert(r.getLong(7) == 90L)
+    // map form (round 11): duration({days: 90}) ≡ duration('P90D'); mixed
+    // components and month-bearing maps route to the calendar interval
+    val mf = engine.run(
+      """MATCH (x:Region {r_regionkey: 0})
+         RETURN toString(date(datetime('1998-01-01') + duration({days: 90}))) AS d90,
+                toString(date(datetime('1998-01-31') + duration({months: 1}))) AS clamp,
+                toString(datetime('1998-01-01T00:00:00')
+                         + duration({hours: 12, minutes: 30})) AS hm,
+                toString(date(datetime('1997-06-15')
+                         + duration({years: 1, months: 2, days: 3}))) AS ymd""")
+      .collect().head
+    assert(mf.getString(0) == "1998-04-01")
+    assert(mf.getString(1) == "1998-02-28")
+    assert(mf.getString(2) == "1998-01-01 12:30:00")
+    assert(mf.getString(3) == "1998-08-18")
+    // unknown / non-literal / fractional-non-seconds components reject
+    def drejects(q: String, msg: String): Unit = {
+      val e = intercept[CypherEngine.CypherException](engine.run(q))
+      assert(e.getMessage.contains(msg), s"$q => ${e.getMessage}")
+    }
+    drejects("MATCH (x:Region) RETURN duration({dayz: 1}) AS d", "unsupported component")
+    drejects("MATCH (x:Region) RETURN duration({days: x.r_regionkey}) AS d", "numeric literal")
+    drejects("MATCH (x:Region) RETURN duration({hours: 1.5}) AS d", "fractional")
+    drejects("MATCH (x:Region) RETURN duration({}) AS d", "no components")
     // interval comparison: day-time durations order natively
     val cmp = engine.run(
       """MATCH (x:Region {r_regionkey: 0})
