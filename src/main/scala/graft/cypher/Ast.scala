@@ -58,6 +58,10 @@ object Ast {
       coll: Expr, pred: Expr) extends Expr
   /** `list[idx]` — 0-based positive, negative from the end (Cypher) */
   final case class Index(coll: Expr, idx: Expr) extends Expr
+  /** `n:Label[:Label2]` label predicate in EXPRESSION position (`WHERE
+    * n:Nation`) — true when the node has every listed label.
+    */
+  final case class HasLabel(variable: String, labels: Seq[String]) extends Expr
   /** `$name` query parameter, bound at run time (reference:
     * final/langraph_neo4j3.py:359-363 executes parameterized probes)
     */

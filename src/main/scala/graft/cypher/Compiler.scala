@@ -47,7 +47,8 @@ final case class CypherEngine(store: GraphStore) {
     * injection shape).
     */
   def run(query: String, params: Map[String, Any]): DataFrame = {
-    val q = bindShortestRelVars(bindParams(Parser.parse(query), params))
+    val q = hoistLabelPredicates(
+      bindShortestRelVars(bindParams(Parser.parse(query), params)))
     if (hasWrites(q))
       throw CypherException(
         "write clauses (CREATE/MERGE/SET/DELETE) mutate the store — use execute()")
@@ -61,7 +62,8 @@ final case class CypherEngine(store: GraphStore) {
     * be checkpointed by saving, exactly like any iterative Spark lineage.
     */
   def execute(query: String, params: Map[String, Any] = Map.empty): WriteResult = {
-    val q = bindShortestRelVars(bindParams(Parser.parse(query), params))
+    val q = hoistLabelPredicates(
+      bindShortestRelVars(bindParams(Parser.parse(query), params)))
     val in = new Interp(store, params)
     val df = in.top(q)
     WriteResult(in.store, df)
@@ -138,6 +140,8 @@ object CypherEngine {
     def expr(e: Expr): Unit = e match {
       case Prop(v, _) => refs += v
       case Var(v) => refs += v
+      case HasLabel(v, _) => refs += v
+      case TypedNull(_) => ()
       case MapProj(v, _, _, ex) => refs += v; ex.foreach { case (_, x) => expr(x) }
       case Fn(_, args, _) => args.foreach(expr)
       case Bin(_, l, r) => expr(l); expr(r)
@@ -302,7 +306,7 @@ object CypherEngine {
           n.props.foreach { case (_, e0) => expr(e0) }
         }
         w.foreach(expr); expr(pr)
-      case Param(_) | Lit(_) => ()
+      case Param(_) | Lit(_) | HasLabel(_, _) | TypedNull(_) => ()
     }
     def proj(p: Projection): Unit = {
       if (p.star) star = true
@@ -582,6 +586,57 @@ object CypherEngine {
       }
     }
     Query(stages2, if (active) goProj(q.ret) else q.ret, q.union)
+  }
+
+  /** Hoist single-label predicates `WHERE n:Label` onto UNLABELED pattern
+    * nodes (Neo4j's own planning move; round 11): `MATCH (n) WHERE
+    * n:Nation` rewrites to `MATCH (n:Nation)` so the untyped node needs
+    * no label inference and the label prunes the scan instead of
+    * post-filtering. Only non-OPTIONAL MATCH clauses qualify (a WHERE
+    * after OPTIONAL filters ROWS, a pattern label null-extends — not
+    * equivalent); predicates that don't hoist (multi-label, labeled or
+    * unbound variables) stay in the WHERE and compile via [[HasLabel]].
+    */
+  private def hoistLabelPredicates(q: Query): Query = {
+    def conj(e: Expr): Seq[Expr] = e match {
+      case Bin("and", l, r) => conj(l) ++ conj(r)
+      case x => Seq(x)
+    }
+    val stages2 = q.stages.map { st =>
+      st.where match {
+        case Some(w) =>
+          def unlabeledIn(v: String): Boolean = st.reads.exists {
+            case MatchClause(ps, false) => ps.exists(p =>
+              (p.head +: p.hops.map(_._2))
+                .exists(n => n.variable.contains(v) && n.label.isEmpty))
+            case _ => false
+          }
+          var labelFor = Map.empty[String, String]
+          val keep = conj(w).filter {
+            case HasLabel(v, Seq(l)) if !labelFor.contains(v) && unlabeledIn(v) =>
+              labelFor += v -> l; false
+            case _ => true
+          }
+          if (labelFor.isEmpty) st
+          else {
+            def fix(n: NodePat): NodePat =
+              if (n.label.isEmpty && n.variable.exists(labelFor.contains))
+                n.copy(label = Some(labelFor(n.variable.get)))
+              else n
+            val reads2 = st.reads.map {
+              case MatchClause(ps, opt) => MatchClause(ps.map(p =>
+                PathPat(fix(p.head),
+                  p.hops.map { case (r, nd) => (r, fix(nd)) })), opt)
+              case other => other
+            }
+            st.copy(reads = reads2,
+              where = keep.reduceOption((a, b) => Bin("and", a, b)))
+          }
+        case None => st
+      }
+    }
+    Query(stages2, q.ret,
+      q.union.map { case (all, next) => (all, hoistLabelPredicates(next)) })
   }
 
   private def bindParams(q: Query, params: Map[String, Any]): Query = {
@@ -2522,6 +2577,22 @@ object CypherEngine {
           col(s"${v}__${store.schema.node(ctx.labels(v)).key}")
         case Fn("id", Seq(Var(v)), _) if ctx.multi.contains(v) =>
           multiNodeId(v, ctx)
+        // elementId (Neo4j 5's string node identity): the engine's stable
+        // per-store form is `Label:key` — distinct across label key spaces
+        // (the same composite multi-label id() uses)
+        case Fn("elementid", Seq(Var(v)), _) if ctx.labels.contains(v) =>
+          concat_ws(":", lit(ctx.labels(v)),
+            col(s"${v}__${store.schema.node(ctx.labels(v)).key}").cast(StringType))
+        case Fn("elementid", Seq(Var(v)), _) if ctx.multi.contains(v) =>
+          multiNodeId(v, ctx).cast(StringType)
+        case HasLabel(v, ls) =>
+          // label predicate: single-label bindings resolve at COMPILE time
+          // (a constant — free); multi-label vars read their per-row tag
+          if (ctx.labels.contains(v)) lit(ls.forall(_ == ctx.labels(v)))
+          else if (ctx.multi.contains(v))
+            ls.map(l => col(labelColOf(v)) === lit(l)).reduce(_ && _)
+          else throw CypherException(
+            s"$v in `$v:${ls.mkString(":")}` is not a bound node variable")
         case Fn("keys", Seq(Var(v)), _) if ctx.labels.contains(v) =>
           val nt = store.schema.node(ctx.labels(v))
           array((nt.key +: nt.properties).map(lit(_)): _*)
@@ -2640,6 +2711,19 @@ object CypherEngine {
         s"$name({}) has no components — provide at least ${chain.head}")
       if (keys.distinct.sizeIs != keys.size) throw CypherException(
         s"$name() map form: duplicate component in {${keys.mkString(", ")}}")
+      // epoch components (datetime family only) are EXCLUSIVE of the
+      // calendar chain: `datetime({epochSeconds: e})` / `{epochMillis: e}`
+      if (keys.exists(k => k == "epochseconds" || k == "epochmillis")) {
+        if (chain.head != "year" || name == "date") throw CypherException(
+          s"$name() does not take epoch components")
+        if (keys.sizeIs != 1) throw CypherException(
+          s"$name() epoch components cannot mix with calendar components " +
+            s"(got {${keys.mkString(", ")}})")
+        val e = compile(items.head._2)
+        return if (keys.head == "epochseconds")
+          timestamp_seconds(e.cast(LongType))
+        else timestamp_millis(e.cast(LongType))
+      }
       val unknown = keys.filterNot(chain.contains)
       if (unknown.nonEmpty) throw CypherException(
         s"$name() map form: unsupported component(s) ${unknown.mkString(", ")} " +
@@ -2976,6 +3060,8 @@ object CypherEngine {
       case Prop(v, p) => s"$v.$p"
       case Var(v) => v
       case Lit(x) => String.valueOf(x)
+      case HasLabel(v, ls) => s"$v:${ls.mkString(":")}"
+      case TypedNull(_) => "null"
       case Fn(n, args, d) =>
         s"$n(${if (d) "DISTINCT " else ""}${args.map(genName).mkString(", ")})"
       case Bin(op, l, r) => s"${genName(l)} $op ${genName(r)}"
@@ -3884,6 +3970,12 @@ object CypherEngine {
         case ExistsBlock(paths, iw) =>
           Bin(">", lift("EXISTS { }", paths, iw, _ => count(lit(1)), lit(0L)),
             Lit(0L))
+        // a bare pattern predicate `(a)-[:R]->(b)` nested under OR / in an
+        // item position rides the same lift (top-level AND conjuncts keep
+        // the semi/anti route via splitWhere)
+        case PatternPred(p) =>
+          Bin(">", lift("a pattern predicate", Seq(p), None,
+            _ => count(lit(1)), lit(0L)), Lit(0L))
         case CollectBlock(paths, iw, ret, ob, lim) =>
           // ordered collect: aggregate (sortkeys…, value) structs, sort the
           // per-group array, project the values back out, slice to LIMIT.

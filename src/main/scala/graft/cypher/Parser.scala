@@ -562,7 +562,22 @@ object Parser {
       val l = addExpr()
       peek match {
         case Sym(op @ ("=" | "<>" | "<" | "<=" | ">" | ">=")) =>
-          pos += 1; Bin(op, l, addExpr())
+          pos += 1
+          var r = addExpr()
+          var acc: Expr = Bin(op, l, r)
+          // chained comparison `0 < x <= 5` = `(0 < x) AND (x <= 5)`
+          // (Neo4j semantics; each operand evaluates once syntactically —
+          // these are simple operands in practice)
+          var chaining = true
+          while (chaining) peek match {
+            case Sym(op2 @ ("=" | "<>" | "<" | "<=" | ">" | ">=")) =>
+              pos += 1
+              val r2 = addExpr()
+              acc = Bin("and", acc, Bin(op2, r, r2))
+              r = r2
+            case _ => chaining = false
+          }
+          acc
         case Sym("=~") =>
           pos += 1; Bin("=~", l, addExpr())
         case Ident(s) if s.equalsIgnoreCase("starts") =>
@@ -640,6 +655,18 @@ object Parser {
           val i = expr()
           eatSym("]")
           e = Index(e, i)
+        } else if (isSym(":") && (e.isInstanceOf[Var] || e.isInstanceOf[HasLabel])) {
+          // label predicate `n:Label[:Label2]` in expression position
+          // (`WHERE n:Nation`) — only a bare variable (or a chained label
+          // predicate) takes the postfix, so map-literal / clause colons
+          // never reach here
+          eatSym(":")
+          val l = ident()
+          e = e match {
+            case Var(v) => HasLabel(v, Seq(l))
+            case HasLabel(v, ls) => HasLabel(v, ls :+ l)
+            case other => other // unreachable by the guard
+          }
         } else if (isSym("{") && e.isInstanceOf[Var]) {
           // map projection `n {.prop, .*, alias: expr}` — `{` after a bare
           // variable is unambiguous in expression position (EXISTS/COUNT/
@@ -702,7 +729,22 @@ object Parser {
       case Num(s) => if (s.contains('.')) Lit(s.toDouble) else Lit(s.toLong)
       case Str(s) => Lit(s)
       case ParamT(s) => Param(s)
-      case Sym("(") => val e = expr(); eatSym(")"); e
+      case Sym("(") =>
+        // BARE pattern predicate `(a)-[:R]->(b)` in expression position —
+        // Neo4j's existence-test shorthand, idiomatic in generated WHERE
+        // clauses (round 11). Try the pattern (must have ≥1 hop; a plain
+        // `(v)` stays a parenthesized expression), backtrack on failure —
+        // the same discipline as [[patternComp]]'s `[(…` disambiguation.
+        pos -= 1
+        val save = pos
+        val pat = try Some(pathPattern()) catch { case _: ParseException => None }
+        pat match {
+          case Some(p) if p.hops.nonEmpty => PatternPred(p)
+          case _ =>
+            pos = save
+            eatSym("(")
+            val e = expr(); eatSym(")"); e
+        }
       case Sym("{") => // map literal (temporal constructor argument form)
         pos -= 1
         MapLit(propMap())

@@ -527,6 +527,23 @@ object CypherQueries {
            RETURN toInteger(n.n_nationkey) AS nk, n.n_name AS nm
            ORDER BY nk""")
     }),
+    // bare pattern predicate + OR lift + chained comparison (round 11):
+    // `(c)-[:IN_NATION]->(…)` in WHERE is Neo4j's existence shorthand —
+    // nested under OR it rides the COUNT-block lift; `0 <= k < 50`
+    // desugars to the conjunction.
+    "q118_cypher_pattern_pred_or" -> cy(
+      """MATCH (c:Customer)
+         WHERE (c)-[:IN_NATION]->(:Nation {n_name: 'NATION_7'})
+            OR 0 <= c.c_custkey < 50
+         RETURN count(*) AS cnt, toInteger(min(c.c_custkey)) AS mn"""),
+    // label-predicate hoist + elementId + epoch constructor (round 11):
+    // `MATCH (n) WHERE n:Nation` rewrites to a labeled pattern at
+    // compile time; elementId renders the stable Label:key identity.
+    "q119_cypher_label_hoist" -> cy(
+      """MATCH (n) WHERE n:Nation AND n.n_nationkey < 10
+         RETURN elementId(n) AS eid,
+                toString(datetime({epochSeconds: 86400 * toInteger(n.n_nationkey)})) AS ts
+         ORDER BY eid"""),
     // map-form temporal constructors (round 11; closes the r10 verdict's
     // "What's missing #2"): component maps compile to make_timestamp/
     // make_date with Neo4j's min-value defaults for omitted smaller units
@@ -913,6 +930,19 @@ object CypherQueries {
     "q117_cypher_merge_replace_all" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS nk, 'REPLACED' AS nm
          FROM nation WHERE n_nationkey = 3""",
+    // q118: EXISTS subquery mirrors the bare pattern predicate
+    "q118_cypher_pattern_pred_or" ->
+      """SELECT count(*) AS cnt, CAST(min(c_custkey) AS BIGINT) AS mn
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM nation n
+                       WHERE n.n_nationkey = c.c_nationkey
+                         AND n.n_name = 'NATION_7')
+            OR (0 <= c_custkey AND c_custkey < 50)""",
+    // q119: elementId = 'Nation:' || key; epoch seconds render as UTC
+    "q119_cypher_label_hoist" ->
+      """SELECT 'Nation:' || CAST(n_nationkey AS VARCHAR) AS eid,
+              CAST(CAST(to_timestamp(86400 * n_nationkey) AS TIMESTAMP) AS VARCHAR) AS ts
+         FROM nation WHERE n_nationkey < 10 ORDER BY eid""",
     // q114: the map constructors' defaults are explicit timestamps here —
     // {year: 1997} is 1997-01-01T00:00, {year: 1996, month: 6} is
     // 1996-06-01T00:00

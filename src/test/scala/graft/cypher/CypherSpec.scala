@@ -2195,6 +2195,70 @@ class CypherSpec extends SparkSpec {
     assert(perr.getMessage.contains("must RETURN explicitly"))
   }
 
+  test("bare pattern predicates, label predicates, chained comparisons, " +
+      "epoch constructors, elementId") {
+    // bare `(a)-[:R]->(b)` in WHERE — Neo4j's existence shorthand; the
+    // top-level conjunct takes the semi-join route (same node as exists())
+    val bare = engine.run(
+      """MATCH (n:Nation) WHERE (n)-[:IN_REGION]->(:Region {r_name: 'AFRICA'})
+         RETURN count(*) AS c""").collect().head.getLong(0)
+    val viaExists = engine.run(
+      """MATCH (n:Nation) WHERE exists((n)-[:IN_REGION]->(:Region {r_name: 'AFRICA'}))
+         RETURN count(*) AS c""").collect().head.getLong(0)
+    assert(bare == 5L && viaExists == 5L)
+    // nested under OR it rides the COUNT-block lift
+    val orMix = engine.run(
+      """MATCH (n:Nation)
+         WHERE (n)-[:IN_REGION]->(:Region {r_name: 'AFRICA'}) OR n.n_nationkey = 21
+         RETURN count(*) AS c""").collect().head.getLong(0)
+    // AFRICA holds nations 0,5,10,15,20 (synthetic regionkey = key % 5);
+    // 21 is AMERICA, so the OR adds exactly one row
+    assert(orMix == 6L)
+    // NOT + bare pattern = anti join
+    val not = engine.run(
+      """MATCH (n:Nation) WHERE NOT (n)-[:IN_REGION]->(:Region {r_name: 'AFRICA'})
+         RETURN count(*) AS c""").collect().head.getLong(0)
+    assert(not == 20L)
+    // `(a)-(b)` single dash stays ARITHMETIC (the backtrack must not
+    // swallow subtraction); `(a)--(b)` is the undirected pattern
+    val arith = engine.run(
+      "MATCH (n:Nation {n_nationkey: 5}) RETURN (n.n_nationkey)-(2) AS d")
+      .collect().head
+    assert(arith.getLong(0) == 3L)
+    // label predicate hoist: `MATCH (n) WHERE n:Nation` = `MATCH (n:Nation)`
+    val hoist = engine.run(
+      "MATCH (n) WHERE n:Nation AND n.n_nationkey < 10 RETURN count(*) AS c")
+      .collect().head.getLong(0)
+    assert(hoist == 10L)
+    // on an already-labeled variable it folds to a compile-time constant
+    val const = engine.run(
+      """MATCH (n:Nation {n_nationkey: 0})
+         RETURN toInteger(n:Nation) AS yes, toInteger(n:Region) AS no""")
+      .collect().head
+    assert(const.getLong(0) == 1L && const.getLong(1) == 0L)
+    // chained comparison: 0 < x <= 5 desugars to the conjunction
+    val chain = engine.run(
+      "MATCH (n:Nation) WHERE 0 < n.n_nationkey <= 5 RETURN count(*) AS c")
+      .collect().head.getLong(0)
+    assert(chain == 5L)
+    // epoch constructors (exclusive of calendar components)
+    val ep = engine.run(
+      """MATCH (x:Region {r_regionkey: 0})
+         RETURN toString(datetime({epochSeconds: 863654400})) AS s,
+                toString(datetime({epochMillis: 863654400000})) AS ms""")
+      .collect().head
+    assert(ep.getString(0) == "1997-05-15 00:00:00")
+    assert(ep.getString(1) == "1997-05-15 00:00:00")
+    val eperr = intercept[CypherEngine.CypherException](engine.run(
+      "MATCH (x:Region) RETURN datetime({epochSeconds: 1, year: 2000}) AS t"))
+    assert(eperr.getMessage.contains("cannot mix"))
+    // elementId renders the stable Label:key string identity
+    val eid = engine.run(
+      "MATCH (n:Nation {n_nationkey: 3}) RETURN elementId(n) AS e")
+      .collect().head.getString(0)
+    assert(eid == "Nation:3")
+  }
+
   test("count(DISTINCT p) counts distinct paths") {
     // the cross with Region multiplies frame rows 5x; DISTINCT must
     // collapse them back to the distinct shortest paths

@@ -63,6 +63,7 @@ class ParserRoundTripSpec extends AnyFunSuite {
     case ListPred(kind, v, coll, pred) =>
       s"$kind($v IN ${rex(coll)} WHERE ${rex(pred)})"
     case Index(coll, i) => s"${rex(coll)}[${rex(i)}]"
+    case HasLabel(v, ls) => s"$v${ls.map(":" + _).mkString}"
     case Param(n) => s"$$$n"
     case PatternPred(p) => s"exists(${rpath(p)})"
     case ExistsBlock(ps, w) =>
@@ -196,7 +197,9 @@ class ParserRoundTripSpec extends AnyFunSuite {
   private def leafGen: Gen[Expr] = Gen.oneOf(
     litGen,
     vGen.map(Var(_)),
-    for { v <- vGen; p <- pGen } yield Prop(v, p))
+    for { v <- vGen; p <- pGen } yield Prop(v, p),
+    for { v <- vGen; n <- Gen.choose(1, 2); ls <- Gen.pick(n, labels) }
+      yield HasLabel(v, ls.toSeq))
 
   private def exprGen(depth: Int): Gen[Expr] =
     if (depth <= 0) leafGen
