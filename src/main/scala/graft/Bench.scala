@@ -13,15 +13,15 @@ object Bench {
     * every clean run contended and the new suite could never certify; a
     * size-mismatched run falls back to the loadavg-only check. Update
     * when a new record is committed to BASELINE.md. Current values are
-    * the round-11 certified-clean 125-query records (contended: false,
-    * zero errors, idle windows, best of 3 spaced attempts each; sf0.1
-    * median ratio 0.960 and sf1 0.849 vs the round-10 119-query records —
-    * BASELINE.md "Round-11 record"). Both beat the 119-query records in
-    * ABSOLUTE terms with six more queries (trail semantics + the BFS
+    * the round-11 certified-clean 127-query records (contended: false,
+    * zero errors, idle windows, spaced attempts; BASELINE.md "Round-11
+    * record" — the suite grew 119 → 125 → 127 within the round and was
+    * re-certified at each size). Both beat the round-10 119-query records
+    * in ABSOLUTE terms with eight more queries (trail semantics + the BFS
     * edge-union cache absorbed the growth).
     */
   val CommittedTotalSec: Map[String, (Int, Double)] =
-    Map("sf0.1" -> (125, 74.2), "sf1" -> (125, 117.1))
+    Map("sf0.1" -> (127, 67.8), "sf1" -> (127, 122.4))
 
   /** Per-SF certified record artifact (per-query times for the median-
     * ratio clause; ADVICE r9: the guard previously anchored at sf0.1
