@@ -776,7 +776,13 @@ object CypherEngine {
           * anything else rejects loudly instead of surfacing a raw Spark
           * getField error (r10 ADVICE).
           */
-        relLists: Set[String] = Set.empty) {
+        relLists: Set[String] = Set.empty,
+        /** node variables that can be NULL-EXTENDED (bound under OPTIONAL
+          * MATCH): a label predicate `v:Label` on one must evaluate to
+          * null — not a compile-time constant — on the unmatched rows, so
+          * WHERE filters them (Neo4j's null-propagating label check)
+          */
+        nullable: Set[String] = Set.empty) {
       def nodeLabel(v: String): Option[String] = labels.get(v)
     }
 
@@ -1041,12 +1047,23 @@ object CypherEngine {
       }
       // each edge row carries its identity (schema orientation, keys
       // string-cast so one struct type fits every member type — same
-      // contract as uniqueWalkClosure) for the per-path visited set
+      // contract as uniqueWalkClosure) for the per-path visited set.
+      // Identity is per relationship INSTANCE, like Neo4j: when a member
+      // type may hold parallel (src, dst) duplicates (pairsUnique=false —
+      // write-path appends), each row gains a per-pair row_number
+      // discriminator so a trail can traverse BOTH parallel edges; the
+      // window shuffle is skipped entirely on pair-deduped builder stores.
+      val needDisc = ets.exists(e => !e.pairsUnique)
       val e0 = ets.map { et =>
+        val disc: Column =
+          if (needDisc) row_number().over(org.apache.spark.sql.expressions
+            .Window.partitionBy(col(et.keyS), col(et.keyT)).orderBy(lit(1)))
+          else lit(0)
         val cols = Seq(col(et.keyS).as("__cs"), col(et.keyT).as("__cd"),
           struct(lit(et.label).as("__t"),
             col(et.keyS).cast(StringType).as("__es"),
-            col(et.keyT).cast(StringType).as("__ed")).as("__eid")) ++
+            col(et.keyT).cast(StringType).as("__ed"),
+            disc.as("__n")).as("__eid")) ++
           (if (withRels) Seq(relStruct(et).as("__rel")) else Nil)
         filteredEdges(et, props).select(cols: _*)
       }.reduce(_.unionByName(_))
@@ -1110,12 +1127,19 @@ object CypherEngine {
         props: Seq[(String, Expr)] = Nil): DataFrame = {
       if (lo < 1)
         throw CypherException(s"var-length bounds out of range: *$lo..")
+      // per-instance identity: see the bounded closure's discriminator note
+      val needDisc = ets.exists(e => !e.pairsUnique)
       val e0 = ets.zipWithIndex.map { case (et, ti) =>
+        val disc: Column =
+          if (needDisc) row_number().over(org.apache.spark.sql.expressions
+            .Window.partitionBy(col(et.keyS), col(et.keyT)).orderBy(lit(1)))
+          else lit(0)
         filteredEdges(et, props).select(
           col(et.keyS).as("__cs"), col(et.keyT).as("__cd"),
           // one struct type must fit every member type's keys
           struct(lit(ti).as("__t"), col(et.keyS).cast(StringType).as("__es"),
-            col(et.keyT).cast(StringType).as("__ed")).as("__eid"))
+            col(et.keyT).cast(StringType).as("__ed"),
+            disc.as("__n")).as("__eid"))
       }.reduce(_.unionByName(_))
       // enumerate outward from the anchor side ([[closure]]'s orientation
       // contract); a bound anchor seed-restricts the FIRST frontier — all
@@ -1755,7 +1779,8 @@ object CypherEngine {
         return (df, ctx2.copy(paths = ctx2.paths + pv,
           pathRels = if (ets.size == 1) ctx2.pathRels + (pv -> et.label)
                      else ctx2.pathRels,
-          pathRelSeqs = if (withRels) ctx2.pathRelSeqs + pv else ctx2.pathRelSeqs))
+          pathRelSeqs = if (withRels) ctx2.pathRelSeqs + pv else ctx2.pathRelSeqs,
+          nullable = if (optional && !bBound) ctx2.nullable + bVar else ctx2.nullable))
       }
 
       val fitsFwd = et.src == aLabel && wantB.forall(_ == et.dst)
@@ -1776,9 +1801,29 @@ object CypherEngine {
       // enclosing frame
       val bBound = ctx1.labels.contains(bVar)
       val withRels = needRels && ets.size > 1
-      var p = distDf(ets, lo, hiEff,
-        undirected = rel.dir == Undirected, reversed = !along, seeds, all,
-        withPath, withRels, rel.props)
+      var p =
+        if (hi == 0) {
+          // zero-length-only (*0..0 / {0}): NO traversal happens — an
+          // empty frame here lets the lo0==0 identity union below supply
+          // exactly the distance-0 rows. (Routing through distDf would
+          // reject *1..0 as out-of-range; its lo==1 BFS seeds all level-1
+          // rows.) Heterogeneous endpoints can never unify on one node:
+          // reject loudly, mirroring the var-length closure's hi==0 branch.
+          if (bLabel != aLabel) throw CypherException(
+            "a zero-length-only shortestPath (*0..0 / {0}) over a " +
+              "heterogeneous relationship can never match — its endpoints " +
+              "would need to be one node of both labels")
+          val kt = store.nodes(aLabel)
+            .schema(store.schema.node(aLabel).key).dataType
+          var sch = StructType(Seq(StructField("__ds", kt),
+            StructField("__dd", kt), StructField("__len", LongType)))
+          if (withPath) sch = sch.add("__path", ArrayType(kt))
+          if (withRels) sch = sch.add("__rels", ArrayType(StringType))
+          df1.sparkSession.createDataFrame(
+            df1.sparkSession.sparkContext.emptyRDD[Row], sch)
+        } else distDf(ets, lo, hiEff,
+          undirected = rel.dir == Undirected, reversed = !along, seeds, all,
+          withPath, withRels, rel.props)
       if (lo0 == 0 && bLabel == aLabel) {
         // distance-0 self pairs (see the hetero branch above)
         val id0 = seeds.select(col("__seed").as("__ds"), col("__seed").as("__dd"))
@@ -1820,7 +1865,8 @@ object CypherEngine {
       val pathRels2 =
         if (ets.size == 1) ctx2.pathRels + (pv -> et.label) else ctx2.pathRels
       (df, ctx2.copy(paths = ctx2.paths + pv, pathRels = pathRels2,
-        pathRelSeqs = if (withRels) ctx2.pathRelSeqs + pv else ctx2.pathRelSeqs))
+        pathRelSeqs = if (withRels) ctx2.pathRelSeqs + pv else ctx2.pathRelSeqs,
+        nullable = if (optional && !bBound) ctx2.nullable + bVar else ctx2.nullable))
     }
 
     /** Minimum-hop (src, dst, len, path) rows within lo..hi over one edge
@@ -2346,7 +2392,8 @@ object CypherEngine {
         labels = ctx.labels ++ subCtx.labels.view.filterKeys(newVars).toMap,
         rels = ctx.rels ++ subCtx.rels,
         multi = ctx.multi ++ subCtx.multi.view.filterKeys(newVars).toMap,
-        multiRels = ctx.multiRels ++ subCtx.multiRels))
+        multiRels = ctx.multiRels ++ subCtx.multiRels,
+        nullable = ctx.nullable ++ newVars))
     }
 
     // ---------------------------------------------------------- expressions
@@ -2587,8 +2634,16 @@ object CypherEngine {
           multiNodeId(v, ctx).cast(StringType)
         case HasLabel(v, ls) =>
           // label predicate: single-label bindings resolve at COMPILE time
-          // (a constant — free); multi-label vars read their per-row tag
-          if (ctx.labels.contains(v)) lit(ls.forall(_ == ctx.labels(v)))
+          // (a constant — free); multi-label vars read their per-row tag.
+          // OPTIONAL-bound variables gate the constant on the key being
+          // non-null: `v:Label` on a null-extended row is null in Neo4j
+          // (WHERE then drops the row), not a folded true.
+          if (ctx.labels.contains(v)) {
+            val const = lit(ls.forall(_ == ctx.labels(v)))
+            if (ctx.nullable.contains(v))
+              when(col(s"${v}__${store.schema.node(ctx.labels(v)).key}").isNotNull, const)
+            else const
+          }
           else if (ctx.multi.contains(v))
             ls.map(l => col(labelColOf(v)) === lit(l)).reduce(_ && _)
           else throw CypherException(
@@ -2733,17 +2788,33 @@ object CypherEngine {
         s"$name() map form needs a contiguous component prefix starting at " +
           s"'${chain.head}' — got {${keys.mkString(", ")}}")
       val m = items.map { case (k, v) => k.toLowerCase -> v }.toMap
+      // every component except `second` must be integral — a fractional
+      // literal would silently truncate under the int cast, so reject it
+      // loudly (same validation stance as duration()'s map form); `second`
+      // keeps its fraction: make_timestamp takes DECIMAL seconds, matching
+      // Neo4j's datetime({…, second: 1.5})
       def comp(unit: String, default: Int): Column =
-        m.get(unit).map(e => compile(e).cast(IntegerType)).getOrElse(lit(default))
+        m.get(unit).map { e =>
+          e match {
+            case Lit(d: Double) if d != math.floor(d) => throw CypherException(
+              s"$name() map form: $unit must be an integer (got $d) — " +
+                "only the second component takes a fraction")
+            case _ => ()
+          }
+          compile(e).cast(IntegerType)
+        }.getOrElse(lit(default))
+      def secComp: Column =
+        m.get("second").map(e => compile(e).cast(DecimalType(16, 6)))
+          .getOrElse(lit(0).cast(DecimalType(16, 6)))
       name match {
         case "date" => make_date(comp("year", 0), comp("month", 1), comp("day", 1))
         case "time" | "localtime" =>
           // time-of-day values anchor on the epoch day (see the string form)
           make_timestamp(lit(1970), lit(1), lit(1),
-            comp("hour", 0), comp("minute", 0), comp("second", 0))
+            comp("hour", 0), comp("minute", 0), secComp)
         case _ =>
           make_timestamp(comp("year", 0), comp("month", 1), comp("day", 1),
-            comp("hour", 0), comp("minute", 0), comp("second", 0))
+            comp("hour", 0), comp("minute", 0), secComp)
       }
     }
 
@@ -3156,7 +3227,8 @@ object CypherEngine {
           // relationships(p) AS rs`) so type(x) still dispatches downstream
           case i @ Item(Var(v), _) if ctx.relLists.contains(v) => outName(i)
           case i @ Item(Fn("relationships", _, _), _) => outName(i)
-        }.toSet)
+        }.toSet,
+        nullable = ctx.nullable.filter(carried.contains))
       // `WITH … WHERE` runs against the PROJECTED bindings, so block lifts
       // (COUNT {} / COLLECT {} / pattern comprehensions / EXISTS {}) join
       // onto the post-projection frame, correlated on the carried node

@@ -276,6 +276,36 @@ class CypherSpec extends SparkSpec {
     assert(none.forall(_.getLong(1) == 0L))
   }
 
+  test("WHERE n:Label on an OPTIONAL-bound variable drops null-extended rows") {
+    // Neo4j: `o:Order` on a null-extended o evaluates to NULL, so WHERE
+    // filters the row — the compile-time label constant must not fold to
+    // a bare true for nullable bindings
+    val matched = engine.run(
+      """MATCH (c:Customer)<-[:PLACED_BY]-(o:Order)
+         RETURN count(*) AS cnt""").collect().head.getLong(0)
+    val viaOpt = engine.run(
+      """MATCH (c:Customer)
+         OPTIONAL MATCH (c)<-[:PLACED_BY]-(o:Order)
+         WHERE o:Order
+         RETURN count(*) AS cnt""").collect().head.getLong(0)
+    assert(viaOpt == matched)
+    // an impossible optional pattern null-extends every row; the label
+    // predicate then drops them all (NULL, not folded true)
+    val zero = engine.run(
+      """MATCH (c:Customer)
+         OPTIONAL MATCH (c)<-[:PLACED_BY]-(o:Order {o_orderstatus: 'ZZ'})
+         WHERE o:Order
+         RETURN count(*) AS cnt""").collect().head.getLong(0)
+    assert(zero == 0L)
+    // NOT (NULL) is NULL too — still filtered (never true)
+    val notZero = engine.run(
+      """MATCH (c:Customer)
+         OPTIONAL MATCH (c)<-[:PLACED_BY]-(o:Order {o_orderstatus: 'ZZ'})
+         WHERE NOT o:Order
+         RETURN count(*) AS cnt""").collect().head.getLong(0)
+    assert(notZero == 0L)
+  }
+
   test("OPTIONAL MATCH without a shared variable is rejected") {
     assertThrows[CypherEngine.CypherException](
       engine.run(
@@ -875,6 +905,45 @@ class CypherSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(dagDist == dag)
     } finally spark.conf.unset(CypherEngine.LocalPathEdgeCapKey)
+  }
+
+  test("parallel relationships get per-instance trail identity") {
+    spark
+    // Neo4j's relationship uniqueness is per INSTANCE: two CREATEd GO
+    // edges on the same (1, 2) pair are distinct relationships, so the
+    // 2-cycle 1⇄2 with a doubled forward edge has trails
+    // [e1], [e2], [e1,b], [e2,b], [e1,b,e2], [e2,b,e1] — dst 2 four
+    // ways, dst 1 two ways. The (type, src, dst) visited identity would
+    // block the length-3 trails (r11 ADVICE); the per-pair row_number
+    // discriminator admits them.
+    val st0 = CypherEngine(GraphStore.empty).execute(
+      "UNWIND $rows AS row MERGE (n:PE {sid: row.sid}) SET n += {sid: row.sid}",
+      Map("rows" -> Seq(1L, 2L).map(i => Map[String, Any]("sid" -> i)))).store
+    val st = CypherEngine(st0).execute(
+      """UNWIND $rows AS row
+         MATCH (s:PE) WHERE s.sid = row.a
+         WITH s, row
+         MATCH (t:PE) WHERE t.sid = row.b
+         CREATE (s)-[:GO]->(t)""",
+      Map("rows" -> Seq((1L, 2L), (1L, 2L), (2L, 1L))
+        .map { case (a, b) => Map[String, Any]("a" -> a, "b" -> b) })).store
+    def counts(q: String): Seq[(Long, Long)] = CypherEngine(st).run(q).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val open = counts(
+      """MATCH (a:PE {sid: 1})-[:GO*]->(b:PE)
+         RETURN b.sid AS dst, count(*) AS paths ORDER BY dst""")
+    assert(open == Seq((1L, 2L), (2L, 4L)))
+    // the bounded closure shares the identity contract
+    val bounded = counts(
+      """MATCH (a:PE {sid: 1})-[:GO*1..3]->(b:PE)
+         RETURN b.sid AS dst, count(*) AS paths ORDER BY dst""")
+    assert(bounded == open)
+    // local and distributed strategies agree
+    spark.conf.set(CypherEngine.LocalPathEdgeCapKey, "0")
+    try assert(counts(
+      """MATCH (a:PE {sid: 1})-[:GO*]->(b:PE)
+         RETURN b.sid AS dst, count(*) AS paths ORDER BY dst""") == open)
+    finally spark.conf.unset(CypherEngine.LocalPathEdgeCapKey)
   }
 
   test("allShortestPaths: every minimum-length path, both strategies") {
@@ -1542,6 +1611,19 @@ class CypherSpec extends SparkSpec {
     mrejects("MATCH (x:Region) RETURN date({}) AS t", "no components")
     // a map literal outside a temporal constructor rejects with guidance
     mrejects("MATCH (x:Region) RETURN {a: 1} AS m", "temporal constructor")
+    // fractional SECONDS are honored (make_timestamp takes decimal
+    // seconds — Neo4j's datetime({…, second: 1.5})); every other
+    // component rejects a fraction loudly instead of truncating
+    val frac = engine.run(
+      """MATCH (x:Region {r_regionkey: 0})
+         RETURN datetime({year: 2020, month: 1, day: 1, hour: 0,
+                          minute: 0, second: 1.5}) AS t""").collect().head
+    assert(frac.getTimestamp(0).toString == "2020-01-01 00:00:01.5")
+    mrejects(
+      "MATCH (x:Region) RETURN datetime({year: 2020, month: 1, day: 1, hour: 1.5}) AS t",
+      "must be an integer")
+    mrejects("MATCH (x:Region) RETURN time({hour: 2, minute: 30.5}) AS t",
+      "must be an integer")
   }
 
   test("shortestPath BFS agrees under the reliable-checkpoint mode") {
@@ -1802,6 +1884,18 @@ class CypherSpec extends SparkSpec {
                 size(nodes(p)) AS nn ORDER BY dst""").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
     assert(sp == Seq((0L, 0L, 1), (1L, 1L, 2), (2L, 2L, 3), (3L, 3L, 4)))
+    // shortestPath *0..0: the identity row ONLY — no BFS runs, so no
+    // length-1 pairs leak in (r11 ADVICE)
+    val sp0 = eng.run(
+      """MATCH p = shortestPath((a:Nation {n_nationkey: 4})-[:W*0..0]->(b:Nation))
+         RETURN toInteger(b.n_nationkey) AS dst, length(p) AS len""").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sp0 == Seq((4L, 0L)))
+    // heterogeneous *0..0 shortestPath rejects loudly, like the closure
+    val sperr = intercept[CypherEngine.CypherException](engine.run(
+      """MATCH p = shortestPath((o:Order {o_orderkey: 1})-[:CONTAINS*0..0]->(q:Part))
+         RETURN count(*) AS c"""))
+    assert(sperr.getMessage.contains("zero-length"))
   }
 
   test("relationships(p) through a type-disjunction shortestPath carries per-hop types") {
