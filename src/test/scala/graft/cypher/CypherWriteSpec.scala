@@ -361,6 +361,91 @@ class CypherWriteSpec extends SparkSpec {
     assert(err.getMessage.contains("key property"))
   }
 
+  // ------------------------------------------------- label mutation (r12)
+
+  test("SET n:Label adds secondary membership; the node answers under it") {
+    var st = CypherEngine(GraphStore.empty).execute(
+      """UNWIND $rows AS row MERGE (n:Person {pid: row.pid})
+         SET n += {pid: row.pid, name: row.name, score: row.score}""",
+      Map("rows" -> rows(
+        Map("pid" -> 1L, "name" -> "ada", "score" -> 90L),
+        Map("pid" -> 2L, "name" -> "bob", "score" -> 40L),
+        Map("pid" -> 3L, "name" -> "cyd", "score" -> 85L)))).store
+    // relabel the high scorers under a NEW label (schema clone)
+    st = CypherEngine(st).execute(
+      "MATCH (n:Person) WHERE n.score >= 80 SET n:Expert").store
+    assert(st.schema.nodes.exists(_.name == "Expert"))
+    val experts = CypherEngine(st).run(
+      "MATCH (e:Expert) RETURN e.name AS nm ORDER BY nm").collect().map(_.getString(0))
+    assert(experts.toSeq == Seq("ada", "cyd"))
+    // still a Person too (secondary membership, not a move)
+    assert(CypherEngine(st).run(
+      "MATCH (n:Person) RETURN count(*) AS c").collect().head.getLong(0) == 3L)
+    // multi-label form SET n:A:B adds both in one item
+    val st2 = CypherEngine(st).execute(
+      "MATCH (n:Person {pid: 2}) SET n:Novice:Flagged").store
+    assert(CypherEngine(st2).run(
+      "MATCH (n:Novice) RETURN toInteger(n.pid) AS p").collect().head.getLong(0) == 2L)
+    assert(CypherEngine(st2).run(
+      "MATCH (n:Flagged) RETURN count(*) AS c").collect().head.getLong(0) == 1L)
+    // adding into an EXISTING label maps shared properties by name
+    val st3 = CypherEngine(st).execute(
+      "MATCH (n:Person {pid: 2}) SET n:Expert").store
+    assert(CypherEngine(st3).run(
+      "MATCH (e:Expert) RETURN count(*) AS c").collect().head.getLong(0) == 3L)
+    assert(CypherEngine(st3).run(
+      "MATCH (e:Expert {pid: 2}) RETURN e.name AS nm").collect()
+      .head.getString(0) == "bob")
+  }
+
+  test("REMOVE n:Label drops membership; removing the primary label rejects") {
+    var st = CypherEngine(GraphStore.empty).execute(
+      """UNWIND $rows AS row MERGE (n:Person {pid: row.pid})
+         SET n += {pid: row.pid, name: row.name}""",
+      Map("rows" -> rows(
+        Map("pid" -> 1L, "name" -> "ada"), Map("pid" -> 2L, "name" -> "bob")))).store
+    st = CypherEngine(st).execute("MATCH (n:Person) SET n:Expert").store
+    assert(CypherEngine(st).run(
+      "MATCH (e:Expert) RETURN count(*) AS c").collect().head.getLong(0) == 2L)
+    val st2 = CypherEngine(st).execute(
+      "MATCH (n:Person {pid: 1}) REMOVE n:Expert").store
+    assert(CypherEngine(st2).run(
+      "MATCH (e:Expert) RETURN toInteger(e.pid) AS p").collect()
+      .head.getLong(0) == 2L)
+    // the primary label cannot be removed (label-less nodes are
+    // unrepresentable in the fixed-schema store — documented deviation)
+    val err = intercept[CypherEngine.CypherException](
+      CypherEngine(st2).execute("MATCH (n:Person {pid: 1}) REMOVE n:Person"))
+    assert(err.getMessage.contains("label-less"))
+    // removing a label the store never had is a no-op (Neo4j)
+    val st3 = CypherEngine(st2).execute(
+      "MATCH (n:Person {pid: 1}) REMOVE n:Ghost").store
+    assert(st3.schema.nodes.size == st2.schema.nodes.size)
+  }
+
+  test("SET n:Label on MERGE branches applies to the created/matched subset") {
+    var st = CypherEngine(GraphStore.empty).execute(
+      """UNWIND $rows AS row MERGE (n:Acct {aid: row.aid})
+         SET n += {aid: row.aid, bal: row.bal}""",
+      Map("rows" -> rows(
+        Map("aid" -> 1L, "bal" -> 10L), Map("aid" -> 2L, "bal" -> 20L)))).store
+    // aid 2 exists (ON MATCH → Known), aid 9 is new (ON CREATE → Fresh)
+    st = CypherEngine(st).execute(
+      """UNWIND $rows AS row
+         MERGE (n:Acct {aid: row.aid})
+         ON CREATE SET n:Fresh
+         ON MATCH SET n:Known""",
+      Map("rows" -> rows(Map("aid" -> 2L), Map("aid" -> 9L)))).store
+    assert(CypherEngine(st).run(
+      "MATCH (n:Fresh) RETURN toInteger(n.aid) AS a").collect()
+      .head.getLong(0) == 9L)
+    assert(CypherEngine(st).run(
+      "MATCH (n:Known) RETURN toInteger(n.aid) AS a").collect()
+      .head.getLong(0) == 2L)
+    assert(CypherEngine(st).run(
+      "MATCH (n:Acct) RETURN count(*) AS c").collect().head.getLong(0) == 3L)
+  }
+
   // ------------------------------------------------- store/engine hygiene
 
   test("execute never mutates the source engine's store") {
