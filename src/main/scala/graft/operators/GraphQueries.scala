@@ -250,12 +250,39 @@ object GraphQueries {
     "q57_triangles" -> q57 _
   )
 
+  // q57 (round 12, r11 verdict directive #4): triangle counting is
+  // integer-exact, so the enumeration oracle is a plain three-way join —
+  // per-node counts sum to 3 x #triangles, nodes = distinct endpoints.
+  private val q57Sql: String =
+    """WITH e AS (
+      |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS cust,
+      |         CAST(l_partkey AS BIGINT) AS part
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderkey % 97 = 0
+      |),
+      |cp AS (
+      |  SELECT DISTINCT a.cust AS s, b.cust AS d
+      |  FROM e a JOIN e b ON a.part = b.part AND a.cust < b.cust
+      |),
+      |tri AS (
+      |  SELECT count(*) AS t FROM cp x
+      |  JOIN cp y ON y.s = x.s AND y.d > x.d
+      |  JOIN cp z ON z.s = x.d AND z.d = y.d
+      |),
+      |nodes AS (
+      |  SELECT count(*) AS n FROM
+      |    (SELECT DISTINCT c FROM (SELECT s AS c FROM cp UNION ALL SELECT d FROM cp))
+      |)
+      |SELECT CAST(3 * t AS BIGINT) AS triangle_ends, CAST(n AS BIGINT) AS nodes
+      |FROM tri, nodes""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q31_degree_histogram" -> q31Sql,
     "q31b_graph_stats" -> q31bSql,
     "q32_2hop_region" -> q32Sql,
     "q32b_3hop_parttype" -> q32bSql,
     "q33_connected_components" -> q33Sql,
-    "q34_bfs_distance" -> q34Sql
+    "q34_bfs_distance" -> q34Sql,
+    "q57_triangles" -> q57Sql
   )
 }

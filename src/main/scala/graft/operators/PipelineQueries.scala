@@ -156,9 +156,14 @@ object PipelineQueries {
   }
 
   // ------------------------------------------------- Q53 quality + fingerprint
+  /** Quality features + the chained-MD5 document fingerprint (round 12:
+    * oracle-checked against a DuckDB list-fold replica — the xxhash64
+    * polynomial [[TextAnalysis.fingerprint]] stays the scale path, pinned
+    * by TextAnalysisSpec, but is not reproducible outside the JVM).
+    */
   private def q53(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityFeatures(T(s, dir, "documents"), "text")
-      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .withColumn("fp", TextAnalysis.fingerprintChain(col("text")))
       .filter(col("doc_id") < 20)
       .select("doc_id", "n_tokens", "mean_tok_len", "stopword_ratio", "distinct_ratio", "fp")
       .orderBy("doc_id")
@@ -188,5 +193,155 @@ object PipelineQueries {
   )
 
   /** Engine-side sketches — no DuckDB equivalent; rows-only checks. */
-  val oracle: Map[String, String] = Map.empty
+  // ------------------------------------------------------------- oracles
+  // Round 12 (r11 verdict directive #4): the deterministic pipeline
+  // queries gain DuckDB oracles. Doubles must match BIT-EXACTLY (the
+  // comparator hashes repr(double)), so every float fold is replicated
+  // with the engine's exact accumulation order: elements cast to double,
+  // summed left-to-right (DuckDB list_reduce folds in list order, the
+  // same order as CosineSimilarity's sequential loop and Spark's
+  // aggregate()); sqrt/division are single correctly-rounded IEEE ops.
+
+  /** In-order double fold of `v[i] * w[i]` — bit-identical to the
+    * [[graft.functions.CosineSimilarity]] accumulator.
+    */
+  private def dotSql(v: String, w: String): String =
+    s"""list_reduce(list_transform(range(1, len($v)+1),
+       |  i -> CAST($v[i] AS DOUBLE) * CAST($w[i] AS DOUBLE)), (a,b) -> a+b)""".stripMargin
+
+  private val cosSql: String =
+    s"""CASE WHEN len(q.embedding) <> len(c.embedding) THEN NULL
+       |     WHEN sqrt(${dotSql("q.embedding", "q.embedding")})
+       |        * sqrt(${dotSql("c.embedding", "c.embedding")}) = 0 THEN NULL
+       |     ELSE ${dotSql("q.embedding", "c.embedding")}
+       |        / (sqrt(${dotSql("q.embedding", "q.embedding")})
+       |         * sqrt(${dotSql("c.embedding", "c.embedding")})) END""".stripMargin
+
+  private val q49Sql: String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, $cosSql AS cos
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 5
+       |)
+       |SELECT query_id, corpus_id, cos, CAST(rnk AS INT) AS "rank" FROM (
+       |  SELECT query_id, corpus_id, cos,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, corpus_id) AS rnk
+       |  FROM scored WHERE cos IS NOT NULL)
+       |WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+
+  /** The engine's tokenizer as a DuckDB list expression: split on single
+    * spaces, lowercase, drop empties — [[Dedup.tokensArr]] verbatim.
+    */
+  private def toksSql(text: String): String =
+    s"list_filter(string_split(lower($text), ' '), t -> t <> '')"
+
+  private val q52Sql: String = {
+    val langs = TextAnalysis.markers.keys.toSeq.sorted
+    def inList(l: String) =
+      TextAnalysis.markers(l).map(w => s"'$w'").mkString(", ")
+    val hitCols = langs.map(l =>
+      s"SUM(CASE WHEN t IN (${inList(l)}) THEN 1 ELSE 0 END) AS h_$l").mkString(",\n    ")
+    val scoreCols = langs.map(l =>
+      s"COALESCE(h.h_$l, 0) / CAST(greatest(COALESCE(h.n, 0), 1) AS DOUBLE) AS s_$l")
+      .mkString(",\n    ")
+    // argmax with the engine's tie rule (max score, then max lang):
+    // check languages in REVERSE lexicographic order with >=
+    val predCase = langs.reverse.init.zipWithIndex.map { case (l, i) =>
+      val others = langs.reverse.drop(i + 1)
+      s"WHEN ${others.map(o => s"s_$l >= s_$o").mkString(" AND ")} THEN '$l'"
+    }.mkString("\n         ") + s"\n         ELSE '${langs.head}' END"
+    s"""WITH tok AS (
+       |  SELECT doc_id AS id, unnest(${toksSql("text")}) AS t FROM documents
+       |),
+       |hits AS (
+       |  SELECT id,
+       |    $hitCols,
+       |    COUNT(*) AS n
+       |  FROM tok GROUP BY id
+       |),
+       |pred AS (
+       |  SELECT d.lang,
+       |    $scoreCols
+       |  FROM documents d LEFT JOIN hits h ON h.id = d.doc_id
+       |)
+       |SELECT lang,
+       |  CASE $predCase AS pred,
+       |  count(*) AS cnt
+       |FROM pred GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin
+  }
+
+  private val q53Sql: String = {
+    val en = TextAnalysis.markers("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT doc_id, ${toksSql("text")} AS toks
+       |  FROM documents WHERE doc_id < 20
+       |)
+       |SELECT doc_id,
+       |  CAST(len(toks) AS INT) AS n_tokens,
+       |  CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS DOUBLE)
+       |    / greatest(len(toks), 1) AS mean_tok_len,
+       |  CAST(len(list_filter(toks, t -> list_contains([$en], t))) AS DOUBLE)
+       |    / greatest(len(toks), 1) AS stopword_ratio,
+       |  CAST(len(list_distinct(toks)) AS DOUBLE)
+       |    / greatest(len(toks), 1) AS distinct_ratio,
+       |  list_reduce(list_prepend('', list_transform(toks, t -> md5(t))),
+       |    (a, x) -> md5(concat(a, x))) AS fp
+       |FROM base ORDER BY doc_id""".stripMargin
+  }
+
+  /** [[Similarity]]'s deterministic hyperplane weight — xxhash64(h, d)
+    * replayed through catalyst's XXH64 (seed 42, args folded left), scaled
+    * like `hashWeight`. Only 6 x 64 weights exist for q51's parameters, so
+    * the oracle EMBEDS them as literals — DuckDB has no seeded xxhash64.
+    */
+  private def lshWeight(h: Int, d: Int): Double = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    XXH64.hashInt(d, XXH64.hashInt(h, 42L)).toDouble / Long.MaxValue.toDouble
+  }
+
+  private val q51Sql: String = {
+    val bits = 6
+    val dims = 64
+    def wList(h: Int): String =
+      (0 until dims).map(d => lshWeight(h, d).toString).mkString("[", ", ", "]")
+    // per-bit projection: signs, not exact sums, decide the bucket, so the
+    // fold order only matters within double noise of zero — never at these
+    // magnitudes
+    def projSql(h: Int): String =
+      s"""list_reduce(list_transform(range(1, ${dims + 1}),
+         |      i -> CAST(v[i] AS DOUBLE) * (${wList(h)})[i]), (a,b) -> a+b)""".stripMargin
+    val sigExpr = (0 until bits).map(h =>
+      s"(CASE WHEN ${projSql(h)} >= 0 THEN ${1L << h} ELSE 0 END)")
+      .mkString("\n    + ")
+    s"""WITH sigt AS (
+       |  SELECT vec_id AS id, embedding AS v,
+       |    $sigExpr AS sig
+       |  FROM embeddings
+       |),
+       |bs AS (SELECT sig, count(*) AS cnt, min(id) AS mn FROM sigt GROUP BY sig),
+       |pairs AS (
+       |  -- bucket co-membership with the engine's star-pair cap (256):
+       |  -- an over-cap bucket contributes only its min-id anchor's pairs
+       |  SELECT a.v AS va, b.v AS vb
+       |  FROM sigt a JOIN sigt b ON a.sig = b.sig AND a.id < b.id
+       |  JOIN bs ON bs.sig = a.sig
+       |  WHERE bs.cnt <= ${Dedup.DefaultBucketCap} OR a.id = bs.mn
+       |),
+       |cosed AS (
+       |  SELECT CASE WHEN sqrt(${dotSql("va", "va")})
+       |                 * sqrt(${dotSql("vb", "vb")}) = 0 THEN NULL
+       |         WHEN len(va) <> len(vb) THEN NULL
+       |         ELSE ${dotSql("va", "vb")}
+       |            / (sqrt(${dotSql("va", "va")}) * sqrt(${dotSql("vb", "vb")})) END AS cos
+       |  FROM pairs
+       |)
+       |SELECT count(*) AS near_dup_pairs FROM cosed WHERE cos >= 0.3""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q49_ann_bruteforce" -> q49Sql,
+    "q51_cosine_neardup" -> q51Sql,
+    "q52_language_id" -> q52Sql,
+    "q53_quality_fingerprint" -> q53Sql)
 }

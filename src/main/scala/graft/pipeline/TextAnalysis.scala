@@ -96,4 +96,15 @@ object TextAnalysis {
   def fingerprint(textCol: Column): Column =
     aggregate(Dedup.tokensArr(textCol), lit(0L),
       (acc, t) => acc * lit(31L) + xxhash64(t))
+
+  /** Order-sensitive chained-MD5 fingerprint: fold the token hash
+    * sequence left with fp' = md5(fp || md5(tok)). Same role as
+    * [[fingerprint]] but reproducible OUTSIDE the JVM (md5 hex is
+    * identical everywhere, Spark's seeded xxhash64 is not) — the
+    * oracle-checkable fingerprint; the xxhash64 polynomial stays the
+    * cheaper scale path. Empty token list → "".
+    */
+  def fingerprintChain(textCol: Column): Column =
+    aggregate(Dedup.tokensArr(textCol), lit(""),
+      (acc, t) => md5(concat(acc, md5(t))))
 }

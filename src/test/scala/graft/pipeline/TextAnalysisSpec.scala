@@ -49,6 +49,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(1L) != fps(2L))
   }
 
+  test("fingerprintChain: order-sensitive, md5-reproducible, empty -> ''") {
+    val df = Seq((1L, "alpha beta"), (2L, "beta alpha"), (3L, "alpha beta"),
+      (4L, "  "), (5L, "alpha")).toDF("id", "text")
+    val fps = df.select($"id", TextAnalysis.fingerprintChain($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(3L) && fps(1L) != fps(2L))
+    assert(fps(4L) == "")
+    // reproducible outside the JVM: fp(["alpha"]) = md5("" + md5("alpha"))
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(fps(5L) == md5hex(md5hex("alpha")))
+  }
+
   test("tokenCounts: whitespace vs regex pre-tokens") {
     val df = Seq((1L, "abc def42 xy-z")).toDF("id", "text")
     val r = TextAnalysis.tokenCounts(df, "text").head()
