@@ -411,10 +411,14 @@ object CypherEngine {
     * stale entry. Per-query inline property filters bypass the cache
     * (their edge sets are query-specific).
     *
-    * 100 TB posture: materializing a doubled copy of the edge store is
-    * worse than the per-level projection scans it saves, so stores past
-    * [[UnionCacheMaxEdgesKey]] (default 50M edges) take the uncached
-    * build — the identical plans as before the cache existed.
+    * 100 TB posture: stores past [[UnionCacheMaxEdgesKey]] (default 50M
+    * edges) don't fit a memory-tier copy; between that and
+    * [[UnionCacheMaxDiskEdgesKey]] (default 500M) the union persists
+    * `DISK_ONLY` (round 12 — spilling the derivation once beats
+    * re-deriving it per query, measured at sf10 in BASELINE.md), and past
+    * the disk cap materializing a doubled copy of the edge store is worse
+    * than the per-level projection scans it saves, so those take the
+    * uncached build — the identical plans as before the cache existed.
     */
   private final class UnionKey(val variant: String, val frames: Seq[AnyRef]) {
     override val hashCode: Int =
@@ -430,6 +434,17 @@ object CypherEngine {
     new java.util.concurrent.ConcurrentHashMap[UnionKey, DataFrame]()
   val UnionCacheMaxEdgesKey = "graft.cypher.unionCacheMaxEdges"
   private val UnionCacheMaxEdges = 50L * 1000 * 1000
+  /** Second cache tier (round 12, r11 verdict directive #3): unions too
+    * large for executor memory but still cheaper to spill once than to
+    * re-derive per query persist `DISK_ONLY` — serialized blocks on local
+    * disk, no memory pressure on the BFS's own shuffles. Above THIS cap
+    * the union is genuinely store-scale (a doubled copy of a 100 TB edge
+    * set has no business on scratch disk) and stays uncached. Measured at
+    * sf10 (60M-edge tagged union, the q85/q91 cliff): see BASELINE.md
+    * round-12 table.
+    */
+  val UnionCacheMaxDiskEdgesKey = "graft.cypher.unionCacheMaxDiskEdges"
+  private val UnionCacheMaxDiskEdges = 500L * 1000 * 1000
   /** Entry bound: a long-lived JVM cycling many stores (write-heavy
     * sessions derive new frames per mutation) must not pin stale persisted
     * unions forever — on overflow the whole cache unpersists and resets.
@@ -2048,7 +2063,13 @@ object CypherEngine {
       val sess = store.edges(ets.head.label).sparkSession
       val cap = sess.conf.getOption(UnionCacheMaxEdgesKey)
         .map(_.toLong).getOrElse(UnionCacheMaxEdges)
-      if (ets.map(et => store.edgeCount(et.label)).sum > cap) return build
+      val diskCap = sess.conf.getOption(UnionCacheMaxDiskEdgesKey)
+        .map(_.toLong).getOrElse(UnionCacheMaxDiskEdges)
+      val total = ets.map(et => store.edgeCount(et.label)).sum
+      if (total > math.max(cap, diskCap)) return build
+      val level =
+        if (total > cap) StorageLevel.DISK_ONLY
+        else StorageLevel.MEMORY_AND_DISK
       val key = new UnionKey(s"$variant|${ets.map(_.label).mkString("|")}",
         ets.map(et => store.edges(et.label)))
       if (edgeUnionCache.size >= UnionCacheMaxEntries) {
@@ -2056,8 +2077,7 @@ object CypherEngine {
         edgeUnionCache.values.asScala.foreach(_.unpersist(false))
         edgeUnionCache.clear()
       }
-      edgeUnionCache.computeIfAbsent(key,
-        _ => build.persist(StorageLevel.MEMORY_AND_DISK))
+      edgeUnionCache.computeIfAbsent(key, _ => build.persist(level))
     }
 
     /** True when the type group's edge-key columns span more than one data
