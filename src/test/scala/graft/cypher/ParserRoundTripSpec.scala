@@ -135,9 +135,33 @@ class ParserRoundTripSpec extends AnyFunSuite {
     case SetProp(v, p, e) => s"$v.$p = ${rex(e)}"
     case SetPlus(v, m) => s"$v += {${m.map { case (k, e) => s"$k: ${rex(e)}" }.mkString(", ")}}"
     case SetAll(v, m) => s"$v = {${m.map { case (k, e) => s"$k: ${rex(e)}" }.mkString(", ")}}"
+    case SetLabel(v, ls, true) => s"$v${ls.map(":" + _).mkString}"
+    case SetLabel(_, _, false) =>
+      sys.error("label removal renders only through a REMOVE clause")
+  }
+
+  /** A SetClause whose items are all REMOVE-shaped (label removals and
+    * null'd properties), with at least one label removal, renders through
+    * the REMOVE spelling — `SET` has no add=false syntax. Both spellings
+    * parse to the same AST for null'd properties, so the map stays
+    * injective on what the generators emit.
+    */
+  private def rremoveItem(it: SetItem): String = it match {
+    case SetLabel(v, ls, false) => s"$v${ls.map(":" + _).mkString}"
+    case SetProp(v, p, Lit(null)) => s"$v.$p"
+    case other => sys.error(s"not REMOVE-renderable: $other")
+  }
+
+  private def isRemoveShape(it: SetItem): Boolean = it match {
+    case SetLabel(_, _, false) | SetProp(_, _, Lit(null)) => true
+    case _ => false
   }
 
   private def rwrite(w: WriteClause): String = w match {
+    case SetClause(items)
+        if items.nonEmpty && items.forall(isRemoveShape) &&
+          items.exists { case SetLabel(_, _, false) => true; case _ => false } =>
+      s"REMOVE ${items.map(rremoveItem).mkString(", ")}"
     case CreateClause(ps) => s"CREATE ${ps.map(rpath).mkString(", ")}"
     case MergeClause(p, oc, om) =>
       s"MERGE ${rpath(p)}" +
@@ -341,7 +365,20 @@ class ParserRoundTripSpec extends AnyFunSuite {
       for {
         np <- Gen.choose(1, 2); ks <- Gen.pick(np, props)
         es <- Gen.listOfN(np, exprGen(1))
-      } yield SetAll(v, ks.toSeq.zip(es)))
+      } yield SetAll(v, ks.toSeq.zip(es)),
+      for { n <- Gen.choose(1, 2); ls <- Gen.pick(n, labels) }
+        yield SetLabel(v, ls.toSeq, add = true))
+  } yield it
+
+  /** Items legal under REMOVE: label removals and bare properties
+    * (which parse as SET-to-null).
+    */
+  private def removeItemGen: Gen[SetItem] = for {
+    v <- vGen
+    it <- Gen.frequency(
+      6 -> (for { n <- Gen.choose(1, 2); ls <- Gen.pick(n, labels) }
+        yield SetLabel(v, ls.toSeq, add = false)),
+      4 -> pGen.map(p => SetProp(v, p, Lit(null))))
   } yield it
 
   private def writeGen: Gen[WriteClause] = Gen.frequency(
@@ -354,6 +391,8 @@ class ParserRoundTripSpec extends AnyFunSuite {
     } yield MergeClause(p, oc, om)),
     3 -> Gen.listOfN(1, pathGen(1)).map(CreateClause(_)),
     2 -> Gen.choose(1, 2).flatMap(n => Gen.listOfN(n, setItemGen)).map(SetClause(_)),
+    1 -> Gen.choose(1, 2).flatMap(n =>
+      Gen.listOfN(n, removeItemGen)).map(SetClause(_)),
     1 -> (for {
       n <- Gen.choose(1, 2); vs <- Gen.pick(n, varNames)
       d <- Gen.oneOf(true, false)
@@ -432,7 +471,10 @@ class ParserRoundTripSpec extends AnyFunSuite {
       "MERGE (aa:Foo {pk: 1}) ON CREATE SET aa.pw = 2 ON MATCH SET aa = {pw: 3} RETURN aa.pw",
       "MATCH (aa:Foo) RETURN [xx IN aa.pv WHERE (xx > 0) | (xx * 2)] AS ys",
       "MATCH p1x = shortestPath((aa:Foo)-[:RA*]-(bb:Bar)) RETURN length(p1x)",
-      "MATCH (aa:Foo) RETURN COUNT { (aa)-[:RA]->(bb:Bar) WHERE (bb.pk = 1) } AS c")
+      "MATCH (aa:Foo) RETURN COUNT { (aa)-[:RA]->(bb:Bar) WHERE (bb.pk = 1) } AS c",
+      "MATCH (aa:Foo) SET aa:Bar:Baz RETURN aa.pk",
+      "MATCH (aa:Foo) REMOVE aa:Bar, aa.pk RETURN aa.pw",
+      "MERGE (aa:Foo {pk: 1}) ON CREATE SET aa:Qux ON MATCH SET aa.pw = 2 RETURN aa.pk")
     vectors.foreach { v =>
       val ast = Parser.parse(v)
       assert(Parser.parse(render(ast)) == ast, v)
