@@ -649,11 +649,12 @@ object Parser {
           e = e match {
             // namespaced function call — `duration.between(a, b)`,
             // `duration.inDays(a, b)`, `date.truncate(u, d)`,
-            // `datetime.truncate(u, dt)`; claimed only for the known
-            // namespaces AND only when a call follows, so `v.prop` stays
-            // a property access everywhere else
+            // `datetime.truncate(u, dt)`, `point.distance(p, q)`; claimed
+            // only for the known namespaces AND only when a call follows,
+            // so `v.prop` stays a property access everywhere else
             case Var(v) if isSym("(") &&
-                Seq("duration", "date", "datetime").exists(v.equalsIgnoreCase) =>
+                Seq("duration", "date", "datetime", "point")
+                  .exists(v.equalsIgnoreCase) =>
               eatSym("(")
               val args = Seq.newBuilder[Expr]
               if (!isSym(")")) { args += expr(); while (trySym(",")) args += expr() }

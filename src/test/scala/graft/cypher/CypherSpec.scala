@@ -1677,7 +1677,8 @@ class CypherSpec extends SparkSpec {
       "unsupported component")
     mrejects("MATCH (x:Region) RETURN date({}) AS t", "no components")
     // a map literal outside a temporal constructor rejects with guidance
-    mrejects("MATCH (x:Region) RETURN {a: 1} AS m", "temporal constructor")
+    mrejects("MATCH (x:Region) RETURN {a: 1} AS m",
+      "temporal or spatial constructor")
     // fractional SECONDS are honored (make_timestamp takes decimal
     // seconds — Neo4j's datetime({…, second: 1.5})); every other
     // component rejects a fraction loudly instead of truncating
@@ -2673,5 +2674,43 @@ class CypherSpec extends SparkSpec {
     val err = intercept[CypherEngine.CypherException](engine.run(
       """MATCH (n:Nation) WITH n.n_name AS s RETURN s {.*} AS m"""))
     assert(err.getMessage.contains("node variable"))
+  }
+
+  test("point()/distance(): cartesian exact, wgs-84 haversine, mixed-CRS null, rejections") {
+    // cartesian: a 3-4-5 triangle is exact in doubles
+    val r = engine.run(
+      """MATCH (n:Nation {n_nationkey: 0})
+         WITH point({x: 3.0, y: 4.0}) AS p, point({x: 0.0, y: 0.0}) AS o
+         RETURN distance(p, o) AS d, p.x AS px, p.crs AS crs""").head()
+    assert(r.getDouble(0) == 5.0 && r.getDouble(1) == 3.0 &&
+      r.getString(2) == "cartesian")
+    // wgs-84: a 90-degree equatorial arc is R * pi / 2 on the sphere
+    val w = engine.run(
+      """MATCH (n:Nation {n_nationkey: 0})
+         RETURN distance(point({latitude: 0.0, longitude: 0.0}),
+                         point({latitude: 0.0, longitude: 90.0})) AS d""").head()
+    assert(math.abs(w.getDouble(0) - 6378140.0 * math.Pi / 2) < 1e-6)
+    // point.distance spelling, explicit matching crs, accessor postfix
+    val w2 = engine.run(
+      """MATCH (n:Nation {n_nationkey: 0})
+         WITH point({latitude: 10.0, longitude: 20.0, crs: 'wgs-84'}) AS p
+         RETURN point.distance(p, p) AS d, p.y AS lat""").head()
+    assert(w2.getDouble(0) == 0.0 && w2.getDouble(1) == 10.0)
+    // mixed CRS compares to null (Neo4j's rule)
+    val m = engine.run(
+      """MATCH (n:Nation {n_nationkey: 0})
+         RETURN distance(point({x: 1.0, y: 2.0}),
+                         point({latitude: 0.0, longitude: 0.0})) AS d""").head()
+    assert(m.isNullAt(0))
+    // rejections: 3D/unknown keys, non-map argument, crs/key mismatch
+    assert(intercept[CypherEngine.CypherException](engine.run(
+      "MATCH (n:Nation) RETURN point({x: 1.0, y: 2.0, z: 3.0}) AS p"))
+      .getMessage.contains("point()"))
+    assert(intercept[CypherEngine.CypherException](engine.run(
+      "MATCH (n:Nation) RETURN point(1.0) AS p"))
+      .getMessage.contains("component map"))
+    assert(intercept[CypherEngine.CypherException](engine.run(
+      "MATCH (n:Nation) RETURN point({x: 1.0, y: 2.0, crs: 'wgs-84'}) AS p"))
+      .getMessage.contains("point()"))
   }
 }
