@@ -393,6 +393,15 @@ object CypherEngine {
     */
   private val LocalPathWorkCap: Long = 10L * 1000 * 1000
 
+  /** Spark-conf key for the distributed BFS's reached-set pruning
+    * position (r12): "true" (default) anti-joins reached pairs BEFORE
+    * each level's per-pair dedup/agg, "false" restores the pre-r12
+    * post-agg position. Both are row-identical (spec-pinned); the early
+    * position keeps back-edge rows out of the wide min-struct shuffle
+    * (q105 −15% warm at sf1 — BASELINE.md r12 A/B).
+    */
+  val BfsAntiEarlyKey = "graft.cypher.bfsAntiEarly"
+
   /** Spark-conf key for the loud (never silent) budget on open-bound
     * relationship-unique path enumeration (`[:R*]` outside shortestPath).
     */
@@ -2167,6 +2176,12 @@ object CypherEngine {
       // default, every k-th cut reliable when graft.checkpoint.dir is set
       // (fault tolerance on preemptible clusters — see GraphAnalytics)
       val ck = new graft.graph.GraphAnalytics.IterCheckpointer(e0.sparkSession)
+      // reached-set pruning position (r12): true = anti-join inside
+      // oneHop, before the per-pair dedup/agg (see the comment there);
+      // false = the pre-r12 post-agg position. A/B'd in BASELINE.md;
+      // CypherSpec pins both modes row-identical.
+      val antiEarly = e0.sparkSession.conf
+        .get(BfsAntiEarlyKey, "true").toBoolean
       // one hop forward. Frontier discipline per mode:
       //  - shortestPath + path read: keep ONE (lexicographically minimal)
       //    path per (src, dst) — frontier bounded by the pair closure;
@@ -2177,20 +2192,38 @@ object CypherEngine {
       //    count, still pruned by the reached-pair anti join — a level
       //    never extends into already-reached pairs, so no path revisits a
       //    node (its prefix would have reached it earlier).
-      def oneHop(from: DataFrame): DataFrame = {
+      def oneHop(from: DataFrame,
+          reached: Option[DataFrame] = None): DataFrame = {
         val stepped = from.join(
           e0.withColumnRenamed("__ds", "__m").withColumnRenamed("__dd", "__dd2"),
           col("__dd") === col("__m"))
+        // When the reached-pair set is supplied, anti-join it BEFORE the
+        // per-pair dedup/agg (r12): in an undirected graph most stepped
+        // rows walk straight back into already-reached pairs (every
+        // level-2 row can revisit its seed), and filtering them first
+        // keeps their wide path/rels structs out of the min-struct
+        // aggregation. Both operations key on (__ds, __dd), so a
+        // shuffle-based anti's exchange is reused by the groupBy — same
+        // shuffle count, strictly less aggregated data — and a
+        // broadcast anti filters map-side before the only shuffle.
+        // Pair-equivalent to anti-joining after the agg: the agg never
+        // creates pairs, only collapses rows within one, so the removed
+        // rows all belong to removed pairs. Conf-gated for A/B; the
+        // caller skips its own post-agg anti when this one ran.
+        val anti: DataFrame => DataFrame = reached match {
+          case Some(r) => df => df.join(r, Seq("__ds", "__dd"), "left_anti")
+          case None => identity
+        }
         if (!withPath)
-          stepped.select(col("__ds"), col("__dd2").as("__dd")).distinct()
+          anti(stepped.select(col("__ds"), col("__dd2").as("__dd"))).distinct()
         else if (withRels) {
           // append the hop's edge type alongside the node; the single-path
           // prune picks the lexicographic-min (path, type-seq) pair —
           // deterministic even when parallel edges of different types
           // connect the same node pair
-          val ext = stepped.select(col("__ds"), col("__dd2").as("__dd"),
+          val ext = anti(stepped.select(col("__ds"), col("__dd2").as("__dd"),
             concat(col("__path"), array(col("__dd2"))).as("__path"),
-            concat(col("__rels"), array(col("__rt"))).as("__rels"))
+            concat(col("__rels"), array(col("__rt"))).as("__rels")))
           if (keepAll) ext.distinct()
           else ext.groupBy("__ds", "__dd")
             .agg(min(struct(col("__path"), col("__rels"))).as("__m"))
@@ -2198,11 +2231,11 @@ object CypherEngine {
               col("__m.__path").as("__path"), col("__m.__rels").as("__rels"))
         }
         else if (keepAll)
-          stepped.select(col("__ds"), col("__dd2").as("__dd"),
-            concat(col("__path"), array(col("__dd2"))).as("__path")).distinct()
+          anti(stepped.select(col("__ds"), col("__dd2").as("__dd"),
+            concat(col("__path"), array(col("__dd2"))).as("__path"))).distinct()
         else
-          stepped.select(col("__ds"), col("__dd2").as("__dd"),
-            concat(col("__path"), array(col("__dd2"))).as("__path"))
+          anti(stepped.select(col("__ds"), col("__dd2").as("__dd"),
+            concat(col("__path"), array(col("__dd2"))).as("__path")))
             .groupBy("__ds", "__dd").agg(min(col("__path")).as("__path"))
       }
       // first-hop frontier restricted to the bound sources, distinct'd
@@ -2246,8 +2279,10 @@ object CypherEngine {
           // the logical plan doubles per level and planning itself OOMs
           // long before the data does. The checkpoint also lets the loop
           // stop as soon as a frontier comes back empty.
-          val fresh = ck.cut(oneHop(frontier)
-            .join(dist.select("__ds", "__dd"), Seq("__ds", "__dd"), "left_anti"))
+          val fresh = ck.cut(
+            if (antiEarly) oneHop(frontier, Some(dist.select("__ds", "__dd")))
+            else oneHop(frontier).join(
+              dist.select("__ds", "__dd"), Seq("__ds", "__dd"), "left_anti"))
           if (fresh.isEmpty) exhausted = true
           else {
             dist = dist.unionByName(fresh.withColumn("__len", lit(n.toLong)))

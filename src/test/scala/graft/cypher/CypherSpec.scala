@@ -2676,6 +2676,36 @@ class CypherSpec extends SparkSpec {
     assert(err.getMessage.contains("node variable"))
   }
 
+  test("BFS reached-set pruning position: early and post-agg anti are row-identical") {
+    // the early anti runs only in the distributed bfsFrames — force it
+    spark.conf.set(CypherEngine.LocalPathEdgeCapKey, "0")
+    // one query per oneHop mode: withRels single-path, path single-path,
+    // keepAll (allShortestPaths), and length-only — all on the undirected
+    // hetero graph, where every level-2 step walks back into its seed
+    // (the case the early anti exists to prune)
+    val queries = Seq(
+      """MATCH p = shortestPath((o:Order {o_orderkey: 1})-[:CONTAINS|PLACED_BY*1..3]-(c:Customer))
+         RETURN toInteger(c.c_custkey) AS ck, length(p) AS len,
+                reduce(s = '', r IN relationships(p) | s + ',' + type(r)) AS rels
+         ORDER BY ck""",
+      """MATCH p = shortestPath((o:Order {o_orderkey: 1})-[:CONTAINS*1..2]-(p2:Part))
+         RETURN toInteger(p2.p_partkey) AS pk, nodes(p) AS path ORDER BY pk""",
+      """MATCH p = allShortestPaths((o:Order {o_orderkey: 1})-[:CONTAINS|PLACED_BY*1..2]-(x:Order))
+         RETURN toInteger(x.o_orderkey) AS ok, count(*) AS n_paths
+         ORDER BY ok""",
+      """MATCH p = shortestPath((o:Order {o_orderkey: 1})-[:CONTAINS|PLACED_BY*1..3]-(c:Customer))
+         RETURN toInteger(c.c_custkey) AS ck, length(p) AS len ORDER BY ck""")
+    try {
+      def runAll(): Seq[Seq[String]] =
+        queries.map(engine.run(_).collect().toSeq.map(_.toString))
+      val early = runAll() // default: BfsAntiEarlyKey unset = true
+      assert(early.forall(_.nonEmpty))
+      spark.conf.set(CypherEngine.BfsAntiEarlyKey, "false")
+      try assert(runAll() == early)
+      finally spark.conf.unset(CypherEngine.BfsAntiEarlyKey)
+    } finally spark.conf.unset(CypherEngine.LocalPathEdgeCapKey)
+  }
+
   test("point()/distance(): cartesian exact, wgs-84 haversine, mixed-CRS null, rejections") {
     // cartesian: a 3-4-5 triangle is exact in doubles
     val r = engine.run(
