@@ -115,10 +115,19 @@ object Ast {
   case object In extends Direction // <-[]-
   case object Undirected extends Direction // -[]-
 
+  /** Node pattern. A label disjunction `(n:A|B)` parses to `label = None`
+    * and `alts` holding the alternatives (≥ 2, distinct); a plain `(n:A)`
+    * keeps the single label in `label` with `alts` empty. The compiler
+    * matches a disjunction by restricting the interpretation enumeration
+    * to the listed labels and unioning the per-label branches — the same
+    * machinery an unlabeled node rides, with a narrower candidate set.
+    * Write clauses (CREATE/MERGE) reject disjunctions, matching Neo4j.
+    */
   final case class NodePat(
       variable: Option[String],
       label: Option[String],
-      props: Seq[(String, Expr)] = Nil)
+      props: Seq[(String, Expr)] = Nil,
+      alts: Seq[String] = Nil)
 
   /** Relationship pattern. `labels` holds the type disjunction `[:A|B]`
     * (one element for a plain `[:A]`, empty for an untyped `-[r]->`): the

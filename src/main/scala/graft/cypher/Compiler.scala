@@ -398,7 +398,8 @@ object CypherEngine {
     * each level's per-pair dedup/agg, "false" restores the pre-r12
     * post-agg position. Both are row-identical (spec-pinned); the early
     * position keeps back-edge rows out of the wide min-struct shuffle
-    * (q105 −15% warm at sf1 — BASELINE.md r12 A/B).
+    * (q105 −13% / q85 −10% warm at sf0.1; within box noise at sf1 —
+    * BASELINE.md r12 A/B).
     */
   val BfsAntiEarlyKey = "graft.cypher.bfsAntiEarly"
 
@@ -650,7 +651,8 @@ object CypherEngine {
           def unlabeledIn(v: String): Boolean = st.reads.exists {
             case MatchClause(ps, false) => ps.exists(p =>
               (p.head +: p.hops.map(_._2))
-                .exists(n => n.variable.contains(v) && n.label.isEmpty))
+                .exists(n => n.variable.contains(v) && n.label.isEmpty
+                  && n.alts.isEmpty))
             case _ => false
           }
           var labelFor = Map.empty[String, String]
@@ -662,7 +664,8 @@ object CypherEngine {
           if (labelFor.isEmpty) st
           else {
             def fix(n: NodePat): NodePat =
-              if (n.label.isEmpty && n.variable.exists(labelFor.contains))
+              if (n.label.isEmpty && n.alts.isEmpty
+                  && n.variable.exists(labelFor.contains))
                 n.copy(label = Some(labelFor(n.variable.get)))
               else n
             val reads2 = st.reads.map {
@@ -910,18 +913,18 @@ object CypherEngine {
       * when ANY type fits it, flipped only when none does.
       */
     private def enumerate(patterns: Seq[PathPat],
-        seed: Map[String, String]): Seq[Seq[HopChoice]] = {
+        seed: Map[String, String]): Seq[(Map[String, String], Seq[HopChoice])] = {
       var anon = 0
       def nm(n: NodePat): String =
         n.variable.getOrElse { anon += 1; s"__enum$anon" }
       // events in [[assembleOne]]'s binding order: a head-label bind per
       // path (so `MATCH (a:Customer), (a)-[r]->(x)` constrains the second
       // path's hops), then the path's hops
-      val headBinds = Seq.newBuilder[(Int, String, Option[String])]
+      val headBinds = Seq.newBuilder[(Int, String, NodePat)]
       val hopsB = Seq.newBuilder[(Int, String, NodePat, RelPat, String, NodePat)]
       patterns.zipWithIndex.foreach { case (p, i) =>
         var prevVar = nm(p.head)
-        headBinds += ((i, prevVar, p.head.label))
+        headBinds += ((i, prevVar, p.head))
         var prevPat = p.head
         p.hops.foreach { case (r, n) =>
           val v = nm(n)
@@ -931,17 +934,35 @@ object CypherEngine {
         }
       }
       val headByPath = headBinds.result().groupBy(_._1)
-      var states = Seq((seed, Vector.empty[HopChoice]))
+      // a state = (every label inferred so far, the subset FORKED from a
+      // head disjunction — returned so [[assemble]] can seed the branch's
+      // [[assembleOne]] with the chosen label, which no HopChoice carries
+      // for a hop-less path — the hop choices accumulated)
+      var states = Seq((seed, Map.empty[String, String], Vector.empty[HopChoice]))
       var firstErr: Option[String] = None
       var seenPath = -1
+      def applyHead(v: String, pat: NodePat): Unit = {
+        // a `(v:A|B)` head forks the enumeration per alternative — each
+        // branch proceeds with the label FIXED, so shared uses of v across
+        // paths stay consistent and hop fitting narrows per branch
+        if (pat.alts.nonEmpty) {
+          pat.alts.filterNot(l => store.schema.nodes.exists(_.name == l))
+            .foreach(l => throw CypherException(s"unknown node label: $l"))
+          states = states.flatMap { case (labels, forked, acc) =>
+            if (labels.contains(v)) Seq((labels, forked, acc))
+            else pat.alts.map(l => (labels + (v -> l), forked + (v -> l), acc))
+          }
+        } else pat.label.foreach(l => states = states.map {
+          case (labels, forked, acc) =>
+            (if (labels.contains(v)) labels else labels + (v -> l), forked, acc)
+        })
+      }
       hopsB.result().foreach { case (pathIdx, uVar, uPat, rel, vVar, vPat) =>
         // apply head annotations of every path up to this one
         while (seenPath < pathIdx) {
           seenPath += 1
-          headByPath.getOrElse(seenPath, Nil).foreach { case (_, v, lbl) =>
-            lbl.foreach(l => states = states.map { case (labels, acc) =>
-              (if (labels.contains(v)) labels else labels + (v -> l), acc)
-            })
+          headByPath.getOrElse(seenPath, Nil).foreach { case (_, v, p) =>
+            applyHead(v, p)
           }
         }
         val candidates = rel.labels match {
@@ -951,12 +972,19 @@ object CypherEngine {
               .foreach(l => throw CypherException(s"unknown relationship type: $l"))
             store.schema.edges.filter(e => ls.contains(e.label))
         }
-        states = states.flatMap { case (labels, acc) =>
+        states = states.flatMap { case (labels, forked, acc) =>
           val lu = labels.get(uVar).orElse(uPat.label)
           val lv = labels.get(vVar).orElse(vPat.label)
-          def fits(want: Option[String], actual: String) = want.forall(_ == actual)
-          val forward = candidates.filter(e => fits(lu, e.src) && fits(lv, e.dst))
-          val backward = candidates.filter(e => fits(lv, e.src) && fits(lu, e.dst))
+          // unresolved endpoint with a `:A|B` disjunction: any listed
+          // label fits (the chosen group then pins it, like an unlabeled
+          // endpoint — the disjunction only narrows the candidate set)
+          def fits(want: Option[String], alts: Seq[String], actual: String) =
+            want.map(_ == actual)
+              .getOrElse(alts.isEmpty || alts.contains(actual))
+          val forward = candidates.filter(e =>
+            fits(lu, uPat.alts, e.src) && fits(lv, vPat.alts, e.dst))
+          val backward = candidates.filter(e =>
+            fits(lv, vPat.alts, e.src) && fits(lu, uPat.alts, e.dst))
           val oriented: Seq[(EdgeType, Boolean)] = rel.dir match {
             case Out | Undirected =>
               if (forward.nonEmpty) forward.map((_, false)) else backward.map((_, true))
@@ -982,7 +1010,7 @@ object CypherEngine {
               if (f) (et.dst, et.src) else (et.src, et.dst)
             }
             groups.toSeq.sortBy(_._1).map { case ((ul, vl), opts) =>
-              (labels + (uVar -> ul) + (vVar -> vl),
+              (labels + (uVar -> ul) + (vVar -> vl), forked,
                 acc :+ HopChoice(opts.map(_._1).sortBy(_.label), opts.head._2))
             }
           }
@@ -992,9 +1020,22 @@ object CypherEngine {
             s"pattern matches more than $MaxPatternInterpretations type interpretations — " +
               "annotate node labels or relationship types")
       }
+      // drain head annotations of trailing hop-less paths — their `:A|B`
+      // forks are the ONLY event those paths contribute (a standalone
+      // `MATCH (n:A|B)` compiles to one branch per alternative)
+      while (seenPath < patterns.size - 1) {
+        seenPath += 1
+        headByPath.getOrElse(seenPath, Nil).foreach { case (_, v, p) =>
+          applyHead(v, p)
+        }
+      }
+      if (states.size > MaxPatternInterpretations)
+        throw CypherException(
+          s"pattern matches more than $MaxPatternInterpretations type interpretations — " +
+            "annotate node labels or relationship types")
       if (states.isEmpty)
         throw CypherException(firstErr.getOrElse("no relationship fits the pattern"))
-      states.map(_._2)
+      states.map(s => (s._2, s._3))
     }
 
     // ----------------------------------------------------------- assembly
@@ -1370,10 +1411,15 @@ object CypherEngine {
       }
       val seed = seedLabels ++ initial.map(_._2.labels).getOrElse(Map.empty)
       val assignments = enumerate(patterns, seed)
+      // a branch's forked head-disjunction labels seed its assembleOne so
+      // bindHead resolves `(n:A|B)` heads to the branch's chosen label
       if (assignments.sizeIs == 1)
-        assembleOne(patterns, seedLabels, initial, assignments.head)
+        assembleOne(patterns, seedLabels ++ assignments.head._1, initial,
+          assignments.head._2)
       else
-        mergeBranches(assignments.map(a => assembleOne(patterns, seedLabels, initial, a)))
+        mergeBranches(assignments.map { case (fk, a) =>
+          assembleOne(patterns, seedLabels ++ fk, initial, a)
+        })
     }
 
     /** Union per-interpretation branches into one frame + context:
@@ -1756,6 +1802,13 @@ object CypherEngine {
       // frame (rows failing them null-extend, like the dst-side props) —
       // strip them here and fold them into the left_outer join condition
       // below instead.
+      // endpoint label disjunctions don't compose with the BFS's single
+      // (aLabel, wantB) endpoint contract — reject rather than guess
+      (path.head +: path.hops.map(_._2)).filter(_.alts.nonEmpty).foreach(n =>
+        throw CypherException(
+          s"shortestPath endpoint (${n.variable.getOrElse("")}:" +
+            s"${n.alts.mkString("|")}) cannot use a label disjunction — " +
+            "annotate a single label or run one query per label"))
       val headPat = if (optional) path.head.copy(props = Nil) else path.head
       val (df1, ctx1) = assemble(Seq(PathPat(headPat, Nil)), initial = state)
       val aLabel = ctx1.labels(aVar)
@@ -3530,6 +3583,9 @@ object CypherEngine {
         throw CypherException("MERGE node pattern needs a variable"))
       if (ctx.labels.contains(v))
         throw CypherException(s"MERGE variable $v is already bound")
+      if (pat.alts.nonEmpty) throw CypherException(
+        "MERGE node pattern cannot use a label disjunction (" +
+          pat.alts.mkString("|") + ") — a merged node has one label")
       val label = pat.label.getOrElse(
         throw CypherException("MERGE node pattern needs a label"))
       if (pat.props.isEmpty)
@@ -3729,6 +3785,9 @@ object CypherEngine {
       val v = pat.variable.getOrElse(anonVar())
       if (ctx.labels.contains(v))
         throw CypherException(s"CREATE variable $v is already bound")
+      if (pat.alts.nonEmpty) throw CypherException(
+        "CREATE node pattern cannot use a label disjunction (" +
+          pat.alts.mkString("|") + ") — a created node has one label")
       val label = pat.label.getOrElse(
         throw CypherException("CREATE node pattern needs a label"))
       if (pat.props.isEmpty)

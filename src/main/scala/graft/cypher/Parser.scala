@@ -437,10 +437,18 @@ object Parser {
         case Ident(s) => variable = Some(s); next()
         case _ =>
       }
-      if (trySym(":")) label = Some(ident())
+      // `:A|B` label disjunction (Neo4j-5 label expression subset; also
+      // accepts the `|:B` spelling, mirroring the relationship parser)
+      var alts: Seq[String] = Nil
+      if (trySym(":")) {
+        alts = Seq(ident())
+        while (trySym("|")) { trySym(":"); alts :+= ident() }
+        alts = alts.distinct
+        if (alts.sizeIs == 1) { label = Some(alts.head); alts = Nil }
+      }
       val props = if (isSym("{")) propMap() else Nil
       eatSym(")")
-      NodePat(variable, label, props)
+      NodePat(variable, label, props, alts)
     }
 
     private def propMap(): Seq[(String, Expr)] = {

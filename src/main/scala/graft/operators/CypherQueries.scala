@@ -575,6 +575,14 @@ object CypherQueries {
     // — cartesian Euclidean hash-matches DuckDB bit-exactly; the wgs-84
     // haversine floors to whole meters (JVM and libm trig differ in the
     // last ulp; 1e-8 m of slack vs a 1 m quantum).
+    // node label disjunction (r12): `(x:Customer|Supplier)` compiles one
+    // branch per alternative through the existing interpretation-union
+    // machinery (the disjunction only narrows the candidate set an
+    // unlabeled node would enumerate); labels(x) reads the per-branch tag.
+    "q123_cypher_label_disjunction" -> cy(
+      """MATCH (x:Customer|Supplier)-[:IN_NATION|SUPP_IN_NATION]->(n:Nation)
+         RETURN n.n_name AS nation, labels(x)[0] AS kind, count(*) AS members
+         ORDER BY nation, kind"""),
     "q122_cypher_point_distance" -> cy(
       """MATCH (n:Nation)
          WITH n, point({x: toFloat(n.n_nationkey % 5), y: toFloat(n.n_regionkey)}) AS p
@@ -978,6 +986,14 @@ object CypherQueries {
                        WHERE n.n_nationkey = c.c_nationkey
                          AND n.n_name = 'NATION_7')
             OR (0 <= c_custkey AND c_custkey < 50)""",
+    // q123: the label disjunction is the UNION ALL of the per-label scans
+    "q123_cypher_label_disjunction" ->
+      """SELECT n_name AS nation, kind, count(*) AS members
+         FROM (SELECT c_nationkey AS nk, 'Customer' AS kind FROM customer
+               UNION ALL
+               SELECT s_nationkey AS nk, 'Supplier' AS kind FROM supplier) m
+         JOIN nation ON n_nationkey = nk
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     // q122: cartesian distance replicated bit-exactly (same IEEE op
     // order); wgs-84 haversine replicated then floored to whole meters
     // (trig last-ulp slack vs the 1 m quantum)

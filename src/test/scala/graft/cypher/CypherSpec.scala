@@ -2743,4 +2743,82 @@ class CypherSpec extends SparkSpec {
       "MATCH (n:Nation) RETURN point({x: 1.0, y: 2.0, crs: 'wgs-84'}) AS p"))
       .getMessage.contains("point()"))
   }
+
+  // --------------------------------------- node label disjunction (M46)
+
+  test("label disjunction: parse forms") {
+    val n1 = Parser.parse("MATCH (x:Customer|Supplier) RETURN count(*) AS c")
+      .patterns.head.head
+    assert(n1.label.isEmpty && n1.alts == Seq("Customer", "Supplier"))
+    // the `|:B` spelling and duplicate collapse
+    val n2 = Parser.parse("MATCH (x:Customer|:Supplier) RETURN count(*) AS c")
+      .patterns.head.head
+    assert(n2.alts == Seq("Customer", "Supplier"))
+    val n3 = Parser.parse("MATCH (x:Customer|Customer) RETURN count(*) AS c")
+      .patterns.head.head
+    assert(n3.label.contains("Customer") && n3.alts.isEmpty)
+  }
+
+  test("label disjunction: standalone, per-row labels, missing props null-pad") {
+    def one(q: String): Long = engine.run(q).head().getLong(0)
+    val nCust = one("MATCH (c:Customer) RETURN count(*) AS c")
+    val nSupp = one("MATCH (s:Supplier) RETURN count(*) AS c")
+    assert(one("MATCH (x:Customer|Supplier) RETURN count(*) AS c") == nCust + nSupp)
+    // per-row label tags
+    val byKind = engine.run(
+      """MATCH (x:Customer|Supplier)
+         RETURN labels(x)[0] AS kind, count(*) AS c ORDER BY kind""").collect()
+    assert(byKind.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("Customer", nCust), ("Supplier", nSupp)))
+    // a property only one branch's schema holds reads null on the other
+    val nullNames = engine.run(
+      """MATCH (x:Customer|Supplier) WHERE x.c_name IS NULL
+         RETURN count(*) AS c""").head().getLong(0)
+    assert(nullNames == nSupp)
+    // a label predicate on the diverged variable filters by the tag
+    assert(one("MATCH (x:Customer|Supplier) WHERE x:Customer RETURN count(*) AS c")
+      == nCust)
+  }
+
+  test("label disjunction: hop endpoints narrow the interpretation set") {
+    def rows(q: String) = engine.run(q).collect().toSeq.map(_.toString).sorted
+    // disjunction on both endpoints == UNION ALL of the single-label runs
+    val dis = rows(
+      """MATCH (x:Customer|Supplier)-[:IN_NATION|SUPP_IN_NATION]->(n:Nation)
+         RETURN n.n_name AS nation, labels(x)[0] AS kind, count(*) AS c
+         ORDER BY nation, kind""")
+    val uni = rows(
+      """MATCH (c:Customer)-[:IN_NATION]->(n:Nation)
+         RETURN n.n_name AS nation, 'Customer' AS kind, count(*) AS c
+         UNION ALL
+         MATCH (s:Supplier)-[:SUPP_IN_NATION]->(n:Nation)
+         RETURN n.n_name AS nation, 'Supplier' AS kind, count(*) AS c""")
+    assert(dis == uni && dis.nonEmpty)
+    // a fork shared across paths stays consistent: IN_NATION only fits the
+    // Customer alternative, so the Supplier branch is unsatisfiable and
+    // the result equals the plain single-label query
+    val shared = engine.run(
+      """MATCH (x:Customer|Supplier), (x)-[:IN_NATION]->(n:Nation)
+         RETURN count(*) AS c""").head().getLong(0)
+    val plain = engine.run(
+      """MATCH (x:Customer)-[:IN_NATION]->(n:Nation)
+         RETURN count(*) AS c""").head().getLong(0)
+    assert(shared == plain)
+  }
+
+  test("label disjunction: write clauses and shortestPath reject loudly") {
+    assert(intercept[CypherEngine.CypherException](engine.execute(
+      "CREATE (x:Customer|Supplier {c_custkey: 999999}) RETURN x.c_custkey AS k"))
+      .getMessage.contains("label disjunction"))
+    assert(intercept[CypherEngine.CypherException](engine.execute(
+      "MERGE (x:Customer|Supplier {c_custkey: 1}) RETURN x.c_custkey AS k"))
+      .getMessage.contains("label disjunction"))
+    assert(intercept[CypherEngine.CypherException](engine.run(
+      """MATCH p = shortestPath((a:Customer {c_custkey: 1})-[:IN_NATION*1..2]-(b:Nation|Region))
+         RETURN length(p) AS l"""))
+      .getMessage.contains("label disjunction"))
+    assert(intercept[CypherEngine.CypherException](engine.run(
+      "MATCH (x:Customer|NoSuchLabel) RETURN count(*) AS c"))
+      .getMessage.contains("unknown node label"))
+  }
 }
