@@ -94,8 +94,12 @@ class ParserRoundTripSpec extends AnyFunSuite {
     if (ps.isEmpty) ""
     else s" {${ps.map { case (k, v) => s"$k: ${rex(v)}" }.mkString(", ")}}"
 
-  private def rnode(n: NodePat): String =
-    s"(${n.variable.getOrElse("")}${n.label.fold("")(":" + _)}${rprops(n.props)})"
+  private def rnode(n: NodePat): String = {
+    val lbl =
+      if (n.alts.nonEmpty) ":" + n.alts.mkString("|")
+      else n.label.fold("")(":" + _)
+    s"(${n.variable.getOrElse("")}$lbl${rprops(n.props)})"
+  }
 
   private def rvl(vl: (Int, Int)): String = vl match {
     case (1, Parser.Unbounded) => "*"
@@ -279,11 +283,18 @@ class ParserRoundTripSpec extends AnyFunSuite {
 
   private def nodeGen(bindProb: Int = 7): Gen[NodePat] = for {
     v <- Gen.frequency(bindProb -> vGen.map(Some(_)), 3 -> Gen.const(None))
-    l <- Gen.frequency(7 -> Gen.oneOf(labels).map(Some(_)), 3 -> Gen.const(None))
+    // label shapes: single, none, or a disjunction (:A|B) — the parser
+    // normalizes duplicates away and collapses a 1-element disjunction to
+    // a plain label, so the generator emits ≥2 distinct alternatives
+    (l, alts) <- Gen.frequency[(Option[String], Seq[String])](
+      6 -> Gen.oneOf(labels).map(l => (Some(l), Nil)),
+      3 -> Gen.const((None, Nil)),
+      1 -> Gen.choose(2, 3).flatMap(k =>
+        Gen.pick(k, labels).map(ls => (None, ls.toSeq))))
     np <- Gen.choose(0, 2)
     ks <- Gen.pick(np, props)
     vs <- Gen.listOfN(np, litGen)
-  } yield NodePat(v, l, ks.toSeq.zip(vs))
+  } yield NodePat(v, l, ks.toSeq.zip(vs), alts)
 
   private val vlGen: Gen[Option[(Int, Int)]] = Gen.frequency(
     6 -> Gen.const(None),
