@@ -1514,6 +1514,20 @@ object CypherEngine {
           df = df.filter(col(s"${variable}__$k") === literal(v))
         }
 
+      /** A re-mention whose pattern label disagrees with the variable's
+        * resolved label can never match — nodes hold exactly one label, so
+        * Neo4j-equivalently the row set is EMPTY, not the pattern-label
+        * silently ignored (`MATCH (n:Customer) MATCH (n:Order)` returns no
+        * rows, not every customer). Same rule for a disjunction that
+        * excludes the resolved label.
+        */
+      def labelConflictFilter(variable: String, pat: NodePat): Unit = {
+        val known = labels(variable)
+        val conflict = pat.label.exists(_ != known) ||
+          (pat.alts.nonEmpty && !pat.alts.contains(known))
+        if (conflict) df = df.filter(lit(false))
+      }
+
       /** Bind a node standalone (head of a path, or shared var re-check). */
       def bindHead(variable: String, pat: NodePat): Unit = {
         if (!bound(variable)) {
@@ -1525,6 +1539,7 @@ object CypherEngine {
           df = if (df == null) nd else df.crossJoin(nd)
           bound += variable
         }
+        labelConflictFilter(variable, pat)
         propFilters(variable, pat.props)
       }
 
@@ -1535,6 +1550,7 @@ object CypherEngine {
         labels(variable) = label
         df = df.join(nodeDf(variable, label), col(joinKey) === col(s"${variable}__${store.schema.node(label).key}"))
         bound += variable
+        labelConflictFilter(variable, pat)
         propFilters(variable, pat.props)
       }
 

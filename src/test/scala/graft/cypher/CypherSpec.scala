@@ -2806,6 +2806,20 @@ class CypherSpec extends SparkSpec {
     assert(shared == plain)
   }
 
+  test("re-mention with a conflicting label matches nothing (not ignored)") {
+    def one(q: String): Long = engine.run(q).head().getLong(0)
+    // nodes hold exactly one label: a second MATCH that relabels a bound
+    // variable can never match — Neo4j returns zero rows; the pattern
+    // label must not be silently dropped
+    assert(one("MATCH (n:Customer) MATCH (n:Order) RETURN count(n) AS c") == 0L)
+    // disjunction that EXCLUDES the resolved label: same rule
+    assert(one("MATCH (n:Customer) MATCH (n:Order|Part) RETURN count(n) AS c") == 0L)
+    // disjunction that INCLUDES it: no-op re-check, full row set
+    val nCust = one("MATCH (c:Customer) RETURN count(*) AS c")
+    assert(one("MATCH (n:Customer) MATCH (n:Customer|Order) RETURN count(n) AS c") == nCust)
+    assert(one("MATCH (n:Customer) MATCH (n:Customer) RETURN count(n) AS c") == nCust)
+  }
+
   test("label disjunction: write clauses and shortestPath reject loudly") {
     assert(intercept[CypherEngine.CypherException](engine.execute(
       "CREATE (x:Customer|Supplier {c_custkey: 999999}) RETURN x.c_custkey AS k"))
