@@ -1713,7 +1713,14 @@ object CypherEngine {
                 df = df.withColumnRenamed("__rels", hop.relVar)
                 relListVars += hop.relVar
               }
-              if (bound(otherVar)) df = df.filter(col(otherSide) === col(keyColName(otherVar)))
+              if (bound(otherVar)) {
+                df = df.filter(col(otherSide) === col(keyColName(otherVar)))
+                // a re-mention is never elidable (≥2 pattern occurrences),
+                // so its full node columns are present: its label must
+                // agree and its inline props filter, like any mention
+                labelConflictFilter(otherVar, nodePat)
+                propFilters(otherVar, nodePat.props)
+              }
               else if (elidableNode(nodePat, otherVar) && hopValidated(hop))
                 bindElided(otherVar, otherSide)
               else bindJoined(otherVar, nodePat, otherSide)
@@ -1739,7 +1746,12 @@ object CypherEngine {
               hop.relProps.foreach { case (k, v) =>
                 df = df.filter(col(s"${hop.relVar}__$k") === literal(v))
               }
-              if (bound(otherVar)) df = df.filter(col(otherSide) === col(keyColName(otherVar)))
+              if (bound(otherVar)) {
+                df = df.filter(col(otherSide) === col(keyColName(otherVar)))
+                // see the var-length branch: re-mentions keep full columns
+                labelConflictFilter(otherVar, nodePat)
+                propFilters(otherVar, nodePat.props)
+              }
               else if (elidableNode(nodePat, otherVar) && hopValidated(hop))
                 bindElided(otherVar, otherSide)
               else bindJoined(otherVar, nodePat, otherSide)

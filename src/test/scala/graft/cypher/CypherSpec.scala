@@ -2820,6 +2820,27 @@ class CypherSpec extends SparkSpec {
     assert(one("MATCH (n:Customer) MATCH (n:Customer) RETURN count(n) AS c") == nCust)
   }
 
+  test("re-mention as a hop far-node honors its label and inline props") {
+    def one(q: String): Long = engine.run(q).head().getLong(0)
+    val inFrance = one(
+      """MATCH (c:Customer)-[:IN_NATION]->(n:Nation {n_name: 'NATION_1'})
+         RETURN count(*) AS c""")
+    assert(inFrance > 0)
+    // inline props on the re-mention are a filter, not decoration
+    assert(one(
+      """MATCH (n:Nation {n_name: 'NATION_1'})
+         MATCH (c:Customer)-[:IN_NATION]->(n {n_name: 'NATION_2'})
+         RETURN count(*) AS c""") == 0L)
+    assert(one(
+      """MATCH (n:Nation {n_name: 'NATION_1'})
+         MATCH (c:Customer)-[:IN_NATION]->(n {n_name: 'NATION_1'})
+         RETURN count(*) AS c""") == inFrance)
+    // conflicting label on the re-mention: zero rows, not silently dropped
+    assert(one(
+      """MATCH (n:Nation) MATCH (c:Customer)-[:IN_NATION]->(n:Region)
+         RETURN count(*) AS c""") == 0L)
+  }
+
   test("label disjunction: write clauses and shortestPath reject loudly") {
     assert(intercept[CypherEngine.CypherException](engine.execute(
       "CREATE (x:Customer|Supplier {c_custkey: 999999}) RETURN x.c_custkey AS k"))
