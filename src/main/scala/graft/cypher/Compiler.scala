@@ -1558,6 +1558,14 @@ object CypherEngine {
       val multiRelVars = collection.mutable.Set[String]()
       val multiRelEndVars = collection.mutable.Map[String, (String, String)]()
       val relListVars = collection.mutable.Set[String]()
+      // Neo4j forbids one relationship variable in two pattern positions
+      // (within or across MATCH clauses); without the check the second
+      // mention's prefixed columns collide with the first's — an opaque
+      // ambiguous-reference error at best, silent shadowing at worst
+      val seenRelVars = collection.mutable.Set[String]()
+      initial.foreach { case (_, c) =>
+        seenRelVars ++= c.rels.keys ++ c.relLists ++ c.multiRels
+      }
       patterns.foreach { path =>
         val headVar = path.head.variable.getOrElse(freshVar("n"))
         // apply the chain's assigned types first so labels are bound
@@ -1570,6 +1578,10 @@ object CypherEngine {
           if (!choice.flipped) { labels(prevVar) = et0.src; labels(nodeVar) = et0.dst }
           else { labels(prevVar) = et0.dst; labels(nodeVar) = et0.src }
           val relVar = rel.variable.getOrElse(freshVar("r"))
+          if (rel.variable.isDefined && !seenRelVars.add(relVar))
+            throw CypherException(
+              s"cannot use the same relationship variable ($relVar) for " +
+                "multiple patterns — bind a fresh variable per relationship")
           val relList = rel.variable.isDefined && rel.varLength.isDefined
           val hop =
             if (!choice.flipped)

@@ -2841,6 +2841,25 @@ class CypherSpec extends SparkSpec {
          RETURN count(*) AS c""") == 0L)
   }
 
+  test("a relationship variable reused across pattern positions rejects loudly") {
+    // Neo4j: "Cannot use the same relationship variable for multiple patterns"
+    assert(intercept[CypherEngine.CypherException](engine.run(
+      """MATCH (a:Customer)-[r:IN_NATION]->(n:Nation)
+         MATCH (s:Supplier)-[r:SUPP_IN_NATION]->(n2:Nation)
+         RETURN count(*) AS c"""))
+      .getMessage.contains("same relationship variable"))
+    assert(intercept[CypherEngine.CypherException](engine.run(
+      """MATCH (o:Order)-[r:CONTAINS]->(p:Part)<-[r:CONTAINS]-(o2:Order)
+         RETURN count(*) AS c"""))
+      .getMessage.contains("same relationship variable"))
+    // cross-stage reuse is unreachable: the projection boundary already
+    // rejects carrying a relationship variable as a value
+    assert(intercept[CypherEngine.CypherException](engine.run(
+      """MATCH (a:Customer)-[r:IN_NATION]->(n:Nation) WITH a, r
+         MATCH (a)-[r:IN_NATION]->(m:Nation) RETURN count(*) AS c"""))
+      .getMessage.contains("relationship variable"))
+  }
+
   test("label disjunction: write clauses and shortestPath reject loudly") {
     assert(intercept[CypherEngine.CypherException](engine.execute(
       "CREATE (x:Customer|Supplier {c_custkey: 999999}) RETURN x.c_custkey AS k"))
