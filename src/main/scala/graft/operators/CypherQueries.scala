@@ -583,6 +583,15 @@ object CypherQueries {
       """MATCH (x:Customer|Supplier)-[:IN_NATION|SUPP_IN_NATION]->(n:Nation)
          RETURN n.n_name AS nation, labels(x)[0] AS kind, count(*) AS members
          ORDER BY nation, kind"""),
+    // re-mention semantics (r12): a bound variable's second pattern
+    // mention is a CONSTRAINT — its inline props filter (and a
+    // conflicting label empties the match), never decoration. The second
+    // MATCH re-mentions n as the hop far-node with a property map.
+    "q124_cypher_rementioned_props" -> cy(
+      """MATCH (n:Nation)
+         MATCH (c:Customer)-[:IN_NATION]->(n {n_regionkey: 1})
+         RETURN n.n_name AS nation, count(*) AS custs
+         ORDER BY nation"""),
     "q122_cypher_point_distance" -> cy(
       """MATCH (n:Nation)
          WITH n, point({x: toFloat(n.n_nationkey % 5), y: toFloat(n.n_regionkey)}) AS p
@@ -986,6 +995,12 @@ object CypherQueries {
                        WHERE n.n_nationkey = c.c_nationkey
                          AND n.n_name = 'NATION_7')
             OR (0 <= c_custkey AND c_custkey < 50)""",
+    // q124: the re-mentioned far-node's inline props are a WHERE filter
+    "q124_cypher_rementioned_props" ->
+      """SELECT n_name AS nation, count(*) AS custs
+         FROM customer JOIN nation ON n_nationkey = c_nationkey
+         WHERE n_regionkey = 1
+         GROUP BY 1 ORDER BY 1""",
     // q123: the label disjunction is the UNION ALL of the per-label scans
     "q123_cypher_label_disjunction" ->
       """SELECT n_name AS nation, kind, count(*) AS members
