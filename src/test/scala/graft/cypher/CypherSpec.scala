@@ -2841,6 +2841,48 @@ class CypherSpec extends SparkSpec {
          RETURN count(*) AS c""") == 0L)
   }
 
+  test("label disjunction: OPTIONAL MATCH forks and null-extends per branch") {
+    // every nation keeps its row; members counts Customer+Supplier unions
+    val rows = engine.run(
+      """MATCH (n:Nation)
+         OPTIONAL MATCH (x:Customer|Supplier)-[:IN_NATION|SUPP_IN_NATION]->(n)
+         RETURN n.n_name AS nation, count(x) AS members
+         ORDER BY nation""").collect()
+    val nNation = engine.run("MATCH (n:Nation) RETURN count(*) AS c").head().getLong(0)
+    assert(rows.length == nNation)
+    val direct = engine.run(
+      """MATCH (x:Customer|Supplier)-[:IN_NATION|SUPP_IN_NATION]->(n:Nation)
+         RETURN n.n_name AS nation, count(*) AS members ORDER BY nation""").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) == direct.getOrElse(r.getString(0), 0L),
+        s"nation ${r.getString(0)}")
+    }
+  }
+
+  test("label disjunction: inside EXISTS blocks and under var-length hops") {
+    def one(q: String): Long = engine.run(q).head().getLong(0)
+    // EXISTS block with a disjunction pattern: nations having any member
+    val viaExists = one(
+      """MATCH (n:Nation)
+         WHERE EXISTS { (x:Customer|Supplier)-[:IN_NATION|SUPP_IN_NATION]->(n) }
+         RETURN count(*) AS c""")
+    val viaUnion = one(
+      """MATCH (n:Nation)
+         WHERE EXISTS { (c:Customer)-[:IN_NATION]->(n) }
+            OR EXISTS { (s:Supplier)-[:SUPP_IN_NATION]->(n) }
+         RETURN count(*) AS c""")
+    assert(viaExists == viaUnion && viaExists > 0)
+    // var-length over a disjunction endpoint (length-1 bound: closure path)
+    val vl = one(
+      """MATCH (x:Customer|Supplier)-[:IN_NATION|SUPP_IN_NATION*1..1]->(n:Nation)
+         RETURN count(*) AS c""")
+    val plain = one(
+      """MATCH (x:Customer|Supplier)-[:IN_NATION|SUPP_IN_NATION]->(n:Nation)
+         RETURN count(*) AS c""")
+    assert(vl == plain)
+  }
+
   test("a relationship variable reused across pattern positions rejects loudly") {
     // Neo4j: "Cannot use the same relationship variable for multiple patterns"
     assert(intercept[CypherEngine.CypherException](engine.run(
