@@ -2891,6 +2891,11 @@ object CypherEngine {
           // OPTIONAL-bound variables gate the constant on the key being
           // non-null: `v:Label` on a null-extended row is null in Neo4j
           // (WHERE then drops the row), not a folded true.
+          // SECONDARY labels (r12, M44 `SET n:Label`): a different label
+          // the store DOES hold is a per-row key lookup, not a constant —
+          // [[liftMemberships]] rewrites those occurrences to a joined
+          // membership column before expressions compile, so reaching
+          // this case means the target label is v's own or never stored.
           if (ctx.labels.contains(v)) {
             val const = lit(ls.forall(_ == ctx.labels(v)))
             if (ctx.nullable.contains(v))
@@ -3907,12 +3912,14 @@ object CypherEngine {
                        col(s"${v}__$p").cast(tgtSchema(p).dataType)
                      else lit(null).cast(tgtSchema(p).dataType)).as(p)): _*)
                 .distinct()
-              store = GraphWriter.mergeNodes(store, l, incoming, Seq(tgt.key))
+              val merged = GraphWriter.mergeNodes(store, l, incoming, Seq(tgt.key))
+              store = merged.copy(mutatedLabels = merged.mutatedLabels + l)
             case None =>
               // brand-new label: register a node type cloning v's schema
               val incoming = df.select((nt.key +: nt.properties)
                 .map(p => col(s"${v}__$p").as(p)): _*).distinct()
-              store = GraphWriter.mergeNodes(store, l, incoming, Seq(nt.key))
+              val merged = GraphWriter.mergeNodes(store, l, incoming, Seq(nt.key))
+              store = merged.copy(mutatedLabels = merged.mutatedLabels + l)
           }
         } else {
           if (l == label) throw CypherException(
@@ -4407,8 +4414,14 @@ object CypherEngine {
           "exists() pattern must share at least one variable with the enclosing MATCH")
       val (sub0, subCtx) = assemble(paths, ctx.labels.view.filterKeys(shared).toMap)
       // EXISTS { … WHERE … }: the inner predicate filters the sub-pattern
-      // BEFORE the semi join (it may only reference sub-pattern variables)
-      val sub = innerWhere.map(w => sub0.filter(column(w, subCtx))).getOrElse(sub0)
+      // BEFORE the semi join (it may only reference sub-pattern variables).
+      // Membership lift first — `m:Secondary` inside the block is a key
+      // lookup, not a constant; the lifted column rides the sub side only
+      // (semi/anti output carries main's columns).
+      val sub = innerWhere.map { w =>
+        val (s2, sc2, w2) = liftMemberships(sub0, subCtx, w)
+        s2.filter(column(w2, sc2))
+      }.getOrElse(sub0)
       def keyColOf(v: String, c: Ctx): String = s"${v}__${store.schema.node(c.labels(v)).key}"
       val sfx = "__ex"
       val subR = sub.columns.foldLeft(sub)((d, c) => d.withColumnRenamed(c, c + sfx))
@@ -4452,7 +4465,12 @@ object CypherEngine {
         val shared = patVars.filter(ctx.labels.contains).toSeq.sorted
         val (sub0, subCtx) = assemble(paths,
           ctx.labels.view.filterKeys(shared.toSet).toMap)
-        val sub = iw.map(w => sub0.filter(column(w, subCtx))).getOrElse(sub0)
+        // membership lift on the inner WHERE (the lifted column stays on
+        // the sub side — the groupBy right below only carries keyCols)
+        val sub = iw.map { w =>
+          val (s2, sc2, w2) = liftMemberships(sub0, subCtx, w)
+          s2.filter(column(w2, sc2))
+        }.getOrElse(sub0)
         if (shared.isEmpty) {
           df = df.crossJoin(sub.agg(mkAgg(subCtx).as(alias)))
         } else {
@@ -4522,6 +4540,71 @@ object CypherEngine {
           MapProj(v, ps, st, ex.map { case (k, x) => (k, go(x)) })
         // lambda scopes (comprehensions/reduce/list predicates) keep their
         // own resolution; a COUNT block inside one errors in columnL
+        case other => other
+      }
+      val e2 = go(e0)
+      val (d3, c3, e3) = liftMemberships(df, ctx, e2)
+      (d3, c3, e3)
+    }
+
+    /** Rewrite `v:Label` occurrences whose target label has received
+      * secondary membership via `SET n:Label` (M44 —
+      * `store.mutatedLabels`) into per-row membership columns: membership
+      * is key-linked rows in the target label's store, so the predicate
+      * is a key lookup, not the compile-time constant the static fold
+      * produces. Each needed (v, label) pair LEFT-joins the target
+      * store's deduped key projection ONCE (dims broadcast under the AQE
+      * threshold) and lands a three-valued boolean — null when v itself
+      * is null-extended (Neo4j's `null:Label`), else membership. Labels
+      * never touched by label mutation keep the constant fold: nodes of
+      * distinct native labels are distinct entities even when key values
+      * collide across keyspaces.
+      */
+    private def liftMemberships(df0: DataFrame, ctx0: Ctx,
+        e0: Expr): (DataFrame, Ctx, Expr) = {
+      if (store.mutatedLabels.isEmpty) return (df0, ctx0, e0)
+      var df = df0
+      var ctx = ctx0
+      def membership(v: String, l: String): Expr = {
+        cbCounter += 1
+        val alias = s"__cb$cbCounter"
+        val keyCol = col(s"${v}__${store.schema.node(ctx.labels(v)).key}")
+        val tgtKey = store.schema.node(l).key
+        val tgtKeyType = store.nodes(l).schema(tgtKey).dataType
+        val mk = s"${alias}_k"
+        val members = store.nodes(l).select(col(tgtKey).as(mk)).distinct()
+        df = df.join(members, keyCol.cast(tgtKeyType) === col(mk), "left_outer")
+          .withColumn(alias, when(keyCol.isNotNull, col(mk).isNotNull))
+          .drop(mk)
+        ctx = ctx.copy(plains = ctx.plains + alias)
+        Var(alias)
+      }
+      def go(e: Expr): Expr = e match {
+        case HasLabel(v, ls) if ctx.labels.contains(v) &&
+            ls.exists(l => l != ctx.labels(v) && store.mutatedLabels.contains(l)) =>
+          ls.map { l =>
+            if (l == ctx.labels(v) || !store.mutatedLabels.contains(l))
+              HasLabel(v, Seq(l)): Expr
+            else membership(v, l)
+          }.reduce((a, b) => Bin("and", a, b))
+        case Bin(op, l, r) => Bin(op, go(l), go(r))
+        case Not(x) => Not(go(x))
+        case Fn(n, args, d) => Fn(n, args.map(go), d)
+        case IsNull(x, n) => IsNull(go(x), n)
+        case In(a, b) => In(go(a), go(b))
+        case ListLit(xs) => ListLit(xs.map(go))
+        case MapLit(kvs) => MapLit(kvs.map { case (k, v) => k -> go(v) })
+        case CaseExpr(sj, bs, d) =>
+          CaseExpr(sj.map(go), bs.map { case (c, r) => (go(c), go(r)) }, d.map(go))
+        case Index(c, i) => Index(go(c), go(i))
+        case MapProj(v, ps, st, ex) =>
+          MapProj(v, ps, st, ex.map { case (k, x) => (k, go(x)) })
+        // lambda bodies may reference OUTER vars' labels — the membership
+        // column is frame-level, so the rewritten Var resolves fine there
+        case ListComp(x, coll, w, pr) => ListComp(x, go(coll), w.map(go), pr.map(go))
+        case ReduceExpr(a, init, x, coll, step) =>
+          ReduceExpr(a, go(init), x, go(coll), go(step))
+        case ListPred(q, x, coll, p) => ListPred(q, x, go(coll), go(p))
         case other => other
       }
       val e2 = go(e0)
@@ -4866,9 +4949,12 @@ object CypherEngine {
             df = applyPatternPred(df, ctx, ps, iw, negated)
           }
           plain.foreach { p =>
+            // lifted synthetic columns (blocks, label memberships) serve
+            // the filter only — drop them so `RETURN *` never sees them
+            // (same contract as the WITH…WHERE site in [[project]])
             val (d2, c2, p2) = liftCountBlocks(df, ctx, p)
-            df = d2; ctx = c2
-            df = df.filter(column(p2, ctx))
+            val added = (c2.plains -- ctx.plains).toSeq
+            df = d2.filter(column(p2, c2)).drop(added: _*)
           }
         }
         if (st.writes.nonEmpty) {

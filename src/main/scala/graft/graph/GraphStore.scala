@@ -28,7 +28,19 @@ final case class GraphStore(
       * Conservative default: stores assembled outside the builder/writer
       * (e.g. [[GraphStore.load]]) start unvalidated and just keep the join.
       */
-    validatedEdges: Set[String] = Set.empty) {
+    validatedEdges: Set[String] = Set.empty,
+    /** Labels that have received secondary membership via the Cypher
+      * label-mutation write surface (`SET n:Label`, M44): membership is
+      * key-linked rows in that label's store, so for THESE labels a
+      * `v:Label` predicate on a differently-labeled binding is a per-row
+      * key lookup (the compiler's membership lift). For every other label
+      * the predicate stays a compile-time constant — nodes of distinct
+      * native labels are distinct entities even when key values collide
+      * across keyspaces (Customer 7 is not Supplier 7). Conservative like
+      * [[validatedEdges]]: [[GraphStore.load]] starts empty, so a
+      * reloaded store reverts `v:Label` to the constant fold.
+      */
+    mutatedLabels: Set[String] = Set.empty) {
 
   /** Graph statistics report — nodes by label, edges by type (the
     * reference's pre-flight and final count audits, reference:

@@ -570,6 +570,22 @@ object CypherQueries {
            RETURN toInteger(n.n_nationkey) AS nk, n.n_name AS nm
            ORDER BY nk""")
     }),
+    // dynamic label predicates (r12): after `SET n:Wide`, `n:Wide` on the
+    // PRIMARY-label match is a per-row key lookup against Wide's store
+    // (the membership lift), not a compile-time constant — here nested
+    // under OR (not hoistable) and read back in a CASE projection
+    "q125_cypher_membership_pred" -> ((s, dir) => {
+      val st = CypherEngine(store(s, dir)).execute(
+        "MATCH (n:Nation) WHERE n.n_regionkey <= 2 SET n:Wide").store
+      val st2 = CypherEngine(st).execute(
+        "MATCH (n:Nation {n_nationkey: 3}) REMOVE n:Wide").store
+      CypherEngine(st2).run(
+        """MATCH (n:Nation)
+           WHERE (n:Wide OR n.n_regionkey = 4) AND n.n_nationkey <> 10
+           RETURN toInteger(n.n_nationkey) AS nk,
+                  CASE WHEN n:Wide THEN 'member' ELSE 'other' END AS tag
+           ORDER BY nk""")
+    }),
     // spatial points (round 12; closes the r11 verdict's "What's missing
     // #3"): point({x,y}) / point({latitude,longitude}) structs + distance()
     // — cartesian Euclidean hash-matches DuckDB bit-exactly; the wgs-84
@@ -1032,6 +1048,15 @@ object CypherQueries {
     "q121_cypher_label_mutation" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS nk, n_name AS nm
          FROM nation WHERE n_regionkey <= 1 AND n_nationkey <> 0
+         ORDER BY nk""",
+    // q125: Wide membership = regionkey <= 2 minus the REMOVEd key 3
+    "q125_cypher_membership_pred" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS nk,
+              CASE WHEN n_regionkey <= 2 AND n_nationkey <> 3
+                   THEN 'member' ELSE 'other' END AS tag
+         FROM nation
+         WHERE ((n_regionkey <= 2 AND n_nationkey <> 3) OR n_regionkey = 4)
+           AND n_nationkey <> 10
          ORDER BY nk""",
     // q120: startNode(PLACED_BY) is the Order side, endNode the Customer
     // side — the stored FK join in schema orientation

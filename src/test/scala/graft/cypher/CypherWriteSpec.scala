@@ -446,6 +446,83 @@ class CypherWriteSpec extends SparkSpec {
       "MATCH (n:Acct) RETURN count(*) AS c").collect().head.getLong(0) == 3L)
   }
 
+  test("WHERE n:Secondary is a per-row membership lookup after SET n:Label") {
+    var st = CypherEngine(GraphStore.empty).execute(
+      """UNWIND $rows AS row MERGE (n:Person {pid: row.pid})
+         SET n += {pid: row.pid, name: row.name, score: row.score}""",
+      Map("rows" -> rows(
+        Map("pid" -> 1L, "name" -> "ada", "score" -> 90L),
+        Map("pid" -> 2L, "name" -> "bob", "score" -> 40L),
+        Map("pid" -> 3L, "name" -> "cyd", "score" -> 85L)))).store
+    st = CypherEngine(st).execute(
+      "MATCH (n:Person) WHERE n.score >= 80 SET n:Expert").store
+    // WHERE-position membership on the PRIMARY-label match (the static
+    // fold would wrongly empty this — Expert ≠ Person at compile time)
+    assert(CypherEngine(st).run(
+      "MATCH (n:Person) WHERE n:Expert RETURN n.name AS nm ORDER BY nm")
+      .collect().map(_.getString(0)).toSeq == Seq("ada", "cyd"))
+    // negation
+    assert(CypherEngine(st).run(
+      "MATCH (n:Person) WHERE NOT n:Expert RETURN n.name AS nm")
+      .collect().map(_.getString(0)).toSeq == Seq("bob"))
+    // nested under OR — not hoistable to a pattern label
+    assert(CypherEngine(st).run(
+      "MATCH (n:Person) WHERE n:Expert OR n.name = 'bob' RETURN count(*) AS c")
+      .collect().head.getLong(0) == 3L)
+    // projection position, inside CASE
+    assert(CypherEngine(st).run(
+      """MATCH (n:Person)
+         RETURN n.name AS nm, CASE WHEN n:Expert THEN 1 ELSE 0 END AS e
+         ORDER BY nm""").collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq == Seq(("ada", 1L), ("bob", 0L), ("cyd", 1L)))
+    // membership tracks REMOVE
+    val st2 = CypherEngine(st).execute(
+      "MATCH (n:Person {pid: 1}) REMOVE n:Expert").store
+    assert(CypherEngine(st2).run(
+      "MATCH (n:Person) WHERE n:Expert RETURN n.name AS nm")
+      .collect().map(_.getString(0)).toSeq == Seq("cyd"))
+    // a NATIVE label keeps the constant fold even when key values collide
+    // across keyspaces: Person 1 is not Acct 1 (distinct entities)
+    val st3 = CypherEngine(st).execute("CREATE (a:Acct {aid: 1})").store
+    assert(CypherEngine(st3).run(
+      "MATCH (n:Person) WHERE n:Acct RETURN count(*) AS c")
+      .collect().head.getLong(0) == 0L)
+    // `n:Person:Expert` conjunction mixes the static fold and the lookup
+    assert(CypherEngine(st).run(
+      "MATCH (n:Person) WHERE n:Person:Expert RETURN count(*) AS c")
+      .collect().head.getLong(0) == 2L)
+  }
+
+  test("membership predicates honor OPTIONAL null-gating and EXISTS inner WHERE") {
+    var st = CypherEngine(GraphStore.empty).execute(
+      """UNWIND $rows AS row MERGE (n:Person {pid: row.pid})
+         SET n += {pid: row.pid, name: row.name, score: row.score}""",
+      Map("rows" -> rows(
+        Map("pid" -> 1L, "name" -> "ada", "score" -> 90L),
+        Map("pid" -> 2L, "name" -> "bob", "score" -> 40L),
+        Map("pid" -> 3L, "name" -> "cyd", "score" -> 85L)))).store
+    st = CypherEngine(st).execute(
+      "MATCH (n:Person) WHERE n.score >= 80 SET n:Expert").store
+    st = CypherEngine(st).execute(
+      """MATCH (a:Person {pid: 1}), (b:Person {pid: 2})
+         CREATE (a)-[:KNOWS]->(b)""").store
+    st = CypherEngine(st).execute(
+      """MATCH (a:Person {pid: 3}), (b:Person {pid: 1})
+         CREATE (a)-[:KNOWS]->(b)""").store
+    // OPTIONAL-bound m: `m:Expert` is null on the null-extended row
+    // (Neo4j's null:Label), so WHERE drops bob's edge-less row AND
+    // ada's non-expert target — only cyd→ada survives
+    assert(CypherEngine(st).run(
+      """MATCH (n:Person) OPTIONAL MATCH (n)-[:KNOWS]->(m:Person)
+         WITH n, m WHERE m:Expert
+         RETURN n.name AS nm""").collect().map(_.getString(0)).toSeq == Seq("cyd"))
+    // EXISTS block inner WHERE consults membership too
+    assert(CypherEngine(st).run(
+      """MATCH (n:Person)
+         WHERE EXISTS { (n)-[:KNOWS]->(m:Person) WHERE m:Expert }
+         RETURN n.name AS nm""").collect().map(_.getString(0)).toSeq == Seq("cyd"))
+  }
+
   // ------------------------------------------------- store/engine hygiene
 
   test("execute never mutates the source engine's store") {
