@@ -198,6 +198,8 @@ class PropertySpec extends SparkSpec {
     case class DeleteNode(k: Long) extends Op
     case class MergeEdge(a: Long, b: Long) extends Op
     case class DeleteEdge(a: Long, b: Long) extends Op
+    case class AddLabel(t: Long) extends Op
+    case class RemoveLabel(k: Long) extends Op
     val kGen = Gen.choose(0L, 7L)
     val opGen: Gen[Op] = Gen.frequency(
       5 -> (for { k <- kGen; vc <- Gen.choose(0L, 50L); vm <- Gen.choose(0L, 50L) }
@@ -206,7 +208,9 @@ class PropertySpec extends SparkSpec {
         yield BulkSet(t, d)),
       1 -> kGen.map(DeleteNode(_)),
       3 -> (for { a <- kGen; b <- kGen if a != b } yield MergeEdge(a, b)),
-      1 -> (for { a <- kGen; b <- kGen if a != b } yield DeleteEdge(a, b)))
+      1 -> (for { a <- kGen; b <- kGen if a != b } yield DeleteEdge(a, b)),
+      2 -> Gen.choose(10L, 40L).map(AddLabel(_)),
+      1 -> kGen.map(RemoveLabel(_)))
     def cypher(op: Op): String = op match {
       case MergeNode(k, vc, vm) =>
         s"MERGE (n:WN {wk: $k}) ON CREATE SET n.wv = $vc ON MATCH SET n.wv = $vm"
@@ -216,12 +220,19 @@ class PropertySpec extends SparkSpec {
         s"MATCH (a:WN {wk: $a}), (b:WN {wk: $b}) MERGE (a)-[:WE]->(b)"
       case DeleteEdge(a, b) =>
         s"MATCH (x:WN {wk: $a})-[r:WE]->(y:WN {wk: $b}) DELETE r"
+      case AddLabel(t) => s"MATCH (n:WN) WHERE n.wv < $t SET n:WX"
+      case RemoveLabel(k) => s"MATCH (n:WN {wk: $k}) REMOVE n:WX"
     }
     (1 to 3).foreach { seed =>
       val ops = sample(Gen.listOfN(12, opGen), seed + 900)
-      // model interpreter
+      // model interpreter. Label membership (WX) is key-linked rows in
+      // WX's store: a node DELETE does NOT prune them (the engine's WX
+      // rows are independent), so a recreated key is a member again —
+      // the model keeps mx across deletes and intersects with live keys
+      // at read time.
       val mn = scala.collection.mutable.Map.empty[Long, Long]
       val me = scala.collection.mutable.Set.empty[(Long, Long)]
+      val mx = scala.collection.mutable.Set.empty[Long]
       ops.foreach {
         case MergeNode(k, vc, vm) =>
           mn(k) = if (mn.contains(k)) vm else vc
@@ -232,6 +243,8 @@ class PropertySpec extends SparkSpec {
         case MergeEdge(a, b) =>
           if (mn.contains(a) && mn.contains(b)) me += ((a, b))
         case DeleteEdge(a, b) => me -= ((a, b))
+        case AddLabel(t) => mn.foreach { case (k, v) => if (v < t) mx += k }
+        case RemoveLabel(k) => if (mn.contains(k)) mx -= k
       }
       // engine: ops that MATCH a not-yet-registered label/type are
       // no-ops in the model (nothing exists to match) but throw in the
@@ -241,7 +254,8 @@ class PropertySpec extends SparkSpec {
       val st = ops.foldLeft(GraphStore.empty) { (s, op) =>
         val runnable = op match {
           case _: MergeNode => true
-          case _: BulkSet | _: DeleteNode | _: MergeEdge => hasWN(s)
+          case _: BulkSet | _: DeleteNode | _: MergeEdge |
+               _: AddLabel | _: RemoveLabel => hasWN(s)
           case _: DeleteEdge => hasWN(s) && hasWE(s)
         }
         if (runnable) CypherEngine(s).execute(cypher(op), Map.empty).store
@@ -258,6 +272,15 @@ class PropertySpec extends SparkSpec {
         else eng.run("MATCH (a:WN)-[:WE]->(b:WN) RETURN a.wk AS s, b.wk AS d")
           .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(gotEdges == me.toSet, s"seed=$seed edges\nops=$ops")
+      // dynamic membership read-back: `n:WX` on the WN match consults
+      // WX's key-linked rows per row (the membership lift); an unseen WX
+      // label constant-folds false — the model agrees via an empty mx
+      val gotMembers =
+        if (!hasWN(st)) Set.empty[Long]
+        else eng.run("MATCH (n:WN) WHERE n:WX RETURN n.wk AS k")
+          .collect().map(_.getLong(0)).toSet
+      assert(gotMembers == (mx.toSet intersect mn.keySet),
+        s"seed=$seed membership\nops=$ops")
     }
   }
 
