@@ -2902,8 +2902,19 @@ object CypherEngine {
               when(col(s"${v}__${store.schema.node(ctx.labels(v)).key}").isNotNull, const)
             else const
           }
-          else if (ctx.multi.contains(v))
+          else if (ctx.multi.contains(v)) {
+            // branch-tag equality. A mutated label that IS one of the
+            // branches is complete (its membership rows are rows of that
+            // branch's store, enumerated and tagged by the union); one
+            // that ISN'T would silently miss memberships — reject loudly.
+            ls.find(l => store.mutatedLabels.contains(l) &&
+                !ctx.multi(v).contains(l)).foreach(l => throw CypherException(
+              s"$v:$l: membership predicates for a SET-mutated label are " +
+                s"not supported on a label-disjunction variable " +
+                s"(${ctx.multi(v).mkString("|")}) — constrain $v to a " +
+                "single label first, or add the label to the disjunction"))
             ls.map(l => col(labelColOf(v)) === lit(l)).reduce(_ && _)
+          }
           else throw CypherException(
             s"$v in `$v:${ls.mkString(":")}` is not a bound node variable")
         case Fn("keys", Seq(Var(v)), _) if ctx.labels.contains(v) =>

@@ -493,6 +493,28 @@ class CypherWriteSpec extends SparkSpec {
       .collect().head.getLong(0) == 2L)
   }
 
+  test("membership on a disjunction var: in-branch reads the tag, out-of-branch rejects") {
+    var st = CypherEngine(GraphStore.empty).execute(
+      """UNWIND $rows AS row MERGE (n:Person {pid: row.pid})
+         SET n += {pid: row.pid, name: row.name, score: row.score}""",
+      Map("rows" -> rows(
+        Map("pid" -> 1L, "name" -> "ada", "score" -> 90L),
+        Map("pid" -> 2L, "name" -> "bob", "score" -> 40L),
+        Map("pid" -> 3L, "name" -> "cyd", "score" -> 85L)))).store
+    st = CypherEngine(st).execute(
+      "MATCH (n:Person) WHERE n.score >= 80 SET n:Expert").store
+    st = CypherEngine(st).execute("CREATE (a:Acct {aid: 7})").store
+    // the mutated label as a BRANCH: its membership rows are that
+    // branch's store rows, so tag equality is complete
+    assert(CypherEngine(st).run(
+      "MATCH (x:Person|Expert) WHERE x:Expert RETURN count(*) AS c")
+      .collect().head.getLong(0) == 2L)
+    // out-of-branch membership check would silently miss rows — loud
+    val err = intercept[CypherEngine.CypherException](CypherEngine(st).run(
+      "MATCH (x:Person|Acct) WHERE x:Expert RETURN count(*) AS c").collect())
+    assert(err.getMessage.contains("disjunction"))
+  }
+
   test("membership predicates honor OPTIONAL null-gating and EXISTS inner WHERE") {
     var st = CypherEngine(GraphStore.empty).execute(
       """UNWIND $rows AS row MERGE (n:Person {pid: row.pid})
