@@ -45,6 +45,19 @@ object Parser {
     while (i < n) {
       val c = q(i)
       if (c.isWhitespace) i += 1
+      // Cypher comments — generated queries carry them routinely. Line
+      // comments run to end-of-line, block comments to `*/` (non-nesting,
+      // Neo4j's rule). Strings are consumed by their own branch first, so
+      // `'//'` inside a literal is untouched; division keeps working (the
+      // next char is neither '/' nor '*').
+      else if (c == '/' && i + 1 < n && q(i + 1) == '/') {
+        while (i < n && q(i) != '\n') i += 1
+      }
+      else if (c == '/' && i + 1 < n && q(i + 1) == '*') {
+        val j = q.indexOf("*/", i + 2)
+        if (j < 0) throw ParseException("unterminated block comment")
+        i = j + 2
+      }
       else if (c.isLetter || c == '_' || c == '`') {
         if (c == '`') {
           val j = q.indexOf('`', i + 1)

@@ -71,6 +71,27 @@ class CypherSpec extends SparkSpec {
     assertThrows[Parser.ParseException](Parser.parse("MATCH (a:X) RETURN 'oops"))
   }
 
+  test("parser: comments strip — line, block, end-of-query; strings untouched") {
+    val q = Parser.parse(
+      """// leading line comment
+        MATCH (o:Order) // trailing comment with 'quotes' and (parens)
+        /* block
+           spanning lines */
+        WHERE o.o_orderstatus = '//not a comment' /* inline */ OR o.o_orderkey = 1
+        RETURN o.o_orderkey AS k // tail comment""")
+    assert(q.patterns.head.head == NodePat(Some("o"), Some("Order"), Nil))
+    assert(q.where.isDefined)
+    assert(q.ret.items.map(_.alias) == Seq(Some("k")))
+    // the string literal kept its slashes
+    val Some(Bin("or", Bin("=", _, Lit(s: String)), _)) = q.where: @unchecked
+    assert(s == "//not a comment")
+    // division still tokenizes
+    assert(Parser.parse("MATCH (a:X) RETURN a.v / 2 AS h").ret.items.size == 1)
+    // unterminated block comment is loud
+    assertThrows[Parser.ParseException](
+      Parser.parse("MATCH (a:X) /* unterminated RETURN a.v"))
+  }
+
   // ------------------------------------------- direction correction (G7)
 
   test("direction correction: reversed arrow compiles to the same result") {
