@@ -62,6 +62,11 @@ object Ast {
     * n:Nation`) — true when the node has every listed label.
     */
   final case class HasLabel(variable: String, labels: Seq[String]) extends Expr
+  /** `n:A|B` label DISJUNCTION in expression position (`WHERE n:A|B`,
+    * Neo4j-5 label expressions) — true when the node has ANY listed label.
+    * Mixing `|` and `:` in one predicate is rejected at parse time.
+    */
+  final case class HasAnyLabel(variable: String, labels: Seq[String]) extends Expr
   /** `$name` query parameter, bound at run time (reference:
     * final/langraph_neo4j3.py:359-363 executes parameterized probes)
     */

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
 
-import graft.graph.{EdgeType, GraphStore, GraphWriter}
+import graft.graph.{EdgeType, GraphStore, GraphWriter, NodeType}
 import Ast._
 
 /** Cypher-subset → DataFrame compiler.
@@ -151,6 +151,7 @@ object CypherEngine {
         args.foreach(expr)
         args.foreach { case Var(r) => endpointFnRels += r; case _ => () }
       case HasLabel(v, _) => refs += v
+      case HasAnyLabel(v, _) => refs += v
       case TypedNull(_) => ()
       case MapProj(v, _, _, ex) => refs += v; ex.foreach { case (_, x) => expr(x) }
       case Fn(_, args, _) => args.foreach(expr)
@@ -322,7 +323,7 @@ object CypherEngine {
           n.props.foreach { case (_, e0) => expr(e0) }
         }
         w.foreach(expr); expr(pr)
-      case Param(_) | Lit(_) | HasLabel(_, _) | TypedNull(_) => ()
+      case Param(_) | Lit(_) | HasLabel(_, _) | HasAnyLabel(_, _) | TypedNull(_) => ()
     }
     def proj(p: Projection): Unit = {
       if (p.star) star = true
@@ -1040,8 +1041,57 @@ object CypherEngine {
 
     // ----------------------------------------------------------- assembly
 
-    private def nodeDf(variable: String, label: String): DataFrame = {
-      val df = store.nodes.getOrElse(label, throw CypherException(s"unknown node label: $label"))
+    /** Every node currently answering to `label`: the native store plus,
+      * when the label has received secondary membership (`SET n:Label`,
+      * M44), member rows derived LIVE from each source store — the
+      * provenance keys semi-restrict the source, then project onto the
+      * target schema (key cast into the target keyspace, properties
+      * copied by shared name, the rest null). No memberships — the
+      * overwhelmingly common case, and every never-mutated store — returns
+      * the native frame untouched: zero plan overhead. Derived rows with
+      * an uncastable key drop (they could never participate in joins or
+      * id()). A native row and a member can share a key value — they are
+      * DISTINCT nodes (Neo4j semantics) and both rows match, so a mutated
+      * label's frame is not necessarily key-unique; documented deviation:
+      * key-value collisions also let members reach the target label's
+      * EDGES in key joins (SURVEY M44).
+      */
+    private def labelFrame(label: String,
+        excludeSrcs: Set[String] = Set.empty): DataFrame = {
+      val native = store.nodes.getOrElse(label,
+        throw CypherException(s"unknown node label: $label"))
+      val pairs = store.memberships.collect {
+        case ((t, s), m) if t == label && !excludeSrcs.contains(s) => (s, m)
+      }.toSeq.sortBy(_._1)
+      if (pairs.isEmpty) native
+      else {
+        val nt = store.schema.node(label)
+        val tgtSchema = native.schema
+        val derived = pairs.map { case (src, m) =>
+          val snt = store.schema.node(src)
+          val srcDf = store.nodes(src)
+          srcDf.join(m, srcDf(snt.key).cast(StringType) === m("__m_key"), "left_semi")
+            .select(
+              col(snt.key).cast(tgtSchema(nt.key).dataType).as(nt.key) +:
+                nt.properties.map(p =>
+                  (if (p == snt.key || snt.properties.contains(p)) col(p)
+                   else lit(null))
+                    .cast(tgtSchema(p).dataType).as(p)): _*)
+            .na.drop("any", Seq(nt.key))
+        }
+        derived.foldLeft(native)(_ unionByName _)
+      }
+    }
+
+    /** `excludeSrcs`: when the bind comes from a label-DISJUNCTION branch
+      * (`(x:A|B)`), membership-derived rows whose SOURCE label is a
+      * sibling branch are excluded — that node already matches through
+      * its own branch, and Neo4j matches each node ONCE however many of
+      * the alternatives it satisfies.
+      */
+    private def nodeDf(variable: String, label: String,
+        excludeSrcs: Set[String] = Set.empty): DataFrame = {
+      val df = labelFrame(label, excludeSrcs)
       df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"${variable}__$c"))
     }
 
@@ -1535,7 +1585,7 @@ object CypherEngine {
             pat.label.getOrElse(throw CypherException(
               s"cannot infer label for ($variable) — annotate it or use a typed relationship")))
           labels(variable) = label
-          val nd = nodeDf(variable, label)
+          val nd = nodeDf(variable, label, pat.alts.toSet - label)
           df = if (df == null) nd else df.crossJoin(nd)
           bound += variable
         }
@@ -1548,7 +1598,8 @@ object CypherEngine {
         val label = labels.getOrElse(variable,
           pat.label.getOrElse(throw CypherException(s"cannot infer label for ($variable)")))
         labels(variable) = label
-        df = df.join(nodeDf(variable, label), col(joinKey) === col(s"${variable}__${store.schema.node(label).key}"))
+        df = df.join(nodeDf(variable, label, pat.alts.toSet - label),
+          col(joinKey) === col(s"${variable}__${store.schema.node(label).key}"))
         bound += variable
         labelConflictFilter(variable, pat)
         propFilters(variable, pat.props)
@@ -1684,7 +1735,7 @@ object CypherEngine {
                 else {
                   val label = hop.edges.head.src
                   val key = store.schema.node(label).key
-                  val nodesDf = store.nodes(label).select(col(key).as("__cs"))
+                  val nodesDf = labelFrame(label).select(col(key).as("__cs"))
                   val seeded = seedsOpt.fold(nodesDf)(s =>
                     nodesDf.join(s, col("__cs") === col("__seed"), "left_semi"))
                   Some(seeded.select(col("__cs"), col("__cs").as("__cd")))
@@ -2903,20 +2954,30 @@ object CypherEngine {
             else const
           }
           else if (ctx.multi.contains(v)) {
-            // branch-tag equality. A mutated label that IS one of the
-            // branches is complete (its membership rows are rows of that
-            // branch's store, enumerated and tagged by the union); one
-            // that ISN'T would silently miss memberships — reject loudly.
-            ls.find(l => store.mutatedLabels.contains(l) &&
-                !ctx.multi(v).contains(l)).foreach(l => throw CypherException(
-              s"$v:$l: membership predicates for a SET-mutated label are " +
-                s"not supported on a label-disjunction variable " +
-                s"(${ctx.multi(v).mkString("|")}) — constrain $v to a " +
-                "single label first, or add the label to the disjunction"))
+            // branch-tag equality (three-valued: a null-extended row's
+            // null tag propagates). A label with membership provenance
+            // reaching any branch never compiles here — [[liftMemberships]]
+            // rewrote it to a per-row membership column; an off-branch
+            // label WITHOUT provenance is correctly false via the tag test.
             ls.map(l => col(labelColOf(v)) === lit(l)).reduce(_ && _)
           }
           else throw CypherException(
             s"$v in `$v:${ls.mkString(":")}` is not a bound node variable")
+        case HasAnyLabel(v, ls) =>
+          // label disjunction in expression position (`WHERE v:A|B`,
+          // Neo4j-5 label expressions): same resolution as [[HasLabel]]
+          // per disjunct, OR-folded — membership-linked disjuncts were
+          // lifted before compilation, so this is tag/constant work only
+          if (ctx.labels.contains(v)) {
+            val const = lit(ls.contains(ctx.labels(v)))
+            if (ctx.nullable.contains(v))
+              when(col(s"${v}__${store.schema.node(ctx.labels(v)).key}").isNotNull, const)
+            else const
+          }
+          else if (ctx.multi.contains(v))
+            ls.map(l => col(labelColOf(v)) === lit(l)).reduce(_ || _)
+          else throw CypherException(
+            s"$v in `$v:${ls.mkString("|")}` is not a bound node variable")
         case Fn("keys", Seq(Var(v)), _) if ctx.labels.contains(v) =>
           val nt = store.schema.node(ctx.labels(v))
           array((nt.key +: nt.properties).map(lit(_)): _*)
@@ -3480,6 +3541,7 @@ object CypherEngine {
       case Var(v) => v
       case Lit(x) => String.valueOf(x)
       case HasLabel(v, ls) => s"$v:${ls.mkString(":")}"
+      case HasAnyLabel(v, ls) => s"$v:${ls.mkString("|")}"
       case TypedNull(_) => "null"
       case Fn(n, args, d) =>
         s"$n(${if (d) "DISTINCT " else ""}${args.map(genName).mkString(", ")})"
@@ -3893,44 +3955,52 @@ object CypherEngine {
       * properties matched.
       */
     /** `SET v:Label` / `REMOVE v:Label` — label membership mutation.
-      * The fixed-schema store represents a SECONDARY label as key-linked
-      * membership in that label's node store: SET upserts the matched
-      * rows (shared-name properties copied, the target's others null;
-      * an unknown label registers a node type cloning v's schema), so the
-      * node answers `MATCH (n:NewLabel)` afterwards. REMOVE deletes the
-      * membership rows. Removing the node's OWN store label rejects
-      * loudly — the store cannot hold label-less nodes (documented
-      * deviation; use DETACH DELETE). Reference write surface:
-      * final/inject_node.py:351-358 (dynamic labels at injection).
+      * Secondary membership is PROVENANCE rows `(targetLabel,
+      * sourceLabel) → key` in [[GraphStore.memberships]], never rows in
+      * the target label's node store (r12 ADVICE: the old row-upserting
+      * design silently overwrote / deleted genuine native nodes whose key
+      * VALUES collided with the members' — e.g. `MATCH (p:Person) REMOVE
+      * p:Acct` destroyed unrelated Acct nodes). Members materialize at
+      * MATCH time from the LIVE source store ([[labelFrame]]), so the
+      * node answers `MATCH (n:Label)` afterwards — with its CURRENT
+      * properties, like Neo4j's one-node-many-labels. An unknown label
+      * registers a node type cloning v's schema over an EMPTY native
+      * store. REMOVE deletes only the matching provenance rows: native
+      * nodes of the target label are untouchable by construction (Neo4j:
+      * removing a label a node never had is a no-op). Removing the node's
+      * OWN store label rejects loudly — the store cannot hold label-less
+      * nodes (documented deviation; use DETACH DELETE). Reference write
+      * surface: final/inject_node.py:351-358 (dynamic labels at
+      * injection).
       */
     private def setLabels(df: DataFrame, ctx: Ctx, v: String,
         ls: Seq[String], add: Boolean): (DataFrame, Ctx) = {
       val label = ctx.labels.getOrElse(v, throw CypherException(
         s"SET/REMOVE label target $v is not a bound single-label node variable"))
       val nt = store.schema.node(label)
+      // matched member keys in the ONE store-side rendering every
+      // membership consumer joins on: the source key as a string
+      val matchedKeys = df.select(
+        col(s"${v}__${nt.key}").cast(StringType).as("__m_key"))
+        .na.drop().distinct()
       ls.foreach { l =>
         if (add) {
-          if (l != label) store.schema.nodes.find(_.name == l) match {
-            case Some(tgt) =>
-              // existing target type: identity maps key-value → target
-              // key; properties copy by shared name, the rest stay null
-              val tgtSchema = store.nodes(l).schema
-              val incoming = df.select(
-                col(s"${v}__${nt.key}").cast(tgtSchema(tgt.key).dataType)
-                    .as(tgt.key) +:
-                  tgt.properties.map(p =>
-                    (if (nt.properties.contains(p))
-                       col(s"${v}__$p").cast(tgtSchema(p).dataType)
-                     else lit(null).cast(tgtSchema(p).dataType)).as(p)): _*)
-                .distinct()
-              val merged = GraphWriter.mergeNodes(store, l, incoming, Seq(tgt.key))
-              store = merged.copy(mutatedLabels = merged.mutatedLabels + l)
-            case None =>
-              // brand-new label: register a node type cloning v's schema
-              val incoming = df.select((nt.key +: nt.properties)
-                .map(p => col(s"${v}__$p").as(p)): _*).distinct()
-              val merged = GraphWriter.mergeNodes(store, l, incoming, Seq(nt.key))
-              store = merged.copy(mutatedLabels = merged.mutatedLabels + l)
+          if (l != label) { // Neo4j: SET of a label the node has is a no-op
+            if (!store.schema.nodes.exists(_.name == l)) {
+              // brand-new label: a node type cloning v's schema, native
+              // store EMPTY — every row of the label is membership-derived
+              store = store.copy(
+                schema = store.schema.copy(nodes = store.schema.nodes :+
+                  NodeType(l, nt.key, properties = nt.properties,
+                    keyUnique = true)),
+                nodes = store.nodes + (l -> store.nodes(label).limit(0)))
+            }
+            val merged = store.memberships.get((l, label)) match {
+              case Some(m) => m.unionByName(matchedKeys).distinct()
+              case None => matchedKeys
+            }
+            store = store.copy(memberships =
+              store.memberships + ((l, label) -> merged))
           }
         } else {
           if (l == label) throw CypherException(
@@ -3938,12 +4008,11 @@ object CypherEngine {
               "fixed-schema store keys every node to exactly one primary " +
               "label (use DETACH DELETE to drop the node, or REMOVE a " +
               "secondary label)")
-          store.schema.nodes.find(_.name == l).foreach { tgt =>
-            val keys = df.select(col(s"${v}__${nt.key}")
-              .cast(store.nodes(l).schema(tgt.key).dataType).as(tgt.key))
-              .distinct()
-            store = GraphWriter.deleteNodes(store, l, keys, detach = false)
-          } // removing a label the store never had is a no-op (Neo4j)
+          store.memberships.get((l, label)).foreach { m =>
+            store = store.copy(memberships = store.memberships +
+              ((l, label) -> m.join(matchedKeys, Seq("__m_key"), "left_anti")))
+          } // no provenance rows from v's label → no-op (Neo4j: the node
+            // never had the label; native target nodes are NEVER touched)
         }
       }
       (df, ctx)
@@ -4558,38 +4627,124 @@ object CypherEngine {
       (d3, c3, e3)
     }
 
-    /** Rewrite `v:Label` occurrences whose target label has received
+    /** Alias memoization for [[liftMemberships]]: ONE joined membership
+      * boolean per (variable, target label) pair per query — a predicate
+      * repeated across WHERE/CASE positions reuses the column instead of
+      * re-joining the key set (the column is re-derived only if an
+      * intervening projection dropped it).
+      */
+    private val membershipAliases =
+      scala.collection.mutable.Map[(String, String), String]()
+
+    /** Rewrite label-membership reads whose target label has received
       * secondary membership via `SET n:Label` (M44 —
-      * `store.mutatedLabels`) into per-row membership columns: membership
-      * is key-linked rows in the target label's store, so the predicate
-      * is a key lookup, not the compile-time constant the static fold
-      * produces. Each needed (v, label) pair LEFT-joins the target
-      * store's deduped key projection ONCE (dims broadcast under the AQE
-      * threshold) and lands a three-valued boolean — null when v itself
-      * is null-extended (Neo4j's `null:Label`), else membership. Labels
-      * never touched by label mutation keep the constant fold: nodes of
-      * distinct native labels are distinct entities even when key values
-      * collide across keyspaces.
+      * [[GraphStore.memberships]]) into per-row membership columns.
+      * Membership is provenance keys scoped by SOURCE label, so `v:Label`
+      * LEFT-joins ONLY the `(Label, v's label)` frame (broadcastable —
+      * it holds just the explicitly SET keys) and lands a three-valued
+      * boolean: null when v itself is null-extended (Neo4j's
+      * `null:Label`), else membership. The source scoping means key-value
+      * collisions across label keyspaces can never fabricate membership
+      * (r12 ADVICE). Disjunction-tagged variables join per (label,
+      * branch) pair with the branch tag in the join condition — OUT-OF-
+      * branch membership predicates now evaluate instead of rejecting.
+      * `labels(v)` enumerates the primary/branch tag plus every
+      * membership the node holds. Labels never touched by label mutation
+      * keep the constant fold: nodes of distinct native labels are
+      * distinct entities even when key values collide across keyspaces.
       */
     private def liftMemberships(df0: DataFrame, ctx0: Ctx,
         e0: Expr): (DataFrame, Ctx, Expr) = {
-      if (store.mutatedLabels.isEmpty) return (df0, ctx0, e0)
+      if (store.memberships.isEmpty) return (df0, ctx0, e0)
       var df = df0
       var ctx = ctx0
+      def memberCol(v: String, l: String)(build: String => Unit): String =
+        membershipAliases.get((v, l)).filter(a => df.columns.contains(a))
+          .getOrElse {
+            cbCounter += 1
+            val alias = s"__cb$cbCounter"
+            build(alias)
+            membershipAliases((v, l)) = alias
+            ctx = ctx.copy(plains = ctx.plains + alias)
+            alias
+          }
       def membership(v: String, l: String): Expr = {
+        val src = ctx.labels(v)
+        val keyCol = col(s"${v}__${store.schema.node(src).key}")
+        Var(memberCol(v, l) { alias =>
+          store.memberships.get((l, src)) match {
+            case Some(m) =>
+              val mk = s"${alias}_k"
+              df = df.join(m.withColumnRenamed("__m_key", mk),
+                  keyCol.cast(StringType) === col(mk), "left_outer")
+                .withColumn(alias, when(keyCol.isNotNull, col(mk).isNotNull))
+                .drop(mk)
+            case None =>
+              // l was mutated from OTHER source labels only: no provenance
+              // links v's keyspace, so a non-null v is simply not a member
+              df = df.withColumn(alias, when(keyCol.isNotNull, lit(false)))
+          }
+        })
+      }
+      def membershipMulti(v: String, l: String): Expr = {
+        val srcs = ctx.multi(v)
+        val tagCol = col(labelColOf(v))
+        val keyStr = coalesce(srcs.map(s =>
+          col(s"${v}__${store.schema.node(s).key}").cast(StringType)): _*)
+        Var(memberCol(v, l) { alias =>
+          val flagged = srcs.filter(s => store.memberships.contains((l, s)))
+            .map { s =>
+              cbCounter += 1
+              val mk = s"__cb${cbCounter}_mk"
+              df = df.join(
+                store.memberships((l, s)).withColumnRenamed("__m_key", mk),
+                tagCol === lit(s) && keyStr === col(mk), "left_outer")
+              (col(mk).isNotNull, mk)
+            }
+          val inBranch: Column =
+            if (srcs.contains(l)) tagCol === lit(l) else lit(false)
+          df = df
+            .withColumn(alias,
+              when(tagCol.isNotNull, flagged.map(_._1).foldLeft(inBranch)(_ || _)))
+            .drop(flagged.map(_._2): _*)
+        })
+      }
+      /** `labels(v)` with memberships in scope: the primary/branch tag
+        * first, then each held secondary label in name order (a
+        * deterministic rendering of Neo4j's unordered label set).
+        */
+      def liftLabels(v: String): Expr = {
+        val single = ctx.labels.contains(v)
+        val (primary, nullSentinel, targets) =
+          if (single) {
+            val src = ctx.labels(v)
+            (lit(src), col(s"${v}__${store.schema.node(src).key}"),
+              store.memberships.keysIterator.collect {
+                case (t, s) if s == src => t
+              }.toSeq.distinct.sorted)
+          } else {
+            val srcs = ctx.multi(v)
+            (col(labelColOf(v)), col(labelColOf(v)),
+              store.memberships.keysIterator.collect {
+                case (t, s) if srcs.contains(s) => t
+              }.toSeq.distinct.sorted)
+          }
+        val parts = targets.map { t =>
+          val Var(a) = (if (single) membership(v, t)
+                        else membershipMulti(v, t)): @unchecked
+          // a disjunction member's own tag can BE t — no duplicate entry
+          when(col(a) && primary.cast(StringType) =!= lit(t), lit(t))
+        }
         cbCounter += 1
         val alias = s"__cb$cbCounter"
-        val keyCol = col(s"${v}__${store.schema.node(ctx.labels(v)).key}")
-        val tgtKey = store.schema.node(l).key
-        val tgtKeyType = store.nodes(l).schema(tgtKey).dataType
-        val mk = s"${alias}_k"
-        val members = store.nodes(l).select(col(tgtKey).as(mk)).distinct()
-        df = df.join(members, keyCol.cast(tgtKeyType) === col(mk), "left_outer")
-          .withColumn(alias, when(keyCol.isNotNull, col(mk).isNotNull))
-          .drop(mk)
-        ctx = ctx.copy(plains = ctx.plains + alias)
+        df = df.withColumn(alias, when(nullSentinel.isNotNull,
+          filter(array(primary.cast(StringType) +: parts: _*), x => x.isNotNull)))
+        ctx = ctx.copy(plains = ctx.plains + alias, strLists = ctx.strLists + alias)
         Var(alias)
       }
+      def relevantMulti(v: String, ls: Seq[String]): Boolean =
+        ctx.multi.contains(v) &&
+          ls.exists(l => ctx.multi(v).exists(s => store.memberships.contains((l, s))))
       def go(e: Expr): Expr = e match {
         case HasLabel(v, ls) if ctx.labels.contains(v) &&
             ls.exists(l => l != ctx.labels(v) && store.mutatedLabels.contains(l)) =>
@@ -4598,6 +4753,30 @@ object CypherEngine {
               HasLabel(v, Seq(l)): Expr
             else membership(v, l)
           }.reduce((a, b) => Bin("and", a, b))
+        case HasLabel(v, ls) if relevantMulti(v, ls) =>
+          ls.map { l =>
+            if (ctx.multi(v).exists(s => store.memberships.contains((l, s))))
+              membershipMulti(v, l)
+            else HasLabel(v, Seq(l)): Expr // tag fold (false off-branch)
+          }.reduce((a, b) => Bin("and", a, b))
+        case HasAnyLabel(v, ls) if (ctx.labels.contains(v) &&
+              ls.exists(l => l != ctx.labels(v) && store.mutatedLabels.contains(l))) ||
+            relevantMulti(v, ls) =>
+          ls.map { l =>
+            if (ctx.labels.contains(v)) {
+              if (l != ctx.labels(v) && store.memberships.contains((l, ctx.labels(v))))
+                membership(v, l)
+              else HasLabel(v, Seq(l)): Expr // own label / unlinked: constant
+            } else if (ctx.multi(v).exists(s => store.memberships.contains((l, s))))
+              membershipMulti(v, l)
+            else HasAnyLabel(v, Seq(l)): Expr // tag fold
+          }.reduce((a, b) => Bin("or", a, b))
+        case Fn("labels", Seq(Var(v)), _)
+            if (ctx.labels.contains(v) &&
+                store.memberships.keysIterator.exists(_._2 == ctx.labels(v))) ||
+              (ctx.multi.contains(v) && ctx.multi(v).exists(s =>
+                store.memberships.keysIterator.exists(_._2 == s))) =>
+          liftLabels(v)
         case Bin(op, l, r) => Bin(op, go(l), go(r))
         case Not(x) => Not(go(x))
         case Fn(n, args, d) => Fn(n, args.map(go), d)

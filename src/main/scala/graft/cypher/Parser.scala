@@ -575,6 +575,22 @@ object Parser {
 
     // ------------------------------------------------------------ expression
     // precedence: OR < AND < NOT < comparison/IS/IN < add < mul < unary < postfix
+    /** While true, the postfix label `|` is suppressed: inside a
+      * comprehension's WHERE the bar terminates the predicate
+      * (`[x IN xs WHERE p | proj]`), so `WHERE n:A|B` there needs parens —
+      * the grammar ambiguity Neo4j's label expressions share. Parentheses
+      * re-enable it (a `|` inside them cannot be the comprehension's).
+      */
+    private var noLabelBar = false
+    private def barSuppressed[T](body: => T): T = {
+      val saved = noLabelBar; noLabelBar = true
+      try body finally noLabelBar = saved
+    }
+    private def barAllowed[T](body: => T): T = {
+      val saved = noLabelBar; noLabelBar = false
+      try body finally noLabelBar = saved
+    }
+
     def expr(): Expr = orExpr()
 
     private def orExpr(): Expr = {
@@ -700,6 +716,25 @@ object Parser {
             case HasLabel(v, ls) => HasLabel(v, ls :+ l)
             case other => other // unreachable by the guard
           }
+        } else if (isSym("|") && !noLabelBar &&
+            (e.isInstanceOf[HasLabel] || e.isInstanceOf[HasAnyLabel])) {
+          // label DISJUNCTION `n:A|B` in expression position (Neo4j-5
+          // label expressions; generated Cypher emits the WHERE-position
+          // form as readily as the pattern one). Suppressed while parsing
+          // a comprehension's WHERE ([[noLabelBar]]): there `|` terminates
+          // the predicate — parenthesize `(n:A|B)` to disambiguate, the
+          // same rule Neo4j's grammar ambiguity forces.
+          eatSym("|")
+          val l = ident()
+          e = e match {
+            case HasLabel(v, ls) =>
+              if (ls.sizeIs > 1) throw ParseException(
+                s"cannot mix ':' conjunction and '|' disjunction in one " +
+                  s"label predicate ($v:${ls.mkString(":")}|$l) — parenthesize")
+              HasAnyLabel(v, (ls :+ l).distinct)
+            case HasAnyLabel(v, ls) => HasAnyLabel(v, (ls :+ l).distinct)
+            case other => other // unreachable by the guard
+          }
         } else if (isSym("{") && e.isInstanceOf[Var]) {
           // map projection `n {.prop, .*, alias: expr}` — `{` after a bare
           // variable is unambiguous in expression position (EXISTS/COUNT/
@@ -734,7 +769,7 @@ object Parser {
       p match {
         case Some(pat) if pat.hops.nonEmpty &&
             (isKw("WHERE") || isSym("|")) =>
-          val where = if (tryKw("WHERE")) Some(expr()) else None
+          val where = if (tryKw("WHERE")) Some(barSuppressed(expr())) else None
           if (!trySym("|")) { pos = save; None }
           else {
             val proj = expr()
@@ -776,7 +811,7 @@ object Parser {
           case _ =>
             pos = save
             eatSym("(")
-            val e = expr(); eatSym(")"); e
+            val e = barAllowed(expr()); eatSym(")"); e
         }
       case Sym("{") => // map literal (temporal constructor argument form)
         pos -= 1
@@ -787,8 +822,8 @@ object Parser {
           case (Ident(v), Ident(kw))
               if kw.equalsIgnoreCase("in") && !keywords.contains(v.toLowerCase) =>
             next(); next()
-            val coll = expr()
-            val where = if (tryKw("WHERE")) Some(expr()) else None
+            val coll = barSuppressed(expr()) // `|` here starts the projection
+            val where = if (tryKw("WHERE")) Some(barSuppressed(expr())) else None
             val proj = if (trySym("|")) Some(expr()) else None
             eatSym("]")
             ListComp(v, coll, where, proj)
@@ -817,7 +852,7 @@ object Parser {
         eatSym(",")
         val x = ident()
         eatKw("IN")
-        val coll = expr()
+        val coll = barSuppressed(expr()) // `|` here separates coll from step
         eatSym("|")
         val step = expr()
         eatSym(")")

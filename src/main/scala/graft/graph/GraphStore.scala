@@ -26,25 +26,44 @@ final case class GraphStore(
       * 100 TB that join is a full shuffle of the edge store against a node
       * store, spent validating what the flag already guarantees.
       * Conservative default: stores assembled outside the builder/writer
-      * (e.g. [[GraphStore.load]]) start unvalidated and just keep the join.
+      * (e.g. [[GraphStore.load]] without saved metadata) start unvalidated
+      * and just keep the join.
       */
     validatedEdges: Set[String] = Set.empty,
-    /** Labels that have received secondary membership via the Cypher
-      * label-mutation write surface (`SET n:Label`, M44): membership is
-      * key-linked rows in that label's store, so for THESE labels a
-      * `v:Label` predicate on a differently-labeled binding is a per-row
-      * key lookup (the compiler's membership lift). For every other label
-      * the predicate stays a compile-time constant — nodes of distinct
-      * native labels are distinct entities even when key values collide
-      * across keyspaces (Customer 7 is not Supplier 7). Conservative like
-      * [[validatedEdges]]: [[GraphStore.load]] starts empty, so a
-      * reloaded store reverts `v:Label` to the constant fold.
+    /** Secondary label membership (`SET n:Label`, M44) as PROVENANCE rows,
+      * keyed `(targetLabel, sourceLabel)` → a one-column frame `__m_key`
+      * (the member node's SOURCE key rendered as a string), deduped.
+      *
+      * The target label's node store is NEVER touched by label mutation:
+      * members materialize at MATCH time by joining the membership keys
+      * back to the LIVE source store (so later property updates and node
+      * deletions on the source are visible through the secondary label,
+      * like Neo4j's one-node-many-labels), and a `v:Label` membership
+      * predicate joins only the `(Label, v's label)` frame — scoped by
+      * source, so key-value collisions with the target's own keyspace or
+      * with OTHER labels' keyspaces can neither corrupt target rows nor
+      * fabricate memberships (r12 ADVICE: the previous design upserted
+      * rows INTO the target store, silently overwriting/deleting genuine
+      * native nodes on key collisions). Labels never mutated keep the
+      * compile-time constant fold: nodes of distinct native labels are
+      * distinct entities even when key values collide (Customer 7 is not
+      * Supplier 7).
+      *
+      * Scale posture: membership frames hold only keys of explicitly
+      * SET-mutated rows — broadcastable in practice, and every consumer
+      * joins them by key (no driver collect).
       */
-    mutatedLabels: Set[String] = Set.empty) {
+    memberships: Map[(String, String), DataFrame] = Map.empty) {
+
+  /** Labels that currently hold secondary membership rows (the compiler's
+    * lift gate; empty for every store the write surface never mutated).
+    */
+  def mutatedLabels: Set[String] = memberships.keysIterator.map(_._1).toSet
 
   /** Graph statistics report — nodes by label, edges by type (the
     * reference's pre-flight and final count audits, reference:
-    * final/inject_relationship.py:927-961,1017-1031). One row per
+    * final/inject_relationship.py:927-961,1017-1031), plus one row per
+    * secondary-membership provenance pair (`Label<-Source`). One row per
     * label/type: (kind, name, cnt), totally ordered.
     */
   def describe(spark: SparkSession): DataFrame = {
@@ -54,6 +73,10 @@ final case class GraphStore(
       } ++
       edges.toSeq.map { case (n, df) =>
         df.agg(count(lit(1)).as("cnt")).select(lit("edge").as("kind"), lit(n).as("name"), col("cnt"))
+      } ++
+      memberships.toSeq.map { case ((t, s), df) =>
+        df.agg(count(lit(1)).as("cnt"))
+          .select(lit("membership").as("kind"), lit(s"$t<-$s").as("name"), col("cnt"))
       }
     parts.reduce(_.unionByName(_)).orderBy("kind", "name")
   }
@@ -67,6 +90,9 @@ final case class GraphStore(
       k -> df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     },
     edges = edges.map { case (k, df) =>
+      k -> df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    },
+    memberships = memberships.map { case (k, df) =>
       k -> df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     })
 
@@ -88,13 +114,20 @@ final case class GraphStore(
   def unpersistAll(): Unit = {
     nodes.values.foreach(_.unpersist(false))
     edges.values.foreach(_.unpersist(false))
+    memberships.values.foreach(_.unpersist(false))
   }
 
   /** Persist per-label/type Parquet datasets, key-sorted within partitions
     * (the reference sorts before write for locality,
     * final/inject_relationship.py:696, final/inject_node.py:425; for us the
     * payoff is parquet min/max statistics on the keys → row-group pruning
-    * for key-range scans at any scale).
+    * for key-range scans at any scale). Membership frames and the
+    * validated-edge set persist too (a small `_graft_meta.json` manifest —
+    * written through the Hadoop FileSystem API so object-store roots work),
+    * so a reloaded store keeps `v:Label` semantics and the endpoint-join
+    * elision instead of silently reverting (r12 ADVICE: `mutatedLabels`
+    * was session-only — the same query returned different results across
+    * a save/load).
     */
   def save(root: String): Unit = {
     nodes.foreach { case (n, df) =>
@@ -106,6 +139,10 @@ final case class GraphStore(
       df.sortWithinPartitions(et.keyS, et.keyT)
         .write.mode("overwrite").parquet(s"$root/edges/$n")
     }
+    memberships.foreach { case ((t, s), df) =>
+      df.write.mode("overwrite").parquet(s"$root/memberships/${t}__FROM__$s")
+    }
+    GraphStore.writeMeta(root, validatedEdges, memberships.keys.toSeq)
   }
 }
 
@@ -116,11 +153,59 @@ object GraphStore {
     */
   def empty: GraphStore = GraphStore(GraphSchema(Nil, Nil), Map.empty, Map.empty)
 
-  def load(spark: SparkSession, root: String, schema: GraphSchema): GraphStore =
+  def load(spark: SparkSession, root: String, schema: GraphSchema): GraphStore = {
+    val (validated, memberPairs) = readMeta(spark, root)
     GraphStore(
       schema,
       schema.nodes.map(nt => nt.name -> spark.read.parquet(s"$root/nodes/${nt.name}")).toMap,
-      schema.edges.map(et => et.label -> spark.read.parquet(s"$root/edges/${et.label}")).toMap)
+      schema.edges.map(et => et.label -> spark.read.parquet(s"$root/edges/${et.label}")).toMap,
+      // only trust the manifest's validated set for edge types the passed
+      // schema still declares (a schema drift should fail conservative)
+      validatedEdges = validated.filter(l => schema.edges.exists(_.label == l)),
+      memberships = memberPairs
+        .filter { case (t, s) =>
+          schema.nodes.exists(_.name == t) && schema.nodes.exists(_.name == s)
+        }
+        .map(p => p -> spark.read.parquet(s"$root/memberships/${p._1}__FROM__${p._2}"))
+        .toMap)
+  }
+
+  /** Tiny JSON manifest beside the parquet datasets. Hand-rolled writer/
+    * reader (labels are identifiers — no escaping needed) to avoid a
+    * parser dependency; any read failure degrades to the conservative
+    * empty sets, never an error.
+    */
+  private def writeMeta(root: String,
+      validated: Set[String], pairs: Seq[(String, String)]): Unit = {
+    val json =
+      s"""{"validatedEdges":[${validated.toSeq.sorted.map(l => s""""$l"""").mkString(",")}],""" +
+        s""""memberships":[${pairs.sorted.map { case (t, s) => s"""["$t","$s"]""" }.mkString(",")}]}"""
+    val path = new org.apache.hadoop.fs.Path(s"$root/_graft_meta.json")
+    val fs = path.getFileSystem(
+      SparkSession.active.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readMeta(spark: SparkSession,
+      root: String): (Set[String], Seq[(String, String)]) =
+    try {
+      val path = new org.apache.hadoop.fs.Path(s"$root/_graft_meta.json")
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(path)) (Set.empty, Nil)
+      else {
+        val in = fs.open(path)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                  finally in.close()
+        val validated = """"validatedEdges"\s*:\s*\[([^\]]*)\]""".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+          .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSet
+        val pairs = """\["([^"]+)","([^"]+)"\]""".r.findAllMatchIn(txt)
+          .map(m => (m.group(1), m.group(2))).toSeq
+        (validated, pairs)
+      }
+    } catch { case _: Throwable => (Set.empty, Nil) }
 
   /** Per-JVM build-once/query-many cache: the first call under `key` runs
     * `build` and [[GraphStore.persisted persists]] the result; later calls

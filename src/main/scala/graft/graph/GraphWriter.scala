@@ -360,8 +360,20 @@ object GraphWriter {
     val validated =
       if (detach) store.validatedEdges
       else store.validatedEdges -- store.schema.edgesFor(label).map(_.label)
+    // secondary-membership provenance (M44) follows the nodes: memberships
+    // SOURCED from the deleted label vanish with their nodes (Neo4j: a
+    // deleted node is gone under every label it held), and memberships
+    // TARGETING it drop too — the delete's match enumerated the label's
+    // membership-derived rows alongside the native ones ([[labelFrame]])
+    val keyStrs = keys.select(col(nt.key).cast(
+      org.apache.spark.sql.types.StringType).as("__m_key")).distinct()
+    val memberships = store.memberships.map {
+      case (p @ (t, s), m) if t == label || s == label =>
+        p -> m.join(keyStrs, Seq("__m_key"), "left_anti")
+      case other => other
+    }
     store.copy(nodes = store.nodes + (label -> remaining), edges = edges,
-      validatedEdges = validated)
+      validatedEdges = validated, memberships = memberships)
   }
 
   /** DELETE edges matching `pairs` rows. `pairs` must carry the edge type's
