@@ -1893,13 +1893,61 @@ object CypherEngine {
       // frame (rows failing them null-extend, like the dst-side props) —
       // strip them here and fold them into the left_outer join condition
       // below instead.
-      // endpoint label disjunctions don't compose with the BFS's single
-      // (aLabel, wantB) endpoint contract — reject rather than guess
-      (path.head +: path.hops.map(_._2)).filter(_.alts.nonEmpty).foreach(n =>
-        throw CypherException(
-          s"shortestPath endpoint (${n.variable.getOrElse("")}:" +
-            s"${n.alts.mkString("|")}) cannot use a label disjunction — " +
-            "annotate a single label or run one query per label"))
+      // endpoint label disjunction (r13): shortestPath semantics are
+      // per-(a, b)-PAIR — the minimum over paths between two fixed
+      // endpoints — so a disjunction endpoint decomposes EXACTLY into one
+      // single-label branch per alternative: the per-pair minima are
+      // independent of what other pairs exist, and the branches' pair
+      // sets are disjoint (distinct native labels). Each branch runs the
+      // normal single-endpoint BFS; [[mergeBranches]] unions them and
+      // tags the diverged endpoint, like any interpretation fork. A
+      // branch no relationship fits is silently dropped (same rule as
+      // [[enumerate]]); all-dropped rethrows the first error.
+      if (path.head.alts.nonEmpty || dstPat.alts.nonEmpty) {
+        if (optional) throw CypherException(
+          "OPTIONAL MATCH shortestPath endpoints cannot use a label " +
+            "disjunction — run one OPTIONAL MATCH per label")
+        val altSet = (path.head.alts ++ dstPat.alts).toSet
+        // a membership link BETWEEN alternatives would enumerate the
+        // shared nodes in both branches (per-node dedup needs the bind
+        // sites' sibling exclusion, which the BFS endpoint join bypasses)
+        if (store.memberships.keys.exists { case (t, s) =>
+            altSet.contains(t) && altSet.contains(s) })
+          throw CypherException(
+            "shortestPath endpoint disjunction over labels linked by " +
+              "SET-label membership is not supported — constrain the " +
+              "endpoint to a single label")
+        Seq((aVar, path.head.alts), (bVar, dstPat.alts)).foreach { case (v, as) =>
+          if (as.nonEmpty && state.exists(_._2.labels.contains(v)))
+            throw CypherException(
+              s"shortestPath endpoint $v is already bound — drop the " +
+                "label disjunction (the binding fixed its label)")
+        }
+        val heads: Seq[Option[String]] =
+          if (path.head.alts.nonEmpty) path.head.alts.map(Some(_))
+          else Seq(path.head.label)
+        val dsts: Seq[Option[String]] =
+          if (dstPat.alts.nonEmpty) dstPat.alts.map(Some(_))
+          else Seq(dstPat.label)
+        var firstErr: Option[CypherException] = None
+        val built = for {
+          hl <- heads
+          dl <- dsts
+          r <- try Some(shortestPathRead(state, pv,
+                 PathPat(path.head.copy(label = hl, alts = Nil),
+                   Seq((rel, dstPat.copy(label = dl, alts = Nil)))),
+                 all, needNodes, needRels, optional))
+               catch {
+                 case e: CypherException
+                     if e.getMessage.startsWith("no relationship fits") =>
+                   if (firstErr.isEmpty) firstErr = Some(e)
+                   None
+               }
+        } yield r
+        if (built.isEmpty) throw firstErr.getOrElse(CypherException(
+          "no relationship fits the shortestPath endpoint disjunction"))
+        return mergeBranches(built)
+      }
       val headPat = if (optional) path.head.copy(props = Nil) else path.head
       val (df1, ctx1) = assemble(Seq(PathPat(headPat, Nil)), initial = state)
       val aLabel = ctx1.labels(aVar)
@@ -3588,6 +3636,10 @@ object CypherEngine {
           val starItems =
             ((ctx.labels.keys ++ ctx.multi.keys).toSeq.sorted ++ ctx.plains.toSeq.sorted)
               .filterNot(explicit)
+              // lifted membership booleans are filter plumbing, never user
+              // bindings — star projection must not surface them (they
+              // survive the WHERE so a later clause can REUSE the join)
+              .filterNot(isMembershipAlias)
               .map(v => Item(Var(v), None))
           stage0.copy(items = starItems ++ stage0.items)
         }
@@ -3647,7 +3699,9 @@ object CypherEngine {
       // r10 verdict's "What's missing #3")
       stage.where.foreach { w =>
         val (d2, c2, w2) = liftCountBlocks(out, newCtx, w)
-        val added = (c2.plains -- newCtx.plains).toSeq
+        // membership aliases stay (memoized per (var, label) — a later
+        // clause reuses the join); star expansion filters them instead
+        val added = (c2.plains -- newCtx.plains).toSeq.filterNot(isMembershipAlias)
         out = d2.filter(column(w2, c2)).drop(added: _*)
       }
       if (stage.orderBy.nonEmpty) {
@@ -4636,6 +4690,9 @@ object CypherEngine {
     private val membershipAliases =
       scala.collection.mutable.Map[(String, String), String]()
 
+    private def isMembershipAlias(c: String): Boolean =
+      membershipAliases.valuesIterator.contains(c)
+
     /** Rewrite label-membership reads whose target label has received
       * secondary membership via `SET n:Label` (M44 —
       * [[GraphStore.memberships]]) into per-row membership columns.
@@ -5139,11 +5196,13 @@ object CypherEngine {
             df = applyPatternPred(df, ctx, ps, iw, negated)
           }
           plain.foreach { p =>
-            // lifted synthetic columns (blocks, label memberships) serve
-            // the filter only — drop them so `RETURN *` never sees them
-            // (same contract as the WITH…WHERE site in [[project]])
+            // lifted BLOCK columns serve the filter only — drop them so
+            // `RETURN *` never sees them (same contract as the WITH…WHERE
+            // site in [[project]]); lifted MEMBERSHIP booleans stay, so a
+            // later clause's identical predicate reuses the join (memoized
+            // per (var, label)) — star expansion filters them instead
             val (d2, c2, p2) = liftCountBlocks(df, ctx, p)
-            val added = (c2.plains -- ctx.plains).toSeq
+            val added = (c2.plains -- ctx.plains).toSeq.filterNot(isMembershipAlias)
             df = d2.filter(column(p2, c2)).drop(added: _*)
           }
         }

@@ -86,6 +86,26 @@ object CypherQueries {
     GraphWriter.mergeEdges(st, "HOP", "Nation", "Nation", "src", "dst", hops)
   }
 
+  /** TWO node labels over a mixed undirected walk (ANode ring of 25 via
+    * RING, plus a bipartite TOB edge to 5 BNodes) — the fixture for
+    * shortestPath ENDPOINT label disjunction (q128): `(x:ANode|BNode)`
+    * decomposes into one single-label BFS per alternative, and the far
+    * endpoint's label genuinely varies per row.
+    */
+  private def dualStore(s: SparkSession, dir: String): GraphStore = cachedStore("dual", dir) {
+    val nation = Tables.load(s, dir, "nation")
+    val region = Tables.load(s, dir, "region")
+    val k = col("n_nationkey")
+    var st = GraphWriter.mergeNodes(GraphStore.empty, "ANode",
+      nation.select(k.as("ak"), col("n_name").as("nm")), Seq("ak"))
+    st = GraphWriter.mergeNodes(st, "BNode",
+      region.select(col("r_regionkey").as("bk"), col("r_name").as("bnm")), Seq("bk"))
+    st = GraphWriter.mergeEdges(st, "RING", "ANode", "ANode", "src", "dst",
+      nation.select(k.as("src"), ((k + 1) % 25).as("dst")))
+    GraphWriter.mergeEdges(st, "TOB", "ANode", "BNode", "src", "dst",
+      nation.select(k.as("src"), col("n_regionkey").as("dst")))
+  }
+
   /** The ring split into TWO edge types (+1 = HOP, +5 = JUMP) between the
     * same labels — the fixture for relationship-type disjunction: `[:HOP|
     * JUMP]` must union both edge sets inside one branch, and `[:HOP|JUMP*
@@ -586,6 +606,89 @@ object CypherQueries {
                   CASE WHEN n:Wide THEN 'member' ELSE 'other' END AS tag
            ORDER BY nk""")
     }),
+    // labels() membership enumeration (r13; closes the r12 verdict's
+    // directive #3): after SET, labels(n) reports the primary label plus
+    // every HELD secondary label in name order (a deterministic rendering
+    // of Neo4j's unordered label set), assembled from the same
+    // source-scoped provenance joins as the v:Label predicate — one LEFT
+    // join per mutated label, memoized per (variable, label).
+    "q126_cypher_labels_enum" -> ((s, dir) => {
+      val st = CypherEngine(store(s, dir)).execute(
+        "MATCH (n:Nation) WHERE n.n_regionkey <= 1 SET n:LowR").store
+      val st2 = CypherEngine(st).execute(
+        "MATCH (n:Nation) WHERE n.n_nationkey % 3 = 0 SET n:Trip").store
+      CypherEngine(st2).run(
+        """MATCH (n:Nation)
+           RETURN toInteger(n.n_nationkey) AS nk, labels(n) AS ls
+           ORDER BY nk""")
+        .withColumn("ls", array_join(col("ls"), ","))
+    }),
+    // WHERE-position label disjunction `n:A|B` (r13; closes the r12
+    // verdict's directive #2): the expression-position `|` form, composed
+    // with the M44 membership lift — BOTH disjuncts name SET-mutated
+    // labels, so each lifts to a source-scoped provenance join; the
+    // repeated predicate (WHERE + CASE) reuses ONE join per (n, label)
+    // pair via the lift memoization (directive #4, plan-pinned in
+    // CypherSpec).
+    "q127_cypher_where_label_disjunction" -> ((s, dir) => {
+      val st = CypherEngine(store(s, dir)).execute(
+        "MATCH (n:Nation) WHERE n.n_regionkey = 0 SET n:Zed").store
+      val st2 = CypherEngine(st).execute(
+        "MATCH (n:Nation) WHERE n.n_nationkey % 2 = 1 SET n:Odd").store
+      CypherEngine(st2).run(
+        """MATCH (n:Nation)
+           WHERE n:Zed|Odd OR n.n_nationkey = 4
+           RETURN toInteger(n.n_nationkey) AS nk,
+                  CASE WHEN n:Zed|Odd THEN 'm' ELSE 'o' END AS tag
+           ORDER BY nk""")
+    }),
+    // shortestPath endpoint label disjunction (r13; closes the r12
+    // verdict's directive #5): `(x:ANode|BNode)` decomposes into one
+    // single-label BFS branch per alternative (per-pair minima are
+    // independent, so the union is exact) over a mixed undirected walk —
+    // ring steps and bipartite hops interleave, so BNodes also act as
+    // region shortcuts between ring-distant ANodes.
+    "q128_cypher_shortest_label_disjunction" -> ((s, dir) =>
+      CypherEngine(dualStore(s, dir)).run(
+        """MATCH p = shortestPath((a:ANode {ak: 0})-[:RING|TOB*1..6]-(x:ANode|BNode))
+           WHERE NOT (x:ANode AND x.ak = 0)
+           RETURN labels(x)[0] AS kind,
+                  toInteger(coalesce(x.ak, x.bk)) AS xk,
+                  toInteger(length(p)) AS len
+           ORDER BY kind, xk""")),
+    // out-of-branch membership on a disjunction variable (r13; closes the
+    // r12 verdict's directive #7, replacing the loud rejection): x:Prime
+    // on a Customer|Supplier branch union joins provenance per (Prime,
+    // branch) pair — Supplier rows have no (Prime, Supplier) provenance
+    // and are correctly excluded even where s_suppkey VALUES collide with
+    // Prime custkeys (the r12 ADVICE false-positive class); labels(x)[0]
+    // reads the branch tag through the membership-aware labels() lift.
+    "q129_cypher_out_of_branch_membership" -> ((s, dir) => {
+      val st = CypherEngine(store(s, dir)).execute(
+        "MATCH (c:Customer) WHERE c.c_custkey % 7 = 0 SET c:Prime").store
+      CypherEngine(st).run(
+        """MATCH (x:Customer|Supplier)-[:IN_NATION|SUPP_IN_NATION]->(n:Nation)
+           WHERE x:Prime OR (x:Supplier AND n.n_regionkey = 2)
+           RETURN n.n_name AS nation, labels(x)[0] AS kind, count(*) AS cnt
+           ORDER BY nation, kind""")
+    }),
+    // label mutation into a NATIVELY populated label (r13; oracle-pins the
+    // r12 ADVICE fixes): SET c:Supplier adds provenance-linked members —
+    // native Supplier rows with colliding keys keep their properties
+    // (members render with null-for-unshared names, here coalesced), and
+    // the REMOVE drops ONLY the member: native supplier 5 survives, where
+    // the old row-upserting design silently destroyed suppliers 1-5.
+    "q130_cypher_native_label_safety" -> ((s, dir) => {
+      val st = CypherEngine(store(s, dir)).execute(
+        "MATCH (c:Customer) WHERE c.c_custkey <= 5 SET c:Supplier").store
+      val st2 = CypherEngine(st).execute(
+        "MATCH (c:Customer) WHERE c.c_custkey = 5 REMOVE c:Supplier").store
+      CypherEngine(st2).run(
+        """MATCH (s:Supplier)
+           RETURN toInteger(s.s_suppkey) AS sk,
+                  coalesce(s.s_name, '(member)') AS snm
+           ORDER BY sk, snm""")
+    }),
     // spatial points (round 12; closes the r11 verdict's "What's missing
     // #3"): point({x,y}) / point({latitude,longitude}) structs + distance()
     // — cartesian Euclidean hash-matches DuckDB bit-exactly; the wgs-84
@@ -1058,6 +1161,64 @@ object CypherQueries {
          WHERE ((n_regionkey <= 2 AND n_nationkey <> 3) OR n_regionkey = 4)
            AND n_nationkey <> 10
          ORDER BY nk""",
+    // q126: primary label first, then held secondary labels name-ordered
+    // (LowR < Trip)
+    "q126_cypher_labels_enum" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS nk,
+              'Nation' || (CASE WHEN n_regionkey <= 1 THEN ',LowR' ELSE '' END)
+                       || (CASE WHEN n_nationkey % 3 = 0 THEN ',Trip' ELSE '' END) AS ls
+         FROM nation ORDER BY nk""",
+    // q127: membership of either mutated label (Zed = region 0, Odd = odd
+    // keys), WHERE and CASE reading the same disjunction
+    "q127_cypher_where_label_disjunction" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS nk,
+              CASE WHEN n_regionkey = 0 OR n_nationkey % 2 = 1
+                   THEN 'm' ELSE 'o' END AS tag
+         FROM nation
+         WHERE n_regionkey = 0 OR n_nationkey % 2 = 1 OR n_nationkey = 4
+         ORDER BY nk""",
+    // q128: undirected BFS from A0 over the tagged RING ∪ TOB union, min
+    // distance per reached node within 6 hops, the source itself excluded
+    "q128_cypher_shortest_label_disjunction" ->
+      """WITH RECURSIVE e(s, t) AS (
+           SELECT 'A' || CAST(n_nationkey AS VARCHAR),
+                  'A' || CAST((n_nationkey + 1) % 25 AS VARCHAR) FROM nation
+           UNION ALL
+           SELECT 'A' || CAST(n_nationkey AS VARCHAR),
+                  'B' || CAST(n_regionkey AS VARCHAR) FROM nation
+         ), und(s, t) AS (
+           SELECT s, t FROM e UNION SELECT t, s FROM e
+         ), walk(node, len) AS (
+           SELECT t, 1 AS len FROM und WHERE s = 'A0'
+           UNION
+           SELECT u.t, w.len + 1 FROM walk w JOIN und u ON u.s = w.node
+           WHERE w.len < 6
+         )
+         SELECT CASE WHEN node LIKE 'A%' THEN 'ANode' ELSE 'BNode' END AS kind,
+                CAST(substr(node, 2) AS BIGINT) AS xk,
+                CAST(min(len) AS BIGINT) AS len
+         FROM walk WHERE node <> 'A0'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q129: Prime membership is provenance-scoped to Customer sources —
+    // suppliers never qualify through key-value collisions
+    "q129_cypher_out_of_branch_membership" ->
+      """SELECT n_name AS nation, kind, count(*) AS cnt FROM (
+           SELECT c_nationkey AS nk, 'Customer' AS kind,
+                  c_custkey % 7 = 0 AS prime FROM customer
+           UNION ALL
+           SELECT s_nationkey, 'Supplier', FALSE FROM supplier
+         ) x JOIN nation ON x.nk = n_nationkey
+         WHERE prime OR (kind = 'Supplier' AND n_regionkey = 2)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q130: every native supplier survives untouched (incl. key 5, whose
+    // member was REMOVEd); customers 1-4 render as members
+    "q130_cypher_native_label_safety" ->
+      """SELECT sk, snm FROM (
+           SELECT CAST(s_suppkey AS BIGINT) AS sk, s_name AS snm FROM supplier
+           UNION ALL
+           SELECT CAST(c_custkey AS BIGINT), '(member)' FROM customer
+           WHERE c_custkey <= 4
+         ) ORDER BY sk, snm""",
     // q120: startNode(PLACED_BY) is the Order side, endNode the Customer
     // side — the stored FK join in schema orientation
     "q120_cypher_endpoint_fns" ->

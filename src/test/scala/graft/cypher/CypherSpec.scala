@@ -2930,10 +2930,14 @@ class CypherSpec extends SparkSpec {
     assert(intercept[CypherEngine.CypherException](engine.execute(
       "MERGE (x:Customer|Supplier {c_custkey: 1}) RETURN x.c_custkey AS k"))
       .getMessage.contains("label disjunction"))
-    assert(intercept[CypherEngine.CypherException](engine.run(
+    // shortestPath endpoint disjunction (r13): decomposes into one
+    // single-label BFS per alternative; a branch no relationship fits
+    // (Region has no IN_NATION endpoint) silently drops, like enumerate
+    assert(engine.run(
       """MATCH p = shortestPath((a:Customer {c_custkey: 1})-[:IN_NATION*1..2]-(b:Nation|Region))
-         RETURN length(p) AS l"""))
-      .getMessage.contains("label disjunction"))
+         RETURN labels(b)[0] AS bl, toInteger(length(p)) AS l""")
+      .collect().map(r => (r.getString(0), r.getLong(1))) ===
+      Array(("Nation", 1L)))
     assert(intercept[CypherEngine.CypherException](engine.run(
       "MATCH (x:Customer|NoSuchLabel) RETURN count(*) AS c"))
       .getMessage.contains("unknown node label"))

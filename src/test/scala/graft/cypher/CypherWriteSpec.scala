@@ -691,6 +691,89 @@ class CypherWriteSpec extends SparkSpec {
     assert(st.validatedEdges.contains("VISITED"))
   }
 
+  test("membership lift memoizes per (var, label): a repeated predicate joins once") {
+    var st = CypherEngine(GraphStore.empty).execute(
+      """UNWIND $rows AS row MERGE (n:Person {pid: row.pid})
+         SET n += {pid: row.pid, score: row.score}""",
+      Map("rows" -> rows(
+        Map("pid" -> 1L, "score" -> 90L),
+        Map("pid" -> 2L, "score" -> 40L)))).store
+    st = CypherEngine(st).execute(
+      "MATCH (n:Person) WHERE n.score >= 80 SET n:Expert").store
+    val df = CypherEngine(st).run(
+      """MATCH (n:Person)
+         WHERE n:Expert OR n.pid = 2
+         RETURN n.pid AS pid,
+                CASE WHEN n:Expert THEN 'e' ELSE 'p' END AS tag
+         ORDER BY pid""")
+    // the provenance key lands under a generated `__cbN_k` alias per JOIN;
+    // the doc (and SURVEY M44) claims ONE join per (var, label) pair — pin
+    // it: the analyzed plan must carry exactly one distinct alias even
+    // though the predicate appears in two positions (r12 verdict noted the
+    // code joined per OCCURRENCE while claiming per pair)
+    val aliases = """__cb\d+_k""".r
+      .findAllIn(df.queryExecution.analyzed.toString).toSet
+    assert(aliases.size == 1, s"expected one memoized membership join, saw $aliases")
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1))) ===
+      Array((1L, "e"), (2L, "p")))
+  }
+
+  test("labels() enumerates memberships; null-extends under OPTIONAL; tags disjunctions") {
+    var st = CypherEngine(GraphStore.empty).execute(
+      """UNWIND $rows AS row MERGE (n:Person {pid: row.pid})
+         SET n += {pid: row.pid, score: row.score}""",
+      Map("rows" -> rows(
+        Map("pid" -> 1L, "score" -> 90L),
+        Map("pid" -> 2L, "score" -> 40L)))).store
+    st = CypherEngine(st).execute("CREATE (c:City {cid: 8})").store
+    st = CypherEngine(st).execute(
+      "MATCH (n:Person) WHERE n.score >= 80 SET n:Expert").store
+    // single-label binding: primary first, then held secondaries
+    assert(CypherEngine(st).run(
+      "MATCH (n:Person) RETURN n.pid AS pid, labels(n) AS ls ORDER BY pid")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).mkString(","))) ===
+      Array((1L, "Person,Expert"), (2L, "Person")))
+    // OPTIONAL-null: an unmatched row's labels(x) is null, not [label]
+    st = CypherEngine(st).execute("CREATE (c:City {cid: 9})").store
+    st = CypherEngine(st).execute(
+      """MATCH (p:Person {pid: 1}), (c:City {cid: 9})
+         CREATE (p)-[:LIVES_IN]->(c)""").store
+    val opt = CypherEngine(st).run(
+      """MATCH (c:City) OPTIONAL MATCH (p:Person)-[:LIVES_IN]->(c)
+         RETURN c.cid AS cid, labels(p) AS ls ORDER BY cid""")
+    assert(opt.collect().map(r =>
+        (r.getLong(0), if (r.isNullAt(1)) null else r.getSeq[String](1).mkString(","))) ===
+      Array((8L, null), (9L, "Person,Expert")))
+    // disjunction-tagged: labels(x)[0] is the branch tag; members add theirs
+    assert(CypherEngine(st).run(
+      """MATCH (x:Person|City) RETURN labels(x) AS ls ORDER BY ls[0], size(ls) DESC""")
+      .collect().map(_.getSeq[String](0).mkString(",")) ===
+      Array("City", "City", "Person,Expert", "Person"))
+  }
+
+  test("memberships and validatedEdges survive save/load (manifest round-trip)") {
+    var st = CypherEngine(GraphStore.empty).execute(
+      """UNWIND $rows AS row MERGE (n:Person {pid: row.pid})
+         SET n += {pid: row.pid, score: row.score}""",
+      Map("rows" -> rows(
+        Map("pid" -> 1L, "score" -> 90L),
+        Map("pid" -> 2L, "score" -> 40L)))).store
+    st = CypherEngine(st).execute(
+      "MATCH (n:Person) WHERE n.score >= 80 SET n:Expert").store
+    val dir = java.nio.file.Files.createTempDirectory("graft_member_rt").toString
+    st.save(dir)
+    val re = GraphStore.load(spark, dir, st.schema)
+    assert(re.mutatedLabels == Set("Expert"))
+    // the SAME membership query answers identically across the reload
+    // (r12 ADVICE: mutatedLabels was session-only — the predicate
+    // silently reverted to the constant fold)
+    def probe(s: GraphStore) = CypherEngine(s).run(
+      "MATCH (n:Person) WHERE n:Expert RETURN n.pid AS pid ORDER BY pid")
+      .collect().map(_.getLong(0)).toSeq
+    assert(probe(st) == Seq(1L))
+    assert(probe(re) == Seq(1L))
+  }
+
   test("GraphWriter DataFrame-native API (the scale path) matches Cypher writes") {
     import spark.implicits._
     val incoming = Seq((1L, "a"), (2L, "b")).toDF("gid", "name")

@@ -64,6 +64,10 @@ class ParserRoundTripSpec extends AnyFunSuite {
       s"$kind($v IN ${rex(coll)} WHERE ${rex(pred)})"
     case Index(coll, i) => s"${rex(coll)}[${rex(i)}]"
     case HasLabel(v, ls) => s"$v${ls.map(":" + _).mkString}"
+    // always parenthesized: a bare `v:A|B` inside a comprehension WHERE
+    // would be claimed by the comprehension's `|` (the documented
+    // ambiguity the parser resolves by requiring parens there)
+    case HasAnyLabel(v, ls) => s"($v:${ls.mkString("|")})"
     case Param(n) => s"$$$n"
     case PatternPred(p) => s"exists(${rpath(p)})"
     case ExistsBlock(ps, w) =>
@@ -227,7 +231,9 @@ class ParserRoundTripSpec extends AnyFunSuite {
     vGen.map(Var(_)),
     for { v <- vGen; p <- pGen } yield Prop(v, p),
     for { v <- vGen; n <- Gen.choose(1, 2); ls <- Gen.pick(n, labels) }
-      yield HasLabel(v, ls.toSeq))
+      yield HasLabel(v, ls.toSeq),
+    for { v <- vGen; ls <- Gen.pick(2, labels) }
+      yield HasAnyLabel(v, ls.toSeq))
 
   private def exprGen(depth: Int): Gen[Expr] =
     if (depth <= 0) leafGen
