@@ -1204,10 +1204,7 @@ object CypherEngine {
       // window shuffle is skipped entirely on pair-deduped builder stores.
       val needDisc = ets.exists(e => !e.pairsUnique)
       val e0 = ets.map { et =>
-        val disc: Column =
-          if (needDisc) row_number().over(org.apache.spark.sql.expressions
-            .Window.partitionBy(col(et.keyS), col(et.keyT)).orderBy(lit(1)))
-          else lit(0)
+        val disc: Column = if (needDisc) discriminator(et) else lit(0)
         val cols = Seq(col(et.keyS).as("__cs"), col(et.keyT).as("__cd"),
           struct(lit(et.label).as("__t"),
             col(et.keyS).cast(StringType).as("__es"),
@@ -1279,10 +1276,7 @@ object CypherEngine {
       // per-instance identity: see the bounded closure's discriminator note
       val needDisc = ets.exists(e => !e.pairsUnique)
       val e0 = ets.zipWithIndex.map { case (et, ti) =>
-        val disc: Column =
-          if (needDisc) row_number().over(org.apache.spark.sql.expressions
-            .Window.partitionBy(col(et.keyS), col(et.keyT)).orderBy(lit(1)))
-          else lit(0)
+        val disc: Column = if (needDisc) discriminator(et) else lit(0)
         filteredEdges(et, props).select(
           col(et.keyS).as("__cs"), col(et.keyT).as("__cd"),
           // one struct type must fit every member type's keys
@@ -2954,14 +2948,19 @@ object CypherEngine {
           s"startNode/endNode need a bound relationship variable (got $arg)")
         // startNode/endNode composed under another function
         // (id(startNode(r)), labels(endNode(r)), …): substitute the
-        // endpoint variable, then compile the outer call normally
+        // endpoint variable, then compile the outer call normally. The
+        // `.prop` POSTFIX form parses as Fn(prop, Seq(startNode(r))) —
+        // when the outer name is no function, retry it as the endpoint's
+        // property HERE, scoped to the substitution (r12 ADVICE: the old
+        // generic unknown-function fallback also fired for user typos
+        // like c_name(c), silently returning a column).
         case Fn(name, args, d) if args.exists {
               case Fn("startnode" | "endnode", Seq(Var(v)), _) =>
                 ctx.rels.contains(v) ||
                   (ctx.multiRels.contains(v) && ctx.multiRelEnds.contains(v))
               case _ => false
             } =>
-          c(Fn(name, args.map {
+          val subbed = Fn(name, args.map {
             case Fn("startnode", Seq(Var(v)), _) if ctx.rels.contains(v) =>
               Var(ctx.rels(v).srcVar)
             case Fn("endnode", Seq(Var(v)), _) if ctx.rels.contains(v) =>
@@ -2971,7 +2970,18 @@ object CypherEngine {
             case Fn("endnode", Seq(Var(v)), _)
                 if ctx.multiRelEnds.contains(v) => Var(ctx.multiRelEnds(v)._2)
             case a => a
-          }, d))
+          }, d)
+          try c(subbed) catch {
+            case ex: CypherException
+                if ex.getMessage.startsWith("unsupported function") =>
+              subbed match {
+                case Fn(p, Seq(Var(ev)), _) if ctx.labels.contains(ev) && {
+                      val nt = store.schema.node(ctx.labels(ev))
+                      nt.key == p || nt.properties.contains(p)
+                    } => c(Prop(ev, p))
+                case _ => throw ex
+              }
+          }
         case Fn("id", Seq(Var(v)), _) if ctx.labels.contains(v) =>
           col(s"${v}__${store.schema.node(ctx.labels(v)).key}")
         case Fn("id", Seq(Var(v)), _) if ctx.multi.contains(v) =>
@@ -3510,19 +3520,12 @@ object CypherEngine {
         if (args.size == 3) sequence(args(0), args(1), args(2))
         else sequence(args(0), args(1))
       case other =>
-        // `startNode(r).prop` parses as Fn(prop, startNode(r)) (the
-        // fn-postfix form); after the endpoint substitution it reaches
-        // this fallback as Fn(prop, Var(node)) — dispatch to the node's
-        // property column when the name is one (never shadowing a real
-        // function: every known name matched above)
-        rawArgs match {
-          case Seq(Var(v)) if ctx.labels.contains(v) && {
-                val nt = store.schema.node(ctx.labels(v))
-                nt.key == other || nt.properties.contains(other)
-              } =>
-            col(s"${v}__$other")
-          case _ => throw CypherException(s"unsupported function: $other()")
-        }
+        // `startNode(r).prop` (the fn-postfix parse) is resolved AT the
+        // endpoint-substitution case, scoped to substituted arguments —
+        // an unknown name over a plain variable here is a typo'd or
+        // unsupported call and must reject loudly (r12 ADVICE: the old
+        // property fallback fired for c_name(c) too)
+        throw CypherException(s"unsupported function: $other()")
     }
 
     /** Do elements of this list-valued expr read as strings? (drives the
@@ -3735,6 +3738,24 @@ object CypherEngine {
 
     private def nodeKeyCol(v: String, ctx: Ctx): Column =
       col(s"${v}__${store.schema.node(ctx.labels(v)).key}")
+
+    /** Per-(src, dst)-pair parallel-edge discriminator, ordered by the
+      * edge's PROPERTY columns so the assignment is DETERMINISTIC across
+      * re-evaluations: the edge union is re-instantiated per BFS level
+      * and recomputed on shuffle retry, and an `orderBy(lit(1))` window
+      * (the pre-r13 form — r12 ADVICE) could hand the same physical edge
+      * different `__n` values per evaluation, pairing a trail step with
+      * the wrong parallel edge's payload or duplicating rows under task
+      * retry. Rows identical in EVERY property are interchangeable — any
+      * numbering among them yields the same (content, __n) set — so the
+      * property sort is exactly the needed stability, with no persist.
+      */
+    private def discriminator(et: EdgeType): Column = {
+      val ord: Seq[Column] =
+        if (et.properties.isEmpty) Seq(lit(1)) else et.properties.map(col(_))
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col(et.keyS), col(et.keyT)).orderBy(ord: _*))
+    }
 
     /** `MERGE (n:L {merge props}) [SET n += {…} / SET n.p = e]*` with
       * optional `ON CREATE SET` / `ON MATCH SET`, fused into one

@@ -342,15 +342,27 @@ object AnalyticQueries {
 
   // --------------------------------------------------- Q55 approx distinct
   /** A6: HLL++ approximate distinct — the 100 TB substitute for exact
-    * COUNT(DISTINCT) (SURVEY.md §2.4 A6). Sketch-valued → rows-only check;
-    * the relative-error contract (2% default) is asserted against the exact
-    * count in the same row.
+    * COUNT(DISTINCT) (SURVEY.md §2.4 A6). r13 (r12 verdict directive #8):
+    * TOLERANCE-oracled instead of rows-only — the sketch estimates land
+    * as ok/off flags against exact counts computed in the same
+    * aggregation (rsd 0.01, asserted within ±2.3%), and the DuckDB oracle
+    * cross-checks the exact counts plus the flags' expected 'ok'. The
+    * sketch value itself stays pinned by AnalyticSpec's relative-error
+    * vector; only the deterministic projection is hash-compared.
     */
   private def q55(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "lineitem").agg(
-      approx_count_distinct(col("l_orderkey")).as("approx_orders"),
       countDistinct(col("l_orderkey")).as("exact_orders"),
-      approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      approx_count_distinct(col("l_orderkey"), 0.01).as("__ao"),
+      approx_count_distinct(col("l_partkey"), 0.01).as("__ap"))
+      .select(
+        col("exact_orders"),
+        col("exact_parts"),
+        when(abs(col("__ao") - col("exact_orders")) <=
+          col("exact_orders") * 0.023, "ok").otherwise("off").as("orders_est"),
+        when(abs(col("__ap") - col("exact_parts")) <=
+          col("exact_parts") * 0.023, "ok").otherwise("off").as("parts_est"))
 
   // ------------------------------------------------------------------ registry
 
@@ -380,6 +392,13 @@ object AnalyticQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // q55 (r13): exact counts hash-compared; the sketch estimates are
+    // engine-side tolerance flags whose expected value is 'ok'
+    "q55_approx_distinct" ->
+      """SELECT count(DISTINCT l_orderkey) AS exact_orders,
+         count(DISTINCT l_partkey) AS exact_parts,
+         'ok' AS orders_est, 'ok' AS parts_est
+         FROM lineitem""",
     "q16_degree_stats" -> q16Sql,
     "q17_rownumber_topk" -> q17Sql,
     "q18_lag_delta" -> q18Sql,

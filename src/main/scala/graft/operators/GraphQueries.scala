@@ -213,13 +213,49 @@ object GraphQueries {
        |GROUP BY id ORDER BY node""".stripMargin
 
   // ------------------------------------------- Q56/Q57 PageRank + triangles
-  /** G11: PageRank over the sampled bipartite graph — float-iterative, so
-    * rows-only (SURVEY.md §2.12 bench-only family); top-20 by rank with a
-    * deterministic node tiebreak.
+  /** G11: PageRank over the sampled bipartite graph. r13 (r12 verdict
+    * directive #8): TOLERANCE-oracled instead of rows-only — ranks are
+    * emitted at a 1e-4 quantum (integer-scaled, so the compare is exact
+    * arithmetic, not float repr) against a DuckDB oracle that unrolls the
+    * same 10 power iterations and final mass normalization
+    * (GraphX-staticPageRank semantics: start 1.0, r' = 0.15 + 0.85·Σ
+    * inbound r/outDeg, final sum scaled to the vertex count). Float
+    * summation order differs engine-vs-oracle by ~1e-12 relative after 10
+    * iterations — four decimals of slack makes a boundary flip
+    * vanishingly unlikely while still pinning every rank value.
     */
   private def q56(s: SparkSession, dir: String): DataFrame =
     GraphAnalytics.pageRank(s, bipartiteEdges(s, dir, Some(97)), iters = 10)
-      .orderBy(col("rank").desc, col("node")).limit(20)
+      .select(col("node").cast(LongType).as("node"),
+        round(col("rank") * 10000).cast(LongType).as("rank_1e4"))
+      .orderBy("node")
+
+  private val q56Sql: String = {
+    val iters = (1 to 10).map { i =>
+      s"""r$i AS (
+         |  SELECT v.node, 0.15 + 0.85 * COALESCE(SUM(p.r / deg.d), 0) AS r
+         |  FROM v
+         |  LEFT JOIN e ON e.dst = v.node
+         |  LEFT JOIN r${i - 1} p ON p.node = e.src
+         |  LEFT JOIN deg ON deg.src = e.src
+         |  GROUP BY v.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  ${bipartiteEdgeSql("WHERE o_orderkey % 97 = 0")}
+       |), v AS (
+       |  SELECT src AS node FROM e UNION SELECT dst AS node FROM e
+       |), deg AS (
+       |  SELECT src, COUNT(*) AS d FROM e GROUP BY src
+       |), r0 AS (
+       |  SELECT node, CAST(1.0 AS DOUBLE) AS r FROM v
+       |),
+       |$iters
+       |SELECT CAST(node AS BIGINT) AS node,
+       |       CAST(ROUND(r * (SELECT COUNT(*) FROM v)
+       |            / (SELECT SUM(r) FROM r10) * 10000) AS BIGINT) AS rank_1e4
+       |FROM r10 ORDER BY node""".stripMargin
+  }
 
   /** G12: triangle count. A bipartite graph has none by construction, so
     * close customer–customer triangles instead: connect customers sharing a
@@ -283,6 +319,7 @@ object GraphQueries {
     "q32b_3hop_parttype" -> q32bSql,
     "q33_connected_components" -> q33Sql,
     "q34_bfs_distance" -> q34Sql,
+    "q56_pagerank" -> q56Sql,
     "q57_triangles" -> q57Sql
   )
 }

@@ -2923,6 +2923,25 @@ class CypherSpec extends SparkSpec {
       .getMessage.contains("relationship variable"))
   }
 
+  test("unknown functions reject loudly; the startNode(r).prop postfix still resolves") {
+    // r12 ADVICE: the property fallback used to fire for ANY unknown
+    // single-node-arg call, so a typo like c_name(c) silently returned a
+    // column instead of raising
+    assert(intercept[CypherEngine.CypherException](engine.run(
+      "MATCH (c:Customer) RETURN c_name(c) AS x LIMIT 1"))
+      .getMessage.contains("unsupported function"))
+    // the postfix parse Fn(prop, startNode(r)) resolves via the scoped
+    // endpoint-substitution retry, not a generic fallback
+    assert(engine.run(
+      """MATCH (c:Customer)<-[r:PLACED_BY]-(o:Order) WHERE o.o_orderkey = 1
+         RETURN endNode(r).c_name AS cn""").collect().length == 1)
+    // a typo'd postfix property rejects too
+    assert(intercept[CypherEngine.CypherException](engine.run(
+      """MATCH (c:Customer)<-[r:PLACED_BY]-(o:Order) WHERE o.o_orderkey = 1
+         RETURN endNode(r).no_such_prop AS cn"""))
+      .getMessage.contains("unsupported function"))
+  }
+
   test("label disjunction: write clauses and shortestPath reject loudly") {
     assert(intercept[CypherEngine.CypherException](engine.execute(
       "CREATE (x:Customer|Supplier {c_custkey: 999999}) RETURN x.c_custkey AS k"))
