@@ -4074,8 +4074,14 @@ object CypherEngine {
               case Some(m) => m.unionByName(matchedKeys).distinct()
               case None => matchedKeys
             }
-            store = store.copy(memberships =
-              store.memberships + ((l, label) -> merged))
+            // persist the provenance frame: it is re-read by EVERY later
+            // membership lift / labels() / MATCH on the label, and left
+            // lazy it re-pays its source scan + distinct per query
+            // (ProfileMembership measured 1.7 s/query at sf10); persisted
+            // it is a bounded broadcastable key set, materialized on
+            // first use
+            store = store.copy(memberships = store.memberships +
+              ((l, label) -> merged.persist(StorageLevel.MEMORY_AND_DISK)))
           }
         } else {
           if (l == label) throw CypherException(
@@ -4085,7 +4091,8 @@ object CypherEngine {
               "secondary label)")
           store.memberships.get((l, label)).foreach { m =>
             store = store.copy(memberships = store.memberships +
-              ((l, label) -> m.join(matchedKeys, Seq("__m_key"), "left_anti")))
+              ((l, label) -> m.join(matchedKeys, Seq("__m_key"), "left_anti")
+                .persist(StorageLevel.MEMORY_AND_DISK)))
           } // no provenance rows from v's label → no-op (Neo4j: the node
             // never had the label; native target nodes are NEVER touched)
         }
