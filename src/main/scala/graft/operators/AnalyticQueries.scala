@@ -350,19 +350,29 @@ object AnalyticQueries {
     * sketch value itself stays pinned by AnalyticSpec's relative-error
     * vector; only the deterministic projection is hash-compared.
     */
-  private def q55(s: SparkSession, dir: String): DataFrame =
-    T(s, dir, "lineitem").agg(
-      countDistinct(col("l_orderkey")).as("exact_orders"),
-      countDistinct(col("l_partkey")).as("exact_parts"),
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    val li = T(s, dir, "lineitem")
+    // sketches and exact distincts in SEPARATE aggregations (all 1-row
+    // frames, cross-joined): mixing countDistinct with HLL in one agg
+    // makes the single-distinct rewrite key its partial phase by the
+    // distinct column — an HLL buffer PER DISTINCT KEY (15M at sf10),
+    // which OOMs a 16g local JVM; two distinct columns in one agg would
+    // Expand (double) the fact scan instead. Separated, the exact counts
+    // run the classic two-phase dedup and the HLL agg holds exactly two
+    // buffers.
+    val o = li.agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+    val p = li.agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    val a = li.agg(
       approx_count_distinct(col("l_orderkey"), 0.01).as("__ao"),
       approx_count_distinct(col("l_partkey"), 0.01).as("__ap"))
-      .select(
-        col("exact_orders"),
-        col("exact_parts"),
-        when(abs(col("__ao") - col("exact_orders")) <=
-          col("exact_orders") * 0.023, "ok").otherwise("off").as("orders_est"),
-        when(abs(col("__ap") - col("exact_parts")) <=
-          col("exact_parts") * 0.023, "ok").otherwise("off").as("parts_est"))
+    o.crossJoin(p).crossJoin(a).select(
+      col("exact_orders"),
+      col("exact_parts"),
+      when(abs(col("__ao") - col("exact_orders")) <=
+        col("exact_orders") * 0.023, "ok").otherwise("off").as("orders_est"),
+      when(abs(col("__ap") - col("exact_parts")) <=
+        col("exact_parts") * 0.023, "ok").otherwise("off").as("parts_est"))
+  }
 
   // ------------------------------------------------------------------ registry
 
