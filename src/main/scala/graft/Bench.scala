@@ -26,23 +26,30 @@ object Bench {
   val CommittedTotalSec: Map[String, (Int, Double)] =
     Map("sf0.1" -> (138, 79.8), "sf1" -> (127, 122.4))
 
-  /** Per-SF certified record artifact (per-query times for the median-
-    * ratio clause; ADVICE r9: the guard previously anchored at sf0.1
-    * only, leaving sf1 slow-mode runs guarded by loadavg alone).
-    * Resolved against the first existing candidate so a bench launched
-    * from another CWD still finds the committed record.
+  /** Per-SF certified per-query ANCHOR for the median-ratio clause
+    * (ADVICE r9: the guard previously anchored at sf0.1 only, leaving
+    * sf1 slow-mode runs guarded by loadavg alone). A dedicated
+    * `BENCH_ANCHOR.<sf>.json` is preferred over the record artifact when
+    * present (ADVICE r13: the promoted r13 sf0.1 record is itself ~5%
+    * soft — it medianed 1.051 vs the prior anchors, the gate's exact
+    * edge, in a session-long slow window — so anchoring the detector on
+    * it would let a genuinely ~5%-contended future run compare clean.
+    * The anchor file is the r12-era certified-clean 127-query record,
+    * median 0.917; update it only when a run BOTH certifies clean AND
+    * medians ≤1.05 against the standing anchor). Resolved against the
+    * first existing candidate so a bench launched from another CWD still
+    * finds it.
     */
   def recordPath(sfName: String): Option[String] = {
-    val file = sfName match {
-      case "sf0.1" => Some("BENCH_FULL.json")
-      case "sf1" => Some("BENCH_FULL.sf1.json")
-      case _ => None
+    val files = sfName match {
+      case "sf0.1" => Seq("BENCH_ANCHOR.sf0.1.json", "BENCH_FULL.json")
+      case "sf1" => Seq("BENCH_ANCHOR.sf1.json", "BENCH_FULL.sf1.json")
+      case _ => Nil
     }
-    file.map { f =>
-      Seq(f, s"/root/repo/$f")
-        .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
-        .getOrElse(f)
-    }
+    if (files.isEmpty) None
+    else files.flatMap(f => Seq(f, s"/root/repo/$f"))
+      .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      .orElse(Some(files.last))
   }
 
   /** Per-query error marker for the bench artifact: a query that throws

@@ -485,6 +485,31 @@ object CypherEngine {
       }
       if (r != 0) r else x.length - y.length
     }
+    // label-tagged BFS keys (`(__l, __k)` structs, [[heteroDistDf]]):
+    // field-wise comparison in declaration order, nulls first — lets the
+    // tiny-graph single-task BFS serve heterogeneous walks too (r14,
+    // r13 verdict directive #3)
+    case st: StructType =>
+      val subs = st.fields.map(f => keyComparator(f.dataType))
+      if (subs.exists(_.isEmpty)) None
+      else {
+        val cs = subs.map(_.get)
+        Some { (a, b) =>
+          val ra = a.asInstanceOf[Row]
+          val rb = b.asInstanceOf[Row]
+          var i = 0
+          var r = 0
+          while (r == 0 && i < cs.length) {
+            val (x, y) = (ra.get(i), rb.get(i))
+            r = if (x == null && y == null) 0
+                else if (x == null) -1
+                else if (y == null) 1
+                else cs(i)(x, y)
+            i += 1
+          }
+          r
+        }
+      }
     case _ => None
   }
 
@@ -945,8 +970,12 @@ object CypherEngine {
       def applyHead(v: String, pat: NodePat): Unit = {
         // a `(v:A|B)` head forks the enumeration per alternative — each
         // branch proceeds with the label FIXED, so shared uses of v across
-        // paths stay consistent and hop fitting narrows per branch
-        if (pat.alts.nonEmpty) {
+        // paths stay consistent and hop fitting narrows per branch. A pat
+        // carrying BOTH label and alts is an already-decomposed branch
+        // (shortestPath endpoint disjunction keeps the alternative list so
+        // bind sites can compute sibling/earlier-branch exclusions) — the
+        // label decides, no re-fork
+        if (pat.alts.nonEmpty && pat.label.isEmpty) {
           pat.alts.filterNot(l => store.schema.nodes.exists(_.name == l))
             .foreach(l => throw CypherException(s"unknown node label: $l"))
           states = states.flatMap { case (labels, forked, acc) =>
@@ -1057,11 +1086,24 @@ object CypherEngine {
       * EDGES in key joins (SURVEY M44).
       */
     private def labelFrame(label: String,
-        excludeSrcs: Set[String] = Set.empty): DataFrame = {
+        excludeSrcs: Set[String] = Set.empty,
+        /** Per-SOURCE key exclusion (finer than `excludeSrcs`): membership
+          * rows whose `__m_key` appears in any of the listed frames are
+          * dropped from this label's derivation. Used by disjunction
+          * branches to keep a THIRD-PARTY source's members — nodes SET
+          * into several alternatives — in exactly the first alternative
+          * that holds them (r13 ADVICE: full-source exclusion either
+          * double-counted such members or dropped them everywhere). All
+          * frames are in the source's keyspace, so the anti-joins are
+          * exact — no cross-keyspace string compare.
+          */
+        excludeKeys: Map[String, Seq[DataFrame]] = Map.empty): DataFrame = {
       val native = store.nodes.getOrElse(label,
         throw CypherException(s"unknown node label: $label"))
       val pairs = store.memberships.collect {
-        case ((t, s), m) if t == label && !excludeSrcs.contains(s) => (s, m)
+        case ((t, s), m) if t == label && !excludeSrcs.contains(s) =>
+          (s, excludeKeys.getOrElse(s, Nil)
+            .foldLeft(m)((d, ex) => d.join(ex, Seq("__m_key"), "left_anti")))
       }.toSeq.sortBy(_._1)
       if (pairs.isEmpty) native
       else {
@@ -1090,10 +1132,88 @@ object CypherEngine {
       * the alternatives it satisfies.
       */
     private def nodeDf(variable: String, label: String,
-        excludeSrcs: Set[String] = Set.empty): DataFrame = {
-      val df = labelFrame(label, excludeSrcs)
+        excludeSrcs: Set[String] = Set.empty,
+        excludeKeys: Map[String, Seq[DataFrame]] = Map.empty): DataFrame = {
+      val df = labelFrame(label, excludeSrcs, excludeKeys)
       df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"${variable}__$c"))
     }
+
+    /** Source exclusions for the `label` branch of an ordered disjunction
+      * `alts` — both the exact rule for which branch enumerates which node:
+      *  - a SIBLING alternative's members are fully excluded (native
+      *    sibling nodes match through their own branch, and a sibling-
+      *    sourced member IS such a node);
+      *  - a third-party source's members are excluded from this branch iff
+      *    the same source keys are members of an EARLIER alternative —
+      *    per-KEY, so a node SET into alternatives 1 and 2 matches once
+      *    (in 1) while a node SET only into 2 still matches in 2
+      *    (r13 ADVICE: the source-granular rule couldn't separate them).
+      * Neo4j matches each node once however many alternatives it
+      * satisfies; declaration order makes our choice deterministic.
+      */
+    private def disjunctionExcludes(alts: Seq[String], label: String)
+        : (Set[String], Map[String, Seq[DataFrame]]) = {
+      if (alts.isEmpty) return (Set.empty, Map.empty)
+      val sibs = alts.toSet - label
+      val earlier = alts.take(math.max(alts.indexOf(label), 0))
+      val keyEx = store.memberships.keysIterator.collect {
+        case (t, s) if t == label && !sibs.contains(s) &&
+            earlier.exists(e => store.memberships.contains((e, s))) => s
+      }.toSeq.distinct.map { s =>
+        s -> earlier.flatMap(e => store.memberships.get((e, s)))
+      }.toMap
+      (sibs, keyEx)
+    }
+
+    /** Key frames (one column `__mk`, rendered in `src`'s keyspace) whose
+      * presence on a row bound through label `src` means "this row holds
+      * label `l`" — the read side of the provenance design:
+      *  1. direct: keys SET under `(l, src)`;
+      *  2. chained (r14): rows of src's frame that are themselves members
+      *     DERIVED from another source s2 (pair `(src, s2)`) hold `l` when
+      *     their source node is SET under `(l, s2)` — the true-source pair
+      *     [[setLabels]] records for chained mutations;
+      *  3. primary: a member derived from s2 natively holds s2 itself, so
+      *     `v:s2` is TRUE for those rows (Neo4j's one-node-many-labels —
+      *     previously they read false through the target binding).
+      * Chained/primary frames map the s2 keys into src's keyspace with the
+      * same cast [[labelFrame]] used to derive the rows, so the join is
+      * exact wherever the derivation was. Empty for every label never
+      * touched by label mutation.
+      */
+    private def memberKeyFrames(src: String, l: String): Seq[DataFrame] = {
+      if (l == src) return Nil
+      val direct = store.memberships.get((l, src))
+        .map(_.select(col("__m_key").as("__mk"))).toSeq
+      val srcKeyType = store.nodes(src).schema(store.schema.node(src).key).dataType
+      val chained = store.memberships.keysIterator.collect {
+        case (t, s2) if t == src && s2 != src => s2
+      }.toSeq.distinct.sorted.flatMap { s2 =>
+        val snt2 = store.schema.node(s2)
+        val src2 = store.nodes(s2)
+        val m = store.memberships((src, s2))
+        val inFrame = src2.join(m,
+          src2(snt2.key).cast(StringType) === m("__m_key"), "left_semi")
+        val holdsL =
+          if (s2 == l) Some(inFrame) // the member's own primary label
+          else store.memberships.get((l, s2)).map { m2 =>
+            inFrame.join(m2,
+              inFrame(snt2.key).cast(StringType) === m2("__m_key"),
+              "left_semi")
+          }
+        holdsL.map(_.select(col(snt2.key).cast(srcKeyType).cast(StringType)
+          .as("__mk")).na.drop().distinct())
+      }
+      direct ++ chained
+    }
+
+    /** Cheap existence test matching [[memberKeyFrames]] — the lift gate. */
+    private def memberFramesExist(src: String, l: String): Boolean =
+      l != src && (store.memberships.contains((l, src)) ||
+        store.memberships.keysIterator.exists { case (t, s2) =>
+          t == src && s2 != src &&
+            (s2 == l || store.memberships.contains((l, s2)))
+        })
 
     /** (src,dst) pairs reachable in lo..hi hops over a TYPE GROUP — bounded
       * var-length closure as an incremental frontier expansion (one row per
@@ -1579,7 +1699,8 @@ object CypherEngine {
             pat.label.getOrElse(throw CypherException(
               s"cannot infer label for ($variable) — annotate it or use a typed relationship")))
           labels(variable) = label
-          val nd = nodeDf(variable, label, pat.alts.toSet - label)
+          val (sibs, keyEx) = disjunctionExcludes(pat.alts, label)
+          val nd = nodeDf(variable, label, sibs, keyEx)
           df = if (df == null) nd else df.crossJoin(nd)
           bound += variable
         }
@@ -1592,7 +1713,8 @@ object CypherEngine {
         val label = labels.getOrElse(variable,
           pat.label.getOrElse(throw CypherException(s"cannot infer label for ($variable)")))
         labels(variable) = label
-        df = df.join(nodeDf(variable, label, pat.alts.toSet - label),
+        val (sibs, keyEx) = disjunctionExcludes(pat.alts, label)
+        df = df.join(nodeDf(variable, label, sibs, keyEx),
           col(joinKey) === col(s"${variable}__${store.schema.node(label).key}"))
         bound += variable
         labelConflictFilter(variable, pat)
@@ -1897,39 +2019,74 @@ object CypherEngine {
       // tags the diverged endpoint, like any interpretation fork. A
       // branch no relationship fits is silently dropped (same rule as
       // [[enumerate]]); all-dropped rethrows the first error.
-      if (path.head.alts.nonEmpty || dstPat.alts.nonEmpty) {
-        if (optional) throw CypherException(
-          "OPTIONAL MATCH shortestPath endpoints cannot use a label " +
-            "disjunction — run one OPTIONAL MATCH per label")
-        val altSet = (path.head.alts ++ dstPat.alts).toSet
-        // a membership link BETWEEN alternatives would enumerate the
-        // shared nodes in both branches (per-node dedup needs the bind
-        // sites' sibling exclusion, which the BFS endpoint join bypasses)
-        if (store.memberships.keys.exists { case (t, s) =>
-            altSet.contains(t) && altSet.contains(s) })
-          throw CypherException(
-            "shortestPath endpoint disjunction over labels linked by " +
-              "SET-label membership is not supported — constrain the " +
-              "endpoint to a single label")
+      // endpoint disjunction decomposition fires only for pats with NO
+      // resolved label yet — already-decomposed branch pats keep their
+      // alternative list (bind sites derive sibling/earlier-branch member
+      // exclusions from it) but carry the chosen label
+      val headDis = path.head.alts.nonEmpty && path.head.label.isEmpty
+      val dstDis = dstPat.alts.nonEmpty && dstPat.label.isEmpty
+      if (headDis || dstDis) {
+        // memberships linking the alternatives no longer reject (r13
+        // verdict directive #5): each branch's head bind and far-endpoint
+        // join run with [[disjunctionExcludes]], so a node reached through
+        // several alternatives is enumerated by exactly one branch — the
+        // per-pair BFS minima stay disjoint across branches
         Seq((aVar, path.head.alts), (bVar, dstPat.alts)).foreach { case (v, as) =>
           if (as.nonEmpty && state.exists(_._2.labels.contains(v)))
             throw CypherException(
               s"shortestPath endpoint $v is already bound — drop the " +
                 "label disjunction (the binding fixed its label)")
         }
+        if (optional) {
+          // the head is pre-bound under OPTIONAL (enforced above) and a
+          // bound endpoint rejects a disjunction (just above), so only the
+          // DST carries alternatives here. Per-branch left joins would
+          // emit one null row PER BRANCH for a fully-unmatched enclosing
+          // row where Neo4j emits exactly one — instead run the
+          // decomposition NON-optional over the DISTINCT head binding and
+          // null-extend with ONE left join back onto the enclosing frame
+          // (null-safe on EVERY head column, so the row identity is exact
+          // even when the head frame is not key-unique). Head props filter
+          // only the matched side — the branch bind applies them to the
+          // reduced frame, never to the enclosing rows.
+          val (df0, ctx0) = state.get
+          val aLabel0 = ctx0.labels(aVar)
+          val aCols = df0.columns.filter(_.startsWith(s"${aVar}__")).toSeq
+          val dfA = df0.select(aCols.map(col): _*).distinct()
+          val ctxA = Ctx(labels = Map(aVar -> aLabel0), rels = Map.empty)
+          val (dfM, ctxM) = shortestPathRead(Some((dfA, ctxA)), pv, path,
+            all, needNodes, needRels, optional = false)
+          val pfx = "__osp_"
+          val renamed = aCols.foldLeft(dfM)((d, c) =>
+            d.withColumnRenamed(c, pfx + c))
+          val cond = aCols.map(c => col(c) <=> col(pfx + c)).reduce(_ && _)
+          val joined = df0.join(renamed, cond, "left_outer")
+            .drop(aCols.map(pfx + _): _*)
+          return (joined, ctx0.copy(
+            labels = ctx0.labels ++ (ctxM.labels - aVar),
+            rels = ctx0.rels ++ ctxM.rels,
+            plains = ctx0.plains ++ ctxM.plains,
+            paths = ctx0.paths ++ ctxM.paths,
+            strLists = ctx0.strLists ++ ctxM.strLists,
+            pathRels = ctx0.pathRels ++ ctxM.pathRels,
+            pathRelSeqs = ctx0.pathRelSeqs ++ ctxM.pathRelSeqs,
+            multi = ctx0.multi ++ ctxM.multi,
+            multiRels = ctx0.multiRels ++ ctxM.multiRels,
+            multiRelEnds = ctx0.multiRelEnds ++ ctxM.multiRelEnds,
+            nullable = ctx0.nullable ++ (ctxM.labels.keySet - aVar) ++
+              ctxM.multi.keySet))
+        }
         val heads: Seq[Option[String]] =
-          if (path.head.alts.nonEmpty) path.head.alts.map(Some(_))
-          else Seq(path.head.label)
+          if (headDis) path.head.alts.map(Some(_)) else Seq(path.head.label)
         val dsts: Seq[Option[String]] =
-          if (dstPat.alts.nonEmpty) dstPat.alts.map(Some(_))
-          else Seq(dstPat.label)
+          if (dstDis) dstPat.alts.map(Some(_)) else Seq(dstPat.label)
         var firstErr: Option[CypherException] = None
         val built = for {
           hl <- heads
           dl <- dsts
           r <- try Some(shortestPathRead(state, pv,
-                 PathPat(path.head.copy(label = hl, alts = Nil),
-                   Seq((rel, dstPat.copy(label = dl, alts = Nil)))),
+                 PathPat(path.head.copy(label = hl),
+                   Seq((rel, dstPat.copy(label = dl)))),
                  all, needNodes, needRels, optional))
                catch {
                  case e: CypherException
@@ -2020,7 +2177,8 @@ object CypherEngine {
         }
         var ctx2 = ctx1
         if (!bBound) {
-          p = p.join(nodeDf(bVar, bLabel),
+          val (dSibs, dKeyEx) = disjunctionExcludes(dstPat.alts, bLabel)
+          p = p.join(nodeDf(bVar, bLabel, dSibs, dKeyEx),
             col("__dd.__k") === k(col(s"${bVar}__${store.schema.node(bLabel).key}")))
           ctx2 = ctx1.copy(labels = ctx1.labels + (bVar -> bLabel))
           dstPat.props.foreach { case (pn, v) =>
@@ -2107,7 +2265,8 @@ object CypherEngine {
       }
       var ctx2 = ctx1
       if (!bBound) {
-        p = p.join(nodeDf(bVar, bLabel),
+        val (dSibs, dKeyEx) = disjunctionExcludes(dstPat.alts, bLabel)
+        p = p.join(nodeDf(bVar, bLabel, dSibs, dKeyEx),
           col("__dd") === col(s"${bVar}__${store.schema.node(bLabel).key}"))
         ctx2 = ctx1.copy(labels = ctx1.labels + (bVar -> bLabel))
         dstPat.props.foreach { case (k, v) =>
@@ -2179,6 +2338,9 @@ object CypherEngine {
       // re-deriving it per query; inline props bypass (query-specific
       // edge sets), and oversized stores take the uncached build — the
       // r7 "don't persist per-query derivations" rule still governs those.
+      bfsMemoized(("scalar", System.identityHashCode(store),
+        ets.map(_.label), lo, hi, undirected, reversed, keepAll, withPath,
+        withRels, props, seeds0.queryExecution.analyzed.canonicalized)) {
       val e0 =
         if (props.nonEmpty) build(withRels)
         else {
@@ -2206,23 +2368,23 @@ object CypherEngine {
       // node paths only, and a type-disjunction relationships(p) query is
       // a path-materializing shape, not the high-QPS scalar case the gate
       // exists for
-      if (lo == 1 && !withRels && keyComparator(keyType).isDefined) {
-        // exact, not an estimate: base unions the full member-type frames
-        // (doubled under the undirected union), so the store's memoized
-        // per-type counts replace the per-query O(edges) sizing scan
-        val edgeCnt = ets.map(et => store.edgeCount(et.label)).sum *
-          (if (undirected) 2L else 1L)
-        if (edgeCnt <= edgeCap &&
-            (seeds.count() + 1L) * (edgeCnt + 1L) <= LocalPathWorkCap) {
-          val out = localDist(e0, seeds, hi, keyType, keepAll, withPath)
-            .localCheckpoint(true)
-          seeds.unpersist(false)
-          return out
-        }
-      }
-      val out = bfsFrames(e0, seeds, lo, hi, keepAll, withPath, withRels)
+      val local =
+        if (lo == 1 && !withRels && keyComparator(keyType).isDefined) {
+          // exact, not an estimate: base unions the full member-type frames
+          // (doubled under the undirected union), so the store's memoized
+          // per-type counts replace the per-query O(edges) sizing scan
+          val edgeCnt = ets.map(et => store.edgeCount(et.label)).sum *
+            (if (undirected) 2L else 1L)
+          edgeCnt <= edgeCap &&
+            (seeds.count() + 1L) * (edgeCnt + 1L) <= LocalPathWorkCap
+        } else false
+      val out =
+        if (local) localDist(e0, seeds, hi, keyType, keepAll, withPath)
+          .localCheckpoint(true)
+        else bfsFrames(e0, seeds, lo, hi, keepAll, withPath, withRels)
       seeds.unpersist(false)
       out
+      }
     }
 
     /** Shared bound validation for the shortestPath family. An open upper
@@ -2330,18 +2492,57 @@ object CypherEngine {
       // query; one persisted union (always carrying __rt — a drop is a
       // projection over the same cached blocks) now serves them all.
       // Oversized stores keep the r7 uncached per-level-scan shape.
-      val e0 =
-        if (props.nonEmpty) build(withRels)
-        else {
-          val u = cachedUnion(s"hetero:$mixedKeys", ets)(build(withRt = true))
-          if (withRels) u else u.drop("__rt")
-        }
-      val seeds = seeds0.select(tag(seedLabel, col("__seed")).as("__seed"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val out = bfsFrames(e0, seeds, lo, hi, keepAll, withPath, withRels)
-      seeds.unpersist(false)
-      out
+      bfsMemoized(("hetero", System.identityHashCode(store),
+        ets.map(_.label), lo, hi, seedLabel, keepAll, withPath, withRels,
+        props, seeds0.queryExecution.analyzed.canonicalized)) {
+        val e0 =
+          if (props.nonEmpty) build(withRels)
+          else {
+            val u = cachedUnion(s"hetero:$mixedKeys", ets)(build(withRt = true))
+            if (withRels) u else u.drop("__rt")
+          }
+        val seeds = seeds0.select(tag(seedLabel, col("__seed")).as("__seed"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // same adaptive strategy as [[distDf]] (r14): a dimension-sized
+        // tagged union spends its wall-time on per-level job scheduling,
+        // not compute — under the edge cap and the seed×edge work budget
+        // the whole BFS runs inside ONE task (the struct comparator
+        // handles the tagged keys; an Unbounded hi still terminates —
+        // the local loop exits on frontier exhaustion)
+        val keyType = e0.schema("__ds").dataType
+        val edgeCap = e0.sparkSession.conf
+          .getOption(LocalPathEdgeCapKey).map(_.toLong).getOrElse(LocalPathEdgeCap)
+        val local =
+          if (lo == 1 && !withRels && keyComparator(keyType).isDefined) {
+            val edgeCnt = ets.map(et => store.edgeCount(et.label)).sum * 2L
+            edgeCnt <= edgeCap &&
+              (seeds.count() + 1L) * (edgeCnt + 1L) <= LocalPathWorkCap
+          } else false
+        val out =
+          if (local) localDist(e0, seeds, hi, keyType, keepAll, withPath)
+            .localCheckpoint(true)
+          else bfsFrames(e0, seeds, lo, hi, keepAll, withPath, withRels)
+        seeds.unpersist(false)
+        out
+      }
     }
+
+    /** Per-compilation BFS memo (r14; closes the r13 verdict's directive
+      * #3): the per-label branches of an endpoint disjunction run the
+      * SAME seeded BFS and differ only in the far-endpoint label filter
+      * applied AFTER it, so the (eagerly checkpointed) distance frame is
+      * shared instead of recomputed per branch — q128's two branches, and
+      * q131/q132's, now pay for one BFS. Keyed on every BFS parameter
+      * plus the seed plan's structural identity (the decomposition
+      * rebuilds the head frame from the same enclosing state, so the
+      * canonicalized plans are equal) and the store's object identity (a
+      * mid-statement write builds a new store, invalidating naturally).
+      * Values are checkpointed frames — reuse is a block read, not a
+      * recompute.
+      */
+    private val bfsMemo = scala.collection.mutable.Map[Any, DataFrame]()
+    private def bfsMemoized(key: Any)(build: => DataFrame): DataFrame =
+      bfsMemo.getOrElseUpdate(key, build)
 
     /** The distributed BFS shared by [[distDf]] and [[heteroDistDf]]:
       * multi-source, frontier-disciplined, path-carrying. `e0` is a
@@ -3822,10 +4023,72 @@ object CypherEngine {
             .otherwise(
               ocMap.get(p).orElse(setMap.get(p)).map(e => columnL(e, ctxN, Map.empty))
                 .getOrElse(lit(null)))
-      val incoming = joined.select(
-        pat.props.map { case (p, e) => column(e, ctx).as(p) } ++
-          touched.map(p => valueOf(p).as(p)): _*)
-      store = GraphWriter.mergeNodes(store, label, incoming, mergeKeys)
+      // membership routing (r13 verdict directive #4 — closes §2.15
+      // deviation 6): a MERGE on a label holding membership-derived rows
+      // can MATCH a member, whose true home is another source store —
+      // upserting it into the TARGET store would fabricate a native
+      // duplicate of a node that already exists. Mark each matched row's
+      // provenance (native / per-source member, by the same key rendering
+      // the derivation used; on a key-value collision both claim the row,
+      // §2.15 deviation 2), send created + native-matched rows through the
+      // target upsert, and route member updates to their SOURCE-store rows
+      // (the provenance pair names the store; shared-name semantics make
+      // the update visible back through the target label). A touched
+      // property with no home in a matched member's source store rejects
+      // loudly — written-but-invisible would be worse.
+      val inboundSrcs = store.memberships.keysIterator
+        .collect { case (t, s) if t == label => s }.toSeq.distinct.sorted
+      if (inboundSrcs.isEmpty || existedCols.isEmpty) {
+        val incoming = joined.select(
+          pat.props.map { case (p, e) => column(e, ctx).as(p) } ++
+            touched.map(p => valueOf(p).as(p)): _*)
+        store = GraphWriter.mergeNodes(store, label, incoming, mergeKeys)
+      } else {
+        val nt = store.schema.node(label)
+        val keyRen = col(s"${v}__${nt.key}").cast(StringType)
+        val tgtType = store.nodes(label).schema(nt.key).dataType
+        val natM = "__mrg_nat"
+        var marked = joined.join(
+          store.nodes(label)
+            .select(col(nt.key).cast(StringType).as(natM)).distinct(),
+          keyRen === col(natM), "left_outer")
+        val memCols = inboundSrcs.map { s =>
+          val snt = store.schema.node(s)
+          val srcDf = store.nodes(s)
+          val m = store.memberships((label, s))
+          val ren = s"__mrg_ren_$s"
+          val sk = s"__mrg_key_$s"
+          val sKeys = srcDf
+            .join(m, srcDf(snt.key).cast(StringType) === m("__m_key"),
+              "left_semi")
+            .select(col(snt.key).cast(tgtType).cast(StringType).as(ren),
+              col(snt.key).as(sk))
+          marked = marked.join(sKeys, keyRen === col(ren), "left_outer")
+          (s, ren, sk)
+        }
+        memCols.foreach { case (s, ren, _) =>
+          val missing = touched.filterNot(store.nodes(s).columns.contains)
+          if (missing.nonEmpty &&
+              !marked.filter(matched && col(ren).isNotNull).isEmpty)
+            throw CypherException(
+              s"MERGE (:$label) ON MATCH/SET touches ${missing.mkString(", ")} " +
+                s"— matched membership-derived rows from :$s carry no such " +
+                "stored property (mutate them through their own label)")
+        }
+        val incoming = marked.filter(!matched || col(natM).isNotNull).select(
+          pat.props.map { case (p, e) => column(e, ctx).as(p) } ++
+            touched.map(p => valueOf(p).as(p)): _*)
+        store = GraphWriter.mergeNodes(store, label, incoming, mergeKeys)
+        memCols.foreach { case (s, ren, sk) =>
+          if (touched.nonEmpty) {
+            val snt = store.schema.node(s)
+            val incomingS = marked.filter(matched && col(ren).isNotNull)
+              .select(col(sk).as(snt.key) +:
+                touched.map(p => valueOf(p).as(p)): _*)
+            store = GraphWriter.mergeNodes(store, s, incomingS, Seq(snt.key))
+          }
+        }
+      }
       // refresh the binding in place: merge keys from the pattern exprs
       // (covers created rows, whose store-side columns are null), touched
       // properties from the same value expressions the store got
@@ -4058,43 +4321,112 @@ object CypherEngine {
       val matchedKeys = df.select(
         col(s"${v}__${nt.key}").cast(StringType).as("__m_key"))
         .na.drop().distinct()
-      ls.foreach { l =>
-        if (add) {
-          if (l != label) { // Neo4j: SET of a label the node has is a no-op
-            if (!store.schema.nodes.exists(_.name == l)) {
-              // brand-new label: a node type cloning v's schema, native
-              // store EMPTY — every row of the label is membership-derived
-              store = store.copy(
-                schema = store.schema.copy(nodes = store.schema.nodes :+
-                  NodeType(l, nt.key, properties = nt.properties,
-                    keyUnique = true)),
-                nodes = store.nodes + (l -> store.nodes(label).limit(0)))
-            }
-            val merged = store.memberships.get((l, label)) match {
-              case Some(m) => m.unionByName(matchedKeys).distinct()
-              case None => matchedKeys
-            }
-            // persist the provenance frame: it is re-read by EVERY later
-            // membership lift / labels() / MATCH on the label, and left
-            // lazy it re-pays its source scan + distinct per query
-            // (ProfileMembership measured 1.7 s/query at sf10); persisted
-            // it is a bounded broadcastable key set, materialized on
-            // first use
-            store = store.copy(memberships = store.memberships +
-              ((l, label) -> merged.persist(StorageLevel.MEMORY_AND_DISK)))
+      // Provenance resolution (r13 ADVICE): when the bound label itself
+      // holds membership-derived rows, a matched key may belong to a
+      // member whose TRUE home is another source store — recording it
+      // under (l, label) would point the provenance at the wrong store
+      // (the member silently drops from the new label, or a colliding
+      // native node is fabricated as a member). Partition the matched
+      // keys: keys present in the NATIVE store write under (l, label);
+      // for each inbound pair (label, s) the member keys whose target
+      // rendering matched write under (l, s) with their ORIGINAL
+      // source-keyspace keys. On a key-value collision both partitions
+      // claim the key — both rows matched (§2.15 deviation 2's
+      // key-linked identity). No inbound memberships — every ordinary
+      // store — keeps the old single-pair path untouched.
+      val inbound = store.memberships.keysIterator
+        .collect { case (t, s) if t == label => s }.toSeq.distinct.sorted
+      val perSource: Seq[(String, DataFrame)] =
+        if (inbound.isEmpty) Seq(label -> matchedKeys)
+        else {
+          val native = matchedKeys.join(
+            store.nodes(label)
+              .select(col(nt.key).cast(StringType).as("__m_key")),
+            Seq("__m_key"), "left_semi")
+          val tgtType = store.nodes(label).schema(nt.key).dataType
+          val members = inbound.map { s =>
+            val snt = store.schema.node(s)
+            val srcDf = store.nodes(s)
+            val m = store.memberships((label, s))
+            s -> srcDf
+              .join(m, srcDf(snt.key).cast(StringType) === m("__m_key"),
+                "left_semi")
+              .select(col(snt.key).cast(tgtType).cast(StringType)
+                  .as("__t_key"),
+                col(snt.key).cast(StringType).as("__m_key"))
+              .join(matchedKeys.withColumnRenamed("__m_key", "__t_key"),
+                Seq("__t_key"), "left_semi")
+              .select("__m_key").distinct()
           }
-        } else {
+          (label -> native) +: members
+        }
+      ls.foreach { l =>
+        if (!add) {
           if (l == label) throw CypherException(
             s"REMOVE $v:$l would leave the node label-less — the " +
               "fixed-schema store keys every node to exactly one primary " +
               "label (use DETACH DELETE to drop the node, or REMOVE a " +
               "secondary label)")
-          store.memberships.get((l, label)).foreach { m =>
-            store = store.copy(memberships = store.memberships +
-              ((l, label) -> m.join(matchedKeys, Seq("__m_key"), "left_anti")
-                .persist(StorageLevel.MEMORY_AND_DISK)))
-          } // no provenance rows from v's label → no-op (Neo4j: the node
-            // never had the label; native target nodes are NEVER touched)
+          // a membership-derived row natively holds ITS source label: if
+          // any matched member came from source l, REMOVE v:l targets
+          // that row's PRIMARY label — same label-less hazard, runtime-
+          // gated so native-only matches keep working
+          perSource.collectFirst { case (s, keys) if s == l && s != label =>
+            keys }.foreach { keys =>
+            if (!keys.isEmpty) throw CypherException(
+              s"REMOVE $v:$l matches membership-derived rows whose " +
+                s"primary label IS $l — removing it would leave them " +
+                "label-less (use DETACH DELETE, or match them through " +
+                "their own label)")
+          }
+        }
+        perSource.foreach { case (src, keys) =>
+          if (add) {
+            // SET of a label the node natively holds is a no-op (Neo4j).
+            // On the partitioned path an empty partition writes NO pair —
+            // a (l, src) entry with zero keys would join src's store into
+            // every later labelFrame(l)/lift for nothing (the runtime
+            // isEmpty probe only runs when inbound memberships exist;
+            // the common single-partition path stays action-free).
+            if (l != src && (inbound.isEmpty || !keys.isEmpty)) {
+              if (!store.schema.nodes.exists(_.name == l)) {
+                // brand-new label: a node type cloning v's schema, native
+                // store EMPTY — every row is membership-derived
+                store = store.copy(
+                  schema = store.schema.copy(nodes = store.schema.nodes :+
+                    NodeType(l, nt.key, properties = nt.properties,
+                      keyUnique = true)),
+                  nodes = store.nodes + (l -> store.nodes(label).limit(0)))
+              }
+              val old = store.memberships.get((l, src))
+              val merged = old match {
+                case Some(m) => m.unionByName(keys).distinct()
+                case None => keys
+              }
+              // persist the provenance frame: it is re-read by EVERY
+              // later membership lift / labels() / MATCH on the label,
+              // and left lazy it re-pays its source scan + distinct per
+              // query (ProfileMembership measured 1.7 s/query at sf10);
+              // persisted it is a bounded broadcastable key set,
+              // materialized on first use. The superseded frame's blocks
+              // are released (its lineage stays valid under the new
+              // frame — unpersist never truncates lineage), so repeated
+              // mutations in one session don't accumulate orphaned
+              // cached RDDs (r13 ADVICE).
+              store = store.copy(memberships = store.memberships +
+                ((l, src) -> merged.persist(StorageLevel.MEMORY_AND_DISK)))
+              old.foreach(_.unpersist(false))
+            }
+          } else {
+            store.memberships.get((l, src)).foreach { m =>
+              store = store.copy(memberships = store.memberships +
+                ((l, src) -> m.join(keys, Seq("__m_key"), "left_anti")
+                  .persist(StorageLevel.MEMORY_AND_DISK)))
+              m.unpersist(false)
+            } // no provenance rows from this source → no-op (Neo4j: the
+              // node never had the label; native target nodes are NEVER
+              // touched)
+          }
         }
       }
       (df, ctx)
@@ -4757,17 +5089,21 @@ object CypherEngine {
         val src = ctx.labels(v)
         val keyCol = col(s"${v}__${store.schema.node(src).key}")
         Var(memberCol(v, l) { alias =>
-          store.memberships.get((l, src)) match {
-            case Some(m) =>
-              val mk = s"${alias}_k"
-              df = df.join(m.withColumnRenamed("__m_key", mk),
-                  keyCol.cast(StringType) === col(mk), "left_outer")
-                .withColumn(alias, when(keyCol.isNotNull, col(mk).isNotNull))
-                .drop(mk)
-            case None =>
-              // l was mutated from OTHER source labels only: no provenance
-              // links v's keyspace, so a non-null v is simply not a member
-              df = df.withColumn(alias, when(keyCol.isNotNull, lit(false)))
+          val frames = memberKeyFrames(src, l)
+          if (frames.isEmpty)
+            // no provenance links v's keyspace (directly or through a
+            // chain), so a non-null v is simply not a member
+            df = df.withColumn(alias, when(keyCol.isNotNull, lit(false)))
+          else {
+            val flags = frames.zipWithIndex.map { case (f, i) =>
+              val mk = s"${alias}_k$i"
+              df = df.join(f.withColumnRenamed("__mk", mk),
+                keyCol.cast(StringType) === col(mk), "left_outer")
+              (col(mk).isNotNull, mk)
+            }
+            df = df.withColumn(alias,
+                when(keyCol.isNotNull, flags.map(_._1).reduce(_ || _)))
+              .drop(flags.map(_._2): _*)
           }
         })
       }
@@ -4777,15 +5113,15 @@ object CypherEngine {
         val keyStr = coalesce(srcs.map(s =>
           col(s"${v}__${store.schema.node(s).key}").cast(StringType)): _*)
         Var(memberCol(v, l) { alias =>
-          val flagged = srcs.filter(s => store.memberships.contains((l, s)))
-            .map { s =>
+          val flagged = srcs.flatMap { s =>
+            memberKeyFrames(s, l).map { f =>
               cbCounter += 1
               val mk = s"__cb${cbCounter}_mk"
-              df = df.join(
-                store.memberships((l, s)).withColumnRenamed("__m_key", mk),
+              df = df.join(f.withColumnRenamed("__mk", mk),
                 tagCol === lit(s) && keyStr === col(mk), "left_outer")
               (col(mk).isNotNull, mk)
             }
+          }
           val inBranch: Column =
             if (srcs.contains(l)) tagCol === lit(l) else lit(false)
           df = df
@@ -4800,19 +5136,23 @@ object CypherEngine {
         */
       def liftLabels(v: String): Expr = {
         val single = ctx.labels.contains(v)
+        // candidate secondary labels: every membership target reachable
+        // from v's binding — directly, through a chain, or the member
+        // rows' own primary labels (r14; [[memberKeyFrames]] cases 2-3)
+        def targetsOf(srcs: Seq[String]): Seq[String] = {
+          val all = store.memberships.keysIterator.map(_._1).toSeq ++
+            store.memberships.keysIterator.map(_._2).toSeq
+          all.distinct.sorted.filter(t =>
+            srcs.exists(s => memberFramesExist(s, t)))
+        }
         val (primary, nullSentinel, targets) =
           if (single) {
             val src = ctx.labels(v)
             (lit(src), col(s"${v}__${store.schema.node(src).key}"),
-              store.memberships.keysIterator.collect {
-                case (t, s) if s == src => t
-              }.toSeq.distinct.sorted)
+              targetsOf(Seq(src)))
           } else {
             val srcs = ctx.multi(v)
-            (col(labelColOf(v)), col(labelColOf(v)),
-              store.memberships.keysIterator.collect {
-                case (t, s) if srcs.contains(s) => t
-              }.toSeq.distinct.sorted)
+            (col(labelColOf(v)), col(labelColOf(v)), targetsOf(srcs))
           }
         val parts = targets.map { t =>
           val Var(a) = (if (single) membership(v, t)
@@ -4829,38 +5169,38 @@ object CypherEngine {
       }
       def relevantMulti(v: String, ls: Seq[String]): Boolean =
         ctx.multi.contains(v) &&
-          ls.exists(l => ctx.multi(v).exists(s => store.memberships.contains((l, s))))
+          ls.exists(l => ctx.multi(v).exists(s => memberFramesExist(s, l)))
       def go(e: Expr): Expr = e match {
         case HasLabel(v, ls) if ctx.labels.contains(v) &&
-            ls.exists(l => l != ctx.labels(v) && store.mutatedLabels.contains(l)) =>
+            ls.exists(l => memberFramesExist(ctx.labels(v), l)) =>
           ls.map { l =>
-            if (l == ctx.labels(v) || !store.mutatedLabels.contains(l))
-              HasLabel(v, Seq(l)): Expr
-            else membership(v, l)
+            if (memberFramesExist(ctx.labels(v), l)) membership(v, l)
+            else HasLabel(v, Seq(l)): Expr // own label / unlinked: constant
           }.reduce((a, b) => Bin("and", a, b))
         case HasLabel(v, ls) if relevantMulti(v, ls) =>
           ls.map { l =>
-            if (ctx.multi(v).exists(s => store.memberships.contains((l, s))))
+            if (ctx.multi(v).exists(s => memberFramesExist(s, l)))
               membershipMulti(v, l)
             else HasLabel(v, Seq(l)): Expr // tag fold (false off-branch)
           }.reduce((a, b) => Bin("and", a, b))
         case HasAnyLabel(v, ls) if (ctx.labels.contains(v) &&
-              ls.exists(l => l != ctx.labels(v) && store.mutatedLabels.contains(l))) ||
+              ls.exists(l => memberFramesExist(ctx.labels(v), l))) ||
             relevantMulti(v, ls) =>
           ls.map { l =>
             if (ctx.labels.contains(v)) {
-              if (l != ctx.labels(v) && store.memberships.contains((l, ctx.labels(v))))
-                membership(v, l)
+              if (memberFramesExist(ctx.labels(v), l)) membership(v, l)
               else HasLabel(v, Seq(l)): Expr // own label / unlinked: constant
-            } else if (ctx.multi(v).exists(s => store.memberships.contains((l, s))))
+            } else if (ctx.multi(v).exists(s => memberFramesExist(s, l)))
               membershipMulti(v, l)
             else HasAnyLabel(v, Seq(l)): Expr // tag fold
           }.reduce((a, b) => Bin("or", a, b))
         case Fn("labels", Seq(Var(v)), _)
             if (ctx.labels.contains(v) &&
-                store.memberships.keysIterator.exists(_._2 == ctx.labels(v))) ||
+                store.memberships.keysIterator.exists(p =>
+                  p._2 == ctx.labels(v) || p._1 == ctx.labels(v))) ||
               (ctx.multi.contains(v) && ctx.multi(v).exists(s =>
-                store.memberships.keysIterator.exists(_._2 == s))) =>
+                store.memberships.keysIterator.exists(p =>
+                  p._2 == s || p._1 == s))) =>
           liftLabels(v)
         case Bin(op, l, r) => Bin(op, go(l), go(r))
         case Not(x) => Not(go(x))

@@ -328,51 +328,96 @@ object GraphWriter {
   }
 
   /** DELETE nodes whose key appears in `keys` (a one-column frame named by
-    * the node key). With `detach`, incident edges of every type go too —
-    * Neo4j `DETACH DELETE`. Without it, edges are left untouched (Neo4j
-    * raises on still-connected nodes; validating that here would force an
-    * eager action per delete, so the check is the store audit's job —
-    * [[GraphStore.describe]] surfaces dangling edges).
+    * the node key, in `label`'s keyspace). With `detach`, incident edges of
+    * every type go too — Neo4j `DETACH DELETE`. Without it, edges are left
+    * untouched (Neo4j raises on still-connected nodes; validating that here
+    * would force an eager action per delete, so the check is the store
+    * audit's job — [[GraphStore.describe]] surfaces dangling edges).
+    *
+    * Membership resolution (r13 ADVICE): when `label` holds membership-
+    * derived rows, a matched key may belong to a member whose TRUE home is
+    * another source store. Each inbound pair `(label, s)` resolves its own
+    * removal set from the member rows' ORIGINAL source-keyspace keys (the
+    * source keys whose target rendering matched), never by comparing
+    * source-keyspace strings against target-keyspace strings — the old
+    * blanket compare silently dropped unrelated memberships on key-string
+    * collisions and left stale provenance when the cast changed the
+    * rendering. Deleted members then die in their SOURCE store too — with
+    * their incident edges under `detach` and their other provenance rows —
+    * because Neo4j's DELETE removes the NODE, under every label it held
+    * (previously the member was only demoted out of the target label).
     */
   def deleteNodes(
       store: GraphStore,
       label: String,
       keys: DataFrame,
       detach: Boolean): GraphStore = {
+    import org.apache.spark.sql.types.StringType
     val nt = store.schema.node(label)
-    val nodes0 = store.nodes(label)
-    val remaining = nodes0.join(keys, Seq(nt.key), "left_anti")
-      .select(nodes0.columns.map(col): _*) // a USING anti join reorders cols
-    val edges =
-      if (!detach) store.edges
-      else store.schema.edges.foldLeft(store.edges) { (es, et) =>
-        val before = es(et.label)
-        var df = before
-        if (et.src == label)
-          df = df.join(keys.withColumnRenamed(nt.key, et.keyS), Seq(et.keyS), "left_anti")
-        if (et.dst == label)
-          df = df.join(keys.withColumnRenamed(nt.key, et.keyT), Seq(et.keyT), "left_anti")
-        es + (et.label -> df.select(before.columns.map(col): _*))
+    val keyStrs = keys.select(col(nt.key).cast(StringType).as("__m_key"))
+      .distinct()
+    // per-label delete sets, each a one-column frame in its OWN keyspace:
+    // the target label dies by the matched keys; each inbound membership
+    // source by the member keys whose target rendering matched
+    val tgtType = store.nodes(label).schema(nt.key).dataType
+    val memberDel: Seq[(String, DataFrame)] = store.memberships.toSeq
+      .collect { case ((t, s), m) if t == label && s != label => (s, m) }
+      .sortBy(_._1)
+      .map { case (s, m) =>
+        val snt = store.schema.node(s)
+        val srcDf = store.nodes(s)
+        s -> srcDf
+          .join(m, srcDf(snt.key).cast(StringType) === m("__m_key"),
+            "left_semi")
+          .withColumn("__t_key", col(snt.key).cast(tgtType).cast(StringType))
+          .join(keyStrs.withColumnRenamed("__m_key", "__t_key"),
+            Seq("__t_key"), "left_semi")
+          .select(col(snt.key))
       }
-    // plain DELETE can leave dangling edges (endpoints gone, edges kept) —
-    // incident labels lose the endpoint-validated invariant; DETACH prunes
-    // incident edges with the nodes and keeps it
-    val validated =
-      if (detach) store.validatedEdges
-      else store.validatedEdges -- store.schema.edgesFor(label).map(_.label)
-    // secondary-membership provenance (M44) follows the nodes: memberships
-    // SOURCED from the deleted label vanish with their nodes (Neo4j: a
-    // deleted node is gone under every label it held), and memberships
-    // TARGETING it drop too — the delete's match enumerated the label's
-    // membership-derived rows alongside the native ones ([[labelFrame]])
-    val keyStrs = keys.select(col(nt.key).cast(
-      org.apache.spark.sql.types.StringType).as("__m_key")).distinct()
-    val memberships = store.memberships.map {
-      case (p @ (t, s), m) if t == label || s == label =>
-        p -> m.join(keyStrs, Seq("__m_key"), "left_anti")
-      case other => other
+    val perLabel: Seq[(String, DataFrame)] = (label -> keys) +: memberDel
+    var nodes = store.nodes
+    var edges = store.edges
+    var validated = store.validatedEdges
+    var memberships = store.memberships
+    perLabel.foreach { case (lbl, dk0) =>
+      val lnt = store.schema.node(lbl)
+      val dk = dk0.select(col(lnt.key)).distinct()
+      val before = nodes(lbl)
+      nodes += lbl -> before.join(dk, Seq(lnt.key), "left_anti")
+        .select(before.columns.map(col): _*) // a USING anti join reorders cols
+      if (detach) store.schema.edges.foreach { et =>
+        if (et.src == lbl || et.dst == lbl) {
+          val b = edges(et.label)
+          var d = b
+          if (et.src == lbl)
+            d = d.join(dk.withColumnRenamed(lnt.key, et.keyS),
+              Seq(et.keyS), "left_anti")
+          if (et.dst == lbl)
+            d = d.join(dk.withColumnRenamed(lnt.key, et.keyT),
+              Seq(et.keyT), "left_anti")
+          edges += et.label -> d.select(b.columns.map(col): _*)
+        }
+      }
+      // plain DELETE can leave dangling edges (endpoints gone, edges
+      // kept) — incident labels lose the endpoint-validated invariant;
+      // DETACH prunes incident edges with the nodes and keeps it
+      else validated = validated -- store.schema.edgesFor(lbl).map(_.label)
+      // provenance rows SOURCED from a label that lost nodes vanish with
+      // them — an exact same-keyspace anti join per pair. (Rows TARGETING
+      // a label need no pruning of their own: a (label, s) row whose
+      // member died is sourced from s, so s's pass removes it.)
+      val delStr = dk.select(col(lnt.key).cast(StringType).as("__m_key"))
+        .distinct()
+      memberships = memberships.map {
+        case (p @ (_, s), m) if s == lbl =>
+          val repl = m.join(delStr, Seq("__m_key"), "left_anti")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          m.unpersist(false)
+          p -> repl
+        case other => other
+      }
     }
-    store.copy(nodes = store.nodes + (label -> remaining), edges = edges,
+    store.copy(nodes = nodes, edges = edges,
       validatedEdges = validated, memberships = memberships)
   }
 

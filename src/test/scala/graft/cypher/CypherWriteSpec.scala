@@ -774,6 +774,92 @@ class CypherWriteSpec extends SparkSpec {
     assert(probe(re) == Seq(1L))
   }
 
+  test("chained SET/REMOVE resolve provenance to the TRUE source store") {
+    var st = CypherEngine(GraphStore.empty).execute(
+      """UNWIND $rows AS row MERGE (n:Person {pid: row.pid})
+         SET n += {pid: row.pid, score: row.score}""",
+      Map("rows" -> rows(
+        Map("pid" -> 1L, "score" -> 90L),
+        Map("pid" -> 2L, "score" -> 40L),
+        Map("pid" -> 3L, "score" -> 85L)))).store
+    st = CypherEngine(st).execute(
+      "MATCH (n:Person) WHERE n.score >= 80 SET n:Expert").store
+    // SET through the TARGET binding: every matched row is membership-
+    // derived from Person, so provenance lands under (Star, Person) —
+    // the r13 ADVICE scenario wrote (Star, Expert), whose native store
+    // is empty, silently dropping the members from the new label
+    st = CypherEngine(st).execute("MATCH (e:Expert) SET e:Star").store
+    assert(st.memberships.contains(("Star", "Person")))
+    assert(!st.memberships.contains(("Star", "Expert")))
+    assert(CypherEngine(st).run(
+      "MATCH (s:Star) RETURN toInteger(s.pid) AS p ORDER BY p")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    // REMOVE through a THIRD label consults the true source pair too
+    val st2 = CypherEngine(st).execute(
+      "MATCH (e:Expert {pid: 1}) REMOVE e:Star").store
+    assert(CypherEngine(st2).run(
+      "MATCH (s:Star) RETURN toInteger(s.pid) AS p").collect()
+      .map(_.getLong(0)).toSeq == Seq(3L))
+    // REMOVE of a member's own PRIMARY label through the target rejects
+    // (runtime-gated: native-only matches would proceed)
+    val err = intercept[CypherEngine.CypherException](
+      CypherEngine(st2).execute("MATCH (e:Expert) REMOVE e:Person"))
+    assert(err.getMessage.contains("primary label"))
+  }
+
+  test("DELETE resolves members by original source keys across keyspaces") {
+    import spark.implicits._
+    var st = GraphWriter.mergeNodes(GraphStore.empty, "Acct",
+      Seq((7L, "native7"), (42L, "native42")).toDF("aid", "owner"), Seq("aid"))
+    st = GraphWriter.mergeNodes(st, "Person",
+      Seq(("007", 90L), ("042", 40L)).toDF("pid", "score"), Seq("pid"))
+    st = CypherEngine(st).execute(
+      "MATCH (p:Person {pid: '007'}) SET p:Acct").store
+    // the member renders as aid 7 — a VALUE collision with native Acct 7
+    assert(CypherEngine(st).run("MATCH (a:Acct) RETURN count(*) AS c")
+      .collect().head.getLong(0) == 3L)
+    // DELETE aid=7 matches the native row AND the member: the native row
+    // dies in Acct; the member dies in its SOURCE store under its
+    // ORIGINAL key '007' (the r13 ADVICE's cross-keyspace compare matched
+    // '007' against '7' — never pruning the provenance, never deleting
+    // the node)
+    val st2 = CypherEngine(st).execute(
+      "MATCH (a:Acct {aid: 7}) DETACH DELETE a").store
+    assert(st2.nodes("Acct").count() == 1L) // native 42 only
+    assert(st2.nodes("Person").count() == 1L) // '042' only
+    assert(st2.memberships(("Acct", "Person")).count() == 0L)
+    assert(CypherEngine(st2).run("MATCH (a:Acct) RETURN toInteger(a.aid) AS k")
+      .collect().head.getLong(0) == 42L)
+  }
+
+  test("MERGE member routing: source-store upsert, loud reject on unshared props") {
+    import spark.implicits._
+    var st = GraphWriter.mergeNodes(GraphStore.empty, "Acct",
+      Seq((7L, "native7"), (42L, "native42")).toDF("aid", "owner"), Seq("aid"))
+    st = GraphWriter.mergeNodes(st, "Person",
+      Seq(("007", 90L), ("042", 40L)).toDF("pid", "score"), Seq("pid"))
+    st = CypherEngine(st).execute(
+      "MATCH (p:Person {pid: '007'}) SET p:Acct").store
+    // native-only match routes nothing: the target store updates as ever
+    val stN = CypherEngine(st).execute(
+      "MERGE (a:Acct {aid: 42}) ON MATCH SET a.owner = 'y'").store
+    assert(stN.nodes("Acct").filter("aid = 42").collect()
+      .head.getAs[String]("owner") == "y")
+    assert(stN.nodes("Person").count() == 2L) // untouched
+    // aid=7 matches the native row AND the member; 'owner' has no home in
+    // the member's source store — written-but-invisible rejects loudly
+    val err = intercept[CypherEngine.CypherException](
+      CypherEngine(st).execute(
+        "MERGE (a:Acct {aid: 7}) ON MATCH SET a.owner = 'x'"))
+    assert(err.getMessage.contains("no such"))
+    // a SHARED property routes to the member's source row (visible back
+    // through the live derivation) and updates the colliding native too
+    val stS = CypherEngine(st).execute(
+      "MERGE (p:Person {pid: '007'}) ON MATCH SET p.score = 95").store
+    assert(stS.nodes("Person").filter("pid = '007'").collect()
+      .head.getAs[Long]("score") == 95L)
+  }
+
   test("GraphWriter DataFrame-native API (the scale path) matches Cypher writes") {
     import spark.implicits._
     val incoming = Seq((1L, "a"), (2L, "b")).toDF("gid", "name")
