@@ -28,13 +28,52 @@ object PipelineQueries {
   /** MinHash+LSH candidate pairs verified by exact shingle Jaccard —
     * per-band bucket stats + verified-pair accounting in one summary row.
     */
+  /** Bounded sample for the LSH-family ground truth (r14 tolerance
+    * oracles): exact all-pairs comparison over the first `SampleDocs`
+    * doc ids — the WHOLE corpus at sf0.01, a fixed-size sample at larger
+    * SFs, so both the engine side and the DuckDB oracle stay O(sample²)
+    * at any scale while the candidate path itself runs the full corpus.
+    */
+  private val SampleDocs = 500
+
+  /** Exact shingle-Jaccard ≥ `t` pairs among the bounded sample — the
+    * engine side of the ground truth the DuckDB oracle recomputes from
+    * the raw text (hash-set Jaccard == string-set Jaccard absent 64-bit
+    * hash collisions).
+    */
+  private def jaccardTruth(docs: DataFrame, t: Double): DataFrame = {
+    val sh = Dedup.shingleHashes(docs.filter(col("doc_id") < SampleDocs),
+        "doc_id", "text")
+      .groupBy("id").agg(collect_set(col("h")).as("sh"))
+    sh.select(col("id").as("id_a"), col("sh").as("sa"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sb")),
+        col("id_a") < col("id_b"))
+      .filter((size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
+        size(array_union(col("sa"), col("sb")))) >= t)
+      .select("id_a", "id_b")
+  }
+
+  /** MinHash+LSH candidates measured against the exact sample truth
+    * (r14; closes the r13 verdict's directive #6 — this row moves from
+    * `no_oracle` to a tolerance oracle): the DuckDB oracle recomputes
+    * `truth_pairs_*` exactly from the raw text, and the recall booleans
+    * assert the banded blocking surfaced at least the declared floor of
+    * them (0.6 at j≥0.5 — the 16×4-band detection probability at the
+    * threshold itself is 0.64; 0.9 at j≥0.8, detection ≈ 0.9998).
+    */
   private def q47(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
     val cands = Dedup.minhashCandidates(docs, "doc_id", "text", k = 64, bands = 16)
-    Dedup.verifyJaccard(docs, cands, "doc_id", "text")
-      .agg(count(lit(1)).as("candidate_pairs"),
-        sum(when(col("jaccard") >= 0.5, 1).otherwise(0)).cast(LongType).as("dup_pairs_j50"),
-        sum(when(col("jaccard") >= 0.8, 1).otherwise(0)).cast(LongType).as("dup_pairs_j80"))
+      .filter(col("id_a") < SampleDocs && col("id_b") < SampleDocs)
+      .withColumn("__c", lit(1))
+    def stats(truth: DataFrame, nm: String, floor: Double): DataFrame =
+      truth.join(cands, Seq("id_a", "id_b"), "left_outer")
+        .agg(count(lit(1)).as("n"), sum(coalesce(col("__c"), lit(0))).as("f"))
+        .select(col("n").as(s"truth_pairs_$nm"),
+          (col("n") === 0 ||
+            col("f").cast(DoubleType) / col("n") >= floor).as(s"recall_${nm}_ok"))
+    stats(jaccardTruth(docs, 0.5), "j50", 0.6)
+      .crossJoin(stats(jaccardTruth(docs, 0.8), "j80", 0.9))
   }
 
   // ---------------------------------------------------- Q48 SimHash near-dup
@@ -45,39 +84,28 @@ object PipelineQueries {
     * step is sample-only by construction (the candidate path itself never
     * goes all-pairs).
     */
+  /** SimHash banded candidates measured against the exact TEXT-level
+    * sample truth (r14; directive #6 — previously the "truth" was
+    * all-pairs Hamming over the simhash signatures themselves, which no
+    * external oracle could recompute): true near-dups are pairs with
+    * exact shingle Jaccard ≥ 0.8 in the bounded sample (the same
+    * DuckDB-recomputable ground truth as q47), and the recall boolean
+    * asserts the banded blocking surfaced at least the declared floor of
+    * them (0.9 — near-identical docs land within a few Hamming bits of a
+    * 64-bit simhash, and the 8×8-band pigeonhole guarantees detection
+    * through Hamming ≤ 7 outright).
+    */
   private def q48(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
-    val maxHamming = 16
-    // ONE signature pass feeds both the candidate blocking and the recall
-    // sample (Catalyst can't reuse the exchange across the two shapes — the
-    // sample filter pushes below the aggregate — so the shared frame is
-    // materialized once; eager localCheckpoint frees its blocks on GC
-    // instead of pinning cache for the session)
-    val sigsAll = Dedup.simhashDf(docs, "doc_id", "text").localCheckpoint(true)
-    val cands = Dedup.simhashCandidatesFromSigs(sigsAll, maxHamming = maxHamming)
-    val sigs = sigsAll.filter(col("id") < 200)
-    val truth = sigs.select(col("id").as("id_a"), col("sig").as("sa"))
-      .join(sigs.select(col("id").as("id_b"), col("sig").as("sb")),
-        col("id_a") < col("id_b"))
-      .filter(Dedup.hamming(col("sa"), col("sb")) <= maxHamming)
-      .select("id_a", "id_b")
-    // the candidate set (hundreds of thousands of pairs at sf0.1, far more
-    // at scale) is consumed exactly ONCE: the recall hit-count rides the
-    // stats aggregate through a broadcast outer join against the tiny
-    // bounded truth sample, instead of a second pass (or an eager
-    // checkpoint of the full pair set, which materializes every block and
-    // cost more than it saved — measured +1.1 s on q48 at sf0.1)
-    val joined = cands.join(
-      broadcast(truth.withColumn("__t", lit(1))), Seq("id_a", "id_b"), "left_outer")
-    val denom = truth.agg(count(lit(1)).as("truth_pairs"))
-    joined.agg(count(lit(1)).as("candidate_pairs"),
-        min(col("hamming")).as("min_hamming"),
-        sum(coalesce(col("__t"), lit(0))).cast("long").as("found"))
-      .crossJoin(denom)
-      .select(col("candidate_pairs"), col("min_hamming"), col("truth_pairs"),
-        round(when(col("truth_pairs") === 0, 1.0)
-          .otherwise(col("found").cast("double") / col("truth_pairs")), 4)
-          .as("sample_recall"))
+    val cands = Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 16)
+      .filter(col("id_a") < SampleDocs && col("id_b") < SampleDocs)
+      .withColumn("__c", lit(1))
+    jaccardTruth(docs, 0.8)
+      .join(cands, Seq("id_a", "id_b"), "left_outer")
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("__c"), lit(0))).as("f"))
+      .select(col("n").as("truth_pairs_j80"),
+        (col("n") === 0 ||
+          col("f").cast(DoubleType) / col("n") >= 0.9).as("sim_recall_ok"))
   }
 
   // ------------------------------------------------ Q49 brute-force ANN top-k
@@ -89,13 +117,30 @@ object PipelineQueries {
   }
 
   // ------------------------------------------------------- Q50 LSH ANN top-k
-  /** Sign-LSH bucketed ANN for the same queries (the scale path; recall
-    * vs q49 is the quality metric, judged in bench).
+  /** Multi-table sign-LSH ANN measured against the exact top-k (r14;
+    * directive #6 — this row moves from `no_oracle` to a tolerance
+    * oracle): the brute-force baseline is itself DuckDB-pinned (q49's
+    * bit-exact oracle), so the recall boolean against it is a real gate —
+    * if the LSH index silently degrades, the hash flips and CORRECTNESS
+    * fails. Floor 0.3: multi-table (6 bits × 12 tables) measured 0.43 at
+    * sf0.01 / 0.54 at sf0.1 over the wider q79 query set, scanning ~19%
+    * of the corpus per query (the single-table form measured 0.02).
     */
   private def q50(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
-    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3, bits = 8)
-      .orderBy("query_id", "rank")
+    val queries = emb.filter(col("vec_id") < 5)
+    val k = 3
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+      k = k, bits = 6, tables = 12)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = k)
+    val hits = approx.select(col("query_id"), col("corpus_id"))
+      .join(exact.select(col("query_id"), col("corpus_id")),
+        Seq("query_id", "corpus_id"), "left_semi")
+      .agg(count(lit(1)).as("h"))
+    exact.agg(count(lit(1)).as("exact_topk_rows")).crossJoin(hits)
+      .select(col("exact_topk_rows"),
+        (col("h").cast(DoubleType) / col("exact_topk_rows") >= 0.3)
+          .as("recall_ok"))
   }
 
   // ----------------------------------------------------------- Q58 IVF ANN
@@ -103,11 +148,26 @@ object PipelineQueries {
     * same query set as q49/q50 — recall vs the brute-force baseline is the
     * quality metric.
     */
+  /** IVF-flat ANN under the same tolerance-oracle shape as q50 (r14;
+    * directive #6): recall vs the DuckDB-pinned exact top-k must clear
+    * 0.5 (measured 0.728 at sf0.01 / 0.684 at sf0.1 on the wider q79
+    * query set with nprobe/nlist = 4/16).
+    */
   private def q58(s: SparkSession, dir: String): DataFrame = {
     val emb = T(s, dir, "embeddings")
-    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding",
-      k = 3, nlist = 16, nprobe = 4)
-      .orderBy("query_id", "rank")
+    val queries = emb.filter(col("vec_id") < 5)
+    val k = 3
+    val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = k, nlist = 16, nprobe = 4)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = k)
+    val hits = approx.select(col("query_id"), col("corpus_id"))
+      .join(exact.select(col("query_id"), col("corpus_id")),
+        Seq("query_id", "corpus_id"), "left_semi")
+      .agg(count(lit(1)).as("h"))
+    exact.agg(count(lit(1)).as("exact_topk_rows")).crossJoin(hits)
+      .select(col("exact_topk_rows"),
+        (col("h").cast(DoubleType) / col("exact_topk_rows") >= 0.5)
+          .as("recall_ok"))
   }
 
   // ------------------------------------------------------ Q79 ANN recall@k
@@ -133,7 +193,7 @@ object PipelineQueries {
         lit(method).as("method"),
         round(col("hits").cast("double") / col("total"), 4).as("recall"))
     }
-    recallOf("lsh", Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = k, bits = 8))
+    recallOf("lsh", Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = k, bits = 6, tables = 12))
       .unionByName(recallOf("ivf",
         Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = k, nlist = 16, nprobe = 4)))
       .orderBy("method")
@@ -339,8 +399,59 @@ object PipelineQueries {
        |SELECT count(*) AS near_dup_pairs FROM cosed WHERE cos >= 0.3""".stripMargin
   }
 
+  /** Exact 3-gram shingle sets of the bounded sample as a DuckDB CTE —
+    * [[Dedup.shingles]] verbatim: lower-cased space tokens, empties
+    * dropped, windows of 3 joined by , distinct. Feeds the r14
+    * tolerance oracles (q47/q48): the ground-truth pair counts are
+    * recomputed from the raw text, and the engine's recall booleans
+    * against that truth hash-compare as plain columns.
+    */
+  private val shingleCte: String =
+    s"""WITH sh AS (
+       |  SELECT doc_id,
+       |         list_distinct(list_transform(range(1, greatest(len(arr)-2, 1)+1),
+       |           i -> array_to_string(arr[i:i+2], chr(1)))) AS s
+       |  FROM (SELECT doc_id, ${toksSql("text")} AS arr
+       |        FROM documents WHERE doc_id < $SampleDocs)
+       |), jac AS (
+       |  SELECT len(list_intersect(a.s, b.s)) * 1.0
+       |           / len(list_distinct(a.s || b.s)) AS j
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |)""".stripMargin
+
+  private val q47Sql: String =
+    s"""$shingleCte
+       |SELECT CAST(sum(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS truth_pairs_j50,
+       |       TRUE AS recall_j50_ok,
+       |       CAST(sum(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS truth_pairs_j80,
+       |       TRUE AS recall_j80_ok
+       |FROM jac""".stripMargin
+
+  private val q48Sql: String =
+    s"""$shingleCte
+       |SELECT CAST(sum(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS truth_pairs_j80,
+       |       TRUE AS sim_recall_ok
+       |FROM jac""".stripMargin
+
+  private val q50Sql: String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id, $cosSql AS cos
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 5
+       |)
+       |SELECT CAST(count(*) AS BIGINT) AS exact_topk_rows, TRUE AS recall_ok
+       |FROM (
+       |  SELECT row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, corpus_id) AS rnk
+       |  FROM scored WHERE cos IS NOT NULL)
+       |WHERE rnk <= 3""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q47_minhash_neardup" -> q47Sql,
+    "q48_simhash_neardup" -> q48Sql,
     "q49_ann_bruteforce" -> q49Sql,
+    "q50_ann_lsh" -> q50Sql,
+    "q58_ann_ivf" -> q50Sql, // same exact-top-k denominator + recall flag shape
     "q51_cosine_neardup" -> q51Sql,
     "q52_language_id" -> q52Sql,
     "q53_quality_fingerprint" -> q53Sql)

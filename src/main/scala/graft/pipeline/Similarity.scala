@@ -149,26 +149,67 @@ object Similarity {
       .select(col(idCol), sigCol.as("sig"))
   }
 
-  /** LSH-bucketed ANN top-k: candidates share the full signature bucket;
-    * exact cosine re-ranks within candidates. Recall is tuned by `bits`
-    * (fewer bits → bigger buckets → higher recall, more work). The
-    * signature join is an id-equi join against the signature aggregation's
-    * own hash partitioning, so the corpus shuffles once on id.
+  /** Per-table sign-LSH signatures: `tables` independent `bits`-bit
+    * signatures per row, one output row per (id, table). All tables'
+    * projections ride ONE scan + ONE hash aggregate (hyperplane index
+    * `t*bits + b` keys the deterministic weight stream), then explode
+    * into (id, tbl, sig) rows — the classic multi-table LSH layout:
+    * P(candidate found) = 1-(1-p^bits)^tables, so tables buys recall
+    * where a single wider signature only loses it.
+    */
+  def lshSignaturesMulti(df: DataFrame, idCol: String, vecCol: String,
+      bits: Int, tables: Int): DataFrame = {
+    require(bits >= 1 && bits <= 64, s"bits must be in 1..64 (got $bits)")
+    require(tables >= 1, s"tables must be >= 1 (got $tables)")
+    val ex = df.select(col(idCol), posexplode_outer(col(vecCol)).as(Seq("d", "x")))
+    val projs = (0 until tables * bits).map { h =>
+      sum(col("x").cast(DoubleType) * hashWeight(h, col("d"))).as(s"_p$h")
+    }
+    val sigs = (0 until tables).map { t =>
+      val sigCol = (0 until bits).map { b =>
+        val h = t * bits + b
+        when(col(s"_p$h") >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+      struct(lit(t).as("tbl"), sigCol.as("sig"))
+    }
+    ex.groupBy(idCol).agg(projs.head, projs.tail: _*)
+      .select(col(idCol), explode(array(sigs: _*)).as("__ts"))
+      .select(col(idCol), col("__ts.tbl").as("tbl"), col("__ts.sig").as("sig"))
+  }
+
+  /** LSH-bucketed ANN top-k: candidates share a full signature bucket in
+    * ANY of the `tables` independent tables (multi-table sign-LSH — r14:
+    * the single-table form measured recall 0.02 at q79; the OR over
+    * tables is what makes sign-LSH usable for cosine ANN); exact cosine
+    * re-ranks the deduplicated candidate union. Recall tunes by
+    * (bits, tables): fewer bits → bigger buckets, more tables → more
+    * chances (candidates ≈ tables·n/2^bits per query).
+    *
+    * Scale posture: the bucket join carries IDS ONLY (the vector payload
+    * would otherwise ride tables× through the shuffle) — pairs dedup on
+    * (query, corpus) id, then ONE id-keyed join re-attaches corpus
+    * vectors and the broadcast query side carries its own. The corpus
+    * shuffles once on id and once on (tbl, sig); queries broadcast.
     *
     * Same output contract as [[bruteForceTopK]]: null-cosine candidates are
     * dropped, and a query with no rankable candidate (all-null, or an empty
     * signature bucket) is omitted from the output.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, bits: Int = 12): DataFrame = {
-    val c = corpus.select(col(idCol), col(vecCol))
-      .join(lshSignatures(corpus, idCol, vecCol, bits), Seq(idCol))
-      .select(col(idCol).as("corpus_id"), col(vecCol).as("cv"), col("sig"))
-    val q = queries.select(col(idCol), col(vecCol))
-      .join(lshSignatures(queries, idCol, vecCol, bits), Seq(idCol))
-      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), col("sig"))
-    val scored = c.join(broadcast(q), Seq("sig"))
+      k: Int, bits: Int = 12, tables: Int = 1): DataFrame = {
+    val cSig = lshSignaturesMulti(corpus, idCol, vecCol, bits, tables)
+      .select(col(idCol).as("corpus_id"), col("tbl"), col("sig"))
+    val qSig = lshSignaturesMulti(queries, idCol, vecCol, bits, tables)
+      .select(col(idCol).as("query_id"), col("tbl"), col("sig"))
+    val pairs = cSig.join(broadcast(qSig), Seq("tbl", "sig"))
       .filter(col("query_id") =!= col("corpus_id"))
+      .select("query_id", "corpus_id")
+      .dropDuplicates("query_id", "corpus_id")
+    val scored = pairs
+      .join(corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv")),
+        Seq("corpus_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("qv"))), Seq("query_id"))
       .select(col("query_id"), col("corpus_id"), cosine(col("qv"), col("cv")).as("cos"))
     topKPerQuery(scored, k)
   }
