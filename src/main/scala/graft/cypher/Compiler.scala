@@ -109,9 +109,9 @@ object CypherEngine {
   /** A bound relationship variable: its edge label and which pattern
     * variables sit on the schema-forward source/target sides.
     */
-  private final case class RelInfo(label: String, srcVar: String, dstVar: String)
+  private[cypher] final case class RelInfo(label: String, srcVar: String, dstVar: String)
 
-  private def hasWrites(q: Query): Boolean =
+  private[cypher] def hasWrites(q: Query): Boolean =
     q.stages.exists(_.writes.nonEmpty) || q.union.exists { case (_, next) => hasWrites(next) }
 
   // ------------------------------------- unused-endpoint join elision
@@ -381,7 +381,7 @@ object CypherEngine {
     * as [[graft.graph.GraphAnalytics.LocalEdgeThreshold]], sized smaller
     * because BFS output is per-(seed, reachable) pair, not per-vertex.
     */
-  private val LocalPathEdgeCap: Long = 65536L
+  private[cypher] val LocalPathEdgeCap: Long = 65536L
 
   /** Spark-conf override for [[LocalPathEdgeCap]] — set to 0 to force the
     * distributed BFS (specs use this to pin both strategies against each
@@ -392,7 +392,7 @@ object CypherEngine {
   /** Budget for seedCount × edgeCount in the local BFS — bounds both the
     * traversal work and the worst-case output materialized by the one task.
     */
-  private val LocalPathWorkCap: Long = 10L * 1000 * 1000
+  private[cypher] val LocalPathWorkCap: Long = 10L * 1000 * 1000
 
   /** Spark-conf key for the distributed BFS's reached-set pruning
     * position (r12): "true" (default) anti-joins reached pairs BEFORE
@@ -408,7 +408,7 @@ object CypherEngine {
     * relationship-unique path enumeration (`[:R*]` outside shortestPath).
     */
   val UniqueWalkMaxPathsKey = "graft.varLength.maxPaths"
-  private val UniqueWalkMaxPaths = 10L * 1000 * 1000
+  private[cypher] val UniqueWalkMaxPaths = 10L * 1000 * 1000
 
   // ------------------------------------- shared BFS edge-union cache
 
@@ -431,7 +431,7 @@ object CypherEngine {
     * than the per-level projection scans it saves, so those take the
     * uncached build — the identical plans as before the cache existed.
     */
-  private final class UnionKey(val variant: String, val frames: Seq[AnyRef]) {
+  private[cypher] final class UnionKey(val variant: String, val frames: Seq[AnyRef]) {
     override val hashCode: Int =
       variant.hashCode * 31 + frames.map(System.identityHashCode).hashCode
     override def equals(o: Any): Boolean = o match {
@@ -441,10 +441,10 @@ object CypherEngine {
       case _ => false
     }
   }
-  private val edgeUnionCache =
+  private[cypher] val edgeUnionCache =
     new java.util.concurrent.ConcurrentHashMap[UnionKey, DataFrame]()
   val UnionCacheMaxEdgesKey = "graft.cypher.unionCacheMaxEdges"
-  private val UnionCacheMaxEdges = 50L * 1000 * 1000
+  private[cypher] val UnionCacheMaxEdges = 50L * 1000 * 1000
   /** Second cache tier (round 12, r11 verdict directive #3): unions too
     * large for executor memory but still cheaper to spill once than to
     * re-derive per query persist `DISK_ONLY` — serialized blocks on local
@@ -455,12 +455,12 @@ object CypherEngine {
     * round-12 table.
     */
   val UnionCacheMaxDiskEdgesKey = "graft.cypher.unionCacheMaxDiskEdges"
-  private val UnionCacheMaxDiskEdges = 500L * 1000 * 1000
+  private[cypher] val UnionCacheMaxDiskEdges = 500L * 1000 * 1000
   /** Entry bound: a long-lived JVM cycling many stores (write-heavy
     * sessions derive new frames per mutation) must not pin stale persisted
     * unions forever — on overflow the whole cache unpersists and resets.
     */
-  private val UnionCacheMaxEntries = 64
+  private[cypher] val UnionCacheMaxEntries = 64
 
   /** Orders node-key values the way Spark orders them inside `min(__path)`:
     * integral types numerically, strings as unsigned UTF-8 bytes (Spark
@@ -468,7 +468,207 @@ object CypherEngine {
     * differ beyond the BMP). Key types without a faithful local ordering
     * return None and stay on the distributed path.
     */
-  private def keyComparator(dt: DataType): Option[(Any, Any) => Int] = dt match {
+  // Single-task BFS kernels live on the OBJECT (not the Interp traits):
+  // their mapPartitions closures must stay free of any reference to the
+  // non-serializable interpreter instance (an anonymous class nested in a
+  // trait method captures the trait as its outer pointer).
+
+  /** Single-task relationship-unique path enumeration — the local
+    * strategy behind [[uniqueWalkClosure]]'s adaptive switch, mirroring
+    * [[localDist]]: edges and seeds arrive in one task via a tagged
+    * union (never through the driver). Per-path visited-edge sets are
+    * immutable cons lists over edge INDICES — structural sharing makes
+    * the per-path memory one cell, and the linear `contains` scan is
+    * bounded by path length. The budget throw inside the task surfaces
+    * through the caller's unwrap as the standard loud budget error.
+    * `e` columns: (__cs, __cd, __eid); a `None` seed set means
+    * every edge source starts a path (unanchored pattern).
+    */
+  def localUniqueWalk(e: DataFrame, seeds: Option[DataFrame],
+      lo: Int, maxPaths: Long): DataFrame = {
+    val spark = e.sparkSession
+    val seedAll = seeds.isEmpty
+    val base = e.select(lit(0).as("__t"), col("__cs"), col("__cd"))
+    val tagged = seeds match {
+      case Some(s) => base.unionByName(
+        s.select(lit(1).as("__t"), col("__seed").as("__cs"), col("__seed").as("__cd")))
+      case None => base
+    }
+    val loV = lo
+    val budget = maxPaths
+    val rows = tagged.coalesce(1).rdd.mapPartitions { it =>
+      import scala.collection.mutable
+      val dsts = mutable.ArrayBuffer.empty[Any]
+      val adj = mutable.HashMap.empty[Any, mutable.ArrayBuffer[Int]]
+      val seedSet = mutable.LinkedHashSet.empty[Any]
+      it.foreach { r =>
+        if (r.getInt(0) == 0) {
+          if (!r.isNullAt(1) && !r.isNullAt(2)) {
+            val i = dsts.length
+            dsts += r.get(2)
+            adj.getOrElseUpdate(r.get(1), mutable.ArrayBuffer.empty) += i
+            if (seedAll) seedSet += r.get(1)
+          }
+        } else if (!r.isNullAt(1)) seedSet += r.get(1)
+      }
+      def overBudget(paths: Long, len: Int): Nothing = throw CypherException(
+        s"open-bound var-length enumerated more than $budget " +
+          s"relationship-unique paths by length $len — bound the " +
+          s"pattern (*1..n) or raise $UniqueWalkMaxPathsKey")
+      val out = mutable.ArrayBuffer.empty[Row]
+      var frontier = mutable.ArrayBuffer.empty[(Any, Any, List[Int])]
+      seedSet.foreach { s =>
+        adj.get(s).foreach(_.foreach(ei => frontier += ((s, dsts(ei), ei :: Nil))))
+      }
+      var paths = frontier.length.toLong
+      var len = 1
+      if (paths > budget) overBudget(paths, len)
+      if (loV <= 1) frontier.foreach { case (s, d, _) => out += Row(s, d) }
+      while (frontier.nonEmpty) {
+        val next = mutable.ArrayBuffer.empty[(Any, Any, List[Int])]
+        frontier.foreach { case (s, cur, seen) =>
+          adj.get(cur).foreach(_.foreach { ei =>
+            if (!seen.contains(ei)) next += ((s, dsts(ei), ei :: seen))
+          })
+        }
+        len += 1
+        paths += next.length
+        if (paths > budget) overBudget(paths, len)
+        if (len >= loV) next.foreach { case (s, d, _) => out += Row(s, d) }
+        frontier = next
+      }
+      out.iterator
+    }
+    spark.createDataFrame(rows,
+      StructType(Seq(e.schema("__cs"), e.schema("__cd"))))
+  }
+
+  /** Single-task multi-source BFS with path tracking — the local strategy
+    * behind [[distDf]]'s adaptive switch. Edges and seeds arrive in one
+    * task via a tagged union (never through the driver); the BFS is
+    * level-synchronous with per-destination lexicographic-min path
+    * pruning, bit-identical to the distributed loop's
+    * `groupBy(min(__path))` + anti-join discipline (string keys compare as
+    * UTF-8 bytes, matching Spark's UTF8String ordering).
+    */
+  def localDist(e0: DataFrame, seeds: DataFrame, hi: Int,
+      kt: DataType, keepAll: Boolean, withPath: Boolean): DataFrame = {
+    val spark = e0.sparkSession
+    val cmp = keyComparator(kt).get
+    val maxLevel = hi.toLong
+    val tagged = e0.select(lit(0).as("__t"), col("__ds"), col("__dd"))
+      .unionByName(seeds.select(lit(1).as("__t"),
+        col("__seed").as("__ds"), col("__seed").as("__dd")))
+    val rows = tagged.coalesce(1).rdd.mapPartitions { it =>
+      import scala.collection.mutable
+      val adj = mutable.HashMap.empty[Any, mutable.ArrayBuffer[Any]]
+      val seedSet = mutable.LinkedHashSet.empty[Any]
+      it.foreach { r =>
+        if (!r.isNullAt(1) && !r.isNullAt(2)) {
+          if (r.getInt(0) == 0)
+            adj.getOrElseUpdate(r.get(1), mutable.ArrayBuffer.empty) += r.get(2)
+          else seedSet += r.get(1)
+        }
+      }
+      val pathOrd = new Ordering[Vector[Any]] {
+        def compare(a: Vector[Any], b: Vector[Any]): Int = {
+          var i = 0
+          val n = math.min(a.length, b.length)
+          while (i < n) {
+            val c = cmp(a(i), b(i))
+            if (c != 0) return c
+            i += 1
+          }
+          a.length - b.length
+        }
+      }
+      seedSet.iterator.flatMap { s =>
+        if (keepAll) {
+          // allShortestPaths: keep EVERY distinct minimum-length path per
+          // destination (LinkedHashSet dedups duplicate parallel edges);
+          // the reached check still runs per level, so no path revisits
+          // a node — mirroring the distributed loop's pair anti join
+          val reached = mutable.HashMap.empty[Any, (Long, Vector[Vector[Any]])]
+          var frontier = mutable.HashMap.empty[Any, mutable.LinkedHashSet[Vector[Any]]]
+          adj.get(s).foreach(_.foreach { d =>
+            frontier.getOrElseUpdate(d, mutable.LinkedHashSet.empty) += Vector(s, d)
+          })
+          var level = 1L
+          frontier.foreach { case (d, ps) => reached(d) = (level, ps.toVector) }
+          while (level < maxLevel && frontier.nonEmpty) {
+            val next = mutable.HashMap.empty[Any, mutable.LinkedHashSet[Vector[Any]]]
+            frontier.foreach { case (d, ps) =>
+              adj.get(d).foreach(_.foreach { d2 =>
+                if (!reached.contains(d2)) ps.foreach { p =>
+                  next.getOrElseUpdate(d2, mutable.LinkedHashSet.empty) += (p :+ d2)
+                }
+              })
+            }
+            level += 1
+            next.foreach { case (d, ps) => reached(d) = (level, ps.toVector) }
+            frontier = next
+          }
+          reached.iterator.flatMap { case (d, (len, ps)) =>
+            ps.iterator.map(p => Row(s, d, len, p))
+          }
+        } else if (withPath) {
+          val reached = mutable.HashMap.empty[Any, (Long, Vector[Any])]
+          var frontier = mutable.HashMap.empty[Any, Vector[Any]]
+          adj.get(s).foreach(_.foreach { d =>
+            val p = Vector(s, d)
+            if (frontier.get(d).forall(q => pathOrd.compare(p, q) < 0))
+              frontier(d) = p
+          })
+          var level = 1L
+          frontier.foreach { case (d, p) => reached(d) = (level, p) }
+          while (level < maxLevel && frontier.nonEmpty) {
+            val next = mutable.HashMap.empty[Any, Vector[Any]]
+            frontier.foreach { case (d, p) =>
+              adj.get(d).foreach(_.foreach { d2 =>
+                if (!reached.contains(d2)) {
+                  val p2 = p :+ d2
+                  if (next.get(d2).forall(q => pathOrd.compare(p2, q) < 0))
+                    next(d2) = p2
+                }
+              })
+            }
+            level += 1
+            next.foreach { case (d, p) => reached(d) = (level, p) }
+            frontier = next
+          }
+          reached.iterator.map { case (d, (len, p)) => Row(s, d, len, p) }
+        } else {
+          // length-only: plain key-set BFS, no path bookkeeping at all
+          val reached = mutable.HashMap.empty[Any, Long]
+          var frontier = mutable.LinkedHashSet.empty[Any]
+          adj.get(s).foreach(_.foreach(frontier += _))
+          var level = 1L
+          frontier.foreach(d => reached(d) = level)
+          while (level < maxLevel && frontier.nonEmpty) {
+            val next = mutable.LinkedHashSet.empty[Any]
+            frontier.foreach { d =>
+              adj.get(d).foreach(_.foreach { d2 =>
+                if (!reached.contains(d2)) next += d2
+              })
+            }
+            level += 1
+            next.foreach(d => reached(d) = level)
+            frontier = next
+          }
+          reached.iterator.map { case (d, len) => Row(s, d, len) }
+        }
+      }
+    }
+    val base = Seq(
+      StructField("__ds", kt), StructField("__dd", kt),
+      StructField("__len", LongType, nullable = false))
+    val schema =
+      if (withPath || keepAll) base :+ StructField("__path", ArrayType(kt))
+      else base
+    spark.createDataFrame(rows, StructType(schema))
+  }
+
+  private[cypher] def keyComparator(dt: DataType): Option[(Any, Any) => Int] = dt match {
     case ByteType | ShortType | IntegerType | LongType => Some {
       (a, b) => java.lang.Long.compare(
         a.asInstanceOf[Number].longValue, b.asInstanceOf[Number].longValue)
@@ -529,7 +729,7 @@ object CypherEngine {
     * the binding) and bare projection items keeping `r` as their output
     * name. The pattern keeps its variable (ignored downstream).
     */
-  private def bindShortestRelVars(q: Query): Query = {
+  private[cypher] def bindShortestRelVars(q: Query): Query = {
     // collect (relVar -> pathVar) per shortestPath clause, recursing into
     // CALL bodies and union branches (each rewritten independently below)
     val pairs = q.stages.flatMap(_.reads).collect {
@@ -561,7 +761,7 @@ object CypherEngine {
     * one query level (stages + return; not CALL bodies/union branches —
     * [[bindShortestRelVars]] recurses those). Lambda variables shadow.
     */
-  private def substRelVar(q: Query, rv: String, pv: String): Query = {
+  private[cypher] def substRelVar(q: Query, rv: String, pv: String): Query = {
     val repl = Fn("relationships", Seq(Var(pv)))
     def go(e: Expr, sh: Set[String]): Expr = e match {
       case Var(v) if v == rv && !sh(rv) => repl
@@ -666,7 +866,7 @@ object CypherEngine {
     * equivalent); predicates that don't hoist (multi-label, labeled or
     * unbound variables) stay in the WHERE and compile via [[HasLabel]].
     */
-  private def hoistLabelPredicates(q: Query): Query = {
+  private[cypher] def hoistLabelPredicates(q: Query): Query = {
     def conj(e: Expr): Seq[Expr] = e match {
       case Bin("and", l, r) => conj(l) ++ conj(r)
       case x => Seq(x)
@@ -710,7 +910,7 @@ object CypherEngine {
       q.union.map { case (all, next) => (all, hoistLabelPredicates(next)) })
   }
 
-  private def bindParams(q: Query, params: Map[String, Any]): Query = {
+  private[cypher] def bindParams(q: Query, params: Map[String, Any]): Query = {
     if (params.isEmpty) return q
     def go(e: Expr): Expr = e match {
       case Param(n) => params.get(n) match {
@@ -787,9 +987,11 @@ object CypherEngine {
   /** One query execution: compiles reads to joins and applies writes to a
     * private store copy (`store` is mutated here, never on the engine).
     */
-  private final class Interp(var store: GraphStore, params: Map[String, Any]) {
+  private[cypher] final class Interp(var store: GraphStore, val params: Map[String, Any])
+      extends InterpPatterns with InterpPaths
+      with InterpExpressions with InterpWrites {
 
-    private def spark: SparkSession =
+    def spark: SparkSession =
       store.nodes.values.headOption.orElse(store.edges.values.headOption)
         .map(_.sparkSession).getOrElse(SparkSession.active)
 
@@ -797,13 +999,13 @@ object CypherEngine {
       * [[top]]. None = elision off (conf kill switch, or a star projection
       * forces every variable's columns into scope).
       */
-    private var elidable: Option[Set[String]] = None
+    var elidable: Option[Set[String]] = None
 
     /** Variable bindings: node variable → label, relationship variable →
       * its edge binding, plus "plain" variables (UNWIND aliases and WITH
       * output columns) whose struct fields are addressable as `v.field`.
       */
-    private final case class Ctx(
+    final case class Ctx(
         labels: Map[String, String],
         rels: Map[String, RelInfo],
         plains: Set[String] = Set.empty,
@@ -871,25 +1073,25 @@ object CypherEngine {
       * string; it is distinct across label key spaces, which a bare
       * coalesce of the keys would not be.
       */
-    private def multiNodeId(v: String, ctx: Ctx): Column = {
+    def multiNodeId(v: String, ctx: Ctx): Column = {
       val keys = ctx.multi(v).map(l => store.schema.node(l).key).distinct
       concat_ws(":", col(labelColOf(v)),
         coalesce(keys.map(k => col(s"${v}__$k").cast(StringType)): _*))
     }
 
     /** Per-row label column name of a multi-label node variable. */
-    private def labelColOf(v: String): String = s"__label__$v"
+    def labelColOf(v: String): String = s"__label__$v"
 
     /** Per-row type column name of a multi-type relationship variable. */
-    private def typeColOf(r: String): String = s"__type__$r"
+    def typeColOf(r: String): String = s"__type__$r"
     /** Per-row startNode/endNode identity columns for branch-diverged
       * multi-type relationship variables (tagged `Label:key` strings, the
       * [[multiNodeId]] rendering — orientation can differ per branch, so
       * no single node variable holds the endpoint). Materialized in
       * [[mergeBranches]]; Catalyst prunes them when unread.
       */
-    private def startColOf(r: String): String = s"__start__$r"
-    private def endColOf(r: String): String = s"__end__$r"
+    def startColOf(r: String): String = s"__start__$r"
+    def endColOf(r: String): String = s"__end__$r"
 
     // ---------------------------------------------------------- resolution
 
@@ -898,7 +1100,7 @@ object CypherEngine {
       * `edges` holds every type the hop matches under ONE interpretation —
       * all sharing (src, dst) labels, so they union into one edge frame.
       */
-    private final case class ResolvedHop(
+    final case class ResolvedHop(
         edges: Seq[EdgeType],
         relVar: String,
         srcVar: String,
@@ -917,3829 +1119,22 @@ object CypherEngine {
       * traverses (same endpoint labels, unioned at bind time) and whether
       * the written pattern is flipped against schema direction.
       */
-    private final case class HopChoice(edges: Seq[EdgeType], flipped: Boolean)
+    final case class HopChoice(edges: Seq[EdgeType], flipped: Boolean)
 
     /** Cap on distinct type-assignment interpretations of one MATCH clause
       * (the per-hop ambiguity product). Every interpretation compiles to a
       * full plan branch, so this bounds plan size the same way the
       * var-length depth cap bounds closure size.
       */
-    private val MaxPatternInterpretations = 32
+    val MaxPatternInterpretations = 32
 
-    /** Enumerate every consistent assignment of edge-type groups to the
-      * patterns' hops — Neo4j matches a `[:A|B]` disjunction or an untyped
-      * `-[r]->` against EVERY fitting type; this engine compiles each
-      * label-consistent interpretation and unions the branches
-      * ([[mergeBranches]]). Per hop, fitting types are grouped by the
-      * endpoint labels they imply (same-endpoint types stay ONE branch —
-      * they union into one edge frame); label bindings propagate across
-      * hops exactly as [[assembleOne]] applies them, so each returned
-      * assignment re-resolves deterministically. Direction correction is
-      * per-set, matching the single-type rule: a written arrow is honored
-      * when ANY type fits it, flipped only when none does.
-      */
-    private def enumerate(patterns: Seq[PathPat],
-        seed: Map[String, String]): Seq[(Map[String, String], Seq[HopChoice])] = {
-      var anon = 0
-      def nm(n: NodePat): String =
-        n.variable.getOrElse { anon += 1; s"__enum$anon" }
-      // events in [[assembleOne]]'s binding order: a head-label bind per
-      // path (so `MATCH (a:Customer), (a)-[r]->(x)` constrains the second
-      // path's hops), then the path's hops
-      val headBinds = Seq.newBuilder[(Int, String, NodePat)]
-      val hopsB = Seq.newBuilder[(Int, String, NodePat, RelPat, String, NodePat)]
-      patterns.zipWithIndex.foreach { case (p, i) =>
-        var prevVar = nm(p.head)
-        headBinds += ((i, prevVar, p.head))
-        var prevPat = p.head
-        p.hops.foreach { case (r, n) =>
-          val v = nm(n)
-          hopsB += ((i, prevVar, prevPat, r, v, n))
-          prevVar = v
-          prevPat = n
-        }
-      }
-      val headByPath = headBinds.result().groupBy(_._1)
-      // a state = (every label inferred so far, the subset FORKED from a
-      // head disjunction — returned so [[assemble]] can seed the branch's
-      // [[assembleOne]] with the chosen label, which no HopChoice carries
-      // for a hop-less path — the hop choices accumulated)
-      var states = Seq((seed, Map.empty[String, String], Vector.empty[HopChoice]))
-      var firstErr: Option[String] = None
-      var seenPath = -1
-      def applyHead(v: String, pat: NodePat): Unit = {
-        // a `(v:A|B)` head forks the enumeration per alternative — each
-        // branch proceeds with the label FIXED, so shared uses of v across
-        // paths stay consistent and hop fitting narrows per branch. A pat
-        // carrying BOTH label and alts is an already-decomposed branch
-        // (shortestPath endpoint disjunction keeps the alternative list so
-        // bind sites can compute sibling/earlier-branch exclusions) — the
-        // label decides, no re-fork
-        if (pat.alts.nonEmpty && pat.label.isEmpty) {
-          pat.alts.filterNot(l => store.schema.nodes.exists(_.name == l))
-            .foreach(l => throw CypherException(s"unknown node label: $l"))
-          states = states.flatMap { case (labels, forked, acc) =>
-            if (labels.contains(v)) Seq((labels, forked, acc))
-            else pat.alts.map(l => (labels + (v -> l), forked + (v -> l), acc))
-          }
-        } else pat.label.foreach(l => states = states.map {
-          case (labels, forked, acc) =>
-            (if (labels.contains(v)) labels else labels + (v -> l), forked, acc)
-        })
-      }
-      hopsB.result().foreach { case (pathIdx, uVar, uPat, rel, vVar, vPat) =>
-        // apply head annotations of every path up to this one
-        while (seenPath < pathIdx) {
-          seenPath += 1
-          headByPath.getOrElse(seenPath, Nil).foreach { case (_, v, p) =>
-            applyHead(v, p)
-          }
-        }
-        val candidates = rel.labels match {
-          case Seq() => store.schema.edges
-          case ls =>
-            ls.find(l => !store.schema.edges.exists(_.label == l))
-              .foreach(l => throw CypherException(s"unknown relationship type: $l"))
-            store.schema.edges.filter(e => ls.contains(e.label))
-        }
-        states = states.flatMap { case (labels, forked, acc) =>
-          val lu = labels.get(uVar).orElse(uPat.label)
-          val lv = labels.get(vVar).orElse(vPat.label)
-          // unresolved endpoint with a `:A|B` disjunction: any listed
-          // label fits (the chosen group then pins it, like an unlabeled
-          // endpoint — the disjunction only narrows the candidate set)
-          def fits(want: Option[String], alts: Seq[String], actual: String) =
-            want.map(_ == actual)
-              .getOrElse(alts.isEmpty || alts.contains(actual))
-          val forward = candidates.filter(e =>
-            fits(lu, uPat.alts, e.src) && fits(lv, vPat.alts, e.dst))
-          val backward = candidates.filter(e =>
-            fits(lv, vPat.alts, e.src) && fits(lu, uPat.alts, e.dst))
-          val oriented: Seq[(EdgeType, Boolean)] = rel.dir match {
-            case Out | Undirected =>
-              if (forward.nonEmpty) forward.map((_, false)) else backward.map((_, true))
-            case In => // (u)<-[r]-(v): schema-forward means v→u
-              if (backward.nonEmpty) backward.map((_, true)) else forward.map((_, false))
-          }
-          // multi-hop var-length over a heterogeneous type yields length-1
-          // paths only; with lo > 1 the interpretation is unsatisfiable
-          val usable = oriented.filter { case (et, _) =>
-            rel.varLength.forall { case (lo, _) => lo <= 1 || et.src == et.dst }
-          }
-          if (usable.isEmpty) {
-            if (firstErr.isEmpty) {
-              val lbl = if (rel.labels.isEmpty) "" else rel.labels.mkString("|")
-              firstErr = Some(rel.dir match {
-                case In => s"no relationship fits (${lu.getOrElse("?")})<-[$lbl]-(${lv.getOrElse("?")})"
-                case _ => s"no relationship fits (${lu.getOrElse("?")})-[$lbl]->(${lv.getOrElse("?")})"
-              })
-            }
-            Nil
-          } else {
-            val groups = usable.groupBy { case (et, f) =>
-              if (f) (et.dst, et.src) else (et.src, et.dst)
-            }
-            groups.toSeq.sortBy(_._1).map { case ((ul, vl), opts) =>
-              (labels + (uVar -> ul) + (vVar -> vl), forked,
-                acc :+ HopChoice(opts.map(_._1).sortBy(_.label), opts.head._2))
-            }
-          }
-        }
-        if (states.size > MaxPatternInterpretations)
-          throw CypherException(
-            s"pattern matches more than $MaxPatternInterpretations type interpretations — " +
-              "annotate node labels or relationship types")
-      }
-      // drain head annotations of trailing hop-less paths — their `:A|B`
-      // forks are the ONLY event those paths contribute (a standalone
-      // `MATCH (n:A|B)` compiles to one branch per alternative)
-      while (seenPath < patterns.size - 1) {
-        seenPath += 1
-        headByPath.getOrElse(seenPath, Nil).foreach { case (_, v, p) =>
-          applyHead(v, p)
-        }
-      }
-      if (states.size > MaxPatternInterpretations)
-        throw CypherException(
-          s"pattern matches more than $MaxPatternInterpretations type interpretations — " +
-            "annotate node labels or relationship types")
-      if (states.isEmpty)
-        throw CypherException(firstErr.getOrElse("no relationship fits the pattern"))
-      states.map(s => (s._2, s._3))
-    }
-
-    // ----------------------------------------------------------- assembly
-
-    /** Every node currently answering to `label`: the native store plus,
-      * when the label has received secondary membership (`SET n:Label`,
-      * M44), member rows derived LIVE from each source store — the
-      * provenance keys semi-restrict the source, then project onto the
-      * target schema (key cast into the target keyspace, properties
-      * copied by shared name, the rest null). No memberships — the
-      * overwhelmingly common case, and every never-mutated store — returns
-      * the native frame untouched: zero plan overhead. Derived rows with
-      * an uncastable key drop (they could never participate in joins or
-      * id()). A native row and a member can share a key value — they are
-      * DISTINCT nodes (Neo4j semantics) and both rows match, so a mutated
-      * label's frame is not necessarily key-unique; documented deviation:
-      * key-value collisions also let members reach the target label's
-      * EDGES in key joins (SURVEY M44).
-      */
-    private def labelFrame(label: String,
-        excludeSrcs: Set[String] = Set.empty,
-        /** Per-SOURCE key exclusion (finer than `excludeSrcs`): membership
-          * rows whose `__m_key` appears in any of the listed frames are
-          * dropped from this label's derivation. Used by disjunction
-          * branches to keep a THIRD-PARTY source's members — nodes SET
-          * into several alternatives — in exactly the first alternative
-          * that holds them (r13 ADVICE: full-source exclusion either
-          * double-counted such members or dropped them everywhere). All
-          * frames are in the source's keyspace, so the anti-joins are
-          * exact — no cross-keyspace string compare.
-          */
-        excludeKeys: Map[String, Seq[DataFrame]] = Map.empty): DataFrame = {
-      val native = store.nodes.getOrElse(label,
-        throw CypherException(s"unknown node label: $label"))
-      val pairs = store.memberships.collect {
-        case ((t, s), m) if t == label && !excludeSrcs.contains(s) =>
-          (s, excludeKeys.getOrElse(s, Nil)
-            .foldLeft(m)((d, ex) => d.join(ex, Seq("__m_key"), "left_anti")))
-      }.toSeq.sortBy(_._1)
-      if (pairs.isEmpty) native
-      else {
-        val nt = store.schema.node(label)
-        val tgtSchema = native.schema
-        val derived = pairs.map { case (src, m) =>
-          val snt = store.schema.node(src)
-          val srcDf = store.nodes(src)
-          srcDf.join(m, srcDf(snt.key).cast(StringType) === m("__m_key"), "left_semi")
-            .select(
-              col(snt.key).cast(tgtSchema(nt.key).dataType).as(nt.key) +:
-                nt.properties.map(p =>
-                  (if (p == snt.key || snt.properties.contains(p)) col(p)
-                   else lit(null))
-                    .cast(tgtSchema(p).dataType).as(p)): _*)
-            .na.drop("any", Seq(nt.key))
-        }
-        derived.foldLeft(native)(_ unionByName _)
-      }
-    }
-
-    /** `excludeSrcs`: when the bind comes from a label-DISJUNCTION branch
-      * (`(x:A|B)`), membership-derived rows whose SOURCE label is a
-      * sibling branch are excluded — that node already matches through
-      * its own branch, and Neo4j matches each node ONCE however many of
-      * the alternatives it satisfies.
-      */
-    private def nodeDf(variable: String, label: String,
-        excludeSrcs: Set[String] = Set.empty,
-        excludeKeys: Map[String, Seq[DataFrame]] = Map.empty): DataFrame = {
-      val df = labelFrame(label, excludeSrcs, excludeKeys)
-      df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"${variable}__$c"))
-    }
-
-    /** Source exclusions for the `label` branch of an ordered disjunction
-      * `alts` — both the exact rule for which branch enumerates which node:
-      *  - a SIBLING alternative's members are fully excluded (native
-      *    sibling nodes match through their own branch, and a sibling-
-      *    sourced member IS such a node);
-      *  - a third-party source's members are excluded from this branch iff
-      *    the same source keys are members of an EARLIER alternative —
-      *    per-KEY, so a node SET into alternatives 1 and 2 matches once
-      *    (in 1) while a node SET only into 2 still matches in 2
-      *    (r13 ADVICE: the source-granular rule couldn't separate them).
-      * Neo4j matches each node once however many alternatives it
-      * satisfies; declaration order makes our choice deterministic.
-      */
-    private def disjunctionExcludes(alts: Seq[String], label: String)
-        : (Set[String], Map[String, Seq[DataFrame]]) = {
-      if (alts.isEmpty) return (Set.empty, Map.empty)
-      val sibs = alts.toSet - label
-      val earlier = alts.take(math.max(alts.indexOf(label), 0))
-      val keyEx = store.memberships.keysIterator.collect {
-        case (t, s) if t == label && !sibs.contains(s) &&
-            earlier.exists(e => store.memberships.contains((e, s))) => s
-      }.toSeq.distinct.map { s =>
-        s -> earlier.flatMap(e => store.memberships.get((e, s)))
-      }.toMap
-      (sibs, keyEx)
-    }
-
-    /** Key frames (one column `__mk`, rendered in `src`'s keyspace) whose
-      * presence on a row bound through label `src` means "this row holds
-      * label `l`" — the read side of the provenance design:
-      *  1. direct: keys SET under `(l, src)`;
-      *  2. chained (r14): rows of src's frame that are themselves members
-      *     DERIVED from another source s2 (pair `(src, s2)`) hold `l` when
-      *     their source node is SET under `(l, s2)` — the true-source pair
-      *     [[setLabels]] records for chained mutations;
-      *  3. primary: a member derived from s2 natively holds s2 itself, so
-      *     `v:s2` is TRUE for those rows (Neo4j's one-node-many-labels —
-      *     previously they read false through the target binding).
-      * Chained/primary frames map the s2 keys into src's keyspace with the
-      * same cast [[labelFrame]] used to derive the rows, so the join is
-      * exact wherever the derivation was. Empty for every label never
-      * touched by label mutation.
-      */
-    private def memberKeyFrames(src: String, l: String): Seq[DataFrame] = {
-      if (l == src) return Nil
-      val direct = store.memberships.get((l, src))
-        .map(_.select(col("__m_key").as("__mk"))).toSeq
-      val srcKeyType = store.nodes(src).schema(store.schema.node(src).key).dataType
-      val chained = store.memberships.keysIterator.collect {
-        case (t, s2) if t == src && s2 != src => s2
-      }.toSeq.distinct.sorted.flatMap { s2 =>
-        val snt2 = store.schema.node(s2)
-        val src2 = store.nodes(s2)
-        val m = store.memberships((src, s2))
-        val inFrame = src2.join(m,
-          src2(snt2.key).cast(StringType) === m("__m_key"), "left_semi")
-        val holdsL =
-          if (s2 == l) Some(inFrame) // the member's own primary label
-          else store.memberships.get((l, s2)).map { m2 =>
-            inFrame.join(m2,
-              inFrame(snt2.key).cast(StringType) === m2("__m_key"),
-              "left_semi")
-          }
-        holdsL.map(_.select(col(snt2.key).cast(srcKeyType).cast(StringType)
-          .as("__mk")).na.drop().distinct())
-      }
-      direct ++ chained
-    }
-
-    /** Cheap existence test matching [[memberKeyFrames]] — the lift gate. */
-    private def memberFramesExist(src: String, l: String): Boolean =
-      l != src && (store.memberships.contains((l, src)) ||
-        store.memberships.keysIterator.exists { case (t, s2) =>
-          t == src && s2 != src &&
-            (s2 == l || store.memberships.contains((l, s2)))
-        })
-
-    /** (src,dst) pairs reachable in lo..hi hops over a TYPE GROUP — bounded
-      * var-length closure as an incremental frontier expansion (one row per
-      * path, Cypher semantics). Paths are RELATIONSHIP-UNIQUE (trail
-      * semantics, Neo4j's rule for var-length and QPP matching): a path
-      * never traverses the same relationship twice, so each frontier row
-      * carries its visited-edge-identity array and every expansion
-      * anti-filters against it (edge identity = (type, src, dst), matching
-      * [[uniqueWalkClosure]]). Free walks would differ on any graph with a
-      * 2-cycle (extra rows / size(r) / reduce results); PropertySpec pins
-      * agreement with a relationship-unique brute-force DFS and q112's
-      * oracle pins it against a visited-set-tracking recursive CTE.
-      * With several types (`[:A|B*1..n]`) each STEP may
-      * take any type — the expansion runs over the union of the edge sets,
-      * Neo4j's mixed-type trail semantics, not a per-type union of
-      * homogeneous trails. A heterogeneous group (src label ≠ dst label)
-      * cannot compose steps, so its reachable lengths cap at 1
-      * ([[enumerate]] drops interpretations whose lower bound needs more).
-      *
-      * Seed restriction (r7, same idea as shortestPath's source seeding):
-      * when the pattern's anchor endpoint is already bound, only paths
-      * starting at the bound keys can survive the attach join — so the
-      * chains start from the seed-incident edges instead of the whole edge
-      * frame. `seedOnDst` orients the enumeration outward from the anchor
-      * (edges flipped when the anchor is the schema-dst side; output
-      * columns swapped back so callers always see schema orientation).
-      * At scale this is the difference between enumerating a bounded
-      * neighborhood and enumerating the whole graph's closure.
-      */
-    /** Edge frame for `et` with a hop's inline property filters applied —
-      * var-length / shortestPath property semantics (`[:R*1..3 {p: v}]`):
-      * EVERY traversed hop must satisfy the props, so the walk machinery
-      * simply sees only the satisfying edges. A member type that lacks the
-      * property contributes no edges (Cypher: a missing property reads
-      * null, and `null = v` is never true).
-      */
-    private def filteredEdges(et: EdgeType, props: Seq[(String, Expr)]): DataFrame = {
-      val raw = store.edges(et.label)
-      props.foldLeft(raw) { case (d, (p, v)) =>
-        if (et.properties.contains(p)) d.filter(col(p) === literal(v))
-        else d.filter(lit(false))
-      }
-    }
-
-    private def closure(ets: Seq[EdgeType], lo: Int, hi: Int,
-        seeds: Option[DataFrame] = None, seedOnDst: Boolean = false,
-        props: Seq[(String, Expr)] = Nil, withRels: Boolean = false): DataFrame = {
-      if (hi == Parser.Unbounded) {
-        // a heterogeneous group cannot compose steps (dst label never
-        // matches the next src label), so the open bound degenerates to
-        // the single-hop closure — same cap as the bounded branch below
-        if (ets.exists(e => e.src != e.dst))
-          return closure(ets, lo, math.max(lo, 1), seeds, seedOnDst, props, withRels)
-        return uniqueWalkClosure(ets, lo, seeds, seedOnDst, props)
-      }
-      if (lo < 1 || hi < lo || hi > Parser.MaxVarLength)
-        throw CypherException(s"var-length bounds out of range: *$lo..$hi")
-      val effHi = if (ets.exists(e => e.src != e.dst)) 1 else hi
-      if (lo > effHi)
-        throw CypherException(
-          s"var-length over ${ets.map(_.label).mkString("|")} needs " +
-            s"${ets.head.src}=${ets.head.dst} for paths longer than 1")
-      // group-variable support: each edge row carries a relationship
-      // struct (type + endpoint keys + the member types' property
-      // superset) that the chain fold accumulates into a pattern-order
-      // array. One struct type must fit every member type: property and
-      // key fields cast to string when the member frames disagree.
-      val relFields: Seq[(String, org.apache.spark.sql.types.DataType)] =
-        if (!withRels) Nil
-        else {
-          // the struct reserves `type`/`src`/`dst` for the relationship
-          // identity — an edge PROPERTY with one of those names would
-          // produce duplicate struct fields, making `x.src`/`type(x)`
-          // ambiguous or silently wrong; reject loudly (r10 ADVICE)
-          ets.foreach { et =>
-            val clash = et.properties.filter(Set("type", "src", "dst"))
-            if (clash.nonEmpty) throw CypherException(
-              s"relationship type ${et.label} stores propert" +
-                s"${if (clash.sizeIs > 1) "ies" else "y"} " +
-                s"${clash.mkString(", ")} — those names collide with the " +
-                "group-variable struct's reserved type/src/dst fields; " +
-                "rename the property to bind this pattern's relationship list")
-          }
-          ets.flatMap { et =>
-            val sch = store.edges(et.label).schema
-            et.properties.map(p => p -> sch(p).dataType)
-          }.groupBy(_._1).toSeq.sortBy(_._1).map { case (p, ts) =>
-            p -> (if (ts.map(_._2).distinct.sizeIs == 1) ts.head._2 else StringType)
-          }
-        }
-      val mixedKeys = withRels && ets.sizeIs > 1 && heteroMixedKeys(ets)
-      def relStruct(et: EdgeType): Column = {
-        def k(c: Column): Column = if (mixedKeys) c.cast(StringType) else c
-        struct(Seq(lit(et.label).as("type"),
-          k(col(et.keyS)).as("src"), k(col(et.keyT)).as("dst")) ++
-          relFields.map { case (p, dt) =>
-            (if (et.properties.contains(p)) col(p).cast(dt)
-             else lit(null).cast(dt)).as(p)
-          }: _*)
-      }
-      // each edge row carries its identity (schema orientation, keys
-      // string-cast so one struct type fits every member type — same
-      // contract as uniqueWalkClosure) for the per-path visited set.
-      // Identity is per relationship INSTANCE, like Neo4j: when a member
-      // type may hold parallel (src, dst) duplicates (pairsUnique=false —
-      // write-path appends), each row gains a per-pair row_number
-      // discriminator so a trail can traverse BOTH parallel edges; the
-      // window shuffle is skipped entirely on pair-deduped builder stores.
-      val needDisc = ets.exists(e => !e.pairsUnique)
-      val e0 = ets.map { et =>
-        val disc: Column = if (needDisc) discriminator(et) else lit(0)
-        val cols = Seq(col(et.keyS).as("__cs"), col(et.keyT).as("__cd"),
-          struct(lit(et.label).as("__t"),
-            col(et.keyS).cast(StringType).as("__es"),
-            col(et.keyT).cast(StringType).as("__ed"),
-            disc.as("__n")).as("__eid")) ++
-          (if (withRels) Seq(relStruct(et).as("__rel")) else Nil)
-        filteredEdges(et, props).select(cols: _*)
-      }.reduce(_.unionByName(_))
-      val e = if (seedOnDst)
-        e0.withColumn("__tmp", col("__cs")).withColumn("__cs", col("__cd"))
-          .withColumn("__cd", col("__tmp")).drop("__tmp")
-      else e0
-      val first0 = seeds.fold(e)(s => e.join(s, col("__cs") === col("__seed"), "left_semi"))
-      // incremental frontier: length n extends length n-1 (shared join
-      // prefix across the emitted lengths, instead of rebuilding each
-      // chain from scratch); the visited array bounds at effHi entries
-      var cur = first0.select(Seq(col("__cs"), col("__cd"),
-        array(col("__eid")).as("__seen")) ++
-        (if (withRels) Seq(array(col("__rel")).as("__rels")) else Nil): _*)
-      val step = e.select(Seq(col("__cs").as("__m"), col("__cd").as("__cd2"),
-        col("__eid").as("__eid2")) ++
-        (if (withRels) Seq(col("__rel").as("__rel2")) else Nil): _*)
-      val frames = Seq.newBuilder[DataFrame]
-      if (lo <= 1) frames += cur
-      for (n <- 2 to effHi) {
-        cur = cur.join(step, col("__cd") === col("__m") &&
-            !array_contains(col("__seen"), col("__eid2")))
-          .select(Seq(col("__cs"), col("__cd2").as("__cd"),
-            concat(col("__seen"), array(col("__eid2"))).as("__seen")) ++
-            (if (withRels)
-              Seq(concat(col("__rels"), array(col("__rel2"))).as("__rels"))
-            else Nil): _*)
-        if (n >= lo) frames += cur
-      }
-      val out = frames.result().reduce(_.unionByName(_)).drop("__seen")
-      if (seedOnDst) {
-        // flip back to schema orientation; the accumulated hop order ran
-        // anchor-outward (reverse pattern order), so the list reverses too
-        val cols = Seq(col("__cd").as("__cs"), col("__cs").as("__cd")) ++
-          (if (withRels) Seq(reverse(col("__rels")).as("__rels")) else Nil)
-        out.select(cols: _*)
-      } else out
-    }
-
-    /** One row per RELATIONSHIP-UNIQUE path of length >= `lo` over the
-      * type group — Neo4j's semantics for an open-bound plain pattern
-      * (`[:R*]` outside shortestPath): a path never traverses the same
-      * relationship twice, so length is bounded by the edge count and the
-      * level-synchronous expansion terminates on frontier exhaustion even
-      * on cyclic graphs. Each frontier row carries its visited-edge set
-      * (edge identity = (type, src, dst) — parallel duplicates within one
-      * type count once) and each expansion anti-filters against it with a
-      * codegen'd `array_contains`. Per-level localCheckpoint keeps the
-      * loop's plan flat, exactly like the BFS loops.
-      *
-      * This is inherently ENUMERATIVE: on a cyclic graph the path count
-      * can be exponential in cycle overlap (true in Neo4j as well — the
-      * semantics, not the implementation, is the cost). The cumulative
-      * path count is therefore checked against a conf-gated budget
-      * ([[UniqueWalkMaxPathsKey]], default 10M) and the query FAILS LOUDLY
-      * when exceeded, pointing at the bounded form — never a silent
-      * truncation. See SCALING.md.
-      */
-    private def uniqueWalkClosure(ets: Seq[EdgeType], lo: Int,
-        seeds: Option[DataFrame] = None, seedOnDst: Boolean = false,
-        props: Seq[(String, Expr)] = Nil): DataFrame = {
-      if (lo < 1)
-        throw CypherException(s"var-length bounds out of range: *$lo..")
-      // per-instance identity: see the bounded closure's discriminator note
-      val needDisc = ets.exists(e => !e.pairsUnique)
-      val e0 = ets.zipWithIndex.map { case (et, ti) =>
-        val disc: Column = if (needDisc) discriminator(et) else lit(0)
-        filteredEdges(et, props).select(
-          col(et.keyS).as("__cs"), col(et.keyT).as("__cd"),
-          // one struct type must fit every member type's keys
-          struct(lit(ti).as("__t"), col(et.keyS).cast(StringType).as("__es"),
-            col(et.keyT).cast(StringType).as("__ed"),
-            disc.as("__n")).as("__eid"))
-      }.reduce(_.unionByName(_))
-      // enumerate outward from the anchor side ([[closure]]'s orientation
-      // contract); a bound anchor seed-restricts the FIRST frontier — all
-      // later expansions traverse the full edge set
-      val e = (if (seedOnDst)
-        e0.select(col("__cd").as("__cs"), col("__cs").as("__cd"), col("__eid"))
-      else e0).persist(StorageLevel.MEMORY_AND_DISK)
-      val e2 = e.select(col("__cs").as("__m"), col("__cd").as("__cd2"),
-        col("__eid").as("__eid2"))
-      val maxPaths = e.sparkSession.conf.getOption(UniqueWalkMaxPathsKey)
-        .map(_.toLong).getOrElse(UniqueWalkMaxPaths)
-      // Adaptive physical strategy (same philosophy as [[distDf]]'s
-      // localDist gate): a dimension-sized edge set runs the whole
-      // enumeration inside ONE task — the distributed loop pays ~2 Spark
-      // jobs per level and an open bound can run many levels. The budget
-      // applies identically; the eager checkpoint surfaces the budget
-      // error at build time like the distributed loop's per-level counts.
-      val edgeCap = e.sparkSession.conf
-        .getOption(LocalPathEdgeCapKey).map(_.toLong).getOrElse(LocalPathEdgeCap)
-      // e is the union of the FULL member-type frames, so the store's
-      // memoized per-type counts answer the gate exactly — no O(edges)
-      // sizing scan per query (round-7 verdict "what's wrong" #3)
-      if (ets.map(et => store.edgeCount(et.label)).sum <= edgeCap) {
-        val res0 = try {
-          localUniqueWalk(e, seeds, lo, maxPaths).localCheckpoint(true)
-        } catch {
-          case t: Throwable =>
-            var c: Throwable = t
-            while (c != null && !c.isInstanceOf[CypherException]) c = c.getCause
-            e.unpersist(false)
-            throw (if (c != null) c else t)
-        }
-        e.unpersist(false)
-        return (if (seedOnDst)
-          res0.select(col("__cd").as("__cs"), col("__cs").as("__cd"))
-        else res0)
-      }
-      // try/finally, not a post-loop unpersist: the budget-exceeded throw
-      // inside the loop must not leak the persisted doubled edge frame for
-      // the rest of the session (every checkpointed frame below is already
-      // materialized, so nothing recomputes against the unpersisted e)
-      try {
-        val ck = new graft.graph.GraphAnalytics.IterCheckpointer(e.sparkSession)
-        var frontier = ck.cut(
-          seeds.fold(e)(s => e.join(s, col("__cs") === col("__seed"), "left_semi"))
-            .select(col("__cs"), col("__cd"), array(col("__eid")).as("__seen")))
-        val empty = frontier.select(col("__cs"), col("__cd")).limit(0)
-        var paths = frontier.count()
-        var acc = if (lo <= 1) frontier.select("__cs", "__cd") else null
-        var len = 1
-        var done = paths == 0
-        while (!done) {
-          val next = ck.cut(frontier.join(e2, col("__cd") === col("__m") &&
-              !array_contains(col("__seen"), col("__eid2")))
-            .select(col("__cs"), col("__cd2").as("__cd"),
-              concat(col("__seen"), array(col("__eid2"))).as("__seen")))
-          val n = next.count()
-          len += 1
-          if (n == 0) done = true
-          else {
-            paths += n
-            if (paths > maxPaths)
-              throw CypherException(
-                s"open-bound var-length enumerated more than $maxPaths " +
-                  s"relationship-unique paths by length $len — bound the " +
-                  s"pattern (*1..n) or raise $UniqueWalkMaxPathsKey")
-            if (len >= lo) {
-              val rows = next.select("__cs", "__cd")
-              acc = if (acc == null) rows else acc.unionByName(rows)
-            }
-            frontier = next
-          }
-        }
-        val res = if (acc == null) empty else acc
-        if (seedOnDst) res.select(col("__cd").as("__cs"), col("__cs").as("__cd")) else res
-      } finally e.unpersist(false)
-    }
-
-    /** Single-task relationship-unique path enumeration — the local
-      * strategy behind [[uniqueWalkClosure]]'s adaptive switch, mirroring
-      * [[localDist]]: edges and seeds arrive in one task via a tagged
-      * union (never through the driver). Per-path visited-edge sets are
-      * immutable cons lists over edge INDICES — structural sharing makes
-      * the per-path memory one cell, and the linear `contains` scan is
-      * bounded by path length. The budget throw inside the task surfaces
-      * through the caller's unwrap as the standard loud budget error.
-      * `e` columns: (__cs, __cd, __eid); a `None` seed set means
-      * every edge source starts a path (unanchored pattern).
-      */
-    private def localUniqueWalk(e: DataFrame, seeds: Option[DataFrame],
-        lo: Int, maxPaths: Long): DataFrame = {
-      val spark = e.sparkSession
-      val seedAll = seeds.isEmpty
-      val base = e.select(lit(0).as("__t"), col("__cs"), col("__cd"))
-      val tagged = seeds match {
-        case Some(s) => base.unionByName(
-          s.select(lit(1).as("__t"), col("__seed").as("__cs"), col("__seed").as("__cd")))
-        case None => base
-      }
-      val loV = lo
-      val budget = maxPaths
-      val rows = tagged.coalesce(1).rdd.mapPartitions { it =>
-        import scala.collection.mutable
-        val dsts = mutable.ArrayBuffer.empty[Any]
-        val adj = mutable.HashMap.empty[Any, mutable.ArrayBuffer[Int]]
-        val seedSet = mutable.LinkedHashSet.empty[Any]
-        it.foreach { r =>
-          if (r.getInt(0) == 0) {
-            if (!r.isNullAt(1) && !r.isNullAt(2)) {
-              val i = dsts.length
-              dsts += r.get(2)
-              adj.getOrElseUpdate(r.get(1), mutable.ArrayBuffer.empty) += i
-              if (seedAll) seedSet += r.get(1)
-            }
-          } else if (!r.isNullAt(1)) seedSet += r.get(1)
-        }
-        def overBudget(paths: Long, len: Int): Nothing = throw CypherException(
-          s"open-bound var-length enumerated more than $budget " +
-            s"relationship-unique paths by length $len — bound the " +
-            s"pattern (*1..n) or raise $UniqueWalkMaxPathsKey")
-        val out = mutable.ArrayBuffer.empty[Row]
-        var frontier = mutable.ArrayBuffer.empty[(Any, Any, List[Int])]
-        seedSet.foreach { s =>
-          adj.get(s).foreach(_.foreach(ei => frontier += ((s, dsts(ei), ei :: Nil))))
-        }
-        var paths = frontier.length.toLong
-        var len = 1
-        if (paths > budget) overBudget(paths, len)
-        if (loV <= 1) frontier.foreach { case (s, d, _) => out += Row(s, d) }
-        while (frontier.nonEmpty) {
-          val next = mutable.ArrayBuffer.empty[(Any, Any, List[Int])]
-          frontier.foreach { case (s, cur, seen) =>
-            adj.get(cur).foreach(_.foreach { ei =>
-              if (!seen.contains(ei)) next += ((s, dsts(ei), ei :: seen))
-            })
-          }
-          len += 1
-          paths += next.length
-          if (paths > budget) overBudget(paths, len)
-          if (len >= loV) next.foreach { case (s, d, _) => out += Row(s, d) }
-          frontier = next
-        }
-        out.iterator
-      }
-      spark.createDataFrame(rows,
-        StructType(Seq(e.schema("__cs"), e.schema("__cd"))))
-    }
-
-    /** Bind all patterns into one DataFrame. `seedLabels` carries label
-      * bindings from an enclosing pattern (OPTIONAL MATCH sub-assembly);
-      * `initial` continues an existing frame (MATCH after WITH) — its
-      * seeded variables are already bound, their columns in the frame.
-      *
-      * Ambiguous patterns (untyped hops / type disjunctions whose fitting
-      * types imply different endpoint labels) enumerate every consistent
-      * interpretation, compile each, and union the branches — Neo4j
-      * semantics: a pattern matches against every fitting relationship
-      * type. Same-endpoint-label type groups stay a single branch (the
-      * edge frames union inside the hop instead).
-      */
-    private def assemble(patterns: Seq[PathPat],
-        seedLabels: Map[String, String] = Map.empty,
-        initial: Option[(DataFrame, Ctx)] = None): (DataFrame, Ctx) = {
-      initial.foreach { case (_, c) =>
-        val patVars = patterns.flatMap(p =>
-          p.head.variable.toSeq ++ p.hops.flatMap(_._2.variable)).toSet
-        patVars.find(c.multi.contains).foreach(v => throw CypherException(
-          s"cannot extend a pattern from $v: it matches multiple labels " +
-            s"(${c.multi(v).mkString(", ")}) — constrain it with a label first"))
-      }
-      val seed = seedLabels ++ initial.map(_._2.labels).getOrElse(Map.empty)
-      val assignments = enumerate(patterns, seed)
-      // a branch's forked head-disjunction labels seed its assembleOne so
-      // bindHead resolves `(n:A|B)` heads to the branch's chosen label
-      if (assignments.sizeIs == 1)
-        assembleOne(patterns, seedLabels ++ assignments.head._1, initial,
-          assignments.head._2)
-      else
-        mergeBranches(assignments.map { case (fk, a) =>
-          assembleOne(patterns, seedLabels ++ fk, initial, a)
-        })
-    }
-
-    /** Union per-interpretation branches into one frame + context:
-      * `unionByName(allowMissingColumns)` null-pads the property columns a
-      * branch's label lacks; variables whose label (or relationship type)
-      * diverges across branches get a per-row `__label__v` / `__type__r`
-      * column and move from `labels`/`rels` to `multi`/`multiRels`.
-      */
-    private def mergeBranches(built: Seq[(DataFrame, Ctx)]): (DataFrame, Ctx) = {
-      val ctxs = built.map(_._2)
-      val h = ctxs.head
-      val allVars = ctxs.flatMap(_.labels.keys).distinct
-      val agree = allVars.filter(v =>
-        ctxs.forall(c => c.labels.get(v) == h.labels.get(v))).toSet
-      val diverged = allVars.filterNot(agree)
-      val allRels = ctxs.flatMap(c => c.rels.keys ++ c.multiRels).distinct
-      val relAgree = allRels.filter(r =>
-        ctxs.forall(c => c.rels.get(r).map(_.label) == h.rels.get(r).map(_.label)
-          && c.rels.contains(r))).toSet
-      val relDiverged = allRels.filterNot(relAgree)
-      val aligned = built.map { case (df, c) =>
-        var d = df
-        diverged.foreach { v =>
-          if (!d.columns.contains(labelColOf(v)))
-            d = d.withColumn(labelColOf(v), lit(c.labels(v)))
-        }
-        relDiverged.foreach { r =>
-          if (!d.columns.contains(typeColOf(r)))
-            // a branch where r traversed a mixed var-length group has no
-            // single type: its rows read type(r) as null
-            d = d.withColumn(typeColOf(r),
-              c.rels.get(r).map(i => lit(i.label)).getOrElse(lit(null).cast(StringType)))
-          // startNode/endNode of a diverged relationship: orientation can
-          // flip per branch, so the endpoint is a per-row tagged id
-          // ([[multiNodeId]] rendering). Pure projections over columns
-          // already in the branch frame — pruned when the query never
-          // reads them.
-          def tagged(v: String): Column = concat_ws(":", lit(c.labels(v)),
-            col(s"${v}__${store.schema.node(c.labels(v)).key}").cast(StringType))
-          val ends = c.rels.get(r).map(i => (i.srcVar, i.dstVar))
-            .orElse(c.multiRelEnds.get(r))
-          if (!d.columns.contains(startColOf(r)))
-            d = d.withColumn(startColOf(r),
-              ends.map(e => tagged(e._1)).getOrElse(lit(null).cast(StringType)))
-          if (!d.columns.contains(endColOf(r)))
-            d = d.withColumn(endColOf(r),
-              ends.map(e => tagged(e._2)).getOrElse(lit(null).cast(StringType)))
-        }
-        d
-      }
-      val df = aligned.reduce(_.unionByName(_, allowMissingColumns = true))
-      (df, h.copy(
-        labels = h.labels.view.filterKeys(agree).toMap,
-        rels = h.rels.view.filterKeys(relAgree).toMap,
-        multi = h.multi ++
-          diverged.map(v => v -> ctxs.map(_.labels(v)).distinct).toMap,
-        multiRels = h.multiRels ++ relDiverged ++ ctxs.flatMap(_.multiRels),
-        // endpoint-variable resolution only survives when every branch
-        // agrees on it; diverged rels read the materialized columns
-        multiRelEnds = h.multiRelEnds.filter { case (r, e) =>
-          !relDiverged.contains(r) &&
-            ctxs.forall(_.multiRelEnds.get(r).contains(e)) }))
-    }
-
-    /** [[assemble]] under ONE type interpretation (`assignment` holds the
-      * per-hop choices in pattern order).
-      */
-    private def assembleOne(patterns: Seq[PathPat],
-        seedLabels: Map[String, String],
-        initial: Option[(DataFrame, Ctx)],
-        assignment: Seq[HopChoice]): (DataFrame, Ctx) = {
-      val labels = collection.mutable.Map[String, String](seedLabels.toSeq: _*)
-      val bound = collection.mutable.Set[String]()
-      val relVars = collection.mutable.Map[String, RelInfo]()
-      val plains = initial.map(_._2.plains).getOrElse(Set.empty[String])
-      val pathVars = initial.map(_._2.paths).getOrElse(Set.empty[String])
-      val pathRelVars = initial.map(_._2.pathRels).getOrElse(Map.empty[String, String])
-      initial.foreach { case (_, c) =>
-        labels ++= c.labels
-        bound ++= c.labels.keys
-        relVars ++= c.rels
-      }
-      var varCounter = 0
-      def freshVar(prefix: String): String = { varCounter += 1; s"__$prefix$varCounter" }
-      var df: DataFrame = initial.map(_._1).orNull
-
-      def keyColName(v: String): String =
-        s"${v}__${store.schema.node(labels(v)).key}"
-
-      def propFilters(variable: String, props: Seq[(String, Expr)]): Unit =
-        props.foreach { case (k, v) =>
-          df = df.filter(col(s"${variable}__$k") === literal(v))
-        }
-
-      /** A re-mention whose pattern label disagrees with the variable's
-        * resolved label can never match — nodes hold exactly one label, so
-        * Neo4j-equivalently the row set is EMPTY, not the pattern-label
-        * silently ignored (`MATCH (n:Customer) MATCH (n:Order)` returns no
-        * rows, not every customer). Same rule for a disjunction that
-        * excludes the resolved label.
-        */
-      def labelConflictFilter(variable: String, pat: NodePat): Unit = {
-        val known = labels(variable)
-        val conflict = pat.label.exists(_ != known) ||
-          (pat.alts.nonEmpty && !pat.alts.contains(known))
-        if (conflict) df = df.filter(lit(false))
-      }
-
-      /** Bind a node standalone (head of a path, or shared var re-check). */
-      def bindHead(variable: String, pat: NodePat): Unit = {
-        if (!bound(variable)) {
-          val label = labels.getOrElse(variable,
-            pat.label.getOrElse(throw CypherException(
-              s"cannot infer label for ($variable) — annotate it or use a typed relationship")))
-          labels(variable) = label
-          val (sibs, keyEx) = disjunctionExcludes(pat.alts, label)
-          val nd = nodeDf(variable, label, sibs, keyEx)
-          df = if (df == null) nd else df.crossJoin(nd)
-          bound += variable
-        }
-        labelConflictFilter(variable, pat)
-        propFilters(variable, pat.props)
-      }
-
-      /** Bind a node by joining on an existing key column in `df`. */
-      def bindJoined(variable: String, pat: NodePat, joinKey: String): Unit = {
-        val label = labels.getOrElse(variable,
-          pat.label.getOrElse(throw CypherException(s"cannot infer label for ($variable)")))
-        labels(variable) = label
-        val (sibs, keyEx) = disjunctionExcludes(pat.alts, label)
-        df = df.join(nodeDf(variable, label, sibs, keyEx),
-          col(joinKey) === col(s"${variable}__${store.schema.node(label).key}"))
-        bound += variable
-        labelConflictFilter(variable, pat)
-        propFilters(variable, pat.props)
-      }
-
-      val assignIt = assignment.iterator
-      val multiRelVars = collection.mutable.Set[String]()
-      val multiRelEndVars = collection.mutable.Map[String, (String, String)]()
-      val relListVars = collection.mutable.Set[String]()
-      // Neo4j forbids one relationship variable in two pattern positions
-      // (within or across MATCH clauses); without the check the second
-      // mention's prefixed columns collide with the first's — an opaque
-      // ambiguous-reference error at best, silent shadowing at worst
-      val seenRelVars = collection.mutable.Set[String]()
-      initial.foreach { case (_, c) =>
-        seenRelVars ++= c.rels.keys ++ c.relLists ++ c.multiRels
-      }
-      patterns.foreach { path =>
-        val headVar = path.head.variable.getOrElse(freshVar("n"))
-        // apply the chain's assigned types first so labels are bound
-        // before any joining (mirrors [[enumerate]]'s propagation)
-        var prevVar = headVar
-        val resolved = path.hops.map { case (rel, node) =>
-          val nodeVar = node.variable.getOrElse(freshVar("n"))
-          val choice = assignIt.next()
-          val et0 = choice.edges.head
-          if (!choice.flipped) { labels(prevVar) = et0.src; labels(nodeVar) = et0.dst }
-          else { labels(prevVar) = et0.dst; labels(nodeVar) = et0.src }
-          val relVar = rel.variable.getOrElse(freshVar("r"))
-          if (rel.variable.isDefined && !seenRelVars.add(relVar))
-            throw CypherException(
-              s"cannot use the same relationship variable ($relVar) for " +
-                "multiple patterns — bind a fresh variable per relationship")
-          val relList = rel.variable.isDefined && rel.varLength.isDefined
-          val hop =
-            if (!choice.flipped)
-              ResolvedHop(choice.edges, relVar, prevVar, nodeVar, rel.varLength,
-                rel.props, relList)
-            else
-              ResolvedHop(choice.edges, relVar, nodeVar, prevVar, rel.varLength,
-                rel.props, relList)
-          if (relList) () // list-bound in the var-length branch below
-          else if (choice.edges.sizeIs == 1)
-            relVars(relVar) = RelInfo(et0.label, hop.srcVar, hop.dstVar)
-          else if (rel.varLength.isEmpty) {
-            multiRelVars += relVar // per-row type lands in typeColOf(relVar)
-            // an in-hop group shares one label pair, so the endpoint
-            // variables are fixed — startNode/endNode resolve to them
-            multiRelEndVars(relVar) = (hop.srcVar, hop.dstVar)
-          }
-          prevVar = nodeVar
-          (hop, node, nodeVar)
-        }
-
-        // ---- endpoint-join elision (gated on ElideUnusedEndpointsKey):
-        // an endpoint the query never reads (elision-safe or anonymous, no
-        // inline props) whose traversed edge types are ALL endpoint-
-        // validated needs no node-store join — the edge key column IS the
-        // binding (validation guarantees the join would match exactly once
-        // per row: every key resolves, node stores are key-unique by
-        // builder/writer construction). At scale that join is a shuffle of
-        // the edge store against a node store, spent validating what the
-        // [[GraphStore.validatedEdges]] flag already guarantees.
-        def elidableNode(pat: NodePat, v: String): Boolean =
-          pat.props.isEmpty && elidable.exists(s => pat.variable.isEmpty || s(v))
-        def hopValidated(h: ResolvedHop): Boolean =
-          h.edges.forall(et => store.validatedEdges.contains(et.label))
-        def bindElided(variable: String, keyCol: String): Unit = {
-          df = df.withColumnRenamed(keyCol, keyColName(variable))
-          bound += variable
-        }
-
-        // head elision additionally requires the first hop's far end to be
-        // UNBOUND — otherwise that end anchors the hop and the head becomes
-        // the "other" side, whose bind is paired with the far end's node
-        // pattern (props/label), not the head's
-        val headElided = path.hops.nonEmpty && !bound(headVar) &&
-          !bound(resolved.head._3) &&
-          elidableNode(path.head, headVar) && hopValidated(resolved.head._1)
-        if (!headElided) bindHead(headVar, path.head)
-
-        resolved.foreach { case (hop, nodePat, nodeVar) =>
-          // the hop end already in `df` is the anchor; the other joins in.
-          // With an elided head NEITHER may be bound yet: the edge frame
-          // itself then provides the anchor binding (cross-joined, or the
-          // starting frame when this is the first pattern).
-          val anchorVar =
-            if (bound(hop.srcVar)) hop.srcVar
-            else if (bound(hop.dstVar)) hop.dstVar
-            else if (hop.srcVar != nodeVar) hop.srcVar
-            else hop.dstVar
-          val otherVar = if (anchorVar == hop.srcVar) hop.dstVar else hop.srcVar
-          if (!bound(anchorVar) && !headElided)
-            throw CypherException(s"pattern hop with no bound endpoint: $anchorVar")
-          def attach(frame: DataFrame, anchorSide: String): Unit =
-            if (bound(anchorVar))
-              df = df.join(frame, col(keyColName(anchorVar)) === col(anchorSide))
-            else {
-              val withKey = frame.withColumnRenamed(anchorSide, keyColName(anchorVar))
-              bound += anchorVar
-              df = if (df == null) withKey else df.crossJoin(withKey)
-            }
-
-          hop.varLength match {
-            case Some((lo0, hi)) =>
-              // a bound anchor hands its distinct keys to the closure so
-              // the path enumeration starts at the anchored neighborhood
-              // instead of every edge (the attach join would discard the
-              // rest anyway — shortestPath's seeding argument).
-              // hop.relProps filter EVERY traversed edge ([[filteredEdges]])
-              val seedsOpt = if (bound(anchorVar))
-                Some(df.select(col(keyColName(anchorVar)).as("__seed")).distinct())
-              else None
-              if (hop.relList && hi == Parser.Unbounded)
-                throw CypherException(
-                  s"a list-bound relationship variable (${hop.relVar}) on an " +
-                    "open-bound pattern enumerates unbounded per-path state — " +
-                    s"bound the pattern (*$lo0..n or {$lo0,n})")
-              // zero-length lower bound (`*0..n`, `{0,n}`, `*`): a
-              // length-0 path binds BOTH endpoints to one node — an
-              // identity frame (node keyed to itself, EMPTY relationship
-              // list for group variables) unioned under the length>=1
-              // closure. Under the one-label-per-node store model only a
-              // homogeneous group (src label = dst label) can satisfy it;
-              // a heterogeneous group's endpoints can never be one node,
-              // so its zero-length contribution is empty, not an error.
-              // Inline rel props don't constrain it: there are no
-              // traversed relationships to filter (Neo4j semantics).
-              val lo = math.max(lo0, 1)
-              val homo = hop.edges.forall(e => e.src == e.dst)
-              val zeroId: Option[DataFrame] =
-                if (lo0 > 0 || !homo) None
-                else {
-                  val label = hop.edges.head.src
-                  val key = store.schema.node(label).key
-                  val nodesDf = labelFrame(label).select(col(key).as("__cs"))
-                  val seeded = seedsOpt.fold(nodesDf)(s =>
-                    nodesDf.join(s, col("__cs") === col("__seed"), "left_semi"))
-                  Some(seeded.select(col("__cs"), col("__cs").as("__cd")))
-                }
-              if (hi == 0 && zeroId.isEmpty)
-                throw CypherException(
-                  "a zero-length-only pattern (*0..0 / {0}) over a " +
-                    "heterogeneous relationship can never match — its " +
-                    "endpoints would need to be one node of both labels")
-              val nonzero: Option[DataFrame] =
-                if (hi == 0) None
-                else Some(closure(hop.edges, lo, hi, seedsOpt,
-                  seedOnDst = anchorVar != hop.srcVar, props = hop.relProps,
-                  withRels = hop.relList))
-              val cl = (zeroId, nonzero) match {
-                case (None, Some(nz)) => nz
-                case (Some(id), nzOpt) =>
-                  val idTyped = if (!hop.relList) id
-                  else {
-                    // empty group-variable list, typed to the closure's
-                    // element struct (schema-only peek — never executed)
-                    val relsType = nzOpt.getOrElse(
-                      closure(hop.edges, 1, 1, None, seedOnDst = false,
-                        props = hop.relProps, withRels = true))
-                      .schema("__rels").dataType
-                    id.withColumn("__rels", array().cast(relsType))
-                  }
-                  nzOpt.fold(idTyped)(nz => idTyped.unionByName(nz))
-                case (None, None) => throw CypherException(
-                  "unreachable: empty var-length interpretation")
-              }
-              val (anchorSide, otherSide) =
-                if (anchorVar == hop.srcVar) ("__cs", "__cd") else ("__cd", "__cs")
-              attach(cl, anchorSide)
-              if (hop.relList) {
-                // pattern-order list of per-hop relationship structs,
-                // bound under the user's variable name as a plain value
-                df = df.withColumnRenamed("__rels", hop.relVar)
-                relListVars += hop.relVar
-              }
-              if (bound(otherVar)) {
-                df = df.filter(col(otherSide) === col(keyColName(otherVar)))
-                // a re-mention is never elidable (≥2 pattern occurrences),
-                // so its full node columns are present: its label must
-                // agree and its inline props filter, like any mention
-                labelConflictFilter(otherVar, nodePat)
-                propFilters(otherVar, nodePat.props)
-              }
-              else if (elidableNode(nodePat, otherVar) && hopValidated(hop))
-                bindElided(otherVar, otherSide)
-              else bindJoined(otherVar, nodePat, otherSide)
-              df = df.drop("__cs", "__cd")
-            case None =>
-              val srcName = s"${hop.relVar}__srckey"
-              val dstName = s"${hop.relVar}__dstkey"
-              // a type group unions the per-type edge frames (properties
-              // null-padded where a type lacks one); >1 type adds the
-              // per-row type tag `type(r)` reads
-              val ed = hop.edges.map { et =>
-                val renamed = et.properties.foldLeft(
-                  store.edges(et.label).withColumnRenamed(et.keyS, srcName)
-                    .withColumnRenamed(et.keyT, dstName)
-                )((d, p) => d.withColumnRenamed(p, s"${hop.relVar}__$p"))
-                if (hop.edges.sizeIs > 1)
-                  renamed.withColumn(typeColOf(hop.relVar), lit(et.label))
-                else renamed
-              }.reduce(_.unionByName(_, allowMissingColumns = true))
-              val (anchorSide, otherSide) =
-                if (anchorVar == hop.srcVar) (srcName, dstName) else (dstName, srcName)
-              attach(ed, anchorSide)
-              hop.relProps.foreach { case (k, v) =>
-                df = df.filter(col(s"${hop.relVar}__$k") === literal(v))
-              }
-              if (bound(otherVar)) {
-                df = df.filter(col(otherSide) === col(keyColName(otherVar)))
-                // see the var-length branch: re-mentions keep full columns
-                labelConflictFilter(otherVar, nodePat)
-                propFilters(otherVar, nodePat.props)
-              }
-              else if (elidableNode(nodePat, otherVar) && hopValidated(hop))
-                bindElided(otherVar, otherSide)
-              else bindJoined(otherVar, nodePat, otherSide)
-              df = df.drop(srcName, dstName)
-          }
-        }
-      }
-
-      (df, Ctx(labels.toMap, relVars.toMap, plains ++ relListVars, pathVars,
-        pathRels = pathRelVars,
-        pathRelSeqs = initial.map(_._2.pathRelSeqs).getOrElse(Set.empty),
-        multi = initial.map(_._2.multi).getOrElse(Map.empty),
-        multiRels = initial.map(_._2.multiRels).getOrElse(Set.empty) ++ multiRelVars,
-        relLists = initial.map(_._2.relLists).getOrElse(Set.empty) ++ relListVars,
-        multiRelEnds = initial.map(_._2.multiRelEnds).getOrElse(Map.empty) ++
-          multiRelEndVars))
-    }
-
-    /** `MATCH p = shortestPath((a)-[:R*lo..hi]->(b))` — minimum hop count
-      * between each endpoint pair, as a multi-source BFS over the edge set:
-      * level n's frontier is level n-1's frontier joined one hop forward,
-      * anti-joined against everything already reached (so each pair is
-      * found at its minimum distance and never re-expanded — the same
-      * frontier discipline as [[graft.graph.GraphAnalytics]]'s Pregel BFS,
-      * expressed as DataFrame joins because the source set here is every
-      * bound `a`, not one root). Each frontier is eagerly checkpointed:
-      * level n is read twice (expansion + anti join) and the plan would
-      * otherwise double per level; the final distance set is checkpointed
-      * too so the scratch edge cache and frontier blocks are released per
-      * query instead of accumulating across a JVM's lifetime. Bounds are
-      * capped like var-length patterns, so depth is explicit in the plan.
-      */
-    private def shortestPathRead(state: Option[(DataFrame, Ctx)], pv: String,
-        path: PathPat, all: Boolean, needNodes: Boolean,
-        needRels: Boolean = false,
-        optional: Boolean = false): (DataFrame, Ctx) = {
-      if (path.hops.size != 1)
-        throw CypherException("shortestPath expects a single relationship pattern")
-      // OPTIONAL semantics preserve rows of the ENCLOSING frame, so the
-      // start endpoint must already be bound there (an unbound `a` would
-      // itself be part of the optional pattern and need null-extension)
-      if (optional && !state.exists(_._2.labels.contains(
-          path.head.variable.getOrElse(""))))
-        throw CypherException(
-          "OPTIONAL MATCH shortestPath needs its start endpoint bound by a preceding MATCH")
-      val (rel, dstPat) = path.hops.head
-      val aVar = path.head.variable.getOrElse(
-        throw CypherException("shortestPath endpoints need variables"))
-      val bVar = dstPat.variable.getOrElse(
-        throw CypherException("shortestPath endpoints need variables"))
-      // no var-length spec = a single-hop pattern (Neo4j semantics:
-      // shortestPath((a)-[:R]->(b)) matches length-1 paths only; the old
-      // silent 1..10 default reported multi-hop distances a plain pattern
-      // never asked for).
-      // lo0 == 0 (`*0..n`): the zero-length path IS the shortest for every
-      // (a, a) pair — the BFS runs at lo=1 and an identity frame (dist 0,
-      // path [a], empty rels) replaces any self-pair cycle rows it found.
-      val (lo0, hi) = rel.varLength.getOrElse((1, 1))
-      val lo = math.max(lo0, 1)
-      // allShortestPaths rows ARE the distinct minimum-length paths, so the
-      // path array must be carried even when nothing reads nodes(p); plain
-      // shortestPath with only length(p) read drops it — the path is the
-      // widest column in every BFS frontier shuffle.
-      // relationships(p) needs the node sequence too (each hop's src/dst),
-      // and over a TYPE DISJUNCTION additionally the per-hop type array —
-      // a single type renders as a constant and skips the extra column.
-      val withPath = needNodes || all || needRels
-      if (rel.labels.isEmpty)
-        throw CypherException("shortestPath needs a relationship type")
-      val ets = rel.labels.map(l => store.schema.edges.find(_.label == l).getOrElse(
-        throw CypherException(s"unknown relationship type: $l")))
-      val et = ets.head
-      val label = rel.labels.mkString("|")
-      // bind the start endpoint (with its label/prop filters) into the
-      // frame. Under OPTIONAL the head props must NOT reduce the enclosing
-      // frame (rows failing them null-extend, like the dst-side props) —
-      // strip them here and fold them into the left_outer join condition
-      // below instead.
-      // endpoint label disjunction (r13): shortestPath semantics are
-      // per-(a, b)-PAIR — the minimum over paths between two fixed
-      // endpoints — so a disjunction endpoint decomposes EXACTLY into one
-      // single-label branch per alternative: the per-pair minima are
-      // independent of what other pairs exist, and the branches' pair
-      // sets are disjoint (distinct native labels). Each branch runs the
-      // normal single-endpoint BFS; [[mergeBranches]] unions them and
-      // tags the diverged endpoint, like any interpretation fork. A
-      // branch no relationship fits is silently dropped (same rule as
-      // [[enumerate]]); all-dropped rethrows the first error.
-      // endpoint disjunction decomposition fires only for pats with NO
-      // resolved label yet — already-decomposed branch pats keep their
-      // alternative list (bind sites derive sibling/earlier-branch member
-      // exclusions from it) but carry the chosen label
-      val headDis = path.head.alts.nonEmpty && path.head.label.isEmpty
-      val dstDis = dstPat.alts.nonEmpty && dstPat.label.isEmpty
-      if (headDis || dstDis) {
-        // memberships linking the alternatives no longer reject (r13
-        // verdict directive #5): each branch's head bind and far-endpoint
-        // join run with [[disjunctionExcludes]], so a node reached through
-        // several alternatives is enumerated by exactly one branch — the
-        // per-pair BFS minima stay disjoint across branches
-        Seq((aVar, path.head.alts), (bVar, dstPat.alts)).foreach { case (v, as) =>
-          if (as.nonEmpty && state.exists(_._2.labels.contains(v)))
-            throw CypherException(
-              s"shortestPath endpoint $v is already bound — drop the " +
-                "label disjunction (the binding fixed its label)")
-        }
-        if (optional) {
-          // the head is pre-bound under OPTIONAL (enforced above) and a
-          // bound endpoint rejects a disjunction (just above), so only the
-          // DST carries alternatives here. Per-branch left joins would
-          // emit one null row PER BRANCH for a fully-unmatched enclosing
-          // row where Neo4j emits exactly one — instead run the
-          // decomposition NON-optional over the DISTINCT head binding and
-          // null-extend with ONE left join back onto the enclosing frame
-          // (null-safe on EVERY head column, so the row identity is exact
-          // even when the head frame is not key-unique). Head props filter
-          // only the matched side — the branch bind applies them to the
-          // reduced frame, never to the enclosing rows.
-          val (df0, ctx0) = state.get
-          val aLabel0 = ctx0.labels(aVar)
-          val aCols = df0.columns.filter(_.startsWith(s"${aVar}__")).toSeq
-          val dfA = df0.select(aCols.map(col): _*).distinct()
-          val ctxA = Ctx(labels = Map(aVar -> aLabel0), rels = Map.empty)
-          val (dfM, ctxM) = shortestPathRead(Some((dfA, ctxA)), pv, path,
-            all, needNodes, needRels, optional = false)
-          val pfx = "__osp_"
-          val renamed = aCols.foldLeft(dfM)((d, c) =>
-            d.withColumnRenamed(c, pfx + c))
-          val cond = aCols.map(c => col(c) <=> col(pfx + c)).reduce(_ && _)
-          val joined = df0.join(renamed, cond, "left_outer")
-            .drop(aCols.map(pfx + _): _*)
-          return (joined, ctx0.copy(
-            labels = ctx0.labels ++ (ctxM.labels - aVar),
-            rels = ctx0.rels ++ ctxM.rels,
-            plains = ctx0.plains ++ ctxM.plains,
-            paths = ctx0.paths ++ ctxM.paths,
-            strLists = ctx0.strLists ++ ctxM.strLists,
-            pathRels = ctx0.pathRels ++ ctxM.pathRels,
-            pathRelSeqs = ctx0.pathRelSeqs ++ ctxM.pathRelSeqs,
-            multi = ctx0.multi ++ ctxM.multi,
-            multiRels = ctx0.multiRels ++ ctxM.multiRels,
-            multiRelEnds = ctx0.multiRelEnds ++ ctxM.multiRelEnds,
-            nullable = ctx0.nullable ++ (ctxM.labels.keySet - aVar) ++
-              ctxM.multi.keySet))
-        }
-        val heads: Seq[Option[String]] =
-          if (headDis) path.head.alts.map(Some(_)) else Seq(path.head.label)
-        val dsts: Seq[Option[String]] =
-          if (dstDis) dstPat.alts.map(Some(_)) else Seq(dstPat.label)
-        var firstErr: Option[CypherException] = None
-        val built = for {
-          hl <- heads
-          dl <- dsts
-          r <- try Some(shortestPathRead(state, pv,
-                 PathPat(path.head.copy(label = hl),
-                   Seq((rel, dstPat.copy(label = dl)))),
-                 all, needNodes, needRels, optional))
-               catch {
-                 case e: CypherException
-                     if e.getMessage.startsWith("no relationship fits") =>
-                   if (firstErr.isEmpty) firstErr = Some(e)
-                   None
-               }
-        } yield r
-        if (built.isEmpty) throw firstErr.getOrElse(CypherException(
-          "no relationship fits the shortestPath endpoint disjunction"))
-        return mergeBranches(built)
-      }
-      val headPat = if (optional) path.head.copy(props = Nil) else path.head
-      val (df1, ctx1) = assemble(Seq(PathPat(headPat, Nil)), initial = state)
-      val aLabel = ctx1.labels(aVar)
-      // type disjunction `[:A|B*…]`: each BFS step may take ANY of the
-      // types (mixed-type walks, same semantics as the var-length closure's
-      // type group). Self-relationship groups on the start label run the
-      // scalar-key BFS below; HETEROGENEOUS groups (types spanning
-      // different label pairs) run the label-tagged undirected BFS — a
-      // directed multi-hop walk over mixed label pairs cannot compose hops
-      // deterministically and is rejected loudly.
-      val selfOnA = ets.forall(e => e.src == aLabel && e.dst == aLabel)
-      if (ets.size > 1 && !selfOnA && !(hi > 1 && rel.dir == Undirected))
-        throw CypherException(
-          s"a heterogeneous shortestPath type disjunction needs an undirected " +
-            s"var-length pattern " +
-            s"(got ${ets.map(e => s"${e.label}:${e.src}->${e.dst}").mkString(", ")})")
-      val wantB = ctx1.labels.get(bVar).orElse(dstPat.label)
-      // Source seeding: the BFS only ever needs distances whose source the
-      // bound start frame can produce, so hand the BFS the distinct start
-      // keys. With a selective start pattern (`{n_nationkey: 0}`) this turns
-      // an all-pairs closure into single-source BFS — strictly less frontier
-      // work at any scale; with an unselective one the semi-join is a no-op.
-      val aKeyCol = s"${aVar}__${store.schema.node(aLabel).key}"
-      // head props stripped under OPTIONAL still narrow the SEED set (a
-      // source failing them can never satisfy the join condition, so the
-      // BFS needn't explore it) — only the frame must keep its rows
-      val seedSrc = path.head.props.foldLeft(df1) { case (d, (pn, v)) =>
-        if (optional) d.filter(col(s"${aVar}__$pn") === literal(v)) else d
-      }
-      val seeds = seedSrc.select(col(aKeyCol).as("__seed")).distinct()
-
-      if (hi > 1 && rel.dir == Undirected && !selfOnA &&
-          (ets.size > 1 || et.src != et.dst)) {
-        // Heterogeneous labels (bipartite walk, or a type GROUP spanning
-        // different label pairs): undirected traversal may change node
-        // label per hop, so `b`'s label is the annotated/bound one — or,
-        // for a single bipartite type, the far side. Node ids are
-        // label-tagged ([[heteroDistDf]]); keys project back out here.
-        if (!ets.exists(e => e.src == aLabel || e.dst == aLabel))
-          throw CypherException(
-            s"no relationship fits shortestPath(($aLabel)-[$label]-(${wantB.getOrElse("?")}))")
-        val bLabel = wantB.getOrElse {
-          if (ets.size == 1) (if (et.src == aLabel) et.dst else et.src)
-          else throw CypherException(
-            s"a heterogeneous type disjunction [$label] can reach several " +
-              "labels — annotate or pre-bind the far endpoint")
-        }
-        if (!ets.exists(e => e.src == bLabel || e.dst == bLabel))
-          throw CypherException(
-            s"no relationship fits shortestPath(($aLabel)-[$label]-($bLabel))")
-        // ONE tagged struct type must fit every member type's keys: cast
-        // all to string unless the key data types are identical group-wide
-        // (must agree with [[heteroDistDf]]'s tagging decision)
-        val mixedKeys = heteroMixedKeys(ets)
-        def k(c: Column): Column = if (mixedKeys) c.cast(StringType) else c
-        // Build the fully-resolved path frame FIRST (far endpoint joined /
-        // filtered into it), then attach it to the enclosing frame with
-        // ONE join — inner normally, left_outer under OPTIONAL (rows with
-        // no path keep nulls for p and an unbound b).
-        val bBound = ctx1.labels.contains(bVar)
-        val withRels = needRels && ets.size > 1
-        var p = heteroDistDf(ets, lo, hi, seeds, aLabel, all, withPath, withRels,
-          rel.props)
-          .filter(col("__dd.__l") === lit(bLabel))
-        if (lo0 == 0 && bLabel == aLabel) {
-          // distance-0 self pairs: one tagged identity row per seed; BFS
-          // self-pair rows (cycles) are superseded — min distance is 0
-          val tag = struct(lit(aLabel).as("__l"), k(col("__seed")).as("__k"))
-          val id0 = seeds.select(tag.as("__ds"), tag.as("__dd"))
-          val id1 = if (withPath) id0.withColumn("__path", array(col("__ds"))) else id0
-          val id2 = if (withRels)
-            id1.withColumn("__rels", array().cast(p.schema("__rels").dataType))
-          else id1
-          p = id2.withColumn("__len", lit(0L))
-            .unionByName(p.filter(col("__ds") =!= col("__dd")))
-        }
-        var ctx2 = ctx1
-        if (!bBound) {
-          val (dSibs, dKeyEx) = disjunctionExcludes(dstPat.alts, bLabel)
-          p = p.join(nodeDf(bVar, bLabel, dSibs, dKeyEx),
-            col("__dd.__k") === k(col(s"${bVar}__${store.schema.node(bLabel).key}")))
-          ctx2 = ctx1.copy(labels = ctx1.labels + (bVar -> bLabel))
-          dstPat.props.foreach { case (pn, v) =>
-            p = p.filter(col(s"${bVar}__$pn") === literal(v))
-          }
-        }
-        p = p.withColumn(s"${pv}__len", col("__len"))
-        if (needNodes || needRels)
-          p = p.withColumn(s"${pv}__nodes", transform(col("__path"),
-            s => concat_ws(":", s.getField("__l"), s.getField("__k").cast(StringType))))
-        if (withRels) p = p.withColumn(s"${pv}__rels", col("__rels"))
-        var cond = p("__ds").getField("__k") === k(col(aKeyCol))
-        if (optional) path.head.props.foreach { case (pn, v) =>
-          cond = cond && (col(s"${aVar}__$pn") === literal(v))
-        }
-        if (bBound) {
-          cond = cond && (p("__dd").getField("__k") ===
-            k(col(s"${bVar}__${store.schema.node(ctx1.labels(bVar)).key}")))
-          dstPat.props.foreach { case (pn, v) =>
-            cond = cond && (col(s"${bVar}__$pn") === literal(v))
-          }
-        }
-        val df = df1.join(p, cond, if (optional) "left_outer" else "inner")
-          .drop("__ds", "__dd", "__len", "__path", "__rels")
-        // a single-type path renders relationships(p) with a constant type;
-        // a disjunction carries the per-hop type array instead (withRels)
-        return (df, ctx2.copy(paths = ctx2.paths + pv,
-          pathRels = if (ets.size == 1) ctx2.pathRels + (pv -> et.label)
-                     else ctx2.pathRels,
-          pathRelSeqs = if (withRels) ctx2.pathRelSeqs + pv else ctx2.pathRelSeqs,
-          nullable = if (optional && !bBound) ctx2.nullable + bVar else ctx2.nullable))
-      }
-
-      val fitsFwd = et.src == aLabel && wantB.forall(_ == et.dst)
-      val fitsBwd = et.dst == aLabel && wantB.forall(_ == et.src)
-      if (!fitsFwd && !fitsBwd)
-        throw CypherException(
-          s"no relationship fits shortestPath(($aLabel)-[$label]-(${wantB.getOrElse("?")}))")
-      // self-edge types honor the written arrow; otherwise the schema
-      // orientation decides (direction correction, same rule as reads)
-      val along = if (fitsFwd && fitsBwd) rel.dir != Ast.In else fitsFwd
-      val bLabel = if (along) et.dst else et.src
-      // a DIRECTED walk over a heterogeneous type cannot compose hops
-      // (the dst label never matches the src label), so only length-1
-      // paths exist — clamp the bound instead of running empty levels
-      val hiEff = if (et.src != et.dst) math.min(hi, 1) else hi
-      // same shape as the hetero branch: resolve the far endpoint into the
-      // path frame, then one (optionally left_outer) join onto the
-      // enclosing frame
-      val bBound = ctx1.labels.contains(bVar)
-      val withRels = needRels && ets.size > 1
-      var p =
-        if (hi == 0) {
-          // zero-length-only (*0..0 / {0}): NO traversal happens — an
-          // empty frame here lets the lo0==0 identity union below supply
-          // exactly the distance-0 rows. (Routing through distDf would
-          // reject *1..0 as out-of-range; its lo==1 BFS seeds all level-1
-          // rows.) Heterogeneous endpoints can never unify on one node:
-          // reject loudly, mirroring the var-length closure's hi==0 branch.
-          if (bLabel != aLabel) throw CypherException(
-            "a zero-length-only shortestPath (*0..0 / {0}) over a " +
-              "heterogeneous relationship can never match — its endpoints " +
-              "would need to be one node of both labels")
-          val kt = store.nodes(aLabel)
-            .schema(store.schema.node(aLabel).key).dataType
-          var sch = StructType(Seq(StructField("__ds", kt),
-            StructField("__dd", kt), StructField("__len", LongType)))
-          if (withPath) sch = sch.add("__path", ArrayType(kt))
-          if (withRels) sch = sch.add("__rels", ArrayType(StringType))
-          df1.sparkSession.createDataFrame(
-            df1.sparkSession.sparkContext.emptyRDD[Row], sch)
-        } else distDf(ets, lo, hiEff,
-          undirected = rel.dir == Undirected, reversed = !along, seeds, all,
-          withPath, withRels, rel.props)
-      if (lo0 == 0 && bLabel == aLabel) {
-        // distance-0 self pairs (see the hetero branch above)
-        val id0 = seeds.select(col("__seed").as("__ds"), col("__seed").as("__dd"))
-        val id1 = if (withPath) id0.withColumn("__path", array(col("__ds"))) else id0
-        val id2 = if (withRels)
-          id1.withColumn("__rels", array().cast(p.schema("__rels").dataType))
-        else id1
-        p = id2.withColumn("__len", lit(0L))
-          .unionByName(p.filter(col("__ds") =!= col("__dd")))
-      }
-      var ctx2 = ctx1
-      if (!bBound) {
-        val (dSibs, dKeyEx) = disjunctionExcludes(dstPat.alts, bLabel)
-        p = p.join(nodeDf(bVar, bLabel, dSibs, dKeyEx),
-          col("__dd") === col(s"${bVar}__${store.schema.node(bLabel).key}"))
-        ctx2 = ctx1.copy(labels = ctx1.labels + (bVar -> bLabel))
-        dstPat.props.foreach { case (k, v) =>
-          p = p.filter(col(s"${bVar}__$k") === literal(v))
-        }
-      }
-      p = p.withColumn(s"${pv}__len", col("__len"))
-      if (needNodes || needRels)
-        p = p.withColumn(s"${pv}__nodes", col("__path"))
-      if (withRels) p = p.withColumn(s"${pv}__rels", col("__rels"))
-      var cond = col(aKeyCol) === p("__ds")
-      if (optional) path.head.props.foreach { case (pn, v) =>
-        cond = cond && (col(s"${aVar}__$pn") === literal(v))
-      }
-      if (bBound) {
-        cond = cond &&
-          (p("__dd") === col(s"${bVar}__${store.schema.node(ctx1.labels(bVar)).key}"))
-        dstPat.props.foreach { case (k, v) =>
-          cond = cond && (col(s"${bVar}__$k") === literal(v))
-        }
-      }
-      val df = df1.join(p, cond, if (optional) "left_outer" else "inner")
-        .drop("__ds", "__dd", "__len", "__path", "__rels")
-      // a single-type path renders relationships(p) with a constant type; a
-      // disjunction carries the per-hop type array instead (withRels)
-      val pathRels2 =
-        if (ets.size == 1) ctx2.pathRels + (pv -> et.label) else ctx2.pathRels
-      (df, ctx2.copy(paths = ctx2.paths + pv, pathRels = pathRels2,
-        pathRelSeqs = if (withRels) ctx2.pathRelSeqs + pv else ctx2.pathRelSeqs,
-        nullable = if (optional && !bBound) ctx2.nullable + bVar else ctx2.nullable))
-    }
-
-    /** Minimum-hop (src, dst, len, path) rows within lo..hi over one edge
-      * type. `__path` is the node-key sequence of ONE shortest path per
-      * endpoint pair — deterministically the lexicographically smallest
-      * among the minimum-length paths (per-level pruning keeps the
-      * lexicographic min per pair, and prefix-wise lexicographic order is
-      * preserved under extension, so the greedy choice is the global one).
-      */
-    private def distDf(ets: Seq[EdgeType], lo: Int, hi: Int,
-        undirected: Boolean, reversed: Boolean, seeds0: DataFrame,
-        keepAll: Boolean, withPath: Boolean,
-        withRels: Boolean = false,
-        props: Seq[(String, Expr)] = Nil): DataFrame = {
-      validatePathBounds(lo, hi)
-      ets.foreach { et =>
-        if (hi > 1 && et.src != et.dst)
-          throw CypherException(s"shortestPath over ${et.label} needs ${et.src}=${et.dst}")
-      }
-      // a type GROUP unions the edge sets before the BFS — each step may
-      // take any member type (mixed-type walks, the closure's semantics).
-      // Under withRels each edge row carries its member type so the BFS
-      // can accumulate the per-hop type sequence (`relationships(p)`)
-      def build(withRt: Boolean): DataFrame = ets.map { et =>
-        val raw = filteredEdges(et, props)
-        val fwd = raw.select(col(et.keyS).as("__ds"), col(et.keyT).as("__dd"))
-        val bwd = raw.select(col(et.keyT).as("__ds"), col(et.keyS).as("__dd"))
-        val d = if (undirected) fwd.unionByName(bwd) else if (reversed) bwd else fwd
-        if (withRt) d.withColumn("__rt", lit(et.label)) else d
-      }.reduce(_.unionByName(_))
-      // NOT distinct'd: that would shuffle the whole edge frame once per
-      // query. Builder stores are pair-deduped already; residual duplicates
-      // (write-path multi-edges, reciprocal pairs under the undirected
-      // union) are absorbed by the BFS itself — the seed-restricted first
-      // frontier is distinct'd cheaply and every later level goes through
-      // oneHop's groupBy(min(__path)).
-      // Cached per JVM under the size cap (r11, [[edgeUnionCache]]):
-      // overlapping BFS queries share one persisted union instead of
-      // re-deriving it per query; inline props bypass (query-specific
-      // edge sets), and oversized stores take the uncached build — the
-      // r7 "don't persist per-query derivations" rule still governs those.
-      bfsMemoized(("scalar", System.identityHashCode(store),
-        ets.map(_.label), lo, hi, undirected, reversed, keepAll, withPath,
-        withRels, props, seeds0.queryExecution.analyzed.canonicalized)) {
-      val e0 =
-        if (props.nonEmpty) build(withRels)
-        else {
-          val u = cachedUnion(s"scalar:$undirected:$reversed", ets)(
-            build(withRt = true))
-          if (withRels) u else u.drop("__rt")
-        }
-      // seeds comes from the bound-side MATCH pipeline — persisted so the
-      // sizing probe's seeds.count() and the subsequent BFS (localDist's
-      // tagged union, or the distributed path's first-hop semi join) don't
-      // each re-execute that pipeline
-      val seeds = seeds0.persist(StorageLevel.MEMORY_AND_DISK)
-      val keyType = e0.schema("__ds").dataType
-      // Adaptive physical strategy, same philosophy as
-      // [[graft.graph.GraphAnalytics.LocalEdgeThreshold]]: the distributed
-      // BFS pays ~2 Spark jobs per level (eager checkpoint + emptiness
-      // probe) — a dimension-sized graph spends its whole wall-time on job
-      // scheduling, not compute. Under the edge cap AND the seed×edge work
-      // budget, run the whole BFS inside ONE task (the sizing counts are
-      // two tiny jobs; a 100 TB edge store fails the edge cap on the first
-      // count and takes the distributed path).
-      val edgeCap = e0.sparkSession.conf
-        .getOption(LocalPathEdgeCapKey).map(_.toLong).getOrElse(LocalPathEdgeCap)
-      // withRels bypasses the single-task strategy: the local BFS tracks
-      // node paths only, and a type-disjunction relationships(p) query is
-      // a path-materializing shape, not the high-QPS scalar case the gate
-      // exists for
-      val local =
-        if (lo == 1 && !withRels && keyComparator(keyType).isDefined) {
-          // exact, not an estimate: base unions the full member-type frames
-          // (doubled under the undirected union), so the store's memoized
-          // per-type counts replace the per-query O(edges) sizing scan
-          val edgeCnt = ets.map(et => store.edgeCount(et.label)).sum *
-            (if (undirected) 2L else 1L)
-          edgeCnt <= edgeCap &&
-            (seeds.count() + 1L) * (edgeCnt + 1L) <= LocalPathWorkCap
-        } else false
-      val out =
-        if (local) localDist(e0, seeds, hi, keyType, keepAll, withPath)
-          .localCheckpoint(true)
-        else bfsFrames(e0, seeds, lo, hi, keepAll, withPath, withRels)
-      seeds.unpersist(false)
-      out
-      }
-    }
-
-    /** Shared bound validation for the shortestPath family. An open upper
-      * bound ([[Parser.Unbounded]]) is legal with `lo <= 1`: the BFS loop
-      * stops on frontier exhaustion, which the finite pair closure
-      * guarantees. `lo > 1` runs walk enumeration (no reached-set pruning),
-      * so it needs an explicit depth.
-      */
-    private def validatePathBounds(lo: Int, hi: Int): Unit = {
-      if (lo < 1 || hi < lo)
-        throw CypherException(s"shortestPath bounds out of range: *$lo..$hi")
-      if (lo > 1 && hi == Parser.Unbounded)
-        throw CypherException(
-          "shortestPath with a lower bound > 1 enumerates walks and needs " +
-            "an explicit upper bound (*lo..hi)")
-      // walk enumeration builds one join stage per level with no
-      // reached-set pruning, so an explicit-but-huge upper bound
-      // (*2..100000) is a planning-time explosion, not a query — cap it
-      // like plain var-length patterns
-      if (lo > 1 && hi > Parser.MaxVarLength)
-        throw CypherException(
-          s"shortestPath with a lower bound > 1 enumerates walks level by " +
-            s"level; the upper bound must be <= ${Parser.MaxVarLength} (got *$lo..$hi)")
-    }
-
-    /** Route an edge-union build through the per-JVM [[edgeUnionCache]]
-      * when the member stores fit the cap; otherwise build uncached (the
-      * 100 TB path — see the cache's doc). `build` must produce the
-      * WIDEST variant (with `__rt`) so every reader shares one entry.
-      */
-    private def cachedUnion(variant: String, ets: Seq[EdgeType])(
-        build: => DataFrame): DataFrame = {
-      val sess = store.edges(ets.head.label).sparkSession
-      val cap = sess.conf.getOption(UnionCacheMaxEdgesKey)
-        .map(_.toLong).getOrElse(UnionCacheMaxEdges)
-      val diskCap = sess.conf.getOption(UnionCacheMaxDiskEdgesKey)
-        .map(_.toLong).getOrElse(UnionCacheMaxDiskEdges)
-      val total = ets.map(et => store.edgeCount(et.label)).sum
-      if (total > math.max(cap, diskCap)) return build
-      val level =
-        if (total > cap) StorageLevel.DISK_ONLY
-        else StorageLevel.MEMORY_AND_DISK
-      val key = new UnionKey(s"$variant|${ets.map(_.label).mkString("|")}",
-        ets.map(et => store.edges(et.label)))
-      if (edgeUnionCache.size >= UnionCacheMaxEntries) {
-        import scala.jdk.CollectionConverters._
-        edgeUnionCache.values.asScala.foreach(_.unpersist(false))
-        edgeUnionCache.clear()
-      }
-      edgeUnionCache.computeIfAbsent(key, _ => build.persist(level))
-    }
-
-    /** True when the type group's edge-key columns span more than one data
-      * type — the tagged struct then carries string keys so one struct
-      * type fits every label (callers joining keys back out must apply
-      * the same cast).
-      */
-    private def heteroMixedKeys(ets: Seq[EdgeType]): Boolean =
-      ets.flatMap { et =>
-        val raw = store.edges(et.label)
-        Seq(raw.schema(et.keyS).dataType, raw.schema(et.keyT).dataType)
-      }.distinct.sizeIs > 1
-
-    /** Heterogeneous-label shortestPath support: BFS over a type GROUP
-      * whose src/dst LABELS differ or vary per member (a single bipartite
-      * type like customer–part, or a disjunction spanning different label
-      * pairs), where multi-hop traversal is necessarily undirected and may
-      * change node label per hop. Raw keys from different label spaces may
-      * collide (customer 5 ≠ part 5), so node ids are label-TAGGED structs
-      * `(__l, __k)` — the same BFS then runs unchanged (struct keys join,
-      * group, and min() like scalars). When key types differ anywhere in
-      * the group all keys are cast to string so one struct type unifies
-      * ([[heteroMixedKeys]]). Output `__ds`/`__dd`/`__path` carry tagged
-      * structs; the caller projects them back (`nodes(p)` renders
-      * `Label:key` strings).
-      */
-    private def heteroDistDf(ets: Seq[EdgeType], lo: Int, hi: Int,
-        seeds0: DataFrame, seedLabel: String,
-        keepAll: Boolean, withPath: Boolean,
-        withRels: Boolean = false,
-        props: Seq[(String, Expr)] = Nil): DataFrame = {
-      validatePathBounds(lo, hi)
-      val mixedKeys = heteroMixedKeys(ets)
-      def tag(l: String, c: Column): Column =
-        struct(lit(l).as("__l"),
-          (if (mixedKeys) c.cast(StringType) else c).as("__k"))
-      // a type GROUP unions every member's tagged edge set before the BFS
-      // — each step may take any member type (mixed-type walks, the same
-      // semantics as [[distDf]]'s scalar-key group). Under withRels each
-      // edge row carries its member type so the BFS can accumulate the
-      // per-hop type sequence (`relationships(p)`)
-      def build(withRt: Boolean): DataFrame = ets.map { et =>
-        val raw = filteredEdges(et, props)
-        val fwd = raw.select(tag(et.src, col(et.keyS)).as("__ds"),
-          tag(et.dst, col(et.keyT)).as("__dd"))
-        val bwd = raw.select(tag(et.dst, col(et.keyT)).as("__ds"),
-          tag(et.src, col(et.keyS)).as("__dd"))
-        val both = fwd.unionByName(bwd)
-        if (withRt) both.withColumn("__rt", lit(et.label)) else both
-      }.reduce(_.unionByName(_))
-      // not distinct'd — see distDf: label tags make fwd/bwd disjoint, the
-      // store is pair-deduped, and the BFS dedups its own frontiers.
-      // Cached per JVM under the size cap (r11, [[edgeUnionCache]]): the
-      // q85/q91/q105 family re-derived overlapping tagged unions per
-      // query; one persisted union (always carrying __rt — a drop is a
-      // projection over the same cached blocks) now serves them all.
-      // Oversized stores keep the r7 uncached per-level-scan shape.
-      bfsMemoized(("hetero", System.identityHashCode(store),
-        ets.map(_.label), lo, hi, seedLabel, keepAll, withPath, withRels,
-        props, seeds0.queryExecution.analyzed.canonicalized)) {
-        val e0 =
-          if (props.nonEmpty) build(withRels)
-          else {
-            val u = cachedUnion(s"hetero:$mixedKeys", ets)(build(withRt = true))
-            if (withRels) u else u.drop("__rt")
-          }
-        val seeds = seeds0.select(tag(seedLabel, col("__seed")).as("__seed"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        // same adaptive strategy as [[distDf]] (r14): a dimension-sized
-        // tagged union spends its wall-time on per-level job scheduling,
-        // not compute — under the edge cap and the seed×edge work budget
-        // the whole BFS runs inside ONE task (the struct comparator
-        // handles the tagged keys; an Unbounded hi still terminates —
-        // the local loop exits on frontier exhaustion)
-        val keyType = e0.schema("__ds").dataType
-        val edgeCap = e0.sparkSession.conf
-          .getOption(LocalPathEdgeCapKey).map(_.toLong).getOrElse(LocalPathEdgeCap)
-        val local =
-          if (lo == 1 && !withRels && keyComparator(keyType).isDefined) {
-            val edgeCnt = ets.map(et => store.edgeCount(et.label)).sum * 2L
-            edgeCnt <= edgeCap &&
-              (seeds.count() + 1L) * (edgeCnt + 1L) <= LocalPathWorkCap
-          } else false
-        val out =
-          if (local) localDist(e0, seeds, hi, keyType, keepAll, withPath)
-            .localCheckpoint(true)
-          else bfsFrames(e0, seeds, lo, hi, keepAll, withPath, withRels)
-        seeds.unpersist(false)
-        out
-      }
-    }
-
-    /** Per-compilation BFS memo (r14; closes the r13 verdict's directive
-      * #3): the per-label branches of an endpoint disjunction run the
-      * SAME seeded BFS and differ only in the far-endpoint label filter
-      * applied AFTER it, so the (eagerly checkpointed) distance frame is
-      * shared instead of recomputed per branch — q128's two branches, and
-      * q131/q132's, now pay for one BFS. Keyed on every BFS parameter
-      * plus the seed plan's structural identity (the decomposition
-      * rebuilds the head frame from the same enclosing state, so the
-      * canonicalized plans are equal) and the store's object identity (a
-      * mid-statement write builds a new store, invalidating naturally).
-      * Values are checkpointed frames — reuse is a block read, not a
-      * recompute.
-      */
-    private val bfsMemo = scala.collection.mutable.Map[Any, DataFrame]()
-    private def bfsMemoized(key: Any)(build: => DataFrame): DataFrame =
-      bfsMemo.getOrElseUpdate(key, build)
-
-    /** The distributed BFS shared by [[distDf]] and [[heteroDistDf]]:
-      * multi-source, frontier-disciplined, path-carrying. `e0` is a
-      * `(__ds, __dd)` edge frame — duplicate edge rows are tolerated (the
-      * first frontier is distinct'd after the seed semi-join, every later
-      * level through oneHop's groupBy) — and `seeds` a `__seed` frame of
-      * the same key type (scalar or tagged struct — both join/group/min
-      * identically). Returns an eagerly checkpointed `(__ds, __dd, __len,
-      * __path)` frame, so callers may unpersist the inputs immediately.
-      */
-    private def bfsFrames(e0: DataFrame, seeds: DataFrame,
-        lo: Int, hi: Int, keepAll: Boolean, withPath: Boolean,
-        withRels: Boolean = false): DataFrame = {
-      // the per-hop type sequence only exists alongside the node path
-      // (relationships(p) reads both); callers guarantee the pairing
-      require(!withRels || withPath, "withRels requires withPath")
-      // per-level lineage cuts ride the shared policy: localCheckpoint by
-      // default, every k-th cut reliable when graft.checkpoint.dir is set
-      // (fault tolerance on preemptible clusters — see GraphAnalytics)
-      val ck = new graft.graph.GraphAnalytics.IterCheckpointer(e0.sparkSession)
-      // reached-set pruning position (r12): true = anti-join inside
-      // oneHop, before the per-pair dedup/agg (see the comment there);
-      // false = the pre-r12 post-agg position. A/B'd in BASELINE.md;
-      // CypherSpec pins both modes row-identical.
-      val antiEarly = e0.sparkSession.conf
-        .get(BfsAntiEarlyKey, "true").toBoolean
-      // one hop forward. Frontier discipline per mode:
-      //  - shortestPath + path read: keep ONE (lexicographically minimal)
-      //    path per (src, dst) — frontier bounded by the pair closure;
-      //  - shortestPath, length-only: no __path at all — the frontier rows
-      //    are (src, dst) pairs, the narrowest possible shuffle;
-      //  - allShortestPaths: keep EVERY distinct path per pair (the rows
-      //    ARE the result multiplicity). Fan-out is the shortest-path
-      //    count, still pruned by the reached-pair anti join — a level
-      //    never extends into already-reached pairs, so no path revisits a
-      //    node (its prefix would have reached it earlier).
-      def oneHop(from: DataFrame,
-          reached: Option[DataFrame] = None): DataFrame = {
-        val stepped = from.join(
-          e0.withColumnRenamed("__ds", "__m").withColumnRenamed("__dd", "__dd2"),
-          col("__dd") === col("__m"))
-        // When the reached-pair set is supplied, anti-join it BEFORE the
-        // per-pair dedup/agg (r12): in an undirected graph most stepped
-        // rows walk straight back into already-reached pairs (every
-        // level-2 row can revisit its seed), and filtering them first
-        // keeps their wide path/rels structs out of the min-struct
-        // aggregation. Both operations key on (__ds, __dd), so a
-        // shuffle-based anti's exchange is reused by the groupBy — same
-        // shuffle count, strictly less aggregated data — and a
-        // broadcast anti filters map-side before the only shuffle.
-        // Pair-equivalent to anti-joining after the agg: the agg never
-        // creates pairs, only collapses rows within one, so the removed
-        // rows all belong to removed pairs. Conf-gated for A/B; the
-        // caller skips its own post-agg anti when this one ran.
-        val anti: DataFrame => DataFrame = reached match {
-          case Some(r) => df => df.join(r, Seq("__ds", "__dd"), "left_anti")
-          case None => identity
-        }
-        if (!withPath)
-          anti(stepped.select(col("__ds"), col("__dd2").as("__dd"))).distinct()
-        else if (withRels) {
-          // append the hop's edge type alongside the node; the single-path
-          // prune picks the lexicographic-min (path, type-seq) pair —
-          // deterministic even when parallel edges of different types
-          // connect the same node pair
-          val ext = anti(stepped.select(col("__ds"), col("__dd2").as("__dd"),
-            concat(col("__path"), array(col("__dd2"))).as("__path"),
-            concat(col("__rels"), array(col("__rt"))).as("__rels")))
-          if (keepAll) ext.distinct()
-          else ext.groupBy("__ds", "__dd")
-            .agg(min(struct(col("__path"), col("__rels"))).as("__m"))
-            .select(col("__ds"), col("__dd"),
-              col("__m.__path").as("__path"), col("__m.__rels").as("__rels"))
-        }
-        else if (keepAll)
-          anti(stepped.select(col("__ds"), col("__dd2").as("__dd"),
-            concat(col("__path"), array(col("__dd2"))).as("__path"))).distinct()
-        else
-          anti(stepped.select(col("__ds"), col("__dd2").as("__dd"),
-            concat(col("__path"), array(col("__dd2"))).as("__path")))
-            .groupBy("__ds", "__dd").agg(min(col("__path")).as("__path"))
-      }
-      // first-hop frontier restricted to the bound sources, distinct'd
-      // HERE — on the seed-bounded frontier, not the full edge frame
-      // (intermediate hops still traverse every edge)
-      val e0s = e0.join(seeds, col("__ds") === col("__seed"), "left_semi")
-        .distinct()
-      // eagerly checkpointed: the first frontier is read several times
-      // (level-2 expansion, the reached-set anti join, the result union)
-      // and its un-checkpointed plan still carries the full edge scan —
-      // Catalyst can't see the seed restriction made it small, so level 2
-      // would sort-merge join, shuffling the WHOLE edge frame, instead of
-      // broadcasting the frontier (measured at sf1: q85 13.5 -> ~6 s warm)
-      val e0p = {
-        // fold the edge-type column into the level-1 type sequence; without
-        // the reduce a pair connected by TWO member types would enter the
-        // single-path mode twice (distinct saw distinct __rt values)
-        val w = if (!withRels) e0s
-          else e0s.withColumn("__rels", array(col("__rt"))).drop("__rt")
-        val p0 = if (withPath)
-          w.withColumn("__path", array(col("__ds"), col("__dd"))) else w
-        val p1 = if (withRels && !keepAll)
-          p0.groupBy("__ds", "__dd")
-            .agg(min(struct(col("__path"), col("__rels"))).as("__m"))
-            .select(col("__ds"), col("__dd"),
-              col("__m.__path").as("__path"), col("__m.__rels").as("__rels"))
-        else p0
-        ck.cut(p1)
-      }
-      if (lo == 1) {
-        var dist = e0p.withColumn("__len", lit(1L))
-        var frontier = e0p
-        var n = 2
-        var exhausted = false
-        // an open upper bound ([[Parser.Unbounded]]) runs until the
-        // frontier exhausts — guaranteed finite because every level must
-        // reach at least one new (src, dst) pair of the finite closure
-        while (n <= hi && !exhausted) {
-          // localCheckpoint (eager) truncates lineage: each level's anti
-          // join references the whole reached-set union, so without the cut
-          // the logical plan doubles per level and planning itself OOMs
-          // long before the data does. The checkpoint also lets the loop
-          // stop as soon as a frontier comes back empty.
-          val fresh = ck.cut(
-            if (antiEarly) oneHop(frontier, Some(dist.select("__ds", "__dd")))
-            else oneHop(frontier).join(
-              dist.select("__ds", "__dd"), Seq("__ds", "__dd"), "left_anti"))
-          if (fresh.isEmpty) exhausted = true
-          else {
-            dist = dist.unionByName(fresh.withColumn("__len", lit(n.toLong)))
-            frontier = fresh
-          }
-          n += 1
-        }
-        // Cut the result loose from the scratch state: checkpointing `dist`
-        // truncates its lineage, so the caller can unpersist e0 (repeated
-        // shortestPath queries in one JVM would otherwise each pin an edge
-        // copy forever) and the per-level frontier checkpoint blocks lose
-        // their last reference, letting the ContextCleaner reclaim them.
-        dist.localCheckpoint(true)
-      } else {
-        // a lower bound > 1 asks for the shortest path NO SHORTER than lo —
-        // pairs whose true distance is below lo must still surface at their
-        // shortest admissible length, so BFS's reached-set pruning doesn't
-        // apply; enumerate each admissible length instead (walk semantics,
-        // per-level distinct keeps growth bounded by the closure size).
-        // Walk enumeration needs the path even in length-only mode when
-        // keepAll (multiplicity); plain length-only still enumerates pairs.
-        // per-level checkpoint + empty-frontier early exit: levels would
-        // otherwise chain join/groupBy stages into one compounding plan,
-        // and a frontier that dies (DAG exhausted) would still run the
-        // remaining levels as empty jobs
-        var cur = e0p
-        var exhausted = cur.isEmpty
-        for (_ <- 2 to lo if !exhausted) {
-          cur = ck.cut(oneHop(cur))
-          exhausted = cur.isEmpty
-        }
-        var dist = cur.withColumn("__len", lit(lo.toLong))
-        for (n <- lo + 1 to hi if !exhausted) {
-          cur = ck.cut(oneHop(cur))
-          if (cur.isEmpty) exhausted = true
-          else dist = dist.unionByName(cur.withColumn("__len", lit(n.toLong)))
-        }
-        if (keepAll) {
-          // all rows at each pair's minimum admissible length
-          val mins = dist.groupBy("__ds", "__dd").agg(min(col("__len")).as("__minl"))
-          dist.join(mins, Seq("__ds", "__dd"))
-            .filter(col("__len") === col("__minl"))
-            .drop("__minl")
-            .localCheckpoint(true)
-        } else if (!withPath) {
-          dist.groupBy("__ds", "__dd").agg(min(col("__len")).as("__len"))
-            .localCheckpoint(true)
-        } else if (withRels) {
-          dist.groupBy("__ds", "__dd")
-            .agg(min(struct(col("__len"), col("__path"), col("__rels"))).as("__m"))
-            .select(col("__ds"), col("__dd"),
-              col("__m.__len").as("__len"), col("__m.__path").as("__path"),
-              col("__m.__rels").as("__rels"))
-            .localCheckpoint(true)
-        } else {
-          // min(struct) picks the shortest admissible length and its
-          // lexicographic-min path in one orderable aggregate
-          dist.groupBy("__ds", "__dd")
-            .agg(min(struct(col("__len"), col("__path"))).as("__m"))
-            .select(col("__ds"), col("__dd"),
-              col("__m.__len").as("__len"), col("__m.__path").as("__path"))
-            .localCheckpoint(true)
-        }
-      }
-    }
-
-    /** Single-task multi-source BFS with path tracking — the local strategy
-      * behind [[distDf]]'s adaptive switch. Edges and seeds arrive in one
-      * task via a tagged union (never through the driver); the BFS is
-      * level-synchronous with per-destination lexicographic-min path
-      * pruning, bit-identical to the distributed loop's
-      * `groupBy(min(__path))` + anti-join discipline (string keys compare as
-      * UTF-8 bytes, matching Spark's UTF8String ordering).
-      */
-    private def localDist(e0: DataFrame, seeds: DataFrame, hi: Int,
-        kt: DataType, keepAll: Boolean, withPath: Boolean): DataFrame = {
-      val spark = e0.sparkSession
-      val cmp = keyComparator(kt).get
-      val maxLevel = hi.toLong
-      val tagged = e0.select(lit(0).as("__t"), col("__ds"), col("__dd"))
-        .unionByName(seeds.select(lit(1).as("__t"),
-          col("__seed").as("__ds"), col("__seed").as("__dd")))
-      val rows = tagged.coalesce(1).rdd.mapPartitions { it =>
-        import scala.collection.mutable
-        val adj = mutable.HashMap.empty[Any, mutable.ArrayBuffer[Any]]
-        val seedSet = mutable.LinkedHashSet.empty[Any]
-        it.foreach { r =>
-          if (!r.isNullAt(1) && !r.isNullAt(2)) {
-            if (r.getInt(0) == 0)
-              adj.getOrElseUpdate(r.get(1), mutable.ArrayBuffer.empty) += r.get(2)
-            else seedSet += r.get(1)
-          }
-        }
-        val pathOrd = new Ordering[Vector[Any]] {
-          def compare(a: Vector[Any], b: Vector[Any]): Int = {
-            var i = 0
-            val n = math.min(a.length, b.length)
-            while (i < n) {
-              val c = cmp(a(i), b(i))
-              if (c != 0) return c
-              i += 1
-            }
-            a.length - b.length
-          }
-        }
-        seedSet.iterator.flatMap { s =>
-          if (keepAll) {
-            // allShortestPaths: keep EVERY distinct minimum-length path per
-            // destination (LinkedHashSet dedups duplicate parallel edges);
-            // the reached check still runs per level, so no path revisits
-            // a node — mirroring the distributed loop's pair anti join
-            val reached = mutable.HashMap.empty[Any, (Long, Vector[Vector[Any]])]
-            var frontier = mutable.HashMap.empty[Any, mutable.LinkedHashSet[Vector[Any]]]
-            adj.get(s).foreach(_.foreach { d =>
-              frontier.getOrElseUpdate(d, mutable.LinkedHashSet.empty) += Vector(s, d)
-            })
-            var level = 1L
-            frontier.foreach { case (d, ps) => reached(d) = (level, ps.toVector) }
-            while (level < maxLevel && frontier.nonEmpty) {
-              val next = mutable.HashMap.empty[Any, mutable.LinkedHashSet[Vector[Any]]]
-              frontier.foreach { case (d, ps) =>
-                adj.get(d).foreach(_.foreach { d2 =>
-                  if (!reached.contains(d2)) ps.foreach { p =>
-                    next.getOrElseUpdate(d2, mutable.LinkedHashSet.empty) += (p :+ d2)
-                  }
-                })
-              }
-              level += 1
-              next.foreach { case (d, ps) => reached(d) = (level, ps.toVector) }
-              frontier = next
-            }
-            reached.iterator.flatMap { case (d, (len, ps)) =>
-              ps.iterator.map(p => Row(s, d, len, p))
-            }
-          } else if (withPath) {
-            val reached = mutable.HashMap.empty[Any, (Long, Vector[Any])]
-            var frontier = mutable.HashMap.empty[Any, Vector[Any]]
-            adj.get(s).foreach(_.foreach { d =>
-              val p = Vector(s, d)
-              if (frontier.get(d).forall(q => pathOrd.compare(p, q) < 0))
-                frontier(d) = p
-            })
-            var level = 1L
-            frontier.foreach { case (d, p) => reached(d) = (level, p) }
-            while (level < maxLevel && frontier.nonEmpty) {
-              val next = mutable.HashMap.empty[Any, Vector[Any]]
-              frontier.foreach { case (d, p) =>
-                adj.get(d).foreach(_.foreach { d2 =>
-                  if (!reached.contains(d2)) {
-                    val p2 = p :+ d2
-                    if (next.get(d2).forall(q => pathOrd.compare(p2, q) < 0))
-                      next(d2) = p2
-                  }
-                })
-              }
-              level += 1
-              next.foreach { case (d, p) => reached(d) = (level, p) }
-              frontier = next
-            }
-            reached.iterator.map { case (d, (len, p)) => Row(s, d, len, p) }
-          } else {
-            // length-only: plain key-set BFS, no path bookkeeping at all
-            val reached = mutable.HashMap.empty[Any, Long]
-            var frontier = mutable.LinkedHashSet.empty[Any]
-            adj.get(s).foreach(_.foreach(frontier += _))
-            var level = 1L
-            frontier.foreach(d => reached(d) = level)
-            while (level < maxLevel && frontier.nonEmpty) {
-              val next = mutable.LinkedHashSet.empty[Any]
-              frontier.foreach { d =>
-                adj.get(d).foreach(_.foreach { d2 =>
-                  if (!reached.contains(d2)) next += d2
-                })
-              }
-              level += 1
-              next.foreach(d => reached(d) = level)
-              frontier = next
-            }
-            reached.iterator.map { case (d, len) => Row(s, d, len) }
-          }
-        }
-      }
-      val base = Seq(
-        StructField("__ds", kt), StructField("__dd", kt),
-        StructField("__len", LongType, nullable = false))
-      val schema =
-        if (withPath || keepAll) base :+ StructField("__path", ArrayType(kt))
-        else base
-      spark.createDataFrame(rows, StructType(schema))
-    }
-
-    /** Attach one OPTIONAL MATCH clause: assemble its paths independently
-      * (seeded with the enclosing labels) and LEFT-join on the shared
-      * variables' node keys. Unmatched rows carry nulls for the optional
-      * variables — `count(optVar)` then counts only matches, Cypher's
-      * semantics. The enclosing WHERE applies post-join (predicates on
-      * optional variables filter null rows unless guarded with IS NULL —
-      * standard Cypher gotcha, same here).
-      */
-    private def attachOptional(main: DataFrame, ctx: Ctx, paths: Seq[PathPat]): (DataFrame, Ctx) = {
-      val patVars: Set[String] =
-        paths.flatMap(p => p.head.variable.toSeq ++ p.hops.flatMap(_._2.variable)).toSet
-      patVars.find(ctx.multi.contains).foreach(v => throw CypherException(
-        s"OPTIONAL MATCH cannot correlate on $v: it matches multiple labels " +
-          s"(${ctx.multi(v).mkString(", ")}) — constrain it with a label first"))
-      val shared = patVars.filter(ctx.labels.contains)
-      if (shared.isEmpty)
-        throw CypherException("OPTIONAL MATCH must share at least one variable with the preceding MATCH")
-      val (sub, subCtx) = assemble(paths, ctx.labels.view.filterKeys(shared).toMap)
-      def keyColOf(v: String, c: Ctx): String = s"${v}__${store.schema.node(c.labels(v)).key}"
-      val sfx = "__opt"
-      val subR = sub.columns.foldLeft(sub)((d, c) => d.withColumnRenamed(c, c + sfx))
-      val cond = shared.map(v => col(keyColOf(v, ctx)) === col(keyColOf(v, subCtx) + sfx))
-        .reduce(_ && _)
-      var joined = main.join(subR, cond, "left_outer")
-      subR.columns.foreach { c =>
-        val orig = c.dropRight(sfx.length)
-        if (shared.exists(v => orig.startsWith(s"${v}__"))) joined = joined.drop(c)
-        else joined = joined.withColumnRenamed(c, orig)
-      }
-      val newVars = patVars -- shared
-      (joined, ctx.copy(
-        labels = ctx.labels ++ subCtx.labels.view.filterKeys(newVars).toMap,
-        rels = ctx.rels ++ subCtx.rels,
-        multi = ctx.multi ++ subCtx.multi.view.filterKeys(newVars).toMap,
-        multiRels = ctx.multiRels ++ subCtx.multiRels,
-        nullable = ctx.nullable ++ newVars))
-    }
-
-    // ---------------------------------------------------------- expressions
-
-    private val aggFns = Set("count", "sum", "avg", "min", "max", "collect",
-      "stdev", "stdevp", "percentilecont", "percentiledisc")
-
-    private def containsAgg(e: Expr): Boolean = e match {
-      case Fn(n, args, _) => aggFns(n) || args.exists(containsAgg)
-      case Bin(_, l, r) => containsAgg(l) || containsAgg(r)
-      case Not(x) => containsAgg(x)
-      case IsNull(x, _) => containsAgg(x)
-      case In(x, coll) => containsAgg(x) || containsAgg(coll)
-      case ListLit(xs) => xs.exists(containsAgg)
-      case MapLit(kvs) => kvs.exists(kv => containsAgg(kv._2))
-      case ListComp(_, coll, w, pr) =>
-        containsAgg(coll) || w.exists(containsAgg) || pr.exists(containsAgg)
-      case ReduceExpr(_, init, _, coll, step) =>
-        containsAgg(init) || containsAgg(coll) || containsAgg(step)
-      case ListPred(_, _, coll, p) => containsAgg(coll) || containsAgg(p)
-      case Index(coll, i) => containsAgg(coll) || containsAgg(i)
-      case CaseExpr(s, bs, d) =>
-        s.exists(containsAgg) || d.exists(containsAgg) ||
-          bs.exists { case (c, r) => containsAgg(c) || containsAgg(r) }
-      case _ => false
-    }
-
-    private def literal(e: Expr): Column = e match {
-      case Lit(null) => lit(null)
-      case Lit(v) => lit(v)
-      case Fn("date", Seq(Lit(s: String)), _) => to_date(lit(s))
-      case other => throw CypherException(s"expected literal, found $other")
-    }
-
-    private def rawLiteral(e: Expr): Any = e match {
-      case Lit(v) => v
-      case other => throw CypherException(s"expected literal, found $other")
-    }
-
-    /** Translate in pattern context: Prop → prefixed column (struct field
-      * for plain variables); node Var → its key column; unknown bare Var →
-      * output column (post-WITH alias).
-      */
-    private def column(e: Expr, ctx: Ctx): Column = columnL(e, ctx, Map.empty)
-
-    /** [[column]] with lambda-variable scope — comprehension/reduce bodies
-      * bind their iteration variables to Spark higher-order-function
-      * arguments. (HOF lambdas evaluate interpreted, outside codegen — fine
-      * here: these operate on small per-row lists in the Cypher surface,
-      * not the bulk-vector hot path, which uses the reshaped pipelines.)
-      */
-    private def columnL(e: Expr, ctx: Ctx, lam: Map[String, Column],
-        lamStr: Set[String] = Set.empty,
-        lamRel: Set[String] = Set.empty): Column = {
-      def c(e: Expr): Column = e match {
-        case Var(v) if lam.contains(v) => lam(v)
-        case Prop(v, p) if lam.contains(v) => lam(v).getField(p)
-        case ListComp(x, coll, where, proj) =>
-          var cc = c(coll)
-          val ls = if (elemIsString(coll, ctx, lamStr)) lamStr + x else lamStr - x
-          val lr = if (elemIsRelList(coll, ctx, lamRel)) lamRel + x else lamRel - x
-          where.foreach(w => cc = filter(cc, el => columnL(w, ctx, lam + (x -> el), ls, lr)))
-          proj.foreach(pr => cc = transform(cc, el => columnL(pr, ctx, lam + (x -> el), ls, lr)))
-          cc
-        case ReduceExpr(acc, init, x, coll, step) =>
-          val ls = if (elemIsString(coll, ctx, lamStr)) lamStr + x else lamStr - x
-          val lr = if (elemIsRelList(coll, ctx, lamRel)) lamRel + x else lamRel - x
-          aggregate(c(coll), c(init),
-            (a, el) => columnL(step, ctx, lam + (acc -> a) + (x -> el), ls, lr))
-        case ListPred(kind, x, coll, pred) =>
-          // list predicates ride the same HOF lambdas as comprehensions —
-          // interpreted, which is fine as a post-BFS filter on small path
-          // arrays; never put these in a per-level frontier (the q48
-          // lesson: HOF lambdas evaluate outside whole-stage codegen)
-          val cc = c(coll)
-          val ls = if (elemIsString(coll, ctx, lamStr)) lamStr + x else lamStr - x
-          val lr = if (elemIsRelList(coll, ctx, lamRel)) lamRel + x else lamRel - x
-          def p(el: Column): Column = columnL(pred, ctx, lam + (x -> el), ls, lr)
-          kind match {
-            case "all" => forall(cc, p)
-            case "any" => exists(cc, p)
-            case "none" => !exists(cc, p)
-            case "single" => size(filter(cc, el => p(el))) === 1
-          }
-        case Index(coll, idx) =>
-          // Cypher is 0-based from the front, negative from the back;
-          // element_at is 1-based from the front, negative from the back
-          val i = c(idx)
-          element_at(c(coll), when(i >= 0, i + 1).otherwise(i).cast("int"))
-        case MapProj(v, props, star, extras) =>
-          // struct of selected properties + computed entries; a selected
-          // property the label doesn't store reads null (Neo4j's
-          // missing-property semantics). `.*` expands the node's full
-          // stored schema at COMPILE time — a plain column selection, no
-          // runtime map machinery.
-          val base: Seq[(String, Column)] =
-            if (ctx.labels.contains(v)) {
-              val nt = store.schema.node(ctx.labels(v))
-              val avail = nt.key +: nt.properties
-              val want = if (star) avail else props
-              want.map(p =>
-                p -> (if (avail.contains(p)) col(s"${v}__$p") else lit(null)))
-            } else if (ctx.plains.contains(v)) {
-              if (star) throw CypherException(
-                s"$v {.*} needs a node variable (a plain value's keys are " +
-                  "not statically known)")
-              props.map(p => p -> col(v).getField(p))
-            } else throw CypherException(s"unbound variable: $v")
-          val computed = extras.map { case (k, x) => k -> c(x) }
-          struct((base ++ computed).map { case (k, cc) => cc.as(k) }: _*)
-        case Prop(v, p) =>
-          // multi-label/multi-type vars address the union frame's superset
-          // columns; a label that lacks the property reads null (Neo4j's
-          // missing-property semantics)
-          if (ctx.labels.contains(v) || ctx.rels.contains(v) ||
-              ctx.multi.contains(v) || ctx.multiRels.contains(v)) col(s"${v}__$p")
-          else if (ctx.plains.contains(v)) col(v).getField(p)
-          else throw CypherException(s"unbound variable: $v")
-        case Var(v) =>
-          ctx.nodeLabel(v) match {
-            case Some(label) => col(s"${v}__${store.schema.node(label).key}")
-            case None =>
-              if (ctx.multi.contains(v)) multiNodeId(v, ctx)
-              else if (ctx.rels.contains(v) || ctx.multiRels.contains(v))
-                throw CypherException(s"relationship variable $v cannot be used as a value")
-              else col(v)
-          }
-        case Lit(null) => lit(null)
-        case Lit(x) => lit(x)
-        case TypedNull(dt) => lit(null).cast(dt)
-        case Bin("+", l, r)
-            if isStringTyped(l, ctx, lamStr) || isStringTyped(r, ctx, lamStr) =>
-          // Cypher `+` concatenates when either side is a string
-          // ('a' + 'b' = 'ab', s + toString(n)); numbers render via cast
-          concat(c(l).cast(StringType), c(r).cast(StringType))
-        case Bin(op, l, r) => binop(op, c(l), c(r))
-        case Not(x) => !c(x)
-        // `p IS [NOT] NULL` on a path variable tests whether the OPTIONAL
-        // shortestPath matched — the length column is the path's
-        // null-tracking representative (present in every mode, including
-        // distance-only)
-        case IsNull(Var(v), neg) if ctx.paths.contains(v) =>
-          if (neg) col(s"${v}__len").isNotNull else col(s"${v}__len").isNull
-        case IsNull(x, neg) => if (neg) c(x).isNotNull else c(x).isNull
-        // literal IN list → isin (Catalyst folds to an In predicate it can
-        // push down); any other list-valued expr → array_contains
-        case In(x, ListLit(xs)) if xs.forall(_.isInstanceOf[Lit]) =>
-          c(x).isin(xs.map(rawLiteral): _*)
-        case In(x, coll) => array_contains(c(coll), c(x))
-        case ListLit(xs) => array(xs.map(c): _*)
-        case Param(n) => throw CypherException(
-          s"unbound parameter $$$n — pass params to run(query, params)")
-        case ExistsBlock(_, _) => throw CypherException(
-          "EXISTS { } is not supported in this position — use it in a " +
-            "WHERE (top-level or WITH … WHERE), as a RETURN/WITH item, " +
-            "or in ORDER BY")
-        case CountBlock(_, _) => throw CypherException(
-          "COUNT { } is not supported in this position — use it as a " +
-            "RETURN/WITH item, in ORDER BY, in a WHERE (top-level or " +
-            "WITH … WHERE), or in UNWIND")
-        case CollectBlock(_, _, _, _, _) => throw CypherException(
-          "COLLECT { } is not supported in this position — use it as a " +
-            "RETURN/WITH item, in ORDER BY, in a WHERE (top-level or " +
-            "WITH … WHERE), or in UNWIND")
-        case PatternComp(_, _, _) => throw CypherException(
-          "pattern comprehensions are not supported in this position — " +
-            "use them as a RETURN/WITH item, in ORDER BY, in a WHERE " +
-            "(top-level or WITH … WHERE), or in UNWIND")
-        case PatternPred(_) => throw CypherException(
-          "pattern predicates (exists((a)-[]->(b))) are only supported as " +
-            "top-level AND conditions of a WHERE clause")
-        case Fn("count", Seq(Var(v)), _) if ctx.rels.contains(v) || ctx.multiRels.contains(v) =>
-          count(lit(1)) // count(r): a rel var has no value column; count rows
-        case Fn("count", Seq(Var(v)), false) if ctx.paths.contains(v) =>
-          // count(p): rows where the path exists — its length column is
-          // non-null exactly then (null under unmatched OPTIONAL)
-          count(col(s"${v}__len"))
-        case Fn("count", Seq(Var(v)), true) if ctx.paths.contains(v) =>
-          // count(DISTINCT p): distinct paths = distinct node sequences;
-          // over a type disjunction the per-hop type array joins the
-          // identity (two min-length paths can share nodes but differ in
-          // types). pathUsage forces both columns to be carried.
-          if (ctx.pathRelSeqs.contains(v))
-            count_distinct(struct(col(s"${v}__nodes"), col(s"${v}__rels")))
-          else count_distinct(col(s"${v}__nodes"))
-        case Fn("length" | "size", Seq(Var(v)), _) if ctx.paths.contains(v) =>
-          col(s"${v}__len") // length(p) of a shortestPath binding
-        case Fn("nodes", Seq(Var(v)), _) if ctx.paths.contains(v) =>
-          col(s"${v}__nodes") // node keys along the bound shortest path
-        case Fn("relationships", Seq(Var(v)), _) if ctx.paths.contains(v) =>
-          // derived from the node list: consecutive (src, dst) key pairs
-          // plus the hop's relationship type — a constant for a single-type
-          // pattern, the BFS-accumulated per-hop array for a disjunction
-          val ns = col(s"${v}__nodes")
-          val hopType: Column => Column = ctx.pathRels.get(v) match {
-            case Some(t) => _ => lit(t)
-            case None if ctx.pathRelSeqs.contains(v) =>
-              i => element_at(col(s"${v}__rels"), i)
-            case None => throw CypherException(
-              s"relationships($v): the path carries node keys only, not " +
-                "per-hop types")
-          }
-          transform(sequence(lit(1), size(ns) - 1), i =>
-            struct(element_at(ns, i).as("src"),
-              element_at(ns, i + lit(1)).as("dst"),
-              hopType(i).as("type")))
-        // graph introspection — resolved from the binding context, so they
-        // compile to literals/columns, not lookups (free at any scale);
-        // multi-label/multi-type vars read their per-row tag columns
-        case Fn("labels", Seq(Var(v)), _) if ctx.labels.contains(v) =>
-          array(lit(ctx.labels(v)))
-        case Fn("labels", Seq(Var(v)), _) if ctx.multi.contains(v) =>
-          array(col(labelColOf(v)))
-        case Fn("type", Seq(Var(v)), _) if lam.contains(v) =>
-          // a lambda variable iterating a relationship list (a var-length
-          // group variable / relationships(p)) is a struct whose `type`
-          // field type() reads; iterating anything else rejects loudly
-          // instead of surfacing a raw getField AnalysisException
-          if (!lamRel.contains(v)) throw CypherException(
-            s"type($v): $v does not iterate a relationship list — " +
-              "type() needs a relationship")
-          lam(v).getField("type")
-        case Fn("type", Seq(Var(v)), _) if ctx.rels.contains(v) =>
-          lit(ctx.rels(v).label)
-        case Fn("type", Seq(Var(v)), _) if ctx.multiRels.contains(v) =>
-          col(typeColOf(v))
-        // startNode/endNode (schema orientation = the stored relationship
-        // direction, Neo4j's startNode contract). A single-type binding
-        // resolves to the bound endpoint VARIABLE (its value rendering —
-        // key column or multi-label tagged id); a lambda variable
-        // iterating a relationship list reads the struct's endpoint key;
-        // a branch-diverged multi-type binding reads the per-row tagged
-        // column [[mergeBranches]] materialized.
-        case Fn(fn @ ("startnode" | "endnode"), Seq(Var(v)), _)
-            if lam.contains(v) =>
-          if (!lamRel.contains(v)) throw CypherException(
-            s"$fn($v): $v does not iterate a relationship list — " +
-              s"$fn() needs a relationship")
-          lam(v).getField(if (fn == "startnode") "src" else "dst")
-        case Fn(fn @ ("startnode" | "endnode"), Seq(Var(v)), _)
-            if ctx.rels.contains(v) =>
-          c(Var(if (fn == "startnode") ctx.rels(v).srcVar else ctx.rels(v).dstVar))
-        case Fn(fn @ ("startnode" | "endnode"), Seq(Var(v)), _)
-            if ctx.multiRels.contains(v) =>
-          ctx.multiRelEnds.get(v) match {
-            case Some((s, d)) => c(Var(if (fn == "startnode") s else d))
-            case None => col(if (fn == "startnode") startColOf(v) else endColOf(v))
-          }
-        case Fn("startnode" | "endnode", Seq(arg), _) => throw CypherException(
-          s"startNode/endNode need a bound relationship variable (got $arg)")
-        // startNode/endNode composed under another function
-        // (id(startNode(r)), labels(endNode(r)), …): substitute the
-        // endpoint variable, then compile the outer call normally. The
-        // `.prop` POSTFIX form parses as Fn(prop, Seq(startNode(r))) —
-        // when the outer name is no function, retry it as the endpoint's
-        // property HERE, scoped to the substitution (r12 ADVICE: the old
-        // generic unknown-function fallback also fired for user typos
-        // like c_name(c), silently returning a column).
-        case Fn(name, args, d) if args.exists {
-              case Fn("startnode" | "endnode", Seq(Var(v)), _) =>
-                ctx.rels.contains(v) ||
-                  (ctx.multiRels.contains(v) && ctx.multiRelEnds.contains(v))
-              case _ => false
-            } =>
-          val subbed = Fn(name, args.map {
-            case Fn("startnode", Seq(Var(v)), _) if ctx.rels.contains(v) =>
-              Var(ctx.rels(v).srcVar)
-            case Fn("endnode", Seq(Var(v)), _) if ctx.rels.contains(v) =>
-              Var(ctx.rels(v).dstVar)
-            case Fn("startnode", Seq(Var(v)), _)
-                if ctx.multiRelEnds.contains(v) => Var(ctx.multiRelEnds(v)._1)
-            case Fn("endnode", Seq(Var(v)), _)
-                if ctx.multiRelEnds.contains(v) => Var(ctx.multiRelEnds(v)._2)
-            case a => a
-          }, d)
-          try c(subbed) catch {
-            case ex: CypherException
-                if ex.getMessage.startsWith("unsupported function") =>
-              subbed match {
-                case Fn(p, Seq(Var(ev)), _) if ctx.labels.contains(ev) && {
-                      val nt = store.schema.node(ctx.labels(ev))
-                      nt.key == p || nt.properties.contains(p)
-                    } => c(Prop(ev, p))
-                case _ => throw ex
-              }
-          }
-        case Fn("id", Seq(Var(v)), _) if ctx.labels.contains(v) =>
-          col(s"${v}__${store.schema.node(ctx.labels(v)).key}")
-        case Fn("id", Seq(Var(v)), _) if ctx.multi.contains(v) =>
-          multiNodeId(v, ctx)
-        // elementId (Neo4j 5's string node identity): the engine's stable
-        // per-store form is `Label:key` — distinct across label key spaces
-        // (the same composite multi-label id() uses)
-        case Fn("elementid", Seq(Var(v)), _) if ctx.labels.contains(v) =>
-          concat_ws(":", lit(ctx.labels(v)),
-            col(s"${v}__${store.schema.node(ctx.labels(v)).key}").cast(StringType))
-        case Fn("elementid", Seq(Var(v)), _) if ctx.multi.contains(v) =>
-          multiNodeId(v, ctx).cast(StringType)
-        case HasLabel(v, ls) =>
-          // label predicate: single-label bindings resolve at COMPILE time
-          // (a constant — free); multi-label vars read their per-row tag.
-          // OPTIONAL-bound variables gate the constant on the key being
-          // non-null: `v:Label` on a null-extended row is null in Neo4j
-          // (WHERE then drops the row), not a folded true.
-          // SECONDARY labels (r12, M44 `SET n:Label`): a different label
-          // the store DOES hold is a per-row key lookup, not a constant —
-          // [[liftMemberships]] rewrites those occurrences to a joined
-          // membership column before expressions compile, so reaching
-          // this case means the target label is v's own or never stored.
-          if (ctx.labels.contains(v)) {
-            val const = lit(ls.forall(_ == ctx.labels(v)))
-            if (ctx.nullable.contains(v))
-              when(col(s"${v}__${store.schema.node(ctx.labels(v)).key}").isNotNull, const)
-            else const
-          }
-          else if (ctx.multi.contains(v)) {
-            // branch-tag equality (three-valued: a null-extended row's
-            // null tag propagates). A label with membership provenance
-            // reaching any branch never compiles here — [[liftMemberships]]
-            // rewrote it to a per-row membership column; an off-branch
-            // label WITHOUT provenance is correctly false via the tag test.
-            ls.map(l => col(labelColOf(v)) === lit(l)).reduce(_ && _)
-          }
-          else throw CypherException(
-            s"$v in `$v:${ls.mkString(":")}` is not a bound node variable")
-        case HasAnyLabel(v, ls) =>
-          // label disjunction in expression position (`WHERE v:A|B`,
-          // Neo4j-5 label expressions): same resolution as [[HasLabel]]
-          // per disjunct, OR-folded — membership-linked disjuncts were
-          // lifted before compilation, so this is tag/constant work only
-          if (ctx.labels.contains(v)) {
-            val const = lit(ls.contains(ctx.labels(v)))
-            if (ctx.nullable.contains(v))
-              when(col(s"${v}__${store.schema.node(ctx.labels(v)).key}").isNotNull, const)
-            else const
-          }
-          else if (ctx.multi.contains(v))
-            ls.map(l => col(labelColOf(v)) === lit(l)).reduce(_ || _)
-          else throw CypherException(
-            s"$v in `$v:${ls.mkString("|")}` is not a bound node variable")
-        case Fn("keys", Seq(Var(v)), _) if ctx.labels.contains(v) =>
-          val nt = store.schema.node(ctx.labels(v))
-          array((nt.key +: nt.properties).map(lit(_)): _*)
-        case Fn("properties", Seq(Var(v)), _) if ctx.labels.contains(v) =>
-          val nt = store.schema.node(ctx.labels(v))
-          struct((nt.key +: nt.properties).map(p => col(s"${v}__$p").as(p)): _*)
-        case Fn(acc @ ("years" | "months" | "days" | "hours" | "minutes" | "seconds"),
-            Seq(Fn("duration.between", Seq(x, y), _)), _) =>
-          // component accessors on duration.between need the OPERANDS, not
-          // the day-time difference: Neo4j decomposes calendar-wise
-          // (whole clamped months first, then whole days, then time)
-          durationBetweenComponent(acc,
-            c(x).cast(TimestampType), c(y).cast(TimestampType))
-        case Fn(name @ ("date" | "datetime" | "timestamp" | "localdatetime"
-            | "time" | "localtime"), Seq(m: MapLit), _) =>
-          temporalFromMap(name, m.items, c)
-        // duration's map form compiles from the RAW map (literal-only) —
-        // route past the eager arg compile like the constructors above
-        case Fn("duration", Seq(m: MapLit), _) =>
-          function("duration", Nil, distinct = false, Seq(m), ctx, lamStr)
-        case Fn("point", Seq(m: MapLit), _) => pointFromMap(m.items, c)
-        case MapLit(_) => throw CypherException(
-          "a map literal is only supported as a temporal or spatial " +
-            "constructor argument (datetime({year: …}), time({hour: …}), " +
-            "point({x: …, y: …})) — use SET n += {…} / SET n = {…} for " +
-            "property maps")
-        case Fn(name, args, distinct) =>
-          function(name, args.map(c), distinct, args, ctx, lamStr)
-        case CaseExpr(subject, branches, orElse) =>
-          val conds = subject match {
-            case Some(s) => branches.map { case (v, r) => (c(s) === c(v), c(r)) }
-            case None => branches.map { case (cond, r) => (c(cond), c(r)) }
-          }
-          val base = when(conds.head._1, conds.head._2)
-          val chained = conds.tail.foldLeft(base) { case (acc, (cond, r)) => acc.when(cond, r) }
-          orElse.map(d => chained.otherwise(c(d))).getOrElse(chained)
-      }
-      c(e)
-    }
-
-    /** One component of Neo4j's `duration.between(a, b)` calendar
-      * decomposition: the duration is months-first (the largest whole
-      * count of CLAMPED calendar months you can add to `a` without passing
-      * `b` — Jan 31 + 1M clamps to Feb 28/29, Neo4j's own add), then whole
-      * days of the remainder, then the time remainder in seconds; every
-      * division truncates toward zero so both directions carry consistent
-      * signs (between(b, a) = -between(a, b) componentwise). Accessor
-      * semantics: `years` = months/12 truncated, `months` = the total
-      * months component, `hours`/`minutes`/`seconds` read the time
-      * remainder (sub-second precision is below the engine's second-level
-      * decomposition — the store's timestamps are ms-precision data).
-      * All column arithmetic — codegen'd, no UDF.
-      */
-    private def durationBetweenComponent(acc: String, a: Column, b: Column): Column = {
-      val m0 = (year(b) - year(a)) * 12 + (month(b) - month(a))
-      def shiftBy(m: Column) = timestamp_add("MONTH", m, a)
-      // clamped-add overshoot correction, direction-aware
-      val months = when(b >= a, when(shiftBy(m0) <= b, m0).otherwise(m0 - 1))
-        .otherwise(when(shiftBy(m0) >= b, m0).otherwise(m0 + 1))
-      lazy val diff = unix_timestamp(b) - unix_timestamp(shiftBy(months))
-      lazy val days = (diff / lit(86400)).cast(LongType) // trunc toward zero
-      lazy val secs = diff - days * 86400
-      acc match {
-        case "years" => (months / lit(12)).cast(LongType)
-        case "months" => months.cast(LongType)
-        case "days" => days
-        case "hours" => (secs / lit(3600)).cast(LongType)
-        case "minutes" => (secs / lit(60)).cast(LongType)
-        case "seconds" => secs
-      }
-    }
-
-    /** ISO-8601 duration literal → a constant interval Column. Month-free
-      * durations become a DAY TO SECOND interval (orderable, so
-      * `duration.inDays(a,b) < duration('P90D')` compares natively);
-      * year/month-bearing ones become a calendar interval (fine for
-      * `ts ± duration` arithmetic; not orderable — Neo4j also refuses to
-      * order durations). Components are literal, so Catalyst constant-folds
-      * the whole thing — nothing interpreted reaches the row path.
-      */
-    private val IsoDuration =
-      """(?i)P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)W)?(?:(\d+)D)?(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?""".r
-    private def durationLiteral(s: String): Column = s match {
-      case IsoDuration(y, mo, w, d, h, mi, sec)
-          if Seq(y, mo, w, d, h, mi, sec).exists(_ != null) =>
-        def n(x: String) = Option(x).map(_.toLong).getOrElse(0L)
-        val secs = Option(sec).map(_.toDouble).getOrElse(0d)
-        if (n(y) == 0 && n(mo) == 0)
-          expr(s"make_dt_interval(${n(w) * 7 + n(d)}, ${n(h)}, ${n(mi)}, $secs)")
-        else
-          expr(s"make_interval(${n(y)}, ${n(mo)}, ${n(w)}, ${n(d)}, ${n(h)}, ${n(mi)}, $secs)")
-      case _ => throw CypherException(
-        s"malformed ISO-8601 duration literal: '$s' (expected P[nY][nM][nW][nD][T[nH][nM][nS]])")
-    }
-
-    /** Map-form temporal constructors (round 11; closes the r10 verdict's
-      * "What's missing #2"): `datetime({year: 2024, month: 1})`,
-      * `date({year: 1998, month: 3, day: 17})`, `time({hour: 21,
-      * minute: 40})` — Neo4j's component-map form, frequent in generated
-      * Cypher (reference: final/experimenting_new/rca.ipynb:345-354
-      * family). Components must form a contiguous prefix of the unit
-      * chain with the largest unit present (Neo4j rejects gaps like
-      * {year, day}); omitted smaller units default to their minimum
-      * (month/day → 1, time fields → 0 — Neo4j's clamp). Values may be
-      * any numeric expression: the build compiles to make_date /
-      * make_timestamp (codegen'd, no UDF), so non-literal components cost
-      * nothing extra and literal ones constant-fold.
-      */
-    private def temporalFromMap(name: String, items: Seq[(String, Expr)],
-        compile: Expr => Column): Column = {
-      val chain = name match {
-        case "date" => Seq("year", "month", "day")
-        case "time" | "localtime" => Seq("hour", "minute", "second")
-        case _ => Seq("year", "month", "day", "hour", "minute", "second")
-      }
-      val keys = items.map(_._1.toLowerCase)
-      if (keys.isEmpty) throw CypherException(
-        s"$name({}) has no components — provide at least ${chain.head}")
-      if (keys.distinct.sizeIs != keys.size) throw CypherException(
-        s"$name() map form: duplicate component in {${keys.mkString(", ")}}")
-      // epoch components (datetime family only) are EXCLUSIVE of the
-      // calendar chain: `datetime({epochSeconds: e})` / `{epochMillis: e}`
-      if (keys.exists(k => k == "epochseconds" || k == "epochmillis")) {
-        if (chain.head != "year" || name == "date") throw CypherException(
-          s"$name() does not take epoch components")
-        if (keys.sizeIs != 1) throw CypherException(
-          s"$name() epoch components cannot mix with calendar components " +
-            s"(got {${keys.mkString(", ")}})")
-        val e = compile(items.head._2)
-        return if (keys.head == "epochseconds")
-          timestamp_seconds(e.cast(LongType))
-        else timestamp_millis(e.cast(LongType))
-      }
-      val unknown = keys.filterNot(chain.contains)
-      if (unknown.nonEmpty) throw CypherException(
-        s"$name() map form: unsupported component(s) ${unknown.mkString(", ")} " +
-          s"(supported: ${chain.mkString(", ")})")
-      val prefix = chain.takeWhile(keys.contains)
-      if (prefix.sizeIs != keys.size) throw CypherException(
-        s"$name() map form needs a contiguous component prefix starting at " +
-          s"'${chain.head}' — got {${keys.mkString(", ")}}")
-      val m = items.map { case (k, v) => k.toLowerCase -> v }.toMap
-      // every component except `second` must be integral — a fractional
-      // literal would silently truncate under the int cast, so reject it
-      // loudly (same validation stance as duration()'s map form); `second`
-      // keeps its fraction: make_timestamp takes DECIMAL seconds, matching
-      // Neo4j's datetime({…, second: 1.5})
-      def comp(unit: String, default: Int): Column =
-        m.get(unit).map { e =>
-          e match {
-            case Lit(d: Double) if d != math.floor(d) => throw CypherException(
-              s"$name() map form: $unit must be an integer (got $d) — " +
-                "only the second component takes a fraction")
-            case _ => ()
-          }
-          compile(e).cast(IntegerType)
-        }.getOrElse(lit(default))
-      def secComp: Column =
-        m.get("second").map(e => compile(e).cast(DecimalType(16, 6)))
-          .getOrElse(lit(0).cast(DecimalType(16, 6)))
-      name match {
-        case "date" => make_date(comp("year", 0), comp("month", 1), comp("day", 1))
-        case "time" | "localtime" =>
-          // time-of-day values anchor on the epoch day (see the string form)
-          make_timestamp(lit(1970), lit(1), lit(1),
-            comp("hour", 0), comp("minute", 0), secComp)
-        case _ =>
-          make_timestamp(comp("year", 0), comp("month", 1), comp("day", 1),
-            comp("hour", 0), comp("minute", 0), secComp)
-      }
-    }
-
-    /** Spatial `point()` map constructor (round 12; closes the r11
-      * verdict's "What's missing #3"): `point({x: …, y: …})` builds a
-      * cartesian point, `point({latitude: …, longitude: …})` a wgs-84
-      * one — Neo4j's two planar CRSs. Representation is a plain struct
-      * `(crs, x, y)` (wgs-84 stores longitude as x, latitude as y —
-      * Neo4j's own axis mapping), so the value rides the existing
-      * plain-variable machinery: `p.x` / `p.crs` accessors are struct
-      * field reads, equality/grouping work structurally, and everything
-      * stays codegen'd column arithmetic. An explicit `crs` key must be a
-      * string literal naming the CRS the coordinate keys already imply.
-      * 3D (`z` / `height`) is not implemented — rejected loudly.
-      */
-    private def pointFromMap(items: Seq[(String, Expr)],
-        compile: Expr => Column): Column = {
-      val keys = items.map(_._1.toLowerCase)
-      if (keys.distinct.sizeIs != keys.size) throw CypherException(
-        s"point() map form: duplicate component in {${keys.mkString(", ")}}")
-      val m = items.map { case (k, v) => k.toLowerCase -> v }.toMap
-      val crsGiven = m.get("crs").map {
-        case Lit(s: String) => s.toLowerCase
-        case _ => throw CypherException("point(): crs must be a string literal")
-      }
-      val coords = keys.filterNot(_ == "crs").toSet
-      def d(k: String): Column = compile(m(k)).cast(DoubleType)
-      if (coords == Set("x", "y") && crsGiven.forall(_ == "cartesian"))
-        struct(lit("cartesian").as("crs"), d("x").as("x"), d("y").as("y"))
-      else if (coords == Set("latitude", "longitude") &&
-          crsGiven.forall(c => c == "wgs-84" || c == "wgs84"))
-        struct(lit("wgs-84").as("crs"),
-          d("longitude").as("x"), d("latitude").as("y"))
-      else throw CypherException(
-        s"point() map form takes {x, y} (cartesian) or {latitude, " +
-          s"longitude} (wgs-84), optionally with a matching crs — got " +
-          s"{${keys.mkString(", ")}}; 3D points are not supported")
-    }
-
-    /** `distance(p, q)` / `point.distance(p, q)`: cartesian = Euclidean;
-      * wgs-84 = haversine arc length on a sphere of radius 6378140 m
-      * (the WGS-84 semi-major axis, Neo4j's published choice for its
-      * geographic CRS). Mixed-CRS pairs return null (Neo4j's rule). All
-      * column arithmetic — codegen'd, constant-folds for literal points.
-      */
-    private def pointDistance(a: Column, b: Column): Column = {
-      def f(p: Column, n: String) = p.getField(n)
-      val (dx, dy) = (f(a, "x") - f(b, "x"), f(a, "y") - f(b, "y"))
-      val cart = sqrt(dx * dx + dy * dy)
-      val (lat1, lat2) = (radians(f(a, "y")), radians(f(b, "y")))
-      val (dLat, dLon) = (radians(f(b, "y") - f(a, "y")),
-        radians(f(b, "x") - f(a, "x")))
-      val h = pow(sin(dLat / 2), 2) +
-        cos(lat1) * cos(lat2) * pow(sin(dLon / 2), 2)
-      val hav = lit(2.0 * 6378140.0) * asin(sqrt(h))
-      when(f(a, "crs") =!= f(b, "crs"), lit(null).cast(DoubleType))
-        .when(f(a, "crs") === "cartesian", cart)
-        .otherwise(hav)
-    }
-
-    private def binop(op: String, l: Column, r: Column): Column = op match {
-      case "+" => l + r
-      case "-" => l - r
-      case "*" => l * r
-      case "/" => l / r
-      case "%" => l % r
-      case "=" => l === r
-      case "<>" => l =!= r
-      case "<" => l < r
-      case "<=" => l <= r
-      case ">" => l > r
-      case ">=" => l >= r
-      case "and" => l && r
-      case "or" => l || r
-      // Cypher string predicates (reference relies on case-insensitive
-      // string matching in its probe, final/langraph_neo4j3.py:359-363)
-      case "startswith" => l.startsWith(r)
-      case "endswith" => l.endsWith(r)
-      case "contains" => l.contains(r)
-      // Cypher `=~` matches the ENTIRE string (Neo4j semantics); Spark's
-      // regexp_like is a substring match, so anchor the pattern
-      case "=~" => regexp_like(l, concat(lit("^(?:"), r, lit(")$")))
-      case other => throw CypherException(s"unsupported operator: $other")
-    }
-
-    private def function(name: String, args: Seq[Column], distinct: Boolean,
-        rawArgs: Seq[Expr], ctx: Ctx, lamStr: Set[String] = Set.empty): Column = name match {
-      case "count" =>
-        if (args.isEmpty) count(lit(1))
-        else if (distinct) count_distinct(args.head, args.tail: _*)
-        else count(args.head)
-      case "sum" => if (distinct) sum_distinct(args.head) else sum(args.head)
-      case "avg" =>
-        if (distinct) sum_distinct(args.head) / count_distinct(args.head)
-        else avg(args.head)
-      case "min" => min(args.head)
-      case "max" => max(args.head)
-      case "collect" =>
-        // Cypher collect() is unordered; sorted for determinism (SURVEY A17)
-        if (distinct) array_sort(collect_set(args.head)) else array_sort(collect_list(args.head))
-      case "stdev" => stddev(args.head)
-      case "stdevp" => stddev_pop(args.head)
-      case "percentilecont" => percentile(args(0), args(1)) // exact, interpolated
-      case "percentiledisc" =>
-        // discrete percentile: the max of the lowest ceil(p*n) values —
-        // expressed through sorted collect + 1-based index (exact)
-        element_at(array_sort(collect_list(args(0))),
-          greatest(ceil(args(1) * count(args(0))), lit(1)).cast("int"))
-      case "tolower" | "lower" => lower(args.head)
-      case "toupper" | "upper" => upper(args.head)
-      case "tostring" =>
-        // a time-of-day value is an epoch-day-anchored timestamp; render
-        // the time component only (a raw cast would leak '1970-01-01')
-        if (isTimeTyped(rawArgs.head, ctx)) date_format(args.head, "HH:mm:ss")
-        else args.head.cast(StringType)
-      case "tointeger" => args.head.cast("long")
-      case "tofloat" => args.head.cast("double")
-      case "size" | "length" =>
-        if (isStringTyped(rawArgs.head, ctx, lamStr)) length(args.head) else size(args.head)
-      case "isempty" => // isEmpty(string | list) — same type dispatch as size()
-        (if (isStringTyped(rawArgs.head, ctx, lamStr)) length(args.head)
-         else size(args.head)) === 0
-      case "abs" => abs(args.head)
-      case "round" =>
-        // Cypher round(x) and round(x, precision)
-        if (args.sizeIs > 1) round(args.head, rawArgs(1) match {
-          case Lit(n: Long) => n.toInt
-          case Lit(n: Int) => n
-          case other => throw CypherException(
-            s"round() precision must be an integer literal, got $other")
-        }) else round(args.head)
-      case "ceil" => ceil(args.head)
-      case "floor" => floor(args.head)
-      case "sqrt" => sqrt(args.head)
-      case "coalesce" => coalesce(args: _*)
-      case "date" => to_date(args.head)
-      case "datetime" | "timestamp" => to_timestamp(args.head)
-      // localdatetime: the session is UTC-pinned (every SparkSession here
-      // sets spark.sql.session.timeZone=UTC), so a zoneless local instant
-      // IS the instant — same column as datetime()
-      case "localdatetime" => to_timestamp(args.head)
-      // time-of-day values anchor on the epoch day (Spark has no TIME
-      // column type): accessors (.hour/.minute/.second), ordering, and
-      // equality then work as plain timestamp operations, and toString
-      // renders HH:mm:ss via the time-typed tracking ([[Ctx.times]]).
-      // The zero-arg clock forms reject loudly: a wall-clock read inside
-      // a distributed, re-executable plan is nondeterministic.
-      case "time" | "localtime" =>
-        if (args.isEmpty) throw CypherException(
-          s"$name() without arguments reads the wall clock — nondeterministic " +
-            "in a distributed plan; pass a literal ('21:40:32')")
-        rawArgs.head match {
-          // statically-known-wrong forms reject loudly instead of silently
-          // producing null via the string cast (the map constructor
-          // `time({hour: 21})` compiles via [[temporalFromMap]] upstream)
-          case Lit(v) if !v.isInstanceOf[String] => throw CypherException(
-            s"$name() expects a string like '21:40:32' or a component map " +
-              s"like {hour: 21, minute: 40}, got literal $v")
-          case ListLit(_) | MapProj(_, _, _, _) => throw CypherException(
-            s"$name() expects a string like '21:40:32' or a component map " +
-              "like {hour: 21, minute: 40}")
-          case _ => ()
-        }
-        to_timestamp(concat(lit("1970-01-01 "), args.head.cast(StringType)))
-      case "distance" | "point.distance" =>
-        if (args.sizeIs != 2) throw CypherException(
-          s"$name() takes exactly two point arguments")
-        pointDistance(args(0), args(1))
-      case "point" => throw CypherException(
-        "point() takes a component map: point({x: …, y: …}) or " +
-          "point({latitude: …, longitude: …})")
-      // date.truncate('month', d) / datetime.truncate('day', dt) — the
-      // Neo4j truncation surface, mapped onto Spark's date_trunc. The unit
-      // must be a string literal (it selects the codegen'd format at
-      // compile time); units Spark cannot truncate to (millennium,
-      // century, decade, weekYear) reject loudly rather than approximate.
-      case "date.truncate" | "datetime.truncate" =>
-        val unit = rawArgs.head match {
-          case Lit(u: String) => u.toLowerCase
-          case other => throw CypherException(
-            s"$name expects a string-literal unit, got ${genName(other)}")
-        }
-        val fmt = unit match {
-          case "year" | "quarter" | "month" | "week" | "day" => unit
-          case "hour" | "minute" | "second" | "millisecond" | "microsecond"
-              if name == "datetime.truncate" => unit
-          case other => throw CypherException(
-            s"$name: unsupported truncation unit '$other'")
-        }
-        val truncated = date_trunc(fmt, args(1).cast(TimestampType))
-        if (name == "date.truncate") to_date(truncated) else truncated
-      // ---- durations (SURVEY §2.8 temporal arithmetic; reference demand:
-      // the RCA loop's serial time-scoped questions,
-      // final/experimenting_new/rca.ipynb:345-354) -------------------------
-      case "duration" => rawArgs.head match {
-        case Lit(s: String) => durationLiteral(s)
-        // map form `duration({days: 90, hours: 12})` (round 11, Neo4j's
-        // other idiomatic spelling) — literal components only, like the
-        // ISO form; no contiguity requirement (unlike datetime maps)
-        case MapLit(items) =>
-          val known = Seq("years", "months", "weeks", "days",
-            "hours", "minutes", "seconds")
-          val m = items.map {
-            case (k, Lit(v: Long)) => k.toLowerCase -> v.toDouble
-            case (k, Lit(v: Double)) if k.equalsIgnoreCase("seconds") =>
-              k.toLowerCase -> v
-            case (k, Lit(_: Double)) => throw CypherException(
-              s"duration() map form: only the seconds component may be " +
-                s"fractional (got fractional $k)")
-            case (k, other) => throw CypherException(
-              s"duration() map form: component $k must be a numeric " +
-                s"literal, got ${genName(other)}")
-          }.toMap
-          val unknown = m.keys.filterNot(known.contains)
-          if (unknown.nonEmpty) throw CypherException(
-            s"duration() map form: unsupported component(s) " +
-              s"${unknown.mkString(", ")} (supported: ${known.mkString(", ")})")
-          if (m.isEmpty) throw CypherException(
-            "duration({}) has no components")
-          def n(k: String): Long = m.getOrElse(k, 0d).toLong
-          val secs = m.getOrElse("seconds", 0d)
-          if (n("years") == 0 && n("months") == 0)
-            expr(s"make_dt_interval(${n("weeks") * 7 + n("days")}, " +
-              s"${n("hours")}, ${n("minutes")}, $secs)")
-          else
-            expr(s"make_interval(${n("years")}, ${n("months")}, " +
-              s"${n("weeks")}, ${n("days")}, ${n("hours")}, " +
-              s"${n("minutes")}, $secs)")
-        case other => throw CypherException(
-          s"duration() expects an ISO-8601 string literal like 'P90D' / " +
-            s"'PT12H' or a component map like {days: 90}, got ${genName(other)}")
-      }
-      // duration.inDays / duration.inSeconds: the single-component Neo4j
-      // difference forms — a day-time interval whose total-days /
-      // total-seconds the component accessors below read back exactly
-      case "duration.indays" =>
-        (args(1).cast(TimestampType) - args(0).cast(TimestampType))
-          .cast(DayTimeIntervalType(DayTimeIntervalType.DAY, DayTimeIntervalType.DAY))
-      case "duration.inseconds" =>
-        args(1).cast(TimestampType) - args(0).cast(TimestampType)
-      // duration.between WITHOUT a component accessor is the day-time
-      // difference (usable in interval comparisons and date arithmetic);
-      // WITH one, columnL intercepts the accessor and computes Neo4j's
-      // calendar decomposition from the operands (see
-      // [[durationBetweenComponent]]) — this branch never sees those
-      case "duration.between" =>
-        args(1).cast(TimestampType) - args(0).cast(TimestampType)
-      case "days" | "hours" | "minutes" | "seconds" =>
-        // single-component accessors over a day-time interval
-        // (duration.inDays / duration.inSeconds / a duration literal);
-        // duration.between accessors never reach here — columnL intercepts
-        // them with the calendar decomposition
-        val f = name match {
-          case "days" => DayTimeIntervalType.DAY
-          case "hours" => DayTimeIntervalType.HOUR
-          case "minutes" => DayTimeIntervalType.MINUTE
-          case "seconds" => DayTimeIntervalType.SECOND
-        }
-        args.head.cast(DayTimeIntervalType(f, f)).cast(LongType)
-      case "year" => year(args.head)
-      case "month" => month(args.head)
-      case "day" => dayofmonth(args.head)
-      case "hour" => hour(args.head)
-      case "minute" => minute(args.head)
-      case "second" => second(args.head)
-      case "exists" => args.head.isNotNull // legacy property-existence form
-      case "trim" => trim(args.head)
-      case "ltrim" => ltrim(args.head)
-      case "rtrim" => rtrim(args.head)
-      case "substring" => // Cypher substring(s, start[, len]) is 0-based
-        if (args.size == 3) args.head.substr(args(1) + lit(1), args(2))
-        else if (args.size == 2) args.head.substr(args(1) + lit(1), length(args.head))
-        else throw CypherException("substring expects 2 or 3 arguments")
-      // Cypher split() takes a LITERAL delimiter; Spark's split() takes a
-      // regex, so the delimiter is quoted
-      case "split" => rawArgs(1) match {
-        case Lit(s: String) => split(args.head, java.util.regex.Pattern.quote(s))
-        case _ => throw CypherException("split() needs a literal delimiter")
-      }
-      case "replace" => replace(args(0), args(1), args(2))
-      case "left" => left(args(0), args(1))
-      case "right" => right(args(0), args(1))
-      case "reverse" => reverse(args.head)
-      case "toboolean" => args.head.cast("boolean")
-      case "sign" => signum(args.head)
-      case "exp" => exp(args.head)
-      case "log" => log(args.head) // Cypher log() is the natural log
-      case "log10" => log10(args.head)
-      case "sin" => sin(args.head)
-      case "cos" => cos(args.head)
-      case "tan" => tan(args.head)
-      case "asin" => asin(args.head)
-      case "acos" => acos(args.head)
-      case "atan" => atan(args.head)
-      case "atan2" => atan2(args(0), args(1))
-      case "pi" => lit(math.Pi)
-      case "e" => lit(math.E)
-      case "degrees" => degrees(args.head)
-      case "radians" => radians(args.head)
-      // list functions
-      // join(list, sep) — APOC's text.join surface; elements are cast to
-      // string so joining a key list needs no explicit per-element toString
-      case "join" =>
-        rawArgs(1) match {
-          case Lit(sep: String) =>
-            array_join(transform(args.head, _.cast(StringType)), sep)
-          case _ => throw CypherException("join() needs a literal separator")
-        }
-      case "head" => element_at(args.head, 1)
-      case "last" => element_at(args.head, -1)
-      case "tail" => slice(args.head, lit(2), greatest(size(args.head) - 1, lit(0)))
-      case "range" => // Cypher range(a, b[, step]) is inclusive, like sequence
-        if (args.size == 3) sequence(args(0), args(1), args(2))
-        else sequence(args(0), args(1))
-      case other =>
-        // `startNode(r).prop` (the fn-postfix parse) is resolved AT the
-        // endpoint-substitution case, scoped to substituted arguments —
-        // an unknown name over a plain variable here is a typo'd or
-        // unsupported call and must reject loudly (r12 ADVICE: the old
-        // property fallback fired for c_name(c) too)
-        throw CypherException(s"unsupported function: $other()")
-    }
-
-    /** Do elements of this list-valued expr read as strings? (drives the
-      * size()=string-length vs array-size dispatch for lambda variables)
-      */
-    /** Syntactic: does `coll` evaluate to a RELATIONSHIP LIST (group
-      * variable, relationships(p), or a filter-comprehension over one)?
-      * Drives the `type(x)` lambda dispatch guard.
-      */
-    private def elemIsRelList(coll: Expr, ctx: Ctx, lamRel: Set[String]): Boolean =
-      coll match {
-        case Var(v) => ctx.relLists.contains(v) || lamRel.contains(v)
-        case Fn("relationships", _, _) => true
-        case ListComp(_, c2, _, None) => elemIsRelList(c2, ctx, lamRel)
-        case _ => false
-      }
-
-    private def elemIsString(coll: Expr, ctx: Ctx, lamStr: Set[String]): Boolean = coll match {
-      case Fn("split", _, _) => true
-      case Fn("keys" | "labels", _, _) => true
-      case Var(v) => ctx.strLists.contains(v)
-      case ListLit(xs) => xs.nonEmpty && xs.forall {
-        case Lit(_: String) => true
-        case _ => false
-      }
-      case ListComp(_, c2, _, None) => elemIsString(c2, ctx, lamStr)
-      case ListComp(_, _, _, Some(pr)) => isStringTyped(pr, ctx, lamStr)
-      case _ => false
-    }
-
-    private def isStringTyped(e: Expr, ctx: Ctx, lamStr: Set[String] = Set.empty): Boolean = e match {
-      case Lit(_: String) => true
-      case Var(v) if lamStr.contains(v) || ctx.strs.contains(v) => true
-      // a concat chain is itself a string (`s + t + u`)
-      case Bin("+", l, r) => isStringTyped(l, ctx, lamStr) || isStringTyped(r, ctx, lamStr)
-      case Index(Fn("split", _, _), _) => true // split(s, d)[i] is a string
-      case Fn("tolower" | "lower" | "toupper" | "upper" | "tostring" | "trim"
-        | "substring" | "replace" | "left" | "right" | "ltrim" | "rtrim", _, _) => true
-      case Prop(v, p) =>
-        ctx.nodeLabel(v).exists { label =>
-          store.nodes(label).schema.fields.exists(f => f.name == p && f.dataType == StringType)
-        }
-      case _ => false
-    }
-
-    /** Syntactic time-typedness: a `time()`/`localtime()` constructor, or
-      * a projection alias [[Ctx.times]] carried one forward. Drives
-      * toString's HH:mm:ss rendering for epoch-day-anchored time values.
-      */
-    private def isTimeTyped(e: Expr, ctx: Ctx): Boolean = e match {
-      case Fn("time" | "localtime", _, _) => true
-      case Var(v) => ctx.times.contains(v)
-      case CaseExpr(_, bs, d) =>
-        bs.exists { case (_, r) => isTimeTyped(r, ctx) } ||
-          d.exists(isTimeTyped(_, ctx))
-      case Fn("coalesce", args, _) => args.exists(isTimeTyped(_, ctx))
-      case _ => false
-    }
-
-    // ---------------------------------------------------------- projection
-
-    private def genName(e: Expr): String = e match {
-      case Prop(v, p) => s"$v.$p"
-      case Var(v) => v
-      case Lit(x) => String.valueOf(x)
-      case HasLabel(v, ls) => s"$v:${ls.mkString(":")}"
-      case HasAnyLabel(v, ls) => s"$v:${ls.mkString("|")}"
-      case TypedNull(_) => "null"
-      case Fn(n, args, d) =>
-        s"$n(${if (d) "DISTINCT " else ""}${args.map(genName).mkString(", ")})"
-      case Bin(op, l, r) => s"${genName(l)} $op ${genName(r)}"
-      case Not(x) => s"NOT ${genName(x)}"
-      case IsNull(x, neg) => s"${genName(x)} IS ${if (neg) "NOT " else ""}NULL"
-      case In(x, coll) => s"${genName(x)} IN ${genName(coll)}"
-      case ListLit(xs) => s"[${xs.map(genName).mkString(", ")}]"
-      case MapLit(kvs) =>
-        s"{${kvs.map { case (k, v) => s"$k: ${genName(v)}" }.mkString(", ")}}"
-      case ListComp(v, coll, w, pr) =>
-        s"[$v IN ${genName(coll)}${w.map(x => s" WHERE ${genName(x)}").getOrElse("")}" +
-          s"${pr.map(x => s" | ${genName(x)}").getOrElse("")}]"
-      case ReduceExpr(a, init, v, coll, step) =>
-        s"reduce($a = ${genName(init)}, $v IN ${genName(coll)} | ${genName(step)})"
-      case ListPred(k, v, coll, p) =>
-        s"$k($v IN ${genName(coll)} WHERE ${genName(p)})"
-      case Index(coll, i) => s"${genName(coll)}[${genName(i)}]"
-      case Param(n) => s"$$$n"
-      case PatternPred(_) => "exists(pattern)"
-      case ExistsBlock(_, _) => "exists{block}"
-      case CountBlock(_, _) => "count{block}"
-      case CollectBlock(_, _, _, _, _) => "collect{block}"
-      case PatternComp(_, _, _) => "pattern{comp}"
-      case MapProj(v, _, _, _) => s"$v{map}"
-      case CaseExpr(s, bs, d) =>
-        "CASE " + s.map(x => genName(x) + " ").getOrElse("") +
-          bs.map { case (c, r) => s"WHEN ${genName(c)} THEN ${genName(r)}" }.mkString(" ") +
-          d.map(x => s" ELSE ${genName(x)}").getOrElse("") + " END"
-    }
-
-    /** Apply a WITH/RETURN stage. Bare node variables (`WITH o, ...`) carry
-      * all the node's columns so later stages can still say `o.prop`; under
-      * aggregation they group by all carried columns (equivalent to grouping
-      * by node identity — properties are functionally dependent on the key).
-      */
-    private def project(df: DataFrame, stage0: Projection, ctx: Ctx): (DataFrame, Ctx) = {
-      // `WITH * [, items]` desugars to explicit items for every bound node
-      // variable and plain column (sorted for a deterministic column order)
-      val stage =
-        if (!stage0.star) stage0
-        else {
-          val explicit = stage0.items.collect { case Item(Var(v), None) => v }.toSet
-          val starItems =
-            ((ctx.labels.keys ++ ctx.multi.keys).toSeq.sorted ++ ctx.plains.toSeq.sorted)
-              .filterNot(explicit)
-              // lifted membership booleans are filter plumbing, never user
-              // bindings — star projection must not surface them (they
-              // survive the WHERE so a later clause can REUSE the join)
-              .filterNot(isMembershipAlias)
-              .map(v => Item(Var(v), None))
-          stage0.copy(items = starItems ++ stage0.items)
-        }
-      val carried = stage.items.collect {
-        case Item(Var(v), None) if ctx.labels.contains(v) || ctx.multi.contains(v) => v
-      }
-      val plain = stage.items.filterNot {
-        case Item(Var(v), None) => ctx.labels.contains(v) || ctx.multi.contains(v)
-        case _ => false
-      }
-      val hasAgg = plain.exists(i => containsAgg(i.expr))
-
-      def outName(i: Item): String = i.alias.getOrElse(genName(i.expr))
-      val carriedCols: Seq[Column] = carried.flatMap { v =>
-        if (ctx.labels.contains(v))
-          store.nodes(ctx.labels(v)).columns.map(c => col(s"${v}__$c"))
-        else
-          // multi-label: carry the superset of the labels' columns plus the
-          // per-row label tag (identity under aggregation = label + key)
-          ctx.multi(v).flatMap(l => store.nodes(l).columns).distinct
-            .map(c => col(s"${v}__$c")) :+ col(labelColOf(v))
-      }
-
-      var out: DataFrame =
-        if (!hasAgg) {
-          df.select(carriedCols ++ plain.map(i => column(i.expr, ctx).as(outName(i))): _*)
-        } else {
-          val (aggs, keys) = plain.partition(i => containsAgg(i.expr))
-          val keyCols = carriedCols ++ keys.map(i => column(i.expr, ctx).as(outName(i)))
-          val aggCols = aggs.map(i => column(i.expr, ctx).as(outName(i)))
-          if (keyCols.isEmpty) df.agg(aggCols.head, aggCols.tail: _*)
-          else df.groupBy(keyCols: _*).agg(aggCols.head, aggCols.tail: _*)
-        }
-      if (stage.distinct) out = out.distinct()
-
-      val newCtx = Ctx(
-        ctx.labels.filter { case (v, _) => carried.contains(v) },
-        Map.empty,
-        plain.map(outName).toSet,
-        Set.empty,
-        plain.filter(i => elemIsString(i.expr, ctx, Set.empty)).map(outName).toSet,
-        multi = ctx.multi.filter { case (v, _) => carried.contains(v) },
-        strs = plain.filter(i => isStringTyped(i.expr, ctx)).map(outName).toSet,
-        times = plain.filter(i => isTimeTyped(i.expr, ctx)).map(outName).toSet,
-        relLists = plain.collect {
-          // a projected relationship list stays one (`WITH r` / `WITH
-          // relationships(p) AS rs`) so type(x) still dispatches downstream
-          case i @ Item(Var(v), _) if ctx.relLists.contains(v) => outName(i)
-          case i @ Item(Fn("relationships", _, _), _) => outName(i)
-        }.toSet,
-        nullable = ctx.nullable.filter(carried.contains))
-      // `WITH … WHERE` runs against the PROJECTED bindings, so block lifts
-      // (COUNT {} / COLLECT {} / pattern comprehensions / EXISTS {}) join
-      // onto the post-projection frame, correlated on the carried node
-      // variables; the synthetic columns drop right after the filter so
-      // they never leak into `WITH *` downstream (round 11; closes the
-      // r10 verdict's "What's missing #3")
-      stage.where.foreach { w =>
-        val (d2, c2, w2) = liftCountBlocks(out, newCtx, w)
-        // membership aliases stay (memoized per (var, label) — a later
-        // clause reuses the join); star expansion filters them instead
-        val added = (c2.plains -- newCtx.plains).toSeq.filterNot(isMembershipAlias)
-        out = d2.filter(column(w2, c2)).drop(added: _*)
-      }
-      if (stage.orderBy.nonEmpty) {
-        // a sort key that IS one of the projected items (aliased or not —
-        // `ORDER BY count(o)`, `ORDER BY c.c_name`) sorts by that output
-        // column; anything else resolves against the carried context
-        val byOutput: Map[Expr, String] = plain.map(i => i.expr -> outName(i)).toMap
-        def outCol(name: String) = col(s"`${name.replace("`", "``")}`")
-        val sorts = stage.orderBy.map { s =>
-          val c = byOutput.get(s.expr) match {
-            case Some(name) => outCol(name)
-            case None =>
-              s.expr match {
-                case Var(v) if byOutput.values.exists(_ == v) => outCol(v)
-                case e => column(e, newCtx)
-              }
-          }
-          if (s.asc) c.asc else c.desc
-        }
-        out = out.orderBy(sorts: _*)
-      }
-      stage.skip.foreach(n => out = out.offset(n.toInt))
-      stage.limit.foreach(n => out = out.limit(n.toInt))
-      (out, newCtx)
-    }
-
-    // --------------------------------------------------------------- writes
-
-    private var anonCounter = 0
-    private def anonVar(): String = { anonCounter += 1; s"__w$anonCounter" }
-
-    private def nodeKeyCol(v: String, ctx: Ctx): Column =
-      col(s"${v}__${store.schema.node(ctx.labels(v)).key}")
-
-    /** Per-(src, dst)-pair parallel-edge discriminator, ordered by the
-      * edge's PROPERTY columns so the assignment is DETERMINISTIC across
-      * re-evaluations: the edge union is re-instantiated per BFS level
-      * and recomputed on shuffle retry, and an `orderBy(lit(1))` window
-      * (the pre-r13 form — r12 ADVICE) could hand the same physical edge
-      * different `__n` values per evaluation, pairing a trail step with
-      * the wrong parallel edge's payload or duplicating rows under task
-      * retry. Rows identical in EVERY property are interchangeable — any
-      * numbering among them yields the same (content, __n) set — so the
-      * property sort is exactly the needed stability, with no persist.
-      */
-    private def discriminator(et: EdgeType): Column = {
-      val ord: Seq[Column] =
-        if (et.properties.isEmpty) Seq(lit(1)) else et.properties.map(col(_))
-      row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col(et.keyS), col(et.keyT)).orderBy(ord: _*))
-    }
-
-    /** `MERGE (n:L {merge props}) [SET n += {…} / SET n.p = e]*` with
-      * optional `ON CREATE SET` / `ON MATCH SET`, fused into one
-      * [[GraphWriter.mergeNodes]] upsert. The frame first LEFT-joins the
-      * CURRENT node store on the merge props, which both binds `n` and
-      * yields a matched marker — so ON MATCH expressions may reference the
-      * node's current properties (`ON MATCH SET n.cnt = n.cnt + 1`,
-      * standard Cypher counters). Post-write values are recomputed onto the
-      * frame column-wise (no second join against the updated store).
-      * A SET of a merge-key column is ignored: the merge value is
-      * authoritative (the reference's `SET n += {key: row.key, …}` re-sets
-      * the key to the identical value, final/inject_node.py:353-356).
-      */
-    private def mergeNodeWrite(df: DataFrame, ctx: Ctx, pat: NodePat,
-        sets: Seq[(String, Expr)], onCreate: Seq[(String, Expr)],
-        onMatch: Seq[(String, Expr)]): (DataFrame, Ctx) = {
-      val v = pat.variable.getOrElse(
-        throw CypherException("MERGE node pattern needs a variable"))
-      if (ctx.labels.contains(v))
-        throw CypherException(s"MERGE variable $v is already bound")
-      if (pat.alts.nonEmpty) throw CypherException(
-        "MERGE node pattern cannot use a label disjunction (" +
-          pat.alts.mkString("|") + ") — a merged node has one label")
-      val label = pat.label.getOrElse(
-        throw CypherException("MERGE node pattern needs a label"))
-      if (pat.props.isEmpty)
-        throw CypherException("MERGE node pattern needs at least one merge property")
-      val mergeKeys = pat.props.map(_._1)
-      def toMap(xs: Seq[(String, Expr)]) = {
-        val m = collection.mutable.LinkedHashMap[String, Expr]()
-        xs.foreach { case (k, e) => if (!mergeKeys.contains(k)) m(k) = e }
-        m
-      }
-      val setMap = toMap(sets)
-      val ocMap = toMap(onCreate)
-      val omMap = toMap(onMatch)
-      val touched = (setMap.keys ++ ocMap.keys ++ omMap.keys).toSeq.distinct
-      val mark = s"__merged_$v"
-      val existedCols: Seq[String] =
-        store.nodes.get(label).map(_.columns.toSeq).getOrElse(Nil)
-      val joined = store.nodes.get(label) match {
-        case Some(_) =>
-          val nd = nodeDf(v, label).withColumn(mark, lit(true))
-          val cond = pat.props.map { case (p, e) => column(e, ctx) <=> col(s"${v}__$p") }
-            .reduce(_ && _)
-          df.join(nd, cond, "left_outer")
-        case None => df.withColumn(mark, lit(null).cast("boolean"))
-      }
-      val ctxN = ctx.copy(labels = ctx.labels + (v -> label))
-      val matched = col(mark).isNotNull
-      def cur(p: String): Column =
-        if (existedCols.contains(p)) col(s"${v}__$p") else lit(null)
-      def valueOf(p: String): Column =
-        if (existedCols.isEmpty)
-          // brand-new label: nothing can match, and ON MATCH expressions
-          // may reference columns that don't exist yet — compile only the
-          // create branch
-          ocMap.get(p).orElse(setMap.get(p)).map(e => columnL(e, ctxN, Map.empty))
-            .getOrElse(lit(null))
-        else
-          when(matched,
-            omMap.get(p).orElse(setMap.get(p)).map(e => columnL(e, ctxN, Map.empty))
-              .getOrElse(cur(p)))
-            .otherwise(
-              ocMap.get(p).orElse(setMap.get(p)).map(e => columnL(e, ctxN, Map.empty))
-                .getOrElse(lit(null)))
-      // membership routing (r13 verdict directive #4 — closes §2.15
-      // deviation 6): a MERGE on a label holding membership-derived rows
-      // can MATCH a member, whose true home is another source store —
-      // upserting it into the TARGET store would fabricate a native
-      // duplicate of a node that already exists. Mark each matched row's
-      // provenance (native / per-source member, by the same key rendering
-      // the derivation used; on a key-value collision both claim the row,
-      // §2.15 deviation 2), send created + native-matched rows through the
-      // target upsert, and route member updates to their SOURCE-store rows
-      // (the provenance pair names the store; shared-name semantics make
-      // the update visible back through the target label). A touched
-      // property with no home in a matched member's source store rejects
-      // loudly — written-but-invisible would be worse.
-      val inboundSrcs = store.memberships.keysIterator
-        .collect { case (t, s) if t == label => s }.toSeq.distinct.sorted
-      if (inboundSrcs.isEmpty || existedCols.isEmpty) {
-        val incoming = joined.select(
-          pat.props.map { case (p, e) => column(e, ctx).as(p) } ++
-            touched.map(p => valueOf(p).as(p)): _*)
-        store = GraphWriter.mergeNodes(store, label, incoming, mergeKeys)
-      } else {
-        val nt = store.schema.node(label)
-        val keyRen = col(s"${v}__${nt.key}").cast(StringType)
-        val tgtType = store.nodes(label).schema(nt.key).dataType
-        val natM = "__mrg_nat"
-        var marked = joined.join(
-          store.nodes(label)
-            .select(col(nt.key).cast(StringType).as(natM)).distinct(),
-          keyRen === col(natM), "left_outer")
-        val memCols = inboundSrcs.map { s =>
-          val snt = store.schema.node(s)
-          val srcDf = store.nodes(s)
-          val m = store.memberships((label, s))
-          val ren = s"__mrg_ren_$s"
-          val sk = s"__mrg_key_$s"
-          val sKeys = srcDf
-            .join(m, srcDf(snt.key).cast(StringType) === m("__m_key"),
-              "left_semi")
-            .select(col(snt.key).cast(tgtType).cast(StringType).as(ren),
-              col(snt.key).as(sk))
-          marked = marked.join(sKeys, keyRen === col(ren), "left_outer")
-          (s, ren, sk)
-        }
-        memCols.foreach { case (s, ren, _) =>
-          val missing = touched.filterNot(store.nodes(s).columns.contains)
-          if (missing.nonEmpty &&
-              !marked.filter(matched && col(ren).isNotNull).isEmpty)
-            throw CypherException(
-              s"MERGE (:$label) ON MATCH/SET touches ${missing.mkString(", ")} " +
-                s"— matched membership-derived rows from :$s carry no such " +
-                "stored property (mutate them through their own label)")
-        }
-        val incoming = marked.filter(!matched || col(natM).isNotNull).select(
-          pat.props.map { case (p, e) => column(e, ctx).as(p) } ++
-            touched.map(p => valueOf(p).as(p)): _*)
-        store = GraphWriter.mergeNodes(store, label, incoming, mergeKeys)
-        memCols.foreach { case (s, ren, sk) =>
-          if (touched.nonEmpty) {
-            val snt = store.schema.node(s)
-            val incomingS = marked.filter(matched && col(ren).isNotNull)
-              .select(col(sk).as(snt.key) +:
-                touched.map(p => valueOf(p).as(p)): _*)
-            store = GraphWriter.mergeNodes(store, s, incomingS, Seq(snt.key))
-          }
-        }
-      }
-      // refresh the binding in place: merge keys from the pattern exprs
-      // (covers created rows, whose store-side columns are null), touched
-      // properties from the same value expressions the store got
-      var out = joined.withColumns(
-        pat.props.map { case (p, e) => s"${v}__$p" -> column(e, ctx) }.toMap ++
-          touched.map(p => s"${v}__$p" -> valueOf(p)).toMap)
-      out = out.drop(mark)
-      (out, ctxN)
-    }
-
-    /** `MERGE (s)-[r:L {props}]->(t)` / CREATE equivalent: both endpoints
-      * must be bound node variables; one row per frame row becomes an edge
-      * (MERGE skips rows whose full written pattern already exists — one
-      * anti join). Orientation corrects against the schema like reads do.
-      *
-      * With `sets`/`onCreate`/`onMatch` (MERGE only — the idiomatic edge
-      * counter `MERGE (a)-[r:T]->(b) ON CREATE SET r.n = 1 ON MATCH SET
-      * r.n = r.n + 1`), the frame first LEFT-joins the CURRENT edge store
-      * on (endpoint keys + merge props), which binds `r`'s current
-      * properties and yields a matched marker — the same pre-join shape as
-      * [[mergeNodeWrite]] — then hands the resolved values to
-      * [[GraphWriter.upsertEdges]]'s full-outer upsert.
-      */
-    private def mergeEdgeWrite(df: DataFrame, ctx: Ctx, path: PathPat,
-        create: Boolean,
-        sets: Seq[(String, Expr)] = Nil,
-        onCreate: Seq[(String, Expr)] = Nil,
-        onMatch: Seq[(String, Expr)] = Nil): (DataFrame, Ctx) = {
-      val (rel, dstPat) = path.hops.head
-      val aVar = path.head.variable.getOrElse(
-        throw CypherException("relationship write needs named endpoints"))
-      val bVar = dstPat.variable.getOrElse(
-        throw CypherException("relationship write needs named endpoints"))
-      Seq(aVar, bVar).foreach(x =>
-        if (!ctx.labels.contains(x))
-          throw CypherException(s"relationship write endpoint $x is not a bound node"))
-      val label = rel.labels match {
-        case Seq(l) => l
-        case _ => throw CypherException(
-          "relationship write needs exactly one relationship type")
-      }
-      val (s0, d0) = rel.dir match {
-        case Out => (aVar, bVar)
-        case In => (bVar, aVar)
-        case Undirected =>
-          throw CypherException("relationship write needs a direction (-[]-> or <-[]-)")
-      }
-      val (sLabel, dLabel) = (ctx.labels(s0), ctx.labels(d0))
-      // schema orientation wins over the written arrow (direction
-      // correction, same rule as reads)
-      val (keyS, keyT, srcVar, dstVar) = store.schema.edges.find(_.label == label) match {
-        case Some(et) =>
-          if (et.src == sLabel && et.dst == dLabel) (et.keyS, et.keyT, s0, d0)
-          else if (et.src == dLabel && et.dst == sLabel) (et.keyS, et.keyT, d0, s0)
-          else throw CypherException(
-            s"relationship $label connects ${et.src}→${et.dst}, not $sLabel→$dLabel")
-        case None =>
-          val ks = store.schema.node(sLabel).key
-          val kt0 = store.schema.node(dLabel).key
-          (ks, if (kt0 == ks) kt0 + "_dst" else kt0, s0, d0)
-      }
-      if (sets.isEmpty && onCreate.isEmpty && onMatch.isEmpty) {
-        val incoming = df.select(
-          nodeKeyCol(srcVar, ctx).as(keyS) +: nodeKeyCol(dstVar, ctx).as(keyT) +:
-            rel.props.map { case (p, e) => column(e, ctx).as(p) }: _*)
-        // endpoint keys come from MATCHed or just-CREATEd node frames, so
-        // the merged rows keep the endpoint-validated invariant
-        store = GraphWriter.mergeEdges(store, label, ctx.labels(srcVar), ctx.labels(dstVar),
-          keyS, keyT, incoming, create, endpointsValidated = true)
-        rel.variable match {
-          case Some(rv) =>
-            val d = rel.props.foldLeft(df) { case (acc, (p, e)) =>
-              acc.withColumn(s"${rv}__$p", column(e, ctx))
-            }
-            (d, ctx.copy(rels = ctx.rels + (rv -> RelInfo(label, srcVar, dstVar))))
-          case None => (df, ctx)
-        }
-      } else {
-        if (create)
-          throw CypherException("ON CREATE/ON MATCH SET applies to MERGE, not CREATE")
-        val rv = rel.variable.getOrElse(anonVar())
-        if (ctx.rels.contains(rv) || ctx.labels.contains(rv))
-          throw CypherException(s"MERGE relationship variable $rv is already bound")
-        val mergeKeys = rel.props.map(_._1)
-        def toMap(xs: Seq[(String, Expr)]) = {
-          val m = collection.mutable.LinkedHashMap[String, Expr]()
-          xs.foreach { case (k, e) => if (!mergeKeys.contains(k)) m(k) = e }
-          m
-        }
-        val setMap = toMap(sets)
-        val ocMap = toMap(onCreate)
-        val omMap = toMap(onMatch)
-        val touched = (setMap.keys ++ ocMap.keys ++ omMap.keys).toSeq.distinct
-        val mark = s"__emerged_$rv"
-        // captured BEFORE the upsert mutates `store`: valueOf is evaluated
-        // again for the post-write frame refresh
-        val brandNew = !store.edges.contains(label)
-        val existedProps: Seq[String] =
-          if (!brandNew) store.schema.edge(label).properties else Nil
-        val joined = store.edges.get(label) match {
-          case Some(ed0) =>
-            val ed = ed0.columns.foldLeft(ed0)((d, c) =>
-              d.withColumnRenamed(c, s"${rv}__$c")).withColumn(mark, lit(true))
-            val cond = (nodeKeyCol(srcVar, ctx) <=> col(s"${rv}__$keyS")) &&
-              (nodeKeyCol(dstVar, ctx) <=> col(s"${rv}__$keyT")) &&
-              rel.props.map { case (p, e) => column(e, ctx) <=> col(s"${rv}__$p") }
-                .foldLeft(lit(true))(_ && _)
-            df.join(ed, cond, "left_outer")
-          case None => df.withColumn(mark, lit(null).cast("boolean"))
-        }
-        val ctxN = ctx.copy(rels = ctx.rels + (rv -> RelInfo(label, srcVar, dstVar)))
-        val matched = col(mark).isNotNull
-        def cur(p: String): Column =
-          if (existedProps.contains(p)) col(s"${rv}__$p") else lit(null)
-        def valueOf(p: String): Column =
-          if (brandNew)
-            // brand-new type: nothing can match — compile only the create
-            // branch (ON MATCH may reference properties that don't exist)
-            ocMap.get(p).orElse(setMap.get(p)).map(e => columnL(e, ctxN, Map.empty))
-              .getOrElse(lit(null))
-          else
-            when(matched,
-              omMap.get(p).orElse(setMap.get(p)).map(e => columnL(e, ctxN, Map.empty))
-                .getOrElse(cur(p)))
-              .otherwise(
-                ocMap.get(p).orElse(setMap.get(p)).map(e => columnL(e, ctxN, Map.empty))
-                  .getOrElse(lit(null)))
-        val incoming = joined.select(
-          nodeKeyCol(srcVar, ctx).as(keyS) +: nodeKeyCol(dstVar, ctx).as(keyT) +:
-            (rel.props.map { case (p, e) => column(e, ctx).as(p) } ++
-              touched.map(p => valueOf(p).as(p))): _*)
-        store = GraphWriter.upsertEdges(store, label, ctx.labels(srcVar),
-          ctx.labels(dstVar), keyS, keyT, incoming, mergeKeys,
-          endpointsValidated = true)
-        // refresh the binding in place: merge props from the pattern exprs,
-        // touched properties from the same value expressions the store got
-        var out = joined.withColumns(
-          rel.props.map { case (p, e) => s"${rv}__$p" -> column(e, ctx) }.toMap ++
-            touched.map(p => s"${rv}__$p" -> valueOf(p)).toMap)
-        out = out.drop(mark)
-        (out, ctxN)
-      }
-    }
-
-    /** `CREATE (n:L {…})` — one node per frame row, no matching. Binds `n`
-      * column-wise from the written properties (cheaper than a join: a
-      * created node's properties are exactly what the row wrote).
-      */
-    private def createNodeWrite(df: DataFrame, ctx: Ctx, pat: NodePat): (DataFrame, Ctx) = {
-      val v = pat.variable.getOrElse(anonVar())
-      if (ctx.labels.contains(v))
-        throw CypherException(s"CREATE variable $v is already bound")
-      if (pat.alts.nonEmpty) throw CypherException(
-        "CREATE node pattern cannot use a label disjunction (" +
-          pat.alts.mkString("|") + ") — a created node has one label")
-      val label = pat.label.getOrElse(
-        throw CypherException("CREATE node pattern needs a label"))
-      if (pat.props.isEmpty)
-        throw CypherException("CREATE node pattern needs at least one property")
-      val incoming = df.select(pat.props.map { case (p, e) => column(e, ctx).as(p) }: _*)
-      store = GraphWriter.createNodes(store, label, incoming)
-      val nt = store.schema.node(label)
-      val given = pat.props.toMap
-      val d = (nt.key +: nt.properties).foldLeft(df) { (acc, c) =>
-        acc.withColumn(s"${v}__$c", given.get(c).map(column(_, ctx)).getOrElse(lit(null)))
-      }
-      (d, ctx.copy(labels = ctx.labels + (v -> label)))
-    }
-
-    /** One CREATE path: create unbound nodes, then create each hop edge. */
-    private def createPath(df0: DataFrame, ctx0: Ctx, path: PathPat): (DataFrame, Ctx) = {
-      var df = df0
-      var ctx = ctx0
-      def ensure(pat: NodePat): NodePat = {
-        val withVar = pat.variable match {
-          case Some(_) => pat
-          case None => pat.copy(variable = Some(anonVar()))
-        }
-        if (!ctx.labels.contains(withVar.variable.get)) {
-          val (d2, c2) = createNodeWrite(df, ctx, withVar)
-          df = d2; ctx = c2
-        }
-        withVar
-      }
-      val head = ensure(path.head)
-      var prev = head
-      path.hops.foreach { case (rel, node) =>
-        val n = ensure(node)
-        val (d2, c2) = mergeEdgeWrite(df, ctx, PathPat(prev, Seq((rel, n))), create = true)
-        df = d2; ctx = c2
-        prev = n
-      }
-      (df, ctx)
-    }
-
-    /** Standalone SET on an already-bound node or relationship variable:
-      * upsert the store (node key / edge identity), refresh the frame's
-      * columns in place. A relationship's identity is its endpoint keys
-      * plus every property column the match bound — the same parallel-edge
-      * rule as DELETE r ([[deleteVar]]): `SET r.w = 1` on a matched
-      * `()-[r:T {k: 2}]->()` touches only the parallel edges whose
-      * properties matched.
-      */
-    /** `SET v:Label` / `REMOVE v:Label` — label membership mutation.
-      * Secondary membership is PROVENANCE rows `(targetLabel,
-      * sourceLabel) → key` in [[GraphStore.memberships]], never rows in
-      * the target label's node store (r12 ADVICE: the old row-upserting
-      * design silently overwrote / deleted genuine native nodes whose key
-      * VALUES collided with the members' — e.g. `MATCH (p:Person) REMOVE
-      * p:Acct` destroyed unrelated Acct nodes). Members materialize at
-      * MATCH time from the LIVE source store ([[labelFrame]]), so the
-      * node answers `MATCH (n:Label)` afterwards — with its CURRENT
-      * properties, like Neo4j's one-node-many-labels. An unknown label
-      * registers a node type cloning v's schema over an EMPTY native
-      * store. REMOVE deletes only the matching provenance rows: native
-      * nodes of the target label are untouchable by construction (Neo4j:
-      * removing a label a node never had is a no-op). Removing the node's
-      * OWN store label rejects loudly — the store cannot hold label-less
-      * nodes (documented deviation; use DETACH DELETE). Reference write
-      * surface: final/inject_node.py:351-358 (dynamic labels at
-      * injection).
-      */
-    private def setLabels(df: DataFrame, ctx: Ctx, v: String,
-        ls: Seq[String], add: Boolean): (DataFrame, Ctx) = {
-      val label = ctx.labels.getOrElse(v, throw CypherException(
-        s"SET/REMOVE label target $v is not a bound single-label node variable"))
-      val nt = store.schema.node(label)
-      // matched member keys in the ONE store-side rendering every
-      // membership consumer joins on: the source key as a string
-      val matchedKeys = df.select(
-        col(s"${v}__${nt.key}").cast(StringType).as("__m_key"))
-        .na.drop().distinct()
-      // Provenance resolution (r13 ADVICE): when the bound label itself
-      // holds membership-derived rows, a matched key may belong to a
-      // member whose TRUE home is another source store — recording it
-      // under (l, label) would point the provenance at the wrong store
-      // (the member silently drops from the new label, or a colliding
-      // native node is fabricated as a member). Partition the matched
-      // keys: keys present in the NATIVE store write under (l, label);
-      // for each inbound pair (label, s) the member keys whose target
-      // rendering matched write under (l, s) with their ORIGINAL
-      // source-keyspace keys. On a key-value collision both partitions
-      // claim the key — both rows matched (§2.15 deviation 2's
-      // key-linked identity). No inbound memberships — every ordinary
-      // store — keeps the old single-pair path untouched.
-      val inbound = store.memberships.keysIterator
-        .collect { case (t, s) if t == label => s }.toSeq.distinct.sorted
-      val perSource: Seq[(String, DataFrame)] =
-        if (inbound.isEmpty) Seq(label -> matchedKeys)
-        else {
-          val native = matchedKeys.join(
-            store.nodes(label)
-              .select(col(nt.key).cast(StringType).as("__m_key")),
-            Seq("__m_key"), "left_semi")
-          val tgtType = store.nodes(label).schema(nt.key).dataType
-          val members = inbound.map { s =>
-            val snt = store.schema.node(s)
-            val srcDf = store.nodes(s)
-            val m = store.memberships((label, s))
-            s -> srcDf
-              .join(m, srcDf(snt.key).cast(StringType) === m("__m_key"),
-                "left_semi")
-              .select(col(snt.key).cast(tgtType).cast(StringType)
-                  .as("__t_key"),
-                col(snt.key).cast(StringType).as("__m_key"))
-              .join(matchedKeys.withColumnRenamed("__m_key", "__t_key"),
-                Seq("__t_key"), "left_semi")
-              .select("__m_key").distinct()
-          }
-          (label -> native) +: members
-        }
-      ls.foreach { l =>
-        if (!add) {
-          if (l == label) throw CypherException(
-            s"REMOVE $v:$l would leave the node label-less — the " +
-              "fixed-schema store keys every node to exactly one primary " +
-              "label (use DETACH DELETE to drop the node, or REMOVE a " +
-              "secondary label)")
-          // a membership-derived row natively holds ITS source label: if
-          // any matched member came from source l, REMOVE v:l targets
-          // that row's PRIMARY label — same label-less hazard, runtime-
-          // gated so native-only matches keep working
-          perSource.collectFirst { case (s, keys) if s == l && s != label =>
-            keys }.foreach { keys =>
-            if (!keys.isEmpty) throw CypherException(
-              s"REMOVE $v:$l matches membership-derived rows whose " +
-                s"primary label IS $l — removing it would leave them " +
-                "label-less (use DETACH DELETE, or match them through " +
-                "their own label)")
-          }
-        }
-        perSource.foreach { case (src, keys) =>
-          if (add) {
-            // SET of a label the node natively holds is a no-op (Neo4j).
-            // On the partitioned path an empty partition writes NO pair —
-            // a (l, src) entry with zero keys would join src's store into
-            // every later labelFrame(l)/lift for nothing (the runtime
-            // isEmpty probe only runs when inbound memberships exist;
-            // the common single-partition path stays action-free).
-            if (l != src && (inbound.isEmpty || !keys.isEmpty)) {
-              if (!store.schema.nodes.exists(_.name == l)) {
-                // brand-new label: a node type cloning v's schema, native
-                // store EMPTY — every row is membership-derived
-                store = store.copy(
-                  schema = store.schema.copy(nodes = store.schema.nodes :+
-                    NodeType(l, nt.key, properties = nt.properties,
-                      keyUnique = true)),
-                  nodes = store.nodes + (l -> store.nodes(label).limit(0)))
-              }
-              val old = store.memberships.get((l, src))
-              val merged = old match {
-                case Some(m) => m.unionByName(keys).distinct()
-                case None => keys
-              }
-              // persist the provenance frame: it is re-read by EVERY
-              // later membership lift / labels() / MATCH on the label,
-              // and left lazy it re-pays its source scan + distinct per
-              // query (ProfileMembership measured 1.7 s/query at sf10);
-              // persisted it is a bounded broadcastable key set,
-              // materialized on first use. The superseded frame's blocks
-              // are released (its lineage stays valid under the new
-              // frame — unpersist never truncates lineage), so repeated
-              // mutations in one session don't accumulate orphaned
-              // cached RDDs (r13 ADVICE).
-              store = store.copy(memberships = store.memberships +
-                ((l, src) -> merged.persist(StorageLevel.MEMORY_AND_DISK)))
-              old.foreach(_.unpersist(false))
-            }
-          } else {
-            store.memberships.get((l, src)).foreach { m =>
-              store = store.copy(memberships = store.memberships +
-                ((l, src) -> m.join(keys, Seq("__m_key"), "left_anti")
-                  .persist(StorageLevel.MEMORY_AND_DISK)))
-              m.unpersist(false)
-            } // no provenance rows from this source → no-op (Neo4j: the
-              // node never had the label; native target nodes are NEVER
-              // touched)
-          }
-        }
-      }
-      (df, ctx)
-    }
-
-    private def standaloneSet(df: DataFrame, ctx: Ctx, item: SetItem): (DataFrame, Ctx) = {
-      item match {
-        case SetLabel(v, ls, add) => return setLabels(df, ctx, v, ls, add)
-        case _ => ()
-      }
-      // normalize to (prop, value-column) pairs; `SET v = {…}` (replace-
-      // all) expands to EVERY stored property — absent ones reset to a
-      // typed null (the fixed-schema analogue of Neo4j's removal)
-      def replaceAll(v: String, m: Seq[(String, Expr)],
-          stored: Seq[String], schema: StructType,
-          keyNames: Seq[String], what: String): Seq[(String, Column)] = {
-        m.foreach { case (p, _) =>
-          if (keyNames.contains(p)) throw CypherException(
-            s"SET $v = {…} cannot replace '$p' — it is the $what's identity; " +
-              "use explicit SET items for non-identity properties")
-          if (!stored.contains(p)) throw CypherException(
-            s"SET $v = {…}: unknown property '$p' for the $what (the store " +
-              "schema is fixed)")
-        }
-        stored.map(p => p -> m.find(_._1 == p).map { case (_, e) => column(e, ctx) }
-          .getOrElse(lit(null).cast(schema(p).dataType)))
-      }
-      val (v, pairs) = item match {
-        case SetPlus(x, m) => (x, m.map { case (p, e) => p -> column(e, ctx) })
-        case SetProp(x, p, e) => (x, Seq(p -> column(e, ctx)))
-        case SetAll(x, m) => ctx.labels.get(x) match {
-          case Some(label) =>
-            val nt = store.schema.node(label)
-            (x, replaceAll(x, m, nt.properties, store.nodes(label).schema,
-              Seq(nt.key), s"node :$label"))
-          case None =>
-            val ri = ctx.rels.getOrElse(x, throw CypherException(
-              s"SET target $x is not a bound node or single-type relationship variable"))
-            val et = store.schema.edge(ri.label)
-            (x, replaceAll(x, m, et.properties, store.edges(ri.label).schema,
-              Seq(et.keyS, et.keyT), s"relationship :${ri.label}"))
-        }
-      }
-      ctx.labels.get(v) match {
-        case Some(label) =>
-          val nt = store.schema.node(label)
-          val incoming = df.select(
-            col(s"${v}__${nt.key}").as(nt.key) +:
-              pairs.map { case (p, c) => c.as(p) }: _*)
-          store = GraphWriter.mergeNodes(store, label, incoming, Seq(nt.key))
-          val d = pairs.foldLeft(df) { case (acc, (p, c)) =>
-            acc.withColumn(s"${v}__$p", c)
-          }
-          (d, ctx)
-        case None =>
-          val RelInfo(label, sV, dV) = ctx.rels.getOrElse(v,
-            throw CypherException(
-              s"SET target $v is not a bound node or single-type relationship variable"))
-          val et = store.schema.edge(label)
-          val idProps = et.properties
-            .filter(p => df.columns.contains(s"${v}__$p"))
-          val sel = Seq(nodeKeyCol(sV, ctx).as(et.keyS),
-              nodeKeyCol(dV, ctx).as(et.keyT)) ++
-            idProps.map(p => col(s"${v}__$p").as(p)) ++
-            pairs.map { case (p, c) => c.as(s"__set_$p") }
-          store = GraphWriter.updateEdges(store, label, df.select(sel: _*))
-          val d = pairs.foldLeft(df) { case (acc, (p, c)) =>
-            acc.withColumn(s"${v}__$p", c)
-          }
-          (d, ctx)
-      }
-    }
-
-    /** `[DETACH] DELETE v` — node or relationship variable. The frame keeps
-      * the deleted bindings (Neo4j semantics); only the store shrinks.
-      */
-    private def deleteVar(df: DataFrame, ctx: Ctx, v: String, detach: Boolean): Unit =
-      ctx.labels.get(v) match {
-        case Some(label) =>
-          val key = store.schema.node(label).key
-          val keys = df.select(col(s"${v}__$key").as(key)).distinct()
-          store = GraphWriter.deleteNodes(store, label, keys, detach)
-        case None => ctx.rels.get(v) match {
-          case Some(RelInfo(label, sV, dV)) =>
-            val et = store.schema.edge(label)
-            // the matched relationship's property columns are part of its
-            // identity: without them DELETE r would remove ALL parallel
-            // edges between each matched pair, including ones whose
-            // properties did not match the pattern
-            val propCols = et.properties
-              .filter(p => df.columns.contains(s"${v}__$p"))
-              .map(p => col(s"${v}__$p").as(p))
-            val pairs = df.select(
-              Seq(nodeKeyCol(sV, ctx).as(et.keyS),
-                nodeKeyCol(dV, ctx).as(et.keyT)) ++ propCols: _*).distinct()
-            store = GraphWriter.deleteEdges(store, label, pairs)
-          case None => throw CypherException(s"cannot DELETE unbound variable $v")
-        }
-      }
-
-    /** Apply a stage's write clauses in order, fusing `MERGE node` with the
-      * SET clauses that immediately follow it and target only its variable
-      * (the reference's injection shape, final/inject_node.py:350-358).
-      */
-    private def applyWrites(df0: DataFrame, ctx0: Ctx,
-        writes: Seq[WriteClause]): (DataFrame, Ctx) = {
-      var df = df0
-      var ctx = ctx0
-      var i = 0
-      /** Flatten SET items to (prop, Expr) pairs. `expandAll` realizes
-        * `SET v = {…}` (replace-all) for the merge target: every stored
-        * non-identity property, absent ones reset to a [[TypedNull]] of
-        * the store column's type (round 11; closes the r10 verdict's
-        * "What's missing #5"). Fused/standalone contexts that can't
-        * expand pass None and keep the loud rejection.
-        */
-      def flat(items: Seq[SetItem],
-          expandAll: Option[Seq[(String, Expr)] => Seq[(String, Expr)]] = None)
-          : Seq[(String, Expr)] = items.map {
-        case SetPlus(_, m) => m
-        case SetProp(_, p, e) => Seq((p, e))
-        case SetAll(x, m) => expandAll.fold[Seq[(String, Expr)]](
-          throw CypherException(
-            s"SET $x = {…} (replace-all) is not supported inside a fused " +
-              "SET — use += / explicit properties, or a separate " +
-              "standalone SET clause"))(f => f(m))
-        case SetLabel(x, ls, _) => throw CypherException(
-          s"SET $x:${ls.mkString(":")} is not supported in this position")
-      }.flatten
-      /** Replace-all expansion over a declared property list: map keys
-        * must be known non-identity properties; every stored property is
-        * emitted (map value, or a typed null reset). Merge-pattern props
-        * are excluded downstream by mergeNode/EdgeWrite's toMap (the
-        * merge identity never resets).
-        */
-      def expandOver(v: String, stored: Seq[String], schema: Option[StructType],
-          keyNames: Seq[String], what: String)(
-          m: Seq[(String, Expr)]): Seq[(String, Expr)] = {
-        m.foreach { case (p, _) =>
-          if (keyNames.contains(p)) throw CypherException(
-            s"SET $v = {…} cannot replace '$p' — it is the $what's identity; " +
-              "use explicit SET items for non-identity properties")
-          if (!stored.contains(p)) throw CypherException(
-            s"SET $v = {…}: unknown property '$p' for the $what (the store " +
-              "schema is fixed)")
-        }
-        stored.map(p => p -> m.find(_._1 == p).map(_._2).getOrElse(
-          TypedNull(schema.flatMap(s => s.fields.find(_.name == p))
-            .map(_.dataType).getOrElse(StringType))))
-      }
-      while (i < writes.length) {
-        writes(i) match {
-          case MergeClause(path, onCreate, onMatch) if path.hops.isEmpty =>
-            val v = path.head.variable.getOrElse(
-              throw CypherException("MERGE node pattern needs a variable"))
-            def targets(items: Seq[SetItem], who: String): Unit = items.foreach {
-              case SetPlus(x, _) if x != who => throw CypherException(
-                s"ON CREATE/ON MATCH SET must target the merge variable $who")
-              case SetProp(x, _, _) if x != who => throw CypherException(
-                s"ON CREATE/ON MATCH SET must target the merge variable $who")
-              case SetAll(x, _) if x != who => throw CypherException(
-                s"ON CREATE/ON MATCH SET must target the merge variable $who")
-              case SetLabel(x, _, _) if x != who => throw CypherException(
-                s"ON CREATE/ON MATCH SET must target the merge variable $who")
-              case _ => ()
-            }
-            targets(onCreate, v); targets(onMatch, v)
-            // label additions apply POST-merge to the created / matched
-            // subset (discriminated against the label's pre-merge key set)
-            val labelOnCreate = onCreate.collect { case sl: SetLabel => sl }
-            val labelOnMatch = onMatch.collect { case sl: SetLabel => sl }
-            val onCreateRest = onCreate.filterNot(_.isInstanceOf[SetLabel])
-            val onMatchRest = onMatch.filterNot(_.isInstanceOf[SetLabel])
-            val preKeys: Option[(DataFrame, String)] =
-              if (labelOnCreate.isEmpty && labelOnMatch.isEmpty) None
-              else for {
-                lbl <- path.head.label
-                n <- store.nodes.get(lbl)
-              } yield {
-                val k = store.schema.node(lbl).key
-                // immutable lineage: this frame still reads the PRE-merge
-                // rows after the store advances
-                (n.select(col(k).as("__prek")), k)
-              }
-            val sets = Seq.newBuilder[(String, Expr)]
-            var j = i + 1
-            var fusing = true
-            while (fusing && j < writes.length) writes(j) match {
-              case SetClause(items) if items.forall {
-                    case SetPlus(x, _) => x == v
-                    case SetProp(x, _, _) => x == v
-                    case _ => false // replace-all/labels: standalone below
-                  } =>
-                sets ++= flat(items)
-                j += 1
-              case _ => fusing = false
-            }
-            // ON-SET replace-all expands against the merge label's
-            // declared schema (brand-new labels have none to expand
-            // against and keep the rejection)
-            val nodeExpand = path.head.label.flatMap(label =>
-              store.schema.nodes.find(_.name == label).map(nt =>
-                expandOver(v, nt.properties,
-                  store.nodes.get(label).map(_.schema), Seq(nt.key),
-                  s"node :$label") _))
-            val (d2, c2) = mergeNodeWrite(df, ctx, path.head, sets.result(),
-              flat(onCreateRest, nodeExpand), flat(onMatchRest, nodeExpand))
-            df = d2; ctx = c2
-            if (labelOnCreate.nonEmpty || labelOnMatch.nonEmpty) {
-              val mLabel = c2.labels(v)
-              val keyCol = col(s"${v}__${store.schema.node(mLabel).key}")
-              def subset(created: Boolean): DataFrame = preKeys match {
-                case Some((pk, _)) => d2.join(pk, keyCol === col("__prek"),
-                  if (created) "left_anti" else "left_semi")
-                case None => if (created) d2 else d2.limit(0)
-              }
-              labelOnCreate.foreach(sl =>
-                setLabels(subset(created = true), c2, v, sl.labels, sl.add))
-              labelOnMatch.foreach(sl =>
-                setLabels(subset(created = false), c2, v, sl.labels, sl.add))
-            }
-            i = j
-          case MergeClause(path, onCreate, onMatch) if path.hops.size == 1 =>
-            // ON CREATE/ON MATCH SET and immediately-following SET clauses
-            // must target the merge's relationship variable (node-endpoint
-            // SETs are separate standalone clauses, not part of the merge)
-            val rvOpt = path.hops.head._1.variable
-            def relTargets(items: Seq[SetItem]): Unit = items.foreach {
-              case SetPlus(x, _) if !rvOpt.contains(x) => throw CypherException(
-                s"ON CREATE/ON MATCH SET on a relationship MERGE must target " +
-                  s"its relationship variable${rvOpt.fold("")(" " + _)}")
-              case SetProp(x, _, _) if !rvOpt.contains(x) => throw CypherException(
-                s"ON CREATE/ON MATCH SET on a relationship MERGE must target " +
-                  s"its relationship variable${rvOpt.fold("")(" " + _)}")
-              case SetAll(x, _) if !rvOpt.contains(x) => throw CypherException(
-                s"ON CREATE/ON MATCH SET on a relationship MERGE must target " +
-                  s"its relationship variable${rvOpt.fold("")(" " + _)}")
-              case SetLabel(_, _, _) => throw CypherException(
-                "SET r:Label on a relationship MERGE — relationships have " +
-                  "a single type; labels apply to nodes")
-              case _ => ()
-            }
-            relTargets(onCreate); relTargets(onMatch)
-            val sets = Seq.newBuilder[(String, Expr)]
-            var j = i + 1
-            var fusing = rvOpt.nonEmpty
-            while (fusing && j < writes.length) writes(j) match {
-              case SetClause(items) if items.forall {
-                    case SetPlus(x, _) => rvOpt.contains(x)
-                    case SetProp(x, _, _) => rvOpt.contains(x)
-                    case _ => false // replace-all/labels: standalone below
-                  } =>
-                sets ++= flat(items)
-                j += 1
-              case _ => fusing = false
-            }
-            val relExpand = for {
-              rv <- rvOpt
-              lbl <- path.hops.head._1.labels.headOption
-              et <- store.schema.edges.find(_.label == lbl)
-            } yield expandOver(rv, et.properties,
-              store.edges.get(lbl).map(_.schema), Seq(et.keyS, et.keyT),
-              s"relationship :$lbl") _
-            val (d2, c2) = mergeEdgeWrite(df, ctx, path, create = false,
-              sets.result(), flat(onCreate, relExpand), flat(onMatch, relExpand))
-            df = d2; ctx = c2
-            i = j max (i + 1)
-          case MergeClause(_, _, _) =>
-            throw CypherException(
-              "MERGE supports a single node or a single-relationship pattern")
-          case CreateClause(paths) =>
-            paths.foreach { p =>
-              val (d2, c2) = createPath(df, ctx, p)
-              df = d2; ctx = c2
-            }
-            i += 1
-          case SetClause(items) =>
-            items.foreach { item =>
-              val (d2, c2) = standaloneSet(df, ctx, item)
-              df = d2; ctx = c2
-            }
-            i += 1
-          case DeleteClause(vars, detach) =>
-            vars.foreach(v => deleteVar(df, ctx, v, detach))
-            i += 1
-          case ForeachClause(x, coll, body) =>
-            // side-effect-only iteration (Neo4j FOREACH): explode the list
-            // into a SCRATCH frame with x bound as a plain column, run the
-            // body writes against it (they mutate the shared store), then
-            // continue with the ORIGINAL frame — FOREACH never changes the
-            // enclosing cardinality or bindings. Empty/null lists explode
-            // to zero scratch rows = no-op, matching Neo4j. Semantics
-            // note: body writes apply BATCH-AT-ONCE over the exploded
-            // frame (the engine's set-oriented write model), not
-            // element-sequentially — same-key collisions within one
-            // FOREACH follow MERGE's batch upsert rules, so an ON MATCH
-            // counter does not observe earlier elements of the same batch.
-            val base = if (df == null)
-              spark.range(1).select() else df // write-only query: one row
-            val scratch = base.withColumn(x, explode(column(coll, ctx)))
-            applyWrites(scratch, ctx.copy(plains = ctx.plains + x), body)
-            i += 1
-        }
-      }
-      (df, ctx)
-    }
 
     // -------------------------------------------------------------- main
 
     /** A `$rows`-style parameter bound to this UNWIND? (left unsubstituted
       * by bindParams; becomes a DataFrame here).
       */
-    private def rowsParam(e: Expr): Option[Seq[Map[String, Any]]] = e match {
+    def rowsParam(e: Expr): Option[Seq[Map[String, Any]]] = e match {
       case Param(n) => params.get(n).collect {
         case xs: Seq[_] if xs.nonEmpty && xs.forall(_.isInstanceOf[Map[_, _]]) =>
           xs.map(_.asInstanceOf[Map[String, Any]])
@@ -4754,7 +1149,7 @@ object CypherEngine {
       * way (final/inject_node.py:241-306); the scale path is the
       * DataFrame-native [[graft.graph.GraphWriter]] API.
       */
-    private def rowsDf(alias: String, rows: Seq[Map[String, Any]]): DataFrame = {
+    def rowsDf(alias: String, rows: Seq[Map[String, Any]]): DataFrame = {
       val keys: Seq[String] = rows.flatMap(_.keys).distinct
       def dt(x: Any): DataType = x match {
         case _: Int | _: Long | _: Short | _: Byte => LongType
@@ -4791,7 +1186,7 @@ object CypherEngine {
       topQuery(q)
     }
 
-    private def topQuery(q: Query): DataFrame = q.union match {
+    def topQuery(q: Query): DataFrame = q.union match {
       case None => compileSingle(q)
       case Some(_) =>
         // write branches compile in order against the threaded store, so
@@ -4816,7 +1211,7 @@ object CypherEngine {
       * every branch agrees — a variable bound differently per branch has
       * no single downstream meaning, so it degrades to a plain value.
       */
-    private def mergeCtxs(cs: Seq[Ctx]): Ctx = cs.reduce { (a, b) =>
+    def mergeCtxs(cs: Seq[Ctx]): Ctx = cs.reduce { (a, b) =>
       Ctx(
         labels = a.labels.filter { case (k, v) => b.labels.get(k).contains(v) },
         rels = a.rels.filter { case (k, v) => b.rels.get(k).contains(v) },
@@ -4831,7 +1226,7 @@ object CypherEngine {
         times = a.times ++ b.times)
     }
 
-    private def compileUnion(q: Query): (DataFrame, Ctx) = {
+    def compileUnion(q: Query): (DataFrame, Ctx) = {
         var branches = Seq.empty[Query]
         var flags = Seq.empty[Boolean]
         var cur: Option[Query] = Some(q)
@@ -4872,7 +1267,7 @@ object CypherEngine {
     /** Predicate split: pattern predicates must be top-level AND conjuncts
       * (optionally under NOT) — they compile to semi/anti joins.
       */
-    private def splitWhere(w: Expr): (Seq[(Seq[PathPat], Option[Expr], Boolean)], Seq[Expr]) = {
+    def splitWhere(w: Expr): (Seq[(Seq[PathPat], Option[Expr], Boolean)], Seq[Expr]) = {
       def conjuncts(e: Expr): Seq[Expr] = e match {
         case Bin("and", l, r) => conjuncts(l) ++ conjuncts(r)
         case other => Seq(other)
@@ -4895,7 +1290,7 @@ object CypherEngine {
       * row — Cypher existence semantics, and at scale the semi join keeps
       * only the key columns of the subquery side moving.
       */
-    private def applyPatternPred(main: DataFrame, ctx: Ctx, paths: Seq[PathPat],
+    def applyPatternPred(main: DataFrame, ctx: Ctx, paths: Seq[PathPat],
         innerWhere: Option[Expr], negated: Boolean): DataFrame = {
       val patVars = paths.flatMap(p =>
         p.head.variable.toSeq ++ p.hops.flatMap(_._2.variable)).toSet
@@ -4924,10 +1319,10 @@ object CypherEngine {
       main.join(subR, cond, if (negated) "left_anti" else "left_semi")
     }
 
-    private def compileSingle(q: Query): DataFrame =
+    def compileSingle(q: Query): DataFrame =
       compilePipeline(q, None)._1
 
-    private var cbCounter = 0
+    var cbCounter = 0
 
     /** Replace every `COUNT { … }` in `e0` with a per-row count column
       * joined onto the frame: the block's pattern assembles seeded by the
@@ -4938,7 +1333,7 @@ object CypherEngine {
       * frame, the context with the synthetic column bound, and the
       * rewritten expression.
       */
-    private def liftCountBlocks(df0: DataFrame, ctx0: Ctx,
+    def liftCountBlocks(df0: DataFrame, ctx0: Ctx,
         e0: Expr): (DataFrame, Ctx, Expr) = {
       var df = df0
       var ctx = ctx0
@@ -5047,10 +1442,10 @@ object CypherEngine {
       * re-joining the key set (the column is re-derived only if an
       * intervening projection dropped it).
       */
-    private val membershipAliases =
+    val membershipAliases =
       scala.collection.mutable.Map[(String, String), String]()
 
-    private def isMembershipAlias(c: String): Boolean =
+    def isMembershipAlias(c: String): Boolean =
       membershipAliases.valuesIterator.contains(c)
 
     /** Rewrite label-membership reads whose target label has received
@@ -5070,7 +1465,7 @@ object CypherEngine {
       * keep the constant fold: nodes of distinct native labels are
       * distinct entities even when key values collide across keyspaces.
       */
-    private def liftMemberships(df0: DataFrame, ctx0: Ctx,
+    def liftMemberships(df0: DataFrame, ctx0: Ctx,
         e0: Expr): (DataFrame, Ctx, Expr) = {
       if (store.memberships.isEmpty) return (df0, ctx0, e0)
       var df = df0
@@ -5230,7 +1625,7 @@ object CypherEngine {
       * post-aggregation WHERE rejects blocks loudly — a lifted column
       * would not survive the aggregation boundary).
       */
-    private def liftProjection(df0: DataFrame, ctx0: Ctx,
+    def liftProjection(df0: DataFrame, ctx0: Ctx,
         p: Projection): (DataFrame, Ctx, Projection) = {
       var df = df0
       var ctx = ctx0
@@ -5262,7 +1657,7 @@ object CypherEngine {
       * dedupes per key). Subquery writes and unordered per-key LIMIT are
       * rejected loudly rather than silently reinterpreted.
       */
-    private def callSubquery(state: Option[(DataFrame, Ctx)],
+    def callSubquery(state: Option[(DataFrame, Ctx)],
         imports: Seq[String], body: Query): (DataFrame, Ctx) = {
       if (hasWrites(body))
         throw CypherException(
@@ -5473,7 +1868,7 @@ object CypherEngine {
       * is not null: count→0, sum→0, collect→[]; min/max/avg stay null.
       * Used to backfill empty groups a left join reintroduces.
       */
-    private def emptyGroupIdentity(e: Expr): Option[Column] = e match {
+    def emptyGroupIdentity(e: Expr): Option[Column] = e match {
       case Fn("count", _, _) => Some(lit(0L))
       case Fn("sum", _, _) => Some(lit(0L))
       case Fn("collect", _, _) => Some(array())
@@ -5483,7 +1878,7 @@ object CypherEngine {
     /** Enclosing bindings + the subquery's result bindings (aliases become
       * plain columns; carried/returned node variables keep their labels).
       */
-    private def mergeCallCtx(outer: Ctx, sub: Ctx): Ctx =
+    def mergeCallCtx(outer: Ctx, sub: Ctx): Ctx =
       outer.copy(
         labels = sub.labels ++ outer.labels,
         plains = outer.plains ++ sub.plains,
@@ -5492,7 +1887,7 @@ object CypherEngine {
         times = outer.times ++ sub.times,
         multi = sub.multi ++ outer.multi)
 
-    private def compilePipeline(q: Query,
+    def compilePipeline(q: Query,
         initial: Option[(DataFrame, Ctx)]): (DataFrame, Ctx) = {
       var state: Option[(DataFrame, Ctx)] = initial
       q.stages.foreach { st => state = Some(runStage(q, state, st)) }
@@ -5505,7 +1900,7 @@ object CypherEngine {
       * correlated body stage-by-stage and restore zero-match imported keys
       * between stages.
       */
-    private def runStage(q: Query, initial: Option[(DataFrame, Ctx)],
+    def runStage(q: Query, initial: Option[(DataFrame, Ctx)],
         st: Stage): (DataFrame, Ctx) = {
       var state: Option[(DataFrame, Ctx)] = initial
         // reading clauses apply in written order: MATCH extends the frame
