@@ -12,19 +12,17 @@ object Bench {
     * more than the old record, so comparing across sizes would mislabel
     * every clean run contended and the new suite could never certify; a
     * size-mismatched run falls back to the loadavg-only check. Update
-    * when a new record is committed to BASELINE.md. sf0.1 is the
-    * round-13 138-query record (contended: false, best of 19 spaced
-    * attempts on a day the box never left its slow mode — median ratio
-    * 1.051 vs the r11 per-query anchors, the stated gate's edge; see
-    * BASELINE.md "Round-13 record" for the campaign and the HEAD-parity
-    * A/B, and re-cut it in a faster window). sf1 remains the round-11
-    * certified-clean 127-query record: the best 138-query sf1 attempt
-    * (median 1.110) did not meet the gate, so the grown suite has no
-    * committed sf1 total yet and full sf1 runs fall back to the
-    * loadavg + per-query-median guards.
+    * when a new record is committed to BASELINE.md. Both are the
+    * round-14 144-query records (contended: false, best of 8/6 spaced
+    * load-gated attempts): sf0.1 92.8 s — median 1.094 vs the FAST r12
+    * per-query anchor, which the anchor's own 0.917 calibration puts at
+    * ≈1.00 vs the r11 baseline pace (tighter than the r13 record's
+    * 1.051); sf1 138.9 s — median 0.992 vs the r11 sf1 anchor, cleanly
+    * inside the ≤1.05 gate (the first certified sf1 record since the
+    * suite grew past 127 queries). See BASELINE.md "Round-14 records".
     */
   val CommittedTotalSec: Map[String, (Int, Double)] =
-    Map("sf0.1" -> (138, 79.8), "sf1" -> (127, 122.4))
+    Map("sf0.1" -> (144, 92.8), "sf1" -> (144, 138.9))
 
   /** Per-SF certified per-query ANCHOR for the median-ratio clause
     * (ADVICE r9: the guard previously anchored at sf0.1 only, leaving
