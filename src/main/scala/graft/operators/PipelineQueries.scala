@@ -97,7 +97,16 @@ object PipelineQueries {
     */
   private def q48(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
-    val cands = Dedup.simhashCandidates(docs, "doc_id", "text", maxHamming = 16)
+    // bands=4 → 16-bit band blocks (65k values): buckets stay bounded far
+    // past sf10's 500k docs, where the default 8-bit blocks overflowed the
+    // 256 cap into star-only pairs and recall on the true near-dups
+    // collapsed to 0 — the r14 sf10 tolerance gate caught exactly that.
+    // The pigeonhole guarantee narrows to hamming ≤ 3, which covers real
+    // j≥0.8 near-dups (the ≥0.9 recall gate clears at sf0.01 AND sf10).
+    // At larger corpora still, widen blocks again — block width wants to
+    // grow with log(n).
+    val cands = Dedup.simhashCandidates(docs, "doc_id", "text",
+      maxHamming = 16, bands = 4)
       .filter(col("id_a") < SampleDocs && col("id_b") < SampleDocs)
       .withColumn("__c", lit(1))
     jaccardTruth(docs, 0.8)
