@@ -145,17 +145,29 @@ private[cypher] trait InterpPaths { self: CypherEngine.Interp =>
             nullable = ctx0.nullable ++ (ctxM.labels.keySet - aVar) ++
               ctxM.multi.keySet))
         }
+        // Branch exclusions reason over the VIABLE alternatives (r14, same
+        // rule as [[assemble]]'s survivors): an alternative no edge type
+        // touches produces no branch, so its members must stay eligible in
+        // the surviving branches — carry the filtered list in the branch
+        // pats (bind sites and the far-endpoint join derive exclusions
+        // from it). Viability here = some member type has the label as an
+        // endpoint; branches dropped later for other reasons still throw
+        // into the try/catch below.
+        def viable(ls: Seq[String]): Seq[String] =
+          ls.filter(l => ets.exists(e => e.src == l || e.dst == l))
+        val headAlts = viable(path.head.alts)
+        val dstAlts = viable(dstPat.alts)
         val heads: Seq[Option[String]] =
-          if (headDis) path.head.alts.map(Some(_)) else Seq(path.head.label)
+          if (headDis) headAlts.map(Some(_)) else Seq(path.head.label)
         val dsts: Seq[Option[String]] =
-          if (dstDis) dstPat.alts.map(Some(_)) else Seq(dstPat.label)
+          if (dstDis) dstAlts.map(Some(_)) else Seq(dstPat.label)
         var firstErr: Option[CypherException] = None
         val built = for {
           hl <- heads
           dl <- dsts
           r <- try Some(shortestPathRead(state, pv,
-                 PathPat(path.head.copy(label = hl),
-                   Seq((rel, dstPat.copy(label = dl)))),
+                 PathPat(path.head.copy(label = hl, alts = headAlts),
+                   Seq((rel, dstPat.copy(label = dl, alts = dstAlts)))),
                  all, needNodes, needRels, optional))
                catch {
                  case e: CypherException

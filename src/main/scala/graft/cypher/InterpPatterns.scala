@@ -599,14 +599,23 @@ private[cypher] trait InterpPatterns { self: CypherEngine.Interp =>
       }
       val seed = seedLabels ++ initial.map(_._2.labels).getOrElse(Map.empty)
       val assignments = enumerate(patterns, seed)
+      // Disjunction exclusions must reason over the alternatives that
+      // SURVIVED enumeration (r14): an alternative dropped as
+      // unsatisfiable (no relationship fits it) matches nothing, so its
+      // members must stay eligible in the surviving branches — the static
+      // alternative list would exclude a node SET into a dropped-and-a-
+      // surviving alternative from BOTH.
+      val survivors: Map[String, Set[String]] = assignments
+        .flatMap(_._1.toSeq).groupBy(_._1)
+        .map { case (v, ls) => v -> ls.map(_._2).toSet }
       // a branch's forked head-disjunction labels seed its assembleOne so
       // bindHead resolves `(n:A|B)` heads to the branch's chosen label
       if (assignments.sizeIs == 1)
         assembleOne(patterns, seedLabels ++ assignments.head._1, initial,
-          assignments.head._2)
+          assignments.head._2, survivors)
       else
         mergeBranches(assignments.map { case (fk, a) =>
-          assembleOne(patterns, seedLabels ++ fk, initial, a)
+          assembleOne(patterns, seedLabels ++ fk, initial, a, survivors)
         })
     }
 
@@ -678,7 +687,16 @@ private[cypher] trait InterpPatterns { self: CypherEngine.Interp =>
     def assembleOne(patterns: Seq[PathPat],
         seedLabels: Map[String, String],
         initial: Option[(DataFrame, Ctx)],
-        assignment: Seq[HopChoice]): (DataFrame, Ctx) = {
+        assignment: Seq[HopChoice],
+        /** per forked variable, the alternatives that produced a surviving
+          * interpretation — the alts list the disjunction exclusions
+          * reason over (see [[assemble]]); a variable absent here keeps
+          * its full written list
+          */
+        survivors: Map[String, Set[String]] = Map.empty): (DataFrame, Ctx) = {
+      def liveAlts(variable: String, pat: NodePat): Seq[String] =
+        survivors.get(variable)
+          .map(s => pat.alts.filter(s.contains)).getOrElse(pat.alts)
       val labels = collection.mutable.Map[String, String](seedLabels.toSeq: _*)
       val bound = collection.mutable.Set[String]()
       val relVars = collection.mutable.Map[String, RelInfo]()
@@ -723,7 +741,7 @@ private[cypher] trait InterpPatterns { self: CypherEngine.Interp =>
             pat.label.getOrElse(throw CypherException(
               s"cannot infer label for ($variable) — annotate it or use a typed relationship")))
           labels(variable) = label
-          val (sibs, keyEx) = disjunctionExcludes(pat.alts, label)
+          val (sibs, keyEx) = disjunctionExcludes(liveAlts(variable, pat), label)
           val nd = nodeDf(variable, label, sibs, keyEx)
           df = if (df == null) nd else df.crossJoin(nd)
           bound += variable
@@ -737,7 +755,7 @@ private[cypher] trait InterpPatterns { self: CypherEngine.Interp =>
         val label = labels.getOrElse(variable,
           pat.label.getOrElse(throw CypherException(s"cannot infer label for ($variable)")))
         labels(variable) = label
-        val (sibs, keyEx) = disjunctionExcludes(pat.alts, label)
+        val (sibs, keyEx) = disjunctionExcludes(liveAlts(variable, pat), label)
         df = df.join(nodeDf(variable, label, sibs, keyEx),
           col(joinKey) === col(s"${variable}__${store.schema.node(label).key}"))
         bound += variable

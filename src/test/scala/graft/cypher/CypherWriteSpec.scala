@@ -860,6 +860,37 @@ class CypherWriteSpec extends SparkSpec {
       .head.getAs[Long]("score") == 95L)
   }
 
+  test("disjunction exclusion ignores alternatives dropped as unsatisfiable") {
+    import spark.implicits._
+    var st = GraphWriter.mergeNodes(GraphStore.empty, "BNode",
+      Seq((1L, "b1"), (2L, "b2")).toDF("bk", "bn"), Seq("bk"))
+    st = GraphWriter.mergeNodes(st, "ANode",
+      Seq((9L, "a9")).toDF("ak", "an"), Seq("ak"))
+    st = GraphWriter.mergeNodes(st, "CNode",
+      Seq((1L, 10L), (2L, 20L)).toDF("ck", "w"), Seq("ck"))
+    st = GraphWriter.mergeEdges(st, "NEXT", "BNode", "BNode", "src", "dst",
+      Seq((1L, 2L)).toDF("src", "dst"))
+    // C1 is SET into BOTH alternatives; C2 into BNode only
+    st = CypherEngine(st).execute("MATCH (c:CNode {ck: 1}) SET c:ANode:BNode").store
+    st = CypherEngine(st).execute("MATCH (c:CNode {ck: 2}) SET c:BNode").store
+    // NEXT fits only BNode, so the ANode branch of (x:ANode|BNode) is
+    // dropped as unsatisfiable — C1 (a member of the DROPPED alternative
+    // and of the surviving one) must still match through the BNode branch.
+    // The static earlier-alternative rule excluded its key from BNode
+    // because (ANode, CNode) exists, losing the node everywhere (r14).
+    val got = CypherEngine(st).run(
+      """MATCH (x:ANode|BNode)-[:NEXT]->(y:BNode)
+         RETURN toInteger(x.bk) AS xk, labels(x)[0] AS kind
+         ORDER BY xk, kind""").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // x side: native b1 plus the C1 member (both render bk=1) ride NEXT
+    // through the key link; y side: native b2 plus the C2 member both
+    // answer bk=2 — 2×2 rows, §2.15 deviation 2's documented key-linked
+    // identity. The static exclusion rule returned only the native×2
+    // rows (C1 lost everywhere).
+    assert(got == Seq.fill(4)((1L, "BNode")))
+  }
+
   test("GraphWriter DataFrame-native API (the scale path) matches Cypher writes") {
     import spark.implicits._
     val incoming = Seq((1L, "a"), (2L, "b")).toDF("gid", "name")
