@@ -13,16 +13,17 @@ object Bench {
     * every clean run contended and the new suite could never certify; a
     * size-mismatched run falls back to the loadavg-only check. Update
     * when a new record is committed to BASELINE.md. Both are the
-    * round-14 144-query records (contended: false, best of 8/6 spaced
-    * load-gated attempts): sf0.1 92.8 s — median 1.094 vs the FAST r12
-    * per-query anchor, which the anchor's own 0.917 calibration puts at
-    * ≈1.00 vs the r11 baseline pace (tighter than the r13 record's
-    * 1.051); sf1 138.9 s — median 0.992 vs the r11 sf1 anchor, cleanly
-    * inside the ≤1.05 gate (the first certified sf1 record since the
-    * suite grew past 127 queries). See BASELINE.md "Round-14 records".
+    * round-14 144-query records (contended: false, best of 9/7 spaced
+    * load-gated attempts, cut at final HEAD): sf0.1 87.4 s — median
+    * 1.063 vs the FAST r12 per-query anchor, which the anchor's own
+    * 0.917 calibration puts at ≈0.975 vs the r11 baseline pace (tighter
+    * than the r13 record's 1.051); sf1 131.9 s — median 0.957 vs the
+    * r11 sf1 anchor, cleanly inside the ≤1.05 gate (the first certified
+    * sf1 record since the suite grew past 127 queries). See BASELINE.md
+    * "Round-14 records".
     */
   val CommittedTotalSec: Map[String, (Int, Double)] =
-    Map("sf0.1" -> (144, 92.8), "sf1" -> (144, 138.9))
+    Map("sf0.1" -> (144, 87.4), "sf1" -> (144, 131.9))
 
   /** Per-SF certified per-query ANCHOR for the median-ratio clause
     * (ADVICE r9: the guard previously anchored at sf0.1 only, leaving
