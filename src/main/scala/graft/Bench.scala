@@ -213,6 +213,22 @@ object Bench {
       val (again, _) = time1(SparkEntry.queries(worstName))
       s""","rerun_worst":{"name":"$worstName","first":$worstT,"second":$again}"""
     }
+    // Operator-vs-instrument phase split for the tolerance-oracle family
+    // (r15 verdict directive #3): timed AFTER the headline loop, recorded
+    // under "phases" — never folded into the headline total or the
+    // contention median (those compare against records of the combined
+    // queries). Full-suite runs only: subset iteration shouldn't pay it.
+    val phasesJson = if (args.nonEmpty) "" else {
+      val ps = operators.PipelineQueries.phaseProbes.toSeq.sortBy(_._1)
+        .map { case (q, probes) =>
+          val inner = probes.map { case (nm, fn) =>
+            val (sec, _) = time1(fn)
+            s""""$nm":$sec"""
+          }.mkString(",")
+          s""""$q":{$inner}"""
+        }
+      if (ps.isEmpty) "" else ps.mkString(""","phases":{""", ",", "}")
+    }
     val loadAfter = loadavg()
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Committed-record comparison only applies to full-suite runs whose
@@ -233,7 +249,7 @@ object Bench {
       .mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","load_before":$loadBefore,"load_after":$loadAfter,""" +
-      s""""contended":$contended$medJson$rerunWorst${errorsJson(errors)}}"""
+      s""""contended":$contended$medJson$rerunWorst$phasesJson${errorsJson(errors)}}"""
     println(json)
     // The driver captures a stdout TAIL, which has truncated early queries
     // in past rounds — always persist the complete per-query object too.

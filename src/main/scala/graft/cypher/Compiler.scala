@@ -389,6 +389,23 @@ object CypherEngine {
     */
   val LocalPathEdgeCapKey = "graft.shortestPath.localEdgeCap"
 
+  /** Default edge cap for the shortestPath BFS's single-task gate (r15) —
+    * larger than [[LocalPathEdgeCap]] (which still governs var-length walk
+    * ENUMERATION, whose output is path-count- not pair-bounded) because the
+    * BFS's one task does O(edges) adjacency load + O(seeds × closure)
+    * traversal, both bounded: [[LocalPathWorkCap]] caps seeds × edges, so a
+    * 2M-edge union is only admitted for a handful of seeds — the
+    * single-seed "path from THIS order" shape (q85/q91/q105), where the
+    * distributed loop's ~2 scheduled jobs per level cost more than the
+    * whole local run (measured sf0.1: q91 warm 2.1 s distributed → 1.5 s
+    * local, identical rows). Memory: 2M tagged edges ≈ low hundreds of MB
+    * in one task, far under executor task memory; a 100 TB store fails
+    * this cap on the store's own edge counts and keeps the distributed,
+    * level-synchronous shape. [[LocalPathEdgeCapKey]] still overrides
+    * (0 forces distributed everywhere — the spec A/B hook).
+    */
+  private[cypher] val LocalBfsEdgeCap: Long = 2L * 1000 * 1000
+
   /** Budget for seedCount × edgeCount in the local BFS — bounds both the
     * traversal work and the worst-case output materialized by the one task.
     */
@@ -552,21 +569,34 @@ object CypherEngine {
     * UTF-8 bytes, matching Spark's UTF8String ordering).
     */
   def localDist(e0: DataFrame, seeds: DataFrame, hi: Int,
-      kt: DataType, keepAll: Boolean, withPath: Boolean): DataFrame = {
+      kt: DataType, keepAll: Boolean, withPath: Boolean,
+      withRels: Boolean = false): DataFrame = {
+    require(!withRels || withPath, "withRels requires withPath")
     val spark = e0.sparkSession
     val cmp = keyComparator(kt).get
     val maxLevel = hi.toLong
-    val tagged = e0.select(lit(0).as("__t"), col("__ds"), col("__dd"))
+    // under withRels each edge row carries its member type (`__rt`) so the
+    // BFS can accumulate the per-hop type sequence, mirroring
+    // [[InterpPaths]]' distributed loop; seed rows carry a null type
+    val rtCol = if (withRels) col("__rt") else lit(null).cast(StringType).as("__rt")
+    val tagged = e0.select(lit(0).as("__t"), col("__ds"), col("__dd"), rtCol)
       .unionByName(seeds.select(lit(1).as("__t"),
-        col("__seed").as("__ds"), col("__seed").as("__dd")))
+        col("__seed").as("__ds"), col("__seed").as("__dd"),
+        lit(null).cast(StringType).as("__rt")))
     val rows = tagged.coalesce(1).rdd.mapPartitions { it =>
       import scala.collection.mutable
       val adj = mutable.HashMap.empty[Any, mutable.ArrayBuffer[Any]]
+      // parallel per-edge type buffer, populated only under withRels —
+      // adjR(src)(i) is the type of the edge behind adj(src)(i)
+      val adjR = mutable.HashMap.empty[Any, mutable.ArrayBuffer[String]]
       val seedSet = mutable.LinkedHashSet.empty[Any]
       it.foreach { r =>
         if (!r.isNullAt(1) && !r.isNullAt(2)) {
-          if (r.getInt(0) == 0)
+          if (r.getInt(0) == 0) {
             adj.getOrElseUpdate(r.get(1), mutable.ArrayBuffer.empty) += r.get(2)
+            if (withRels)
+              adjR.getOrElseUpdate(r.get(1), mutable.ArrayBuffer.empty) += r.getString(3)
+          }
           else seedSet += r.get(1)
         }
       }
@@ -582,8 +612,109 @@ object CypherEngine {
           a.length - b.length
         }
       }
+      // (path, type-sequence) ordering for the withRels single-path prune —
+      // identical to the distributed loop's min(struct(__path, __rels)):
+      // path elements first (field order), then the type strings as UTF-8
+      // bytes (Spark's UTF8String ordering)
+      val strCmp = keyComparator(StringType).get
+      val prOrd = new Ordering[(Vector[Any], Vector[String])] {
+        def compare(a: (Vector[Any], Vector[String]),
+            b: (Vector[Any], Vector[String])): Int = {
+          val c = pathOrd.compare(a._1, b._1)
+          if (c != 0) return c
+          var i = 0
+          val n = math.min(a._2.length, b._2.length)
+          while (i < n) {
+            val c2 = strCmp(a._2(i), b._2(i))
+            if (c2 != 0) return c2
+            i += 1
+          }
+          a._2.length - b._2.length
+        }
+      }
       seedSet.iterator.flatMap { s =>
-        if (keepAll) {
+        if (withRels && keepAll) {
+          // allShortestPaths with the per-hop type sequence: every distinct
+          // (path, types) pair per destination at its minimum length
+          val reached = mutable.HashMap
+            .empty[Any, (Long, Vector[(Vector[Any], Vector[String])])]
+          var frontier = mutable.HashMap
+            .empty[Any, mutable.LinkedHashSet[(Vector[Any], Vector[String])]]
+          adj.get(s).foreach { ds =>
+            val rs = adjR(s)
+            var i = 0
+            while (i < ds.length) {
+              frontier.getOrElseUpdate(ds(i), mutable.LinkedHashSet.empty) +=
+                ((Vector(s, ds(i)), Vector(rs(i))))
+              i += 1
+            }
+          }
+          var level = 1L
+          frontier.foreach { case (d, ps) => reached(d) = (level, ps.toVector) }
+          while (level < maxLevel && frontier.nonEmpty) {
+            val next = mutable.HashMap
+              .empty[Any, mutable.LinkedHashSet[(Vector[Any], Vector[String])]]
+            frontier.foreach { case (d, ps) =>
+              adj.get(d).foreach { ds =>
+                val rs = adjR(d)
+                var i = 0
+                while (i < ds.length) {
+                  val d2 = ds(i)
+                  if (!reached.contains(d2)) ps.foreach { case (p, rl) =>
+                    next.getOrElseUpdate(d2, mutable.LinkedHashSet.empty) +=
+                      ((p :+ d2, rl :+ rs(i)))
+                  }
+                  i += 1
+                }
+              }
+            }
+            level += 1
+            next.foreach { case (d, ps) => reached(d) = (level, ps.toVector) }
+            frontier = next
+          }
+          reached.iterator.flatMap { case (d, (len, ps)) =>
+            ps.iterator.map { case (p, rl) => Row(s, d, len, p, rl) }
+          }
+        } else if (withRels) {
+          // shortestPath with relationships(p): ONE lexicographic-min
+          // (path, types) pair per destination
+          val reached = mutable.HashMap.empty[Any, (Long, Vector[Any], Vector[String])]
+          var frontier = mutable.HashMap.empty[Any, (Vector[Any], Vector[String])]
+          adj.get(s).foreach { ds =>
+            val rs = adjR(s)
+            var i = 0
+            while (i < ds.length) {
+              val pr = (Vector(s, ds(i)), Vector(rs(i)))
+              if (frontier.get(ds(i)).forall(q => prOrd.compare(pr, q) < 0))
+                frontier(ds(i)) = pr
+              i += 1
+            }
+          }
+          var level = 1L
+          frontier.foreach { case (d, (p, rl)) => reached(d) = (level, p, rl) }
+          while (level < maxLevel && frontier.nonEmpty) {
+            val next = mutable.HashMap.empty[Any, (Vector[Any], Vector[String])]
+            frontier.foreach { case (d, (p, rl)) =>
+              adj.get(d).foreach { ds =>
+                val rs = adjR(d)
+                var i = 0
+                while (i < ds.length) {
+                  val d2 = ds(i)
+                  if (!reached.contains(d2)) {
+                    val pr = (p :+ d2, rl :+ rs(i))
+                    if (next.get(d2).forall(q => prOrd.compare(pr, q) < 0))
+                      next(d2) = pr
+                  }
+                  i += 1
+                }
+              }
+            }
+            level += 1
+            next.foreach { case (d, (p, rl)) => reached(d) = (level, p, rl) }
+            frontier = next
+          }
+          reached.iterator.map { case (d, (len, p, rl)) => Row(s, d, len, p, rl) }
+        } else if (keepAll) {
           // allShortestPaths: keep EVERY distinct minimum-length path per
           // destination (LinkedHashSet dedups duplicate parallel edges);
           // the reached check still runs per level, so no path revisits
@@ -662,9 +793,12 @@ object CypherEngine {
     val base = Seq(
       StructField("__ds", kt), StructField("__dd", kt),
       StructField("__len", LongType, nullable = false))
-    val schema =
+    val withP =
       if (withPath || keepAll) base :+ StructField("__path", ArrayType(kt))
       else base
+    val schema =
+      if (withRels) withP :+ StructField("__rels", ArrayType(StringType))
+      else withP
     spark.createDataFrame(rows, StructType(schema))
   }
 

@@ -444,13 +444,9 @@ private[cypher] trait InterpPaths { self: CypherEngine.Interp =>
       // two tiny jobs; a 100 TB edge store fails the edge cap on the first
       // count and takes the distributed path).
       val edgeCap = e0.sparkSession.conf
-        .getOption(LocalPathEdgeCapKey).map(_.toLong).getOrElse(LocalPathEdgeCap)
-      // withRels bypasses the single-task strategy: the local BFS tracks
-      // node paths only, and a type-disjunction relationships(p) query is
-      // a path-materializing shape, not the high-QPS scalar case the gate
-      // exists for
+        .getOption(LocalPathEdgeCapKey).map(_.toLong).getOrElse(LocalBfsEdgeCap)
       val local =
-        if (lo == 1 && !withRels && keyComparator(keyType).isDefined) {
+        if (lo == 1 && keyComparator(keyType).isDefined) {
           // exact, not an estimate: base unions the full member-type frames
           // (doubled under the undirected union), so the store's memoized
           // per-type counts replace the per-query O(edges) sizing scan
@@ -460,7 +456,7 @@ private[cypher] trait InterpPaths { self: CypherEngine.Interp =>
             (seeds.count() + 1L) * (edgeCnt + 1L) <= LocalPathWorkCap
         } else false
       val out =
-        if (local) localDist(e0, seeds, hi, keyType, keepAll, withPath)
+        if (local) localDist(e0, seeds, hi, keyType, keepAll, withPath, withRels)
           .localCheckpoint(true)
         else bfsFrames(e0, seeds, lo, hi, keepAll, withPath, withRels)
       seeds.unpersist(false)
@@ -592,15 +588,15 @@ private[cypher] trait InterpPaths { self: CypherEngine.Interp =>
         // the local loop exits on frontier exhaustion)
         val keyType = e0.schema("__ds").dataType
         val edgeCap = e0.sparkSession.conf
-          .getOption(LocalPathEdgeCapKey).map(_.toLong).getOrElse(LocalPathEdgeCap)
+          .getOption(LocalPathEdgeCapKey).map(_.toLong).getOrElse(LocalBfsEdgeCap)
         val local =
-          if (lo == 1 && !withRels && keyComparator(keyType).isDefined) {
+          if (lo == 1 && keyComparator(keyType).isDefined) {
             val edgeCnt = ets.map(et => store.edgeCount(et.label)).sum * 2L
             edgeCnt <= edgeCap &&
               (seeds.count() + 1L) * (edgeCnt + 1L) <= LocalPathWorkCap
           } else false
         val out =
-          if (local) localDist(e0, seeds, hi, keyType, keepAll, withPath)
+          if (local) localDist(e0, seeds, hi, keyType, keepAll, withPath, withRels)
             .localCheckpoint(true)
           else bfsFrames(e0, seeds, lo, hi, keepAll, withPath, withRels)
         seeds.unpersist(false)

@@ -5,7 +5,6 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.storage.StorageLevel
 
 import graft.graph.{EdgeType, GraphStore, GraphWriter, NodeType}
 import Ast._
@@ -489,25 +488,26 @@ private[cypher] trait InterpWrites { self: CypherEngine.Interp =>
                 case Some(m) => m.unionByName(keys).distinct()
                 case None => keys
               }
-              // persist the provenance frame: it is re-read by EVERY
-              // later membership lift / labels() / MATCH on the label,
-              // and left lazy it re-pays its source scan + distinct per
-              // query (ProfileMembership measured 1.7 s/query at sf10);
-              // persisted it is a bounded broadcastable key set,
-              // materialized on first use. The superseded frame's blocks
-              // are released (its lineage stays valid under the new
-              // frame — unpersist never truncates lineage), so repeated
-              // mutations in one session don't accumulate orphaned
+              // eagerly checkpoint the provenance frame: it is re-read by
+              // EVERY later membership lift / labels() / MATCH on the
+              // label, and left lazy it re-pays its source scan + distinct
+              // per query (ProfileMembership measured 1.7 s/query at
+              // sf10); checkpointed it is a bounded broadcastable key set.
+              // localCheckpoint(true), not persist (r14 ADVICE): the new
+              // frame derives from the superseded one, so it must be
+              // MATERIALIZED before that parent's blocks release, and the
+              // checkpoint TRUNCATES lineage — chained mutations in one
+              // session never stack union/anti-join plans or orphaned
               // cached RDDs (r13 ADVICE).
               store = store.copy(memberships = store.memberships +
-                ((l, src) -> merged.persist(StorageLevel.MEMORY_AND_DISK)))
+                ((l, src) -> merged.localCheckpoint(true)))
               old.foreach(_.unpersist(false))
             }
           } else {
             store.memberships.get((l, src)).foreach { m =>
               store = store.copy(memberships = store.memberships +
                 ((l, src) -> m.join(keys, Seq("__m_key"), "left_anti")
-                  .persist(StorageLevel.MEMORY_AND_DISK)))
+                  .localCheckpoint(true)))
               m.unpersist(false)
             } // no provenance rows from this source → no-op (Neo4j: the
               // node never had the label; native target nodes are NEVER

@@ -410,8 +410,14 @@ object GraphWriter {
         .distinct()
       memberships = memberships.map {
         case (p @ (_, s), m) if s == lbl =>
+          // eager localCheckpoint, not persist: the replacement must be
+          // MATERIALIZED before its parent unpersists (a lazy persist left
+          // the first evaluation recomputing the old lineage uncached —
+          // r14 ADVICE), and the checkpoint TRUNCATES lineage, so chained
+          // DELETEs through memberships never stack anti-join plans.
+          // Bounded: membership frames are key lists, not fact tables.
           val repl = m.join(delStr, Seq("__m_key"), "left_anti")
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint(true)
           m.unpersist(false)
           p -> repl
         case other => other

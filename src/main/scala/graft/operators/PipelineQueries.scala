@@ -63,9 +63,14 @@ object PipelineQueries {
     */
   private def q47(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
+    // materialized ONCE (bounded: the sample filter caps the frame at
+    // sample² pairs) — both stats() consumers read the checkpoint blocks;
+    // without it the full signature/banding/pair pipeline ran twice in a
+    // benchmarked query (r14 ADVICE)
     val cands = Dedup.minhashCandidates(docs, "doc_id", "text", k = 64, bands = 16)
       .filter(col("id_a") < SampleDocs && col("id_b") < SampleDocs)
       .withColumn("__c", lit(1))
+      .localCheckpoint(true)
     def stats(truth: DataFrame, nm: String, floor: Double): DataFrame =
       truth.join(cands, Seq("id_a", "id_b"), "left_outer")
         .agg(count(lit(1)).as("n"), sum(coalesce(col("__c"), lit(0))).as("f"))
@@ -261,6 +266,56 @@ object PipelineQueries {
     "q79_ann_recall" -> q79 _
   )
 
+  /** Per-phase probes for the tolerance-oracle family (r15 verdict
+    * directive #3): since r14 the benched q47/q48/q50/q58 time the
+    * OPERATOR (candidate generation / ANN top-k) together with its
+    * INSTRUMENT (the DuckDB-recomputable exact ground truth + recall
+    * join), so the headline per-query number can't be compared against
+    * pre-r14 operator-only records. Bench times these probes separately
+    * (full-suite runs only) and records them under `"phases"` — the
+    * headline stays the combined query, the ≤2×-baseline accounting
+    * quotes the operator phase. Probes recompute from scratch: no state
+    * is shared with the timed headline run.
+    */
+  val phaseProbes: Map[String, Seq[(String, Q)]] = Map(
+    "q47_minhash_neardup" -> Seq(
+      "operator" -> ((s, dir) =>
+        Dedup.minhashCandidates(T(s, dir, "documents"), "doc_id", "text",
+            k = 64, bands = 16)
+          .filter(col("id_a") < SampleDocs && col("id_b") < SampleDocs)),
+      "instrument" -> ((s, dir) => {
+        val docs = T(s, dir, "documents")
+        jaccardTruth(docs, 0.5).unionByName(jaccardTruth(docs, 0.8))
+      })),
+    "q48_simhash_neardup" -> Seq(
+      "operator" -> ((s, dir) =>
+        Dedup.simhashCandidates(T(s, dir, "documents"), "doc_id", "text",
+            maxHamming = 16, bands = 4)
+          .filter(col("id_a") < SampleDocs && col("id_b") < SampleDocs)),
+      "instrument" -> ((s, dir) => jaccardTruth(T(s, dir, "documents"), 0.8))),
+    "q50_ann_lsh" -> Seq(
+      "operator" -> ((s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
+          "embedding", k = 3, bits = 6, tables = 12)
+      }),
+      "instrument" -> ((s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 3)
+      })),
+    "q58_ann_ivf" -> Seq(
+      "operator" -> ((s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), "vec_id",
+          "embedding", k = 3, nlist = 16, nprobe = 4)
+      }),
+      "instrument" -> ((s, dir) => {
+        val emb = T(s, dir, "embeddings")
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 3)
+      })))
+
   /** Engine-side sketches — no DuckDB equivalent; rows-only checks. */
   // ------------------------------------------------------------- oracles
   // Round 12 (r11 verdict directive #4): the deterministic pipeline
@@ -413,7 +468,13 @@ object PipelineQueries {
     * dropped, windows of 3 joined by , distinct. Feeds the r14
     * tolerance oracles (q47/q48): the ground-truth pair counts are
     * recomputed from the raw text, and the engine's recall booleans
-    * against that truth hash-compare as plain columns.
+    * against that truth hash-compare as plain columns. Token-less docs
+    * (empty/whitespace-only text) are filtered here because the engine
+    * side emits no shingle rows for them ([[Dedup.tokenRows]] drops empty
+    * tokens, so such a doc never reaches [[jaccardTruth]]) — without the
+    * filter the range() window would give them a singleton [''] shingle
+    * set and two such docs would count as a j=1.0 truth pair the engine
+    * can never see (r14 ADVICE).
     */
   private val shingleCte: String =
     s"""WITH sh AS (
@@ -422,6 +483,7 @@ object PipelineQueries {
        |           i -> array_to_string(arr[i:i+2], chr(1)))) AS s
        |  FROM (SELECT doc_id, ${toksSql("text")} AS arr
        |        FROM documents WHERE doc_id < $SampleDocs)
+       |  WHERE len(arr) > 0
        |), jac AS (
        |  SELECT len(list_intersect(a.s, b.s)) * 1.0
        |           / len(list_distinct(a.s || b.s)) AS j

@@ -814,6 +814,72 @@ class CypherSpec extends SparkSpec {
     } finally spark.conf.unset(CypherEngine.LocalPathEdgeCapKey)
   }
 
+  test("shortestPath withRels: local and distributed strategies agree bit-for-bit") {
+    spark
+    // two-type mixed-step ring (GO +1, JP +3 mod 8): equal-length
+    // alternatives traverse DIFFERENT type sequences, so the local
+    // (path, types) lexicographic-min prune (r15) is exercised against
+    // the distributed min(struct(__path, __rels)) rule, not vacuous
+    val n = 8L
+    val st0 = CypherEngine(GraphStore.empty).execute(
+      "UNWIND $rows AS row MERGE (n:LD2 {sid: row.sid}) SET n += {sid: row.sid}",
+      Map("rows" -> (0L until n).map(i => Map[String, Any]("sid" -> i)))).store
+    def link(st: GraphStore, t: String, step: Long): GraphStore =
+      CypherEngine(st).execute(
+        s"""UNWIND $$rows AS row
+            MATCH (s:LD2) WHERE s.sid = row.a
+            WITH s, row
+            MATCH (d:LD2) WHERE d.sid = row.b
+            MERGE (s)-[r:$t]->(d)""",
+        Map("rows" -> (0L until n).map(i =>
+          Map[String, Any]("a" -> i, "b" -> ((i + step) % n))))).store
+    val st = link(link(st0, "GO", 1L), "JP", 3L)
+    // bipartite two-type twin (X, Y both A2→B2): the heterogeneous gate's
+    // tagged-struct keys + local withRels path
+    val ha = CypherEngine(GraphStore.empty).execute(
+      "UNWIND $rows AS row MERGE (n:A2 {ak: row.k}) SET n += {ak: row.k}",
+      Map("rows" -> (0L until 4L).map(i => Map[String, Any]("k" -> i)))).store
+    val hb = CypherEngine(ha).execute(
+      "UNWIND $rows AS row MERGE (n:B2 {bk: row.k}) SET n += {bk: row.k}",
+      Map("rows" -> (0L until 4L).map(i => Map[String, Any]("k" -> i)))).store
+    def xlink(st: GraphStore, t: String, off: Long): GraphStore =
+      CypherEngine(st).execute(
+        s"""UNWIND $$rows AS row
+            MATCH (s:A2) WHERE s.ak = row.a
+            WITH s, row
+            MATCH (d:B2) WHERE d.bk = row.b
+            MERGE (s)-[r:$t]->(d)""",
+        Map("rows" -> (0L until 4L).map(i =>
+          Map[String, Any]("a" -> i, "b" -> ((i + off) % 4)))))
+        .store
+    val hs = xlink(xlink(hb, "X", 0L), "Y", 1L)
+    val ringQs = Seq(
+      """MATCH p = shortestPath((a:LD2 {sid: 0})-[:GO|JP*1..6]-(b:LD2))
+         RETURN b.sid AS dst, length(p) AS len,
+                reduce(s = '', r IN relationships(p) | s + ',' + type(r)) AS rels
+         ORDER BY dst""",
+      """MATCH p = allShortestPaths((a:LD2 {sid: 0})-[:GO|JP*1..3]-(b:LD2))
+         RETURN b.sid AS dst, length(p) AS len,
+                reduce(s = '', r IN relationships(p) | s + ',' + type(r)) AS rels
+         ORDER BY dst, rels""")
+    val hetQ =
+      """MATCH p = shortestPath((a:A2 {ak: 0})-[:X|Y*1..4]-(b:B2))
+         RETURN b.bk AS dst, length(p) AS len,
+                reduce(s = '', r IN relationships(p) | s + ',' + type(r)) AS rels
+         ORDER BY dst"""
+    def runAll(): Seq[Seq[String]] =
+      (ringQs.map(CypherEngine(st).run) :+ CypherEngine(hs).run(hetQ))
+        .map(_.collect().toSeq.map(_.toString))
+    val local = runAll()
+    assert(local.forall(_.nonEmpty))
+    // the keepAll vector must actually carry multiplicities (two distinct
+    // type sequences to at least one destination) or it pins nothing
+    assert(local(1).size > local(0).size)
+    spark.conf.set(CypherEngine.LocalPathEdgeCapKey, "0")
+    try assert(runAll() == local)
+    finally spark.conf.unset(CypherEngine.LocalPathEdgeCapKey)
+  }
+
   test("unbounded *: shortestPath runs to exhaustion; over-budget enumeration fails loud") {
     spark
     val st0 = CypherEngine(GraphStore.empty).execute(
