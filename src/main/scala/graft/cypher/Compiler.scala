@@ -66,7 +66,7 @@ final case class CypherEngine(store: GraphStore) {
       bindShortestRelVars(bindParams(Parser.parse(query), params)))
     val in = new Interp(store, params)
     val df = in.top(q)
-    WriteResult(in.store, df)
+    WriteResult(in.store, df, in.writeObservations.toMap)
   }
 
   /** Validation gate without execution — the engine's analogue of the
@@ -102,9 +102,17 @@ object CypherEngine {
   final case class CypherException(msg: String) extends RuntimeException(msg)
 
   /** Result of [[CypherEngine.execute]]: the RETURN rows and the updated
-    * (immutable) store.
+    * (immutable) store, plus write-time audit metrics (`observed`) — the
+    * write surface's analogue of the pipeline operators' Observation
+    * metrics (`capped_buckets`). Currently published: `collisions:L<-S`,
+    * the key-rendering collision count a SET label detected between the
+    * (L, S) membership frame and L's native keys (§2.15 deviation 2,
+    * surfaced in r15 — nonzero means the key-linked identity blur is live
+    * for this store's data, and [[graft.graph.GraphStore.describe]] will
+    * show the same count as a `collision` row).
     */
-  final case class WriteResult(store: GraphStore, result: DataFrame)
+  final case class WriteResult(store: GraphStore, result: DataFrame,
+      observed: Map[String, Long] = Map.empty)
 
   /** A bound relationship variable: its edge label and which pattern
     * variables sit on the schema-forward source/target sides.

@@ -22,6 +22,11 @@ private[cypher] trait InterpWrites { self: CypherEngine.Interp =>
     var anonCounter = 0
     def anonVar(): String = { anonCounter += 1; s"__w$anonCounter" }
 
+    /** Write-time audit metrics, surfaced on [[CypherEngine.WriteResult]]
+      * (r15 verdict #2) — see `observed` there for the published keys.
+      */
+    val writeObservations = scala.collection.mutable.LinkedHashMap[String, Long]()
+
     def nodeKeyCol(v: String, ctx: Ctx): Column =
       col(s"${v}__${store.schema.node(ctx.labels(v)).key}")
 
@@ -502,6 +507,26 @@ private[cypher] trait InterpWrites { self: CypherEngine.Interp =>
               store = store.copy(memberships = store.memberships +
                 ((l, src) -> merged.localCheckpoint(true)))
               old.foreach(_.unpersist(false))
+              // §2.15 deviation-2 collisions made LOUD (r15 verdict #2):
+              // count member keys whose target-keyspace rendering equals a
+              // NATIVE l key. The membership model is exact in every
+              // non-collision case; where this is nonzero, the member and
+              // the colliding native node double-match key joins — publish
+              // the count on WriteResult.observed and warn, so a user
+              // whose integer-keyed tables share id ranges finds out at
+              // write time. One semi-join over the just-checkpointed
+              // bounded provenance frame against l's key column.
+              val coll = store.membershipCollisionFrame(l, src).count()
+              if (coll > 0) {
+                writeObservations(s"collisions:$l<-$src") =
+                  writeObservations.getOrElse(s"collisions:$l<-$src", 0L)
+                    .max(coll)
+                org.slf4j.LoggerFactory.getLogger("graft.cypher.writes")
+                  .warn(s"SET :$l matched $coll member key(s) from $src " +
+                    s"whose rendering collides with native $l keys — " +
+                    "both match key-joined patterns (see GraphStore" +
+                    ".describe 'collision' rows and SURVEY.md §2.15)")
+              }
             }
           } else {
             store.memberships.get((l, src)).foreach { m =>

@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
 
 /** Per-label node stores + per-type edge stores — our analogue of the
   * reference's Neo4j database, laid out as Parquet datasets
@@ -60,11 +61,44 @@ final case class GraphStore(
     */
   def mutatedLabels: Set[String] = memberships.keysIterator.map(_._1).toSet
 
+  /** Key-rendering collision audit frame for membership pair `(t, s)`
+    * (§2.15 deviation 2, r15: silent → surfaced): one `__t_key` row per
+    * member of the pair whose key, rendered into `t`'s keyspace, equals
+    * the key of a NATIVE `t` node. In Neo4j the member and the native node
+    * are distinct entities; here both match a `(n:t {key})` pattern and
+    * the member can reach the native node's edges through key joins —
+    * a documented deviation that is exact whenever no collision exists.
+    * This frame makes the collision case COUNTABLE: [[describe]] reports
+    * it per pair, and the write surface publishes it at SET-label time,
+    * so a user whose integer-keyed tables share id ranges finds out
+    * instead of silently double-matching. Cost: one semi-join of the
+    * bounded (broadcastable) provenance frame against each store's key
+    * column — never a fact-table shuffle.
+    */
+  def membershipCollisionFrame(t: String, s: String): DataFrame = {
+    val m = memberships((t, s))
+    val nt = schema.node(t)
+    val snt = schema.node(s)
+    val srcDf = nodes(s)
+    val tgtType = nodes(t).schema(nt.key).dataType
+    srcDf
+      .join(m, srcDf(snt.key).cast(StringType) === m("__m_key"), "left_semi")
+      .select(col(snt.key).cast(tgtType).cast(StringType).as("__t_key"))
+      .na.drop()
+      .join(nodes(t).select(col(nt.key).cast(StringType).as("__t_key")),
+        Seq("__t_key"), "left_semi")
+      .distinct()
+  }
+
   /** Graph statistics report — nodes by label, edges by type (the
     * reference's pre-flight and final count audits, reference:
     * final/inject_relationship.py:927-961,1017-1031), plus one row per
-    * secondary-membership provenance pair (`Label<-Source`). One row per
-    * label/type: (kind, name, cnt), totally ordered.
+    * secondary-membership provenance pair (`Label<-Source`) and one
+    * `collision` row per pair counting its key-rendering collisions
+    * against the target's native keys ([[membershipCollisionFrame]] —
+    * nonzero means the §2.15 identity blur is LIVE in this store, not
+    * just theoretical). One row per label/type: (kind, name, cnt),
+    * totally ordered.
     */
   def describe(spark: SparkSession): DataFrame = {
     val parts =
@@ -77,6 +111,10 @@ final case class GraphStore(
       memberships.toSeq.map { case ((t, s), df) =>
         df.agg(count(lit(1)).as("cnt"))
           .select(lit("membership").as("kind"), lit(s"$t<-$s").as("name"), col("cnt"))
+      } ++
+      memberships.keys.toSeq.map { case (t, s) =>
+        membershipCollisionFrame(t, s).agg(count(lit(1)).as("cnt"))
+          .select(lit("collision").as("kind"), lit(s"$t<-$s").as("name"), col("cnt"))
       }
     parts.reduce(_.unionByName(_)).orderBy("kind", "name")
   }

@@ -171,19 +171,40 @@ object GraphQueries {
       .groupBy("component").agg(count(lit(1)).as("member_count"))
       .orderBy("component")
 
-  private val q33Sql =
-    s"""WITH RECURSIVE
-       |edges AS (${bipartiteEdgeSql("WHERE o_orderkey % 97 = 0")}),
-       |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
-       |adj AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
-       |reach(id, r) AS (
-       |  SELECT id, id FROM nodes
-       |  UNION
-       |  SELECT a.dst, r.r FROM reach r JOIN adj a ON a.src = r.id
-       |)
-       |SELECT component, COUNT(*) AS member_count FROM (
-       |  SELECT id, MIN(r) AS component FROM reach GROUP BY id) c
-       |GROUP BY component ORDER BY component""".stripMargin
+  /** O(n log n) pointer-doubling CC oracle (r15 verdict #5): the old
+    * recursive min-label CTE materialized the full (node, seed) reach
+    * closure — quadratic per component — and timed out in DuckDB at
+    * sf1/sf10 while the engine stayed green, leaving those cells
+    * unverified. This unrolls 24 hash-min + pointer-jump rounds
+    * (comp' = min(comp[comp], min over neighbors' comp)): each round is
+    * two hash joins + a group-by over exactly n rows, and the
+    * min-label distance a round covers DOUBLES (measured on the path
+    * graph: 1, 2, 4, ...), so 24 rounds converge for any component of
+    * diameter < 2^23 — the same escalation the engine's CC uses
+    * ([[graft.graph.GraphAnalytics]], r9). AS MATERIALIZED is load-
+    * bearing: each round references its predecessor three times, and an
+    * inlining planner would expand the chain exponentially. Measured:
+    * 0.1 s sf0.01 / 0.8 s sf1 / 11 s sf10.
+    */
+  private val q33Sql = {
+    val rounds = (1 to 24).map { k =>
+      val p = s"r${k - 1}"
+      s"""r$k AS MATERIALIZED (
+         |  SELECT u.id, MIN(u.c) AS comp FROM (
+         |    SELECT a.id, LEAST(a.comp, j.comp) AS c
+         |    FROM $p a JOIN $p j ON j.id = a.comp
+         |    UNION ALL
+         |    SELECT e.dst AS id, a.comp AS c FROM $p a JOIN adj e ON e.src = a.id
+         |  ) u GROUP BY u.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED (${bipartiteEdgeSql("WHERE o_orderkey % 97 = 0")}),
+       |nodes AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       |adj AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+       |r0 AS MATERIALIZED (SELECT id, id AS comp FROM nodes),
+       |$rounds
+       |SELECT comp AS component, COUNT(*) AS member_count FROM r24
+       |GROUP BY comp ORDER BY component""".stripMargin
+  }
 
   // ------------------------------------------------------- Q34 BFS dist (G10)
   /** G10: BFS hop distance from the first customer vertex, ≤ 4 hops,

@@ -247,9 +247,20 @@ object PipelineQueries {
     * Image and audio decode are REAL (javax.imageio / javax.sound over the
     * synthesized PNG/WAV payloads); only the video branch falls back to the
     * documented deterministic FakeCodec (no video codec ships in the JDK).
+    *
+    * Deterministic-golden oracle (r15 verdict #7, shrinking the no-oracle
+    * tail): [[Multimodal.synthesize]] is a pure function of (seed, n) and
+    * both JDK decoders are bit-exact, so the whole stats table is a
+    * constant — pinned VERBATIM in [[q54Sql]] as a VALUES oracle the
+    * driver hash-compares like any other query. The luma average is
+    * integer-scaled at a 1e-4 quantum (q56's pattern) so float summation
+    * order across partitions can't flip a digit of the compared value.
     */
   private def q54(s: SparkSession, dir: String): DataFrame =
     Multimodal.featureStats(Multimodal.extractFeatures(Multimodal.synthesize(s, 300)))
+      .withColumn("avg_luma",
+        round(col("avg_luma") * 10000).cast(LongType).as("avg_luma"))
+      .withColumnRenamed("avg_luma", "avg_luma_1e4")
 
   // ------------------------------------------------------------------ registry
 
@@ -517,6 +528,24 @@ object PipelineQueries {
        |  FROM scored WHERE cos IS NOT NULL)
        |WHERE rnk <= 3""".stripMargin
 
+  /** q54's deterministic-golden oracle (r15 verdict #7): the engine
+    * output is a pure function of (seed=default, n=300) — synthesized
+    * payloads, bit-exact JDK decoders, integer-scaled luma — so the
+    * expected table is pinned VERBATIM and the driver's hash compare
+    * gates it like any SQL-recomputed oracle. If a legitimate change to
+    * the synthesis/extraction pipeline shifts these numbers, re-pin them
+    * CONSCIOUSLY (the diff is the review artifact) — that's the point:
+    * the values can no longer drift silently. Captured 2026-08-15,
+    * identical across cpu counts (16/32) and repeated runs.
+    */
+  private val q54Sql =
+    """SELECT * FROM (VALUES
+      |  ('audio', CAST(100 AS BIGINT), CAST(500400 AS BIGINT), CAST(24800 AS BIGINT), CAST(100 AS BIGINT), CAST(0 AS BIGINT)),
+      |  ('image', CAST(100 AS BIGINT), CAST(355952 AS BIGINT), CAST(190 AS BIGINT), CAST(100 AS BIGINT), CAST(1272415 AS BIGINT)),
+      |  ('video', CAST(100 AS BIGINT), CAST(6400 AS BIGINT), CAST(210 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT))
+      |) t(kind, cnt, total_bytes, total_sampled, decoded_cnt, avg_luma_1e4)
+      |ORDER BY kind""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q47_minhash_neardup" -> q47Sql,
     "q48_simhash_neardup" -> q48Sql,
@@ -525,5 +554,6 @@ object PipelineQueries {
     "q58_ann_ivf" -> q50Sql, // same exact-top-k denominator + recall flag shape
     "q51_cosine_neardup" -> q51Sql,
     "q52_language_id" -> q52Sql,
-    "q53_quality_fingerprint" -> q53Sql)
+    "q53_quality_fingerprint" -> q53Sql,
+    "q54_multimodal_features" -> q54Sql)
 }

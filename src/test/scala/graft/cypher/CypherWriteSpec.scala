@@ -832,6 +832,34 @@ class CypherWriteSpec extends SparkSpec {
       .collect().head.getLong(0) == 42L)
   }
 
+  test("SET label surfaces key-rendering collisions (§2.15 deviation 2 made loud)") {
+    import spark.implicits._
+    var st = GraphWriter.mergeNodes(GraphStore.empty, "Acct",
+      Seq((7L, "native7"), (42L, "native42")).toDF("aid", "owner"), Seq("aid"))
+    st = GraphWriter.mergeNodes(st, "Person",
+      Seq(("007", 90L), ("042", 40L), ("500", 10L)).toDF("pid", "score"), Seq("pid"))
+    // '007' and '042' render into Acct's keyspace as 7 and 42 — both
+    // collide with NATIVE Acct keys; '500' renders as 500, no collision.
+    // The blur itself stays the documented deviation (both rows match);
+    // what r15 adds is that it can no longer happen SILENTLY.
+    val wr = CypherEngine(st).execute("MATCH (p:Person) SET p:Acct")
+    assert(wr.observed.get("collisions:Acct<-Person").contains(2L))
+    // the same count is auditable on the store itself, any time later
+    val desc = wr.store.describe(spark).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(desc.contains(("collision", "Acct<-Person", 2L)))
+    // a collision-free SET publishes no observation and audits zero
+    var st2 = GraphWriter.mergeNodes(GraphStore.empty, "TagA",
+      Seq((1L, "x")).toDF("ta", "p"), Seq("ta"))
+    st2 = GraphWriter.mergeNodes(st2, "TagB",
+      Seq((9L, "y")).toDF("tb", "q"), Seq("tb"))
+    val wr2 = CypherEngine(st2).execute("MATCH (b:TagB) SET b:TagA")
+    assert(wr2.observed.isEmpty)
+    assert(wr2.store.describe(spark).collect().exists(r =>
+      r.getString(0) == "collision" && r.getString(1) == "TagA<-TagB" &&
+        r.getLong(2) == 0L))
+  }
+
   test("MERGE member routing: source-store upsert, loud reject on unshared props") {
     import spark.implicits._
     var st = GraphWriter.mergeNodes(GraphStore.empty, "Acct",

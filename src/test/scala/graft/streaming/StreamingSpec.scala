@@ -124,15 +124,18 @@ class StreamingSpec extends SparkSpec {
 
   test("T7 e2e: multi-batch node+edge upsert converges to the batch-built store") {
     implicit val sqlCtx = spark.sqlContext
-    // the real events fixture, driven through THREE micro-batches feeding
-    // BOTH incremental upserts at once, with batch-1 rows re-delivered in
-    // the last batch (late duplicates / at-least-once delivery); the
-    // resulting stores must equal the ones built from the full static
-    // frame in one shot
-    val events = graft.sources.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    // the real events fixture AT sf0.1 (r15 verdict #8 — 100k events, so
+    // each micro-batch's read-merge-swap works a genuinely growing store),
+    // driven through THREE micro-batches feeding BOTH incremental upserts
+    // at once, with batch-1 rows re-delivered in the last batch (late
+    // duplicates / at-least-once delivery); the resulting stores must
+    // equal the ones built from the full static frame in one shot.
+    // (user_id, ts) is unique in the fixture at this SF (checked), so the
+    // last-wins winner per user is deterministic.
+    val events = graft.sources.Tables.load(spark, "/root/testdata/sf0.1", "events")
       .select("event_id", "ts", "user_id", "event_type", "value")
     val all = events.as[(Long, Timestamp, Long, String, Double)].collect().toSeq
-    assert(all.size >= 100)
+    assert(all.size >= 100000)
     val (b1, rest) = all.splitAt(all.size / 3)
     val (b2, b3) = rest.splitAt(rest.size / 3)
     val tmp = Files.createTempDirectory("graft_e2e").toString
