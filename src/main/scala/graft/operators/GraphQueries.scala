@@ -171,23 +171,28 @@ object GraphQueries {
       .groupBy("component").agg(count(lit(1)).as("member_count"))
       .orderBy("component")
 
-  /** O(n log n) pointer-doubling CC oracle (r15 verdict #5): the old
-    * recursive min-label CTE materialized the full (node, seed) reach
+  /** Linear-round hash-min + pointer-jump CC oracle (r15 verdict #5): the
+    * old recursive min-label CTE materialized the full (node, seed) reach
     * closure — quadratic per component — and timed out in DuckDB at
     * sf1/sf10 while the engine stayed green, leaving those cells
-    * unverified. This unrolls 24 hash-min + pointer-jump rounds
-    * (comp' = min(comp[comp], min over neighbors' comp)): each round is
-    * two hash joins + a group-by over exactly n rows, and the
-    * min-label distance a round covers DOUBLES (measured on the path
-    * graph: 1, 2, 4, ...), so 24 rounds converge for any component of
-    * diameter < 2^23 — the same escalation the engine's CC uses
-    * ([[graft.graph.GraphAnalytics]], r9). AS MATERIALIZED is load-
-    * bearing: each round references its predecessor three times, and an
-    * inlining planner would expand the chain exponentially. Measured:
-    * 0.1 s sf0.01 / 0.8 s sf1 / 11 s sf10.
+    * unverified. This unrolls 96 rounds of
+    * `comp' = min(comp[comp], min over neighbors' comp)`: each round is
+    * two hash joins + a group-by over exactly n rows, so total work is
+    * O(n·R) — never quadratic. Honest convergence accounting: the jump
+    * term doubles progress on path-shaped id layouts but measured
+    * roughly diameter-bound on the sampled bipartite graph (engine-
+    * verified convergence thresholds: R=56 at sf1, ~57 at sf10, vs
+    * union-find ground truth 6317 / 61552 components) — R=96 carries a
+    * ~1.7x margin over the largest measured demand, and an
+    * under-converged oracle fails LOUDLY (extra components → row-count
+    * mismatch against the engine), never silently. AS MATERIALIZED is
+    * load-bearing: each round references its predecessor three times,
+    * and an inlining planner would expand the chain exponentially.
+    * Measured DuckDB-side at R=80-96: ~0.2 s sf0.01 / 4 s sf1 / 49 s
+    * sf10 (was: 300 s timeout at sf1 AND sf10).
     */
   private val q33Sql = {
-    val rounds = (1 to 24).map { k =>
+    val rounds = (1 to 96).map { k =>
       val p = s"r${k - 1}"
       s"""r$k AS MATERIALIZED (
          |  SELECT u.id, MIN(u.c) AS comp FROM (
@@ -202,7 +207,7 @@ object GraphQueries {
        |adj AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
        |r0 AS MATERIALIZED (SELECT id, id AS comp FROM nodes),
        |$rounds
-       |SELECT comp AS component, COUNT(*) AS member_count FROM r24
+       |SELECT comp AS component, COUNT(*) AS member_count FROM r96
        |GROUP BY comp ORDER BY component""".stripMargin
   }
 
