@@ -213,23 +213,28 @@ object Bench {
       val (again, _) = time1(SparkEntry.queries(worstName))
       s""","rerun_worst":{"name":"$worstName","first":$worstT,"second":$again}"""
     }
+    // load_after reflects the HEADLINE suite's end state (incl. the worst-
+    // query rerun) — captured BEFORE the phase probes run, so probe
+    // execution can't inflate it (ADVICE r15).
+    val loadAfter = loadavg()
     // Operator-vs-instrument phase split for the tolerance-oracle family
     // (r15 verdict directive #3): timed AFTER the headline loop, recorded
     // under "phases" — never folded into the headline total or the
     // contention median (those compare against records of the combined
     // queries). Full-suite runs only: subset iteration shouldn't pay it.
+    // A probe that throws records null, not its (misleadingly short)
+    // wall time (ADVICE r15).
     val phasesJson = if (args.nonEmpty) "" else {
       val ps = operators.PipelineQueries.phaseProbes.toSeq.sortBy(_._1)
         .map { case (q, probes) =>
           val inner = probes.map { case (nm, fn) =>
-            val (sec, _) = time1(fn)
-            s""""$nm":$sec"""
+            val (sec, err) = time1(fn)
+            s""""$nm":${if (err.isDefined) "null" else sec.toString}"""
           }.mkString(",")
           s""""$q":{$inner}"""
         }
       if (ps.isEmpty) "" else ps.mkString(""","phases":{""", ",", "}")
     }
-    val loadAfter = loadavg()
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Committed-record comparison only applies to full-suite runs whose
     // size matches the record's (subset totals and grown suites are not

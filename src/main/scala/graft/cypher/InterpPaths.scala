@@ -10,6 +10,7 @@ import org.apache.spark.storage.StorageLevel
 import graft.graph.{EdgeType, GraphStore, GraphWriter, NodeType}
 import Ast._
 import CypherEngine._
+import LocalBfs._
 
 /** shortestPath / allShortestPaths half of the [[CypherEngine]]
   * interpreter (split from Compiler.scala in r14 — no behavior change):
@@ -443,8 +444,7 @@ private[cypher] trait InterpPaths { self: CypherEngine.Interp =>
       // budget, run the whole BFS inside ONE task (the sizing counts are
       // two tiny jobs; a 100 TB edge store fails the edge cap on the first
       // count and takes the distributed path).
-      val edgeCap = e0.sparkSession.conf
-        .getOption(LocalPathEdgeCapKey).map(_.toLong).getOrElse(LocalBfsEdgeCap)
+      val edgeCap = bfsEdgeCap(e0.sparkSession)
       val local =
         if (lo == 1 && keyComparator(keyType).isDefined) {
           // exact, not an estimate: base unions the full member-type frames
@@ -455,9 +455,15 @@ private[cypher] trait InterpPaths { self: CypherEngine.Interp =>
           edgeCnt <= edgeCap &&
             (seeds.count() + 1L) * (edgeCnt + 1L) <= LocalPathWorkCap
         } else false
+      // the eager localCheckpoint evaluates the single-task kernel here,
+      // so a keepAll multiplicity over-budget (ADVICE r15 medium) surfaces
+      // now and falls back to the distributed, spillable shape
       val out =
-        if (local) localDist(e0, seeds, hi, keyType, keepAll, withPath, withRels)
-          .localCheckpoint(true)
+        if (local)
+          try localDist(e0, seeds, hi, keyType, keepAll, withPath, withRels)
+            .localCheckpoint(true)
+          catch { case t: Throwable if isLocalPathsOverBudget(t) =>
+            bfsFrames(e0, seeds, lo, hi, keepAll, withPath, withRels) }
         else bfsFrames(e0, seeds, lo, hi, keepAll, withPath, withRels)
       seeds.unpersist(false)
       out
@@ -587,17 +593,21 @@ private[cypher] trait InterpPaths { self: CypherEngine.Interp =>
         // handles the tagged keys; an Unbounded hi still terminates —
         // the local loop exits on frontier exhaustion)
         val keyType = e0.schema("__ds").dataType
-        val edgeCap = e0.sparkSession.conf
-          .getOption(LocalPathEdgeCapKey).map(_.toLong).getOrElse(LocalBfsEdgeCap)
+        val edgeCap = bfsEdgeCap(e0.sparkSession)
         val local =
           if (lo == 1 && keyComparator(keyType).isDefined) {
             val edgeCnt = ets.map(et => store.edgeCount(et.label)).sum * 2L
             edgeCnt <= edgeCap &&
               (seeds.count() + 1L) * (edgeCnt + 1L) <= LocalPathWorkCap
           } else false
+        // see distDf: over-budget keepAll multiplicity falls back to the
+        // distributed shape at the eager checkpoint
         val out =
-          if (local) localDist(e0, seeds, hi, keyType, keepAll, withPath, withRels)
-            .localCheckpoint(true)
+          if (local)
+            try localDist(e0, seeds, hi, keyType, keepAll, withPath, withRels)
+              .localCheckpoint(true)
+            catch { case t: Throwable if isLocalPathsOverBudget(t) =>
+              bfsFrames(e0, seeds, lo, hi, keepAll, withPath, withRels) }
           else bfsFrames(e0, seeds, lo, hi, keepAll, withPath, withRels)
         seeds.unpersist(false)
         out

@@ -10,6 +10,7 @@ import org.apache.spark.storage.StorageLevel
 import graft.graph.{EdgeType, GraphStore, GraphWriter, NodeType}
 import Ast._
 import CypherEngine._
+import LocalBfs._
 
 /** Pattern resolution and assembly half of the [[CypherEngine]]
   * interpreter (split from Compiler.scala in r14 — no behavior change):

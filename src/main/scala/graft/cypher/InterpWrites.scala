@@ -156,10 +156,21 @@ private[cypher] trait InterpWrites { self: CypherEngine.Interp =>
           marked = marked.join(sKeys, keyRen === col(ren), "left_outer")
           (s, ren, sk)
         }
+        // ONE member-match probe per source, reused by the reject AND the
+        // source-upsert gate below (r16, found by the collision fuzzer):
+        // the upsert used to run UNCONDITIONALLY with an empty frame when
+        // no member matched, and its `touched`-column schema leaked into
+        // the source store via the full-outer merge — Tb silently gained a
+        // null `p` column, after which `missing` read empty and the reject
+        // NEVER fired again for that source (a MERGE creating one native
+        // row disarmed the loud member-mutation guard for the whole
+        // session's descendants).
+        val memHit: Map[String, Boolean] = memCols.map { case (s, ren, _) =>
+          s -> !marked.filter(matched && col(ren).isNotNull).isEmpty
+        }.toMap
         memCols.foreach { case (s, ren, _) =>
           val missing = touched.filterNot(store.nodes(s).columns.contains)
-          if (missing.nonEmpty &&
-              !marked.filter(matched && col(ren).isNotNull).isEmpty)
+          if (missing.nonEmpty && memHit(s))
             throw CypherException(
               s"MERGE (:$label) ON MATCH/SET touches ${missing.mkString(", ")} " +
                 s"— matched membership-derived rows from :$s carry no such " +
@@ -170,7 +181,7 @@ private[cypher] trait InterpWrites { self: CypherEngine.Interp =>
             touched.map(p => valueOf(p).as(p)): _*)
         store = GraphWriter.mergeNodes(store, label, incoming, mergeKeys)
         memCols.foreach { case (s, ren, sk) =>
-          if (touched.nonEmpty) {
+          if (touched.nonEmpty && memHit(s)) {
             val snt = store.schema.node(s)
             val incomingS = marked.filter(matched && col(ren).isNotNull)
               .select(col(sk).as(snt.key) +:
@@ -504,9 +515,14 @@ private[cypher] trait InterpWrites { self: CypherEngine.Interp =>
               // checkpoint TRUNCATES lineage — chained mutations in one
               // session never stack union/anti-join plans or orphaned
               // cached RDDs (r13 ADVICE).
+              // the superseded frame is NOT force-released (ADVICE r15:
+              // unpersist is a no-op on a localCheckpoint'd Dataset — its
+              // LogicalRDD blocks were never in the cacheManager, and
+              // force-dropping them would truncate a retained pre-mutation
+              // immutable store into unreadability); the blocks release
+              // when the RDD is GC'd and the ContextCleaner runs
               store = store.copy(memberships = store.memberships +
                 ((l, src) -> merged.localCheckpoint(true)))
-              old.foreach(_.unpersist(false))
               // §2.15 deviation-2 collisions made LOUD (r15 verdict #2):
               // count member keys whose target-keyspace rendering equals a
               // NATIVE l key. The membership model is exact in every
@@ -515,8 +531,13 @@ private[cypher] trait InterpWrites { self: CypherEngine.Interp =>
               // the count on WriteResult.observed and warn, so a user
               // whose integer-keyed tables share id ranges finds out at
               // write time. One semi-join over the just-checkpointed
-              // bounded provenance frame against l's key column.
-              val coll = store.membershipCollisionFrame(l, src).count()
+              // bounded provenance frame against l's key column — SKIPPED
+              // when the audit provably cannot fire (r16, r15 verdict #5:
+              // empty native target — every SET-onto-new-label query — or
+              // disjoint integral key ranges from the memoized key stats).
+              val coll =
+                if (!store.collisionPossible(l, src)) 0L
+                else store.membershipCollisionFrame(l, src).count()
               if (coll > 0) {
                 writeObservations(s"collisions:$l<-$src") =
                   writeObservations.getOrElse(s"collisions:$l<-$src", 0L)
@@ -530,10 +551,12 @@ private[cypher] trait InterpWrites { self: CypherEngine.Interp =>
             }
           } else {
             store.memberships.get((l, src)).foreach { m =>
+              // superseded frame left to GC + ContextCleaner (see the SET
+              // branch above — unpersist on a localCheckpoint'd Dataset is
+              // a no-op, and force-dropping would break retained stores)
               store = store.copy(memberships = store.memberships +
                 ((l, src) -> m.join(keys, Seq("__m_key"), "left_anti")
                   .localCheckpoint(true)))
-              m.unpersist(false)
             } // no provenance rows from this source → no-op (Neo4j: the
               // node never had the label; native target nodes are NEVER
               // touched)

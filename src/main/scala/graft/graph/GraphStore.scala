@@ -148,6 +148,42 @@ final case class GraphStore(
   @transient private lazy val edgeCounts =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** Key-column statistics of node store `label`: row count, plus min/max
+    * as longs when the key type is integral. ONE aggregate job, memoized
+    * JVM-WIDE on the node FRAME's identity (not the store instance —
+    * write ops copy the store but share unchanged frames, so a chained
+    * mutation session reuses the stats its predecessors paid for).
+    * Consumed by [[collisionPossible]] (r15 verdict #5).
+    */
+  def keyStats(label: String): GraphStore.KeyStats = {
+    val key = schema.node(label).key
+    val df = nodes(label)
+    GraphStore.keyStatsOf(df, key)
+  }
+
+  /** Cheap necessary-condition probe for [[membershipCollisionFrame]]:
+    * `false` PROVES no collision can exist for pair `(t, s)` — the
+    * target's native store is empty, or both key domains are integral
+    * with t's type at least as wide as s's (so the audit's
+    * render-into-t's-keyspace cast is value-preserving) and the min/max
+    * ranges are disjoint. The write surface skips the per-SET audit
+    * semi-join in those cases (r15 verdict #5: the audit paid its join
+    * even when it could not fire). `true` means "possible", never
+    * "present" — the audit still runs and may count zero.
+    */
+  def collisionPossible(t: String, s: String): Boolean = {
+    val ts = keyStats(t)
+    if (ts.count == 0L) false
+    else {
+      val widthOk = GraphStore.integralWidth(nodes(t).schema(schema.node(t).key).dataType) >=
+        GraphStore.integralWidth(nodes(s).schema(schema.node(s).key).dataType)
+      (for {
+        (tmin, tmax) <- ts.range if widthOk
+        (smin, smax) <- keyStats(s).range
+      } yield !(smax < tmin || smin > tmax)).getOrElse(true)
+    }
+  }
+
   /** Release the cached blocks of a [[persisted]] store (non-blocking). */
   def unpersistAll(): Unit = {
     nodes.values.foreach(_.unpersist(false))
@@ -266,4 +302,57 @@ object GraphStore {
 
   private val storeCache =
     new java.util.concurrent.ConcurrentHashMap[String, GraphStore]()
+
+  /** (row count, integral-key min/max) of one node frame's key column —
+    * see [[GraphStore.keyStats]].
+    */
+  final case class KeyStats(count: Long, range: Option[(Long, Long)])
+
+  /** Comparable width of an integral key type (0 = not integral). The
+    * collision-audit short-circuit only trusts range disjointness when
+    * the target type is at least as wide as the source's: a NARROWING
+    * cast can wrap values back into the target's range.
+    */
+  private[graph] def integralWidth(dt: org.apache.spark.sql.types.DataType): Int =
+    dt match {
+      case org.apache.spark.sql.types.ByteType => 1
+      case org.apache.spark.sql.types.ShortType => 2
+      case org.apache.spark.sql.types.IntegerType => 3
+      case org.apache.spark.sql.types.LongType => 4
+      case _ => 0
+    }
+
+  /** Frame-identity key for [[keyStatsCache]] (same pattern as the BFS
+    * edge-union cache): reference equality on the DataFrame, so a mutated
+    * store's NEW frame can never hit a stale entry.
+    */
+  private final class FrameKey(val df: AnyRef, val key: String) {
+    override val hashCode: Int = System.identityHashCode(df) * 31 + key.hashCode
+    override def equals(o: Any): Boolean = o match {
+      case k: FrameKey => (k.df eq df) && k.key == key
+      case _ => false
+    }
+  }
+  private val keyStatsCache =
+    new java.util.concurrent.ConcurrentHashMap[FrameKey, KeyStats]()
+  /** Entry bound: stats are one cheap job to recompute — on overflow the
+    * cache resets rather than pinning frames of long-dead stores from GC.
+    */
+  private val KeyStatsMaxEntries = 256
+
+  private[graph] def keyStatsOf(df: org.apache.spark.sql.DataFrame,
+      key: String): KeyStats = {
+    if (keyStatsCache.size > KeyStatsMaxEntries) keyStatsCache.clear()
+    keyStatsCache.computeIfAbsent(new FrameKey(df, key), _ => {
+      import org.apache.spark.sql.functions.{count, lit, min, max, col}
+      if (integralWidth(df.schema(key).dataType) > 0) {
+        val r = df.agg(count(lit(1)),
+          min(col(key).cast(org.apache.spark.sql.types.LongType)),
+          max(col(key).cast(org.apache.spark.sql.types.LongType))).head()
+        KeyStats(r.getLong(0),
+          if (r.isNullAt(1) || r.isNullAt(2)) None
+          else Some((r.getLong(1), r.getLong(2))))
+      } else KeyStats(df.agg(count(lit(1))).head().getLong(0), None)
+    })
+  }
 }

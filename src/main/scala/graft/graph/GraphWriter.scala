@@ -411,14 +411,17 @@ object GraphWriter {
       memberships = memberships.map {
         case (p @ (_, s), m) if s == lbl =>
           // eager localCheckpoint, not persist: the replacement must be
-          // MATERIALIZED before its parent unpersists (a lazy persist left
+          // MATERIALIZED from the parent's live blocks (a lazy persist left
           // the first evaluation recomputing the old lineage uncached —
           // r14 ADVICE), and the checkpoint TRUNCATES lineage, so chained
           // DELETEs through memberships never stack anti-join plans.
           // Bounded: membership frames are key lists, not fact tables.
+          // The superseded frame is not force-released (ADVICE r15:
+          // unpersist is a no-op on a checkpointed Dataset; force-dropping
+          // would break retained pre-mutation stores) — GC + ContextCleaner
+          // reclaim its blocks.
           val repl = m.join(delStr, Seq("__m_key"), "left_anti")
             .localCheckpoint(true)
-          m.unpersist(false)
           p -> repl
         case other => other
       }

@@ -185,7 +185,13 @@ object GraphQueries {
     * union-find ground truth 6317 / 61552 components) — R=96 carries a
     * ~1.7x margin over the largest measured demand, and an
     * under-converged oracle fails LOUDLY (extra components → row-count
-    * mismatch against the engine), never silently. AS MATERIALIZED is
+    * mismatch against the engine), never silently. The mismatch is also
+    * ATTRIBUTABLE (ADVICE r15): when r95 and r96 still differ, the final
+    * select appends a `(-1, -1)` sentinel row — impossible in real data
+    * (orderkeys are positive) — so a scale factor whose diameter outruns
+    * 96 rounds reads as "oracle under-converged", not as an engine bug;
+    * the EXISTS guard costs one short-circuited probe over the last two
+    * rounds. AS MATERIALIZED is
     * load-bearing: each round references its predecessor three times,
     * and an inlining planner would expand the chain exponentially.
     * Measured DuckDB-side at R=80-96: ~0.2 s sf0.01 / 4 s sf1 / 49 s
@@ -207,8 +213,13 @@ object GraphQueries {
        |adj AS MATERIALIZED (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
        |r0 AS MATERIALIZED (SELECT id, id AS comp FROM nodes),
        |$rounds
-       |SELECT comp AS component, COUNT(*) AS member_count FROM r96
-       |GROUP BY comp ORDER BY component""".stripMargin
+       |SELECT component, member_count FROM (
+       |  SELECT comp AS component, COUNT(*) AS member_count FROM r96 GROUP BY comp
+       |  UNION ALL
+       |  SELECT -1, -1
+       |  WHERE EXISTS (SELECT 1 FROM r96 a JOIN r95 b
+       |                ON a.id = b.id AND a.comp <> b.comp)
+       |) ORDER BY component""".stripMargin
   }
 
   // ------------------------------------------------------- Q34 BFS dist (G10)

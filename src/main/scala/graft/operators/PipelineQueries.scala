@@ -435,6 +435,16 @@ object PipelineQueries {
     XXH64.hashInt(d, XXH64.hashInt(h, 42L)).toDouble / Long.MaxValue.toDouble
   }
 
+  /** r16 (verdict #2, the last unverified sf10 cell): same bucketed replay,
+    * arithmetic-identical but REshaped so the per-PAIR work is one dot
+    * product instead of three — the embedding is cast to DOUBLE[] once per
+    * row (`vd`) and the norm `sqrt(v·v)` is computed once per row in
+    * `sigt`, then pairs divide by the two cached norms. Every product and
+    * every left-fold addition is performed on the same double values in
+    * the same order as before, so the counted cos values are bit-identical
+    * (hash-pinned at sf0.01-sf1); only the sf10 wall time changes —
+    * the old shape's 3 list-lambda dots per pair blew the 300 s budget.
+    */
   private val q51Sql: String = {
     val bits = 6
     val dims = 64
@@ -445,30 +455,37 @@ object PipelineQueries {
     // magnitudes
     def projSql(h: Int): String =
       s"""list_reduce(list_transform(range(1, ${dims + 1}),
-         |      i -> CAST(v[i] AS DOUBLE) * (${wList(h)})[i]), (a,b) -> a+b)""".stripMargin
+         |      i -> vd[i] * (${wList(h)})[i]), (a,b) -> a+b)""".stripMargin
     val sigExpr = (0 until bits).map(h =>
       s"(CASE WHEN ${projSql(h)} >= 0 THEN ${1L << h} ELSE 0 END)")
       .mkString("\n    + ")
-    s"""WITH sigt AS (
-       |  SELECT vec_id AS id, embedding AS v,
-       |    $sigExpr AS sig
+    def dotdSql(v: String, w: String): String =
+      s"""list_reduce(list_transform(range(1, len($v)+1),
+         |  i -> $v[i] * $w[i]), (a,b) -> a+b)""".stripMargin
+    s"""WITH raw AS (
+       |  SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
        |  FROM embeddings
+       |),
+       |sigt AS (
+       |  SELECT id, vd,
+       |    $sigExpr AS sig,
+       |    sqrt(${dotdSql("vd", "vd")}) AS nrm
+       |  FROM raw
        |),
        |bs AS (SELECT sig, count(*) AS cnt, min(id) AS mn FROM sigt GROUP BY sig),
        |pairs AS (
        |  -- bucket co-membership with the engine's star-pair cap (256):
        |  -- an over-cap bucket contributes only its min-id anchor's pairs
-       |  SELECT a.v AS va, b.v AS vb
+       |  SELECT a.vd AS va, b.vd AS vb, a.nrm AS na, b.nrm AS nb
        |  FROM sigt a JOIN sigt b ON a.sig = b.sig AND a.id < b.id
        |  JOIN bs ON bs.sig = a.sig
        |  WHERE bs.cnt <= ${Dedup.DefaultBucketCap} OR a.id = bs.mn
        |),
        |cosed AS (
-       |  SELECT CASE WHEN sqrt(${dotSql("va", "va")})
-       |                 * sqrt(${dotSql("vb", "vb")}) = 0 THEN NULL
+       |  SELECT CASE WHEN na * nb = 0 THEN NULL
        |         WHEN len(va) <> len(vb) THEN NULL
-       |         ELSE ${dotSql("va", "vb")}
-       |            / (sqrt(${dotSql("va", "va")}) * sqrt(${dotSql("vb", "vb")})) END AS cos
+       |         ELSE ${dotdSql("va", "vb")} / (na * nb) END AS cos
        |  FROM pairs
        |)
        |SELECT count(*) AS near_dup_pairs FROM cosed WHERE cos >= 0.3""".stripMargin

@@ -284,6 +284,96 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("SET/REMOVE label fuzz over colliding integer keyspaces: " +
+      "observed collision counts match brute-force recounts") {
+    // r16 (r15 verdict #7): the §2.15 identity-blur counter is the write
+    // surface's one semantic-risk instrument — drive it with generated
+    // SET/REMOVE/MERGE sequences over two OVERLAPPING integer keyspaces
+    // and recount every published collision figure brute-force from a
+    // model (members ∩ native target keys), including sequences where
+    // MERGE grows the native keyspace BETWEEN label mutations.
+    import graft.cypher.CypherEngine
+    import graft.graph.{GraphStore, GraphWriter}
+    sealed trait Op
+    case class SetL(lo: Long, hi: Long) extends Op
+    case class RemL(lo: Long, hi: Long) extends Op
+    case class NewTa(k: Long) extends Op
+    case class NewTb(k: Long) extends Op
+    val rangeGen = for {
+      lo <- Gen.choose(0L, 10L); w <- Gen.choose(0L, 6L)
+    } yield (lo, lo + w)
+    val opGen: Gen[Op] = Gen.frequency(
+      4 -> rangeGen.map { case (lo, hi) => SetL(lo, hi) },
+      2 -> rangeGen.map { case (lo, hi) => RemL(lo, hi) },
+      2 -> Gen.choose(0L, 12L).map(NewTa(_)),
+      2 -> Gen.choose(0L, 12L).map(NewTb(_)))
+    (1 to 3).foreach { seed =>
+      val ops = sample(Gen.listOfN(10, opGen), seed + 7700)
+      var st = GraphWriter.mergeNodes(GraphStore.empty, "Ta",
+        Seq(0L, 1L, 2L, 3L, 4L, 5L).map((_, "t")).toDF("tak", "p"), Seq("tak"))
+      st = GraphWriter.mergeNodes(st, "Tb",
+        Seq(3L, 4L, 5L, 6L, 7L, 8L).map((_, "u")).toDF("tbk", "q"), Seq("tbk"))
+      val nativeTa = scala.collection.mutable.Set(0L, 1L, 2L, 3L, 4L, 5L)
+      val nativeTb = scala.collection.mutable.Set(3L, 4L, 5L, 6L, 7L, 8L)
+      val members = scala.collection.mutable.Set.empty[Long] // Tb keys SET :Ta
+      ops.foreach { op =>
+        val q = op match {
+          case SetL(lo, hi) =>
+            s"MATCH (b:Tb) WHERE b.tbk >= $lo AND b.tbk <= $hi SET b:Ta"
+          case RemL(lo, hi) =>
+            s"MATCH (b:Tb) WHERE b.tbk >= $lo AND b.tbk <= $hi REMOVE b:Ta"
+          case NewTa(k) => s"MERGE (a:Ta {tak: $k}) ON CREATE SET a.p = 'n'"
+          case NewTb(k) => s"MERGE (b:Tb {tbk: $k}) ON CREATE SET b.q = 'n'"
+        }
+        op match {
+          case SetL(lo, hi) =>
+            val wr = CypherEngine(st).execute(q)
+            st = wr.store
+            val matched = nativeTb.filter(k => k >= lo && k <= hi)
+            if (matched.nonEmpty) {
+              members ++= matched
+              // the audit counts the MERGED provenance frame's collisions
+              val expected = (members.toSet intersect nativeTa.toSet).size.toLong
+              val got = wr.observed.getOrElse("collisions:Ta<-Tb", 0L)
+              assert(got == expected, s"seed=$seed op=$op\nops=$ops")
+            }
+          case RemL(lo, hi) =>
+            st = CypherEngine(st).execute(q).store
+            members --= nativeTb.filter(k => k >= lo && k <= hi)
+          case NewTa(k) if members.contains(k) =>
+            // member routing (q134 semantics): a MERGE whose key matches a
+            // membership-derived row rejects LOUDLY here — its SET touches
+            // `p`, which the member's source store doesn't carry — and the
+            // store must be unchanged
+            try {
+              CypherEngine(st).execute(q)
+              fail(s"expected membership-derived reject; seed=$seed op=$op\nops=$ops")
+            } catch {
+              case e: graft.cypher.CypherEngine.CypherException =>
+                assert(e.getMessage.contains("membership-derived"),
+                  s"seed=$seed op=$op\nops=$ops")
+            }
+          case NewTa(k) =>
+            st = CypherEngine(st).execute(q).store
+            nativeTa += k
+          case NewTb(k) =>
+            st = CypherEngine(st).execute(q).store
+            nativeTb += k
+        }
+      }
+      // standing audit: describe()'s collision row equals the brute force
+      if (st.memberships.contains(("Ta", "Tb"))) {
+        val desc = st.describe(spark).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+        val expected = (members.toSet intersect nativeTa.toSet).size.toLong
+        assert(desc.contains(("collision", "Ta<-Tb", expected)),
+          s"seed=$seed final describe\nops=$ops")
+        assert(desc.contains(("membership", "Ta<-Tb", members.size.toLong)),
+          s"seed=$seed final membership count\nops=$ops")
+      }
+    }
+  }
+
   test("timestamp decomposition roundtrips to second precision") {
     val tsGen = Gen.choose(0L, 4102444800L) // 1970..2100
     (1 to 5).foreach { seed =>

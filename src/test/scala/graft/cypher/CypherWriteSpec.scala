@@ -888,6 +888,31 @@ class CypherWriteSpec extends SparkSpec {
       .head.getAs[Long]("score") == 95L)
   }
 
+  test("MERGE create leaves source schemas clean; member reject survives " +
+      "(r16 fuzzer regression)") {
+    import spark.implicits._
+    // pre-r16, a MERGE that matched NO member still ran the source-store
+    // upsert with an EMPTY frame carrying the touched column — the
+    // full-outer merge leaked that column (all-null) into the source
+    // schema, after which `missing` read empty and the loud
+    // member-mutation reject never fired again for that source.
+    var st = GraphWriter.mergeNodes(GraphStore.empty, "Acct",
+      Seq((7L, "native7")).toDF("aid", "owner"), Seq("aid"))
+    st = GraphWriter.mergeNodes(st, "Person",
+      Seq((8L, 90L)).toDF("pid", "score"), Seq("pid"))
+    st = CypherEngine(st).execute("MATCH (p:Person) SET p:Acct").store
+    // creates native Acct 9 — no member matched, Person must NOT gain owner
+    st = CypherEngine(st).execute(
+      "MERGE (a:Acct {aid: 9}) ON CREATE SET a.owner = 'n'").store
+    assert(st.nodes("Person").columns.toSeq == Seq("pid", "score"),
+      "empty member upsert leaked the touched column into the source schema")
+    // and the reject still fires for the member key afterwards
+    val err = intercept[CypherEngine.CypherException](
+      CypherEngine(st).execute(
+        "MERGE (a:Acct {aid: 8}) ON CREATE SET a.owner = 'x'"))
+    assert(err.getMessage.contains("membership-derived"))
+  }
+
   test("disjunction exclusion ignores alternatives dropped as unsatisfiable") {
     import spark.implicits._
     var st = GraphWriter.mergeNodes(GraphStore.empty, "BNode",
