@@ -435,58 +435,78 @@ object PipelineQueries {
     XXH64.hashInt(d, XXH64.hashInt(h, 42L)).toDouble / Long.MaxValue.toDouble
   }
 
-  /** r16 (verdict #2, the last unverified sf10 cell): same bucketed replay,
-    * arithmetic-identical but REshaped so the per-PAIR work is one dot
-    * product instead of three — the embedding is cast to DOUBLE[] once per
-    * row (`vd`) and the norm `sqrt(v·v)` is computed once per row in
-    * `sigt`, then pairs divide by the two cached norms. Every product and
-    * every left-fold addition is performed on the same double values in
-    * the same order as before, so the counted cos values are bit-identical
-    * (hash-pinned at sf0.01-sf1); only the sf10 wall time changes —
-    * the old shape's 3 list-lambda dots per pair blew the 300 s budget.
+  /** r16 (verdict #2 — the last unverified sf10 cell, closed): the q33
+    * playbook applied to q51. The old replay died at sf10 twice over:
+    * (a) the per-row signatures/norms were 560k list-LAMBDA folds — 416 s
+    * of DuckDB closure dispatch before any pair existed — and (b) the
+    * bucket join produced its raw a.sig=b.sig cross BEFORE the star cap
+    * filtered it (clustered embeddings put 8.8k rows in one 6-bit bucket
+    * → 150M intermediate pairs, each dragging two 64-double arrays).
+    * The r16 shape vectorizes and caps STRUCTURALLY:
+    * - dimensions explode once (`e`: one (id, i, val) row per dim) and
+    *   every dot product — projections, norms, pair cosines — becomes a
+    *   native hash-aggregate over a position join; no lambdas anywhere;
+    * - the pair CTE replays the engine's cap as a UNION of a
+    *   small-buckets self-join (output-bounded by cnt² ≤ cap² per
+    *   bucket) and the big buckets' (min-id anchor × member) stars, so
+    *   the quadratic cross is never materialized — the same pair SET as
+    *   the engine's `bucketPairs`, by construction.
+    * Aggregate fold order is no longer the engine's strict left fold, but
+    * the decisions the sums feed are sign tests and a 0.3 threshold with
+    * measured margins ~1e-2 (double noise on 64-term sums is ~1e-14
+    * relative) — and the count is pinned EQUAL to the old left-fold
+    * oracle at sf0.001/0.01/0.1/1 (59/57/879/164454) and to the engine
+    * at sf10 (148302). Wall time sf10: 416+ s (timeout) → 8.9 s.
     */
   private val q51Sql: String = {
     val bits = 6
     val dims = 64
-    def wList(h: Int): String =
-      (0 until dims).map(d => lshWeight(h, d).toString).mkString("[", ", ", "]")
-    // per-bit projection: signs, not exact sums, decide the bucket, so the
-    // fold order only matters within double noise of zero — never at these
-    // magnitudes
-    def projSql(h: Int): String =
-      s"""list_reduce(list_transform(range(1, ${dims + 1}),
-         |      i -> vd[i] * (${wList(h)})[i]), (a,b) -> a+b)""".stripMargin
-    val sigExpr = (0 until bits).map(h =>
-      s"(CASE WHEN ${projSql(h)} >= 0 THEN ${1L << h} ELSE 0 END)")
-      .mkString("\n    + ")
-    def dotdSql(v: String, w: String): String =
-      s"""list_reduce(list_transform(range(1, len($v)+1),
-         |  i -> $v[i] * $w[i]), (a,b) -> a+b)""".stripMargin
-    s"""WITH raw AS (
-       |  SELECT vec_id AS id,
-       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+    val wValues = (0 until bits).flatMap { h =>
+      (1 to dims).map(i => s"($h,$i,${lshWeight(h, i - 1)})")
+    }.mkString(",")
+    s"""WITH w(h, i, wt) AS (VALUES $wValues),
+       |raw AS MATERIALIZED (
+       |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
        |  FROM embeddings
        |),
-       |sigt AS (
-       |  SELECT id, vd,
-       |    $sigExpr AS sig,
-       |    sqrt(${dotdSql("vd", "vd")}) AS nrm
-       |  FROM raw
+       |e AS MATERIALIZED (
+       |  SELECT raw.id, r.i, raw.vd[r.i] AS val
+       |  FROM raw, range(1, ${dims + 1}) AS r(i)
        |),
-       |bs AS (SELECT sig, count(*) AS cnt, min(id) AS mn FROM sigt GROUP BY sig),
-       |pairs AS (
-       |  -- bucket co-membership with the engine's star-pair cap (256):
-       |  -- an over-cap bucket contributes only its min-id anchor's pairs
-       |  SELECT a.vd AS va, b.vd AS vb, a.nrm AS na, b.nrm AS nb
-       |  FROM sigt a JOIN sigt b ON a.sig = b.sig AND a.id < b.id
-       |  JOIN bs ON bs.sig = a.sig
-       |  WHERE bs.cnt <= ${Dedup.DefaultBucketCap} OR a.id = bs.mn
+       |sig0 AS (
+       |  SELECT e.id, w.h, sum(e.val * w.wt) AS proj
+       |  FROM e JOIN w ON w.i = e.i GROUP BY e.id, w.h
+       |),
+       |sigs AS (
+       |  SELECT id, sum(CASE WHEN proj >= 0 THEN 1 << h ELSE 0 END) AS sig
+       |  FROM sig0 GROUP BY id
+       |),
+       |nrm AS MATERIALIZED (
+       |  SELECT id, sqrt(sum(val * val)) AS nrm, count(val) AS dims
+       |  FROM e GROUP BY id
+       |),
+       |sigt AS MATERIALIZED (
+       |  SELECT raw.id, sigs.sig FROM raw JOIN sigs ON sigs.id = raw.id
+       |),
+       |bs AS MATERIALIZED (SELECT sig, count(*) AS cnt, min(id) AS mn FROM sigt GROUP BY sig),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.id AS ida, b.id AS idb
+       |  FROM sigt a JOIN bs ba ON ba.sig = a.sig AND ba.cnt <= ${Dedup.DefaultBucketCap}
+       |  JOIN sigt b ON a.sig = b.sig AND a.id < b.id
+       |  UNION ALL
+       |  SELECT bs.mn, s.id FROM sigt s JOIN bs ON bs.sig = s.sig
+       |  WHERE bs.cnt > ${Dedup.DefaultBucketCap} AND s.id <> bs.mn
+       |),
+       |dots AS (
+       |  SELECT p.ida, p.idb, sum(ea.val * eb.val) AS dp
+       |  FROM pairs p JOIN e ea ON ea.id = p.ida JOIN e eb ON eb.id = p.idb AND eb.i = ea.i
+       |  GROUP BY p.ida, p.idb
        |),
        |cosed AS (
-       |  SELECT CASE WHEN na * nb = 0 THEN NULL
-       |         WHEN len(va) <> len(vb) THEN NULL
-       |         ELSE ${dotdSql("va", "vb")} / (na * nb) END AS cos
-       |  FROM pairs
+       |  SELECT CASE WHEN na.dims <> nb.dims THEN NULL
+       |              WHEN na.nrm * nb.nrm = 0 THEN NULL
+       |              ELSE d.dp / (na.nrm * nb.nrm) END AS cos
+       |  FROM dots d JOIN nrm na ON na.id = d.ida JOIN nrm nb ON nb.id = d.idb
        |)
        |SELECT count(*) AS near_dup_pairs FROM cosed WHERE cos >= 0.3""".stripMargin
   }
