@@ -69,10 +69,41 @@ object GraphAnalytics {
       spark.conf.getOption(CheckpointIntervalKey).map(_.toInt).getOrElse(5))
     private var n = 0
     dir.foreach(spark.sparkContext.setCheckpointDir)
-    def cut(df: DataFrame): DataFrame = {
+    /** Cut lineage and firewall the preserved statistics (see
+      * [[org.apache.spark.sql.graft.StatsFirewall]]): checkpoints inherit
+      * the origin plan's size estimate, and inside a loop those estimates
+      * COMPOUND — join stats multiply the previous round's BigInt, so the
+      * digit count grows with the round number until the optimizer spends
+      * its time in BigInteger arithmetic (measured: the sf100 contraction
+      * stalled at level 6; the jump profile's per-round drift). `rows`,
+      * when the loop knows it, makes the rebound estimate accurate enough
+      * for broadcast planning; unknown defaults to `defaultSizeInBytes`.
+      */
+    def cut(df: DataFrame, rows: Long = -1L): DataFrame = {
       n += 1
-      if (dir.nonEmpty && n % every == 0) df.checkpoint(true)
-      else df.localCheckpoint(true)
+      val cp = if (dir.nonEmpty && n % every == 0) df.checkpoint(true)
+               else df.localCheckpoint(true)
+      org.apache.spark.sql.graft.StatsFirewall.rebound(cp, rows)
+    }
+
+    /** Release the block-manager storage of a SUPERSEDED cut frame. Only
+      * the loop that owns a cut may call this, and only once nothing will
+      * read the frame again: a localCheckpoint's blocks ARE its data (the
+      * lineage is truncated), so a released frame throws on any later
+      * access. The cacheManager never registered these blocks
+      * (`unpersist()` on the Dataset is a no-op — the r15 ADVICE finding
+      * on membership frames), so we drop them via the underlying RDD of
+      * the cut's LogicalRDD plan. Without this, a long iterative job
+      * accumulates one full label-frame per cut and the per-round cost
+      * drifts upward with block-manager pressure — measured on the sf100
+      * q33 profile: prop 2 s → 19 s and jump 0.8 s → 18.7 s by round 18.
+      * No-op on frames that are not a direct cut output (projections over
+      * a cut, reliable checkpoints, arbitrary plans) — the matcher keeps
+      * the call safe rather than clever.
+      */
+    def release(df: DataFrame): Unit = df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
     }
   }
 
@@ -89,6 +120,19 @@ object GraphAnalytics {
     */
   val CcEscalateRoundsKey = "graft.cc.escalateRounds"
   val CcEscalateRoundsDefault = 10
+
+  /** Conf key: when `true`, the iterative loops (delta CC, pointer-jump
+    * CC) log one stderr line per round — round index, changed/frontier
+    * count where the loop already pays that action, and wall seconds.
+    * Observability for long iterative jobs: at 100 TB a CC can run for
+    * hours and an operator needs to see whether rounds are converging or
+    * the per-round cost is drifting (checkpoint-block pressure, skew)
+    * WITHOUT a UI. Off by default — the log line itself is free, but the
+    * knob keeps bench output byte-stable.
+    */
+  val IterVerboseKey = "graft.iter.verbose"
+  private def iterVerbose(spark: SparkSession): Boolean =
+    spark.conf.getOption(IterVerboseKey).contains("true")
 
   /** Observability for tests/tools: (delta rounds, pointer-doubling
     * rounds) of the last [[dfComponents]] invocation in this JVM.
@@ -145,7 +189,152 @@ object GraphAnalytics {
       edgePartitions: Option[Int] = None,
       localThreshold: Long = LocalEdgeThreshold): DataFrame = {
     if (underThreshold(edges, localThreshold)) return localComponents(spark, edges)
-    dfComponents(spark, edges)
+    spark.conf.getOption(CcStrategyKey).getOrElse("contract") match {
+      case "delta" => dfComponents(spark, edges)
+      case _ => contractComponents(spark, edges, localThreshold)
+    }
+  }
+
+  /** Conf key: distributed CC strategy. `contract` (default) physically
+    * shrinks the graph each round and finishes locally;
+    * `delta` is the r9-r15 min-label propagation (escalating to
+    * pointer-doubling), kept for the A/B and as the escalation target.
+    * The local path under `localThreshold` is taken regardless.
+    */
+  val CcStrategyKey = "graft.cc.strategy"
+
+  /** Contraction cap before handing the (already much smaller) graph to
+    * [[dfComponents]]: hook+shortcut at least halves a path per level and
+    * collapses stars outright, so 40 levels covers any 2^40-node chain;
+    * real FK-derived graphs measure 1-3 levels. A belt-and-braces bound,
+    * not a tuning knob.
+    */
+  private val MaxContractionLevels = 40
+
+  /** Contraction connected components — the distributed default since
+    * r16. The r15-era label propagation kept the FULL label and edge
+    * frames in play every round: the sf100 probe measured q33's sampled
+    * bipartite graph (6.2M edges, first time over [[LocalEdgeThreshold]])
+    * at 1153 s — ~50+ rounds of full-size joins whose per-round cost also
+    * drifted 2 s → 19 s on accumulated checkpoint blocks. Contraction
+    * attacks the ROUND COUNT and the PER-ROUND SIZE at once:
+    *
+    * Each level (a) hooks every node with a smaller neighbor onto its
+    * minimum neighbor (one groupBy over the edge frame), (b) pointer-jumps
+    * the hook map to its roots (self-joins of the ABSORBED-nodes map only
+    * — a path's chain resolves in log₂ passes of a frame that is tiny
+    * relative to the graph), then (c) rewrites both edge endpoints
+    * through the rooted map, drops self-loops, and dedups — the graph
+    * that enters level k+1 physically lost every absorbed node and every
+    * intra-cluster edge. FK-derived graphs collapse brutally fast: the
+    * q33 bipartite graph absorbs ALL part-side nodes into customers at
+    * level 1 (every part has a smaller customer neighbor), leaving a
+    * customer-customer graph under the local threshold — one distributed
+    * level, then single-task union-find. Generally: a path halves per
+    * level, a star collapses in ≤2, so levels = O(log n) with each level
+    * cheaper than the last — vs O(diameter · full-size) for propagation.
+    *
+    * Labels compose back down the levels: component(absorbed) =
+    * component(root it hooked to), one join per level (plus (root, root)
+    * rows for components that contracted away entirely). Superseded
+    * frames are released as soon as the next cut materializes, so block
+    * storage stays O(current graph + maps), not O(rounds). Output
+    * matches [[localComponents]] / [[dfComponents]] / GraphX exactly:
+    * (node, component = min id in the component) for every node with at
+    * least one edge, self-loop-only nodes included.
+    */
+  private[graph] def contractComponents(spark: SparkSession, edges: DataFrame,
+      localThreshold: Long): DataFrame = {
+    import spark.implicits._
+    val ck = new IterCheckpointer(spark)
+    val verbose = iterVerbose(spark)
+    val t00 = System.nanoTime()
+    // canonical undirected edge set: (min, max), no self-loops, deduped
+    var g = ck.cut(edges
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct())
+    var gEdges = g.count()
+    var maps = List.empty[DataFrame]
+    var level = 0
+    val floor = math.max(localThreshold, 1L)
+    while (gEdges > floor && level < MaxContractionLevels) {
+      level += 1
+      val t0 = System.nanoTime()
+      val und = g.unionByName(g.select(col("dst").as("src"), col("src").as("dst")))
+      // hook: absorbed nodes only — (node, parent = min neighbor < node)
+      var mCut = ck.cut(und.groupBy(col("src")).agg(min(col("dst")).as("__mn"))
+        .filter(col("__mn") < col("src"))
+        .select(col("src").as("node"), col("__mn").as("parent")))
+      // shortcut the hook map to its roots: a parent that is itself
+      // absorbed this level gets replaced by ITS parent, doubling chain
+      // compression per pass — so the stored map points straight at
+      // level survivors and back-resolution is one join per level
+      var jumping = true
+      var jumps = 0
+      while (jumping) {
+        jumps += 1
+        val j = mCut.select(col("node").as("__jn"), col("parent").as("__jp"))
+        val m2 = ck.cut(mCut.join(j, col("parent") === col("__jn"), "left")
+          .select(col("node"), coalesce(col("__jp"), col("parent")).as("parent"),
+            (col("__jp") < col("parent")).as("__moved")))
+        jumping = m2.filter(col("__moved")).limit(1).count() > 0
+        ck.release(mCut)
+        mCut = m2
+      }
+      val m = mCut.drop("__moved")
+      val l1 = m.select(col("node").as("__n1"), col("parent").as("__p1"))
+      val l2 = m.select(col("node").as("__n2"), col("parent").as("__p2"))
+      val g2 = ck.cut(g
+        .join(l1, col("src") === col("__n1"), "left")
+        .join(l2, col("dst") === col("__n2"), "left")
+        .select(coalesce(col("__p1"), col("src")).as("s"),
+          coalesce(col("__p2"), col("dst")).as("d"))
+        .select(least(col("s"), col("d")).as("src"),
+          greatest(col("s"), col("d")).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct())
+      ck.release(g)
+      maps ::= m // head = deepest level; mCut stays alive behind the projection
+      g = g2
+      val prev = gEdges
+      gEdges = g.count()
+      if (verbose) System.err.println(
+        f"[graft.cc] contract level $level%2d edges $prev%9d -> $gEdges%9d " +
+        f"(jump passes $jumps) ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    }
+    // finish: union-find in one task under the threshold; if contraction
+    // ever stalls against MaxContractionLevels the graph is still far
+    // smaller than the input — hand it to the propagation path
+    var comp =
+      if (gEdges == 0) Seq.empty[(Long, Long)].toDF("node", "component")
+      else if (gEdges > floor) dfComponents(spark, g)
+      else localComponents(spark, g)
+    // compose labels back down: deepest level first, so every parent is
+    // either already labeled or the (fully contracted away) root itself
+    maps.foreach { m =>
+      val byParent = comp.select(col("node").as("__cn"), col("component").as("__cc"))
+      val resolved = m.join(byParent, col("parent") === col("__cn"), "left")
+        .select(col("node"),
+          coalesce(col("__cc"), col("parent")).as("component"))
+      val roots = m.select(col("parent").as("node")).distinct()
+        .join(comp, Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("component"))
+      val prev = comp
+      comp = ck.cut(comp.unionByName(resolved).unionByName(roots))
+      ck.release(prev)
+    }
+    // nodes whose only edges were self-loops exist in the propagation and
+    // local strategies' output (labeled by themselves) — match them
+    val selfOnly = edges.filter(col("src") === col("dst"))
+      .select(col("src").as("node")).distinct()
+      .join(comp, Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("component"))
+    val out = comp.unionByName(selfOnly)
+    LastCcRounds.set((level, 0))
+    if (verbose) System.err.println(
+      f"[graft.cc] contract done: $level levels, " +
+      f"${(System.nanoTime() - t00) / 1e9}%6.2f s")
+    out
   }
 
   /** Min-label propagation CC as DataFrame joins — the same algorithm
@@ -178,14 +367,22 @@ object GraphAnalytics {
     // diameter); past `escalateAfter` rounds the structure is provably
     // deep and the loop hands its labels to [[jumpComponents]], which
     // finishes in O(log n) rounds on any diameter.
+    var prevCut = labels
     var active = labels
     var rounds = 0
-    while (!active.isEmpty) {
+    val verbose = iterVerbose(spark)
+    while ({ val t0 = System.nanoTime()
+             val empty = active.isEmpty
+             if (verbose) System.err.println(
+               f"[graft.cc] delta round $rounds%3d emptiness probe " +
+               f"${(System.nanoTime() - t0) / 1e9}%7.2f s (empty=$empty)")
+             !empty }) {
       if (rounds >= escalateAfter) {
         LastCcRounds.set((rounds, 0))
-        return jumpComponents(adj, labels, ck)
+        return jumpComponents(adj, labels, ck, verbose)
       }
       rounds += 1
+      val t0 = System.nanoTime()
       val cand = adj.join(active, col("src") === col("node"))
         .groupBy(col("dst").as("__n")).agg(min(col("component")).as("__cand"))
       val next = ck.cut(labels.join(cand, col("node") === col("__n"), "left")
@@ -194,6 +391,12 @@ object GraphAnalytics {
             .as("component")))
       active = next.filter(col("component") < col("__old")).drop("__old")
       labels = next.drop("__old")
+      // `next` is materialized; nothing references the previous round's
+      // cut any more — drop its blocks so round cost stays flat
+      ck.release(prevCut); prevCut = next
+      if (verbose) System.err.println(
+        f"[graft.cc] delta round $rounds%3d propagate+cut   " +
+        f"${(System.nanoTime() - t0) / 1e9}%7.2f s")
     }
     LastCcRounds.set((rounds, 0))
     labels
@@ -215,25 +418,36 @@ object GraphAnalytics {
     * GraphX.
     */
   private[graph] def jumpComponents(adj: DataFrame, labels0: DataFrame,
-      ck: IterCheckpointer): DataFrame = {
+      ck: IterCheckpointer, verbose: Boolean = false): DataFrame = {
     var labels = labels0
+    var prevCut = labels0
     var rounds = 0
     var changed = 1L
     while (changed > 0) {
       rounds += 1
+      val t0 = System.nanoTime()
       val nbr = adj.join(labels, col("src") === col("node"))
         .groupBy(col("dst").as("__n")).agg(min(col("component")).as("__c"))
       val l1 = ck.cut(labels.join(nbr, col("node") === col("__n"), "left")
         .select(col("node"), col("component").as("__old"),
           least(col("component"), coalesce(col("__c"), col("component")))
             .as("component")))
+      ck.release(prevCut) // l1 is materialized; the previous labels are dead
+      val t1 = System.nanoTime()
       val jump = l1.select(col("node").as("__jn"), col("component").as("__jc"))
       val l2 = ck.cut(l1.join(jump, col("component") === col("__jn"), "left")
         .select(col("node"), col("__old"),
           least(col("component"), coalesce(col("__jc"), col("component")))
             .as("component")))
+      ck.release(l1) // l2 is materialized; the half-round frame is dead
+      prevCut = l2
+      val t2 = System.nanoTime()
       changed = l2.filter(col("component") < col("__old")).count()
       labels = l2.drop("__old")
+      if (verbose) System.err.println(
+        f"[graft.cc] jump round $rounds%3d changed=$changed%9d  " +
+        f"prop ${(t1 - t0) / 1e9}%6.2f s  jump ${(t2 - t1) / 1e9}%6.2f s  " +
+        f"count ${(System.nanoTime() - t2) / 1e9}%6.2f s")
     }
     LastCcRounds.set((LastCcRounds.get()._1, rounds))
     labels
@@ -341,7 +555,11 @@ object GraphAnalytics {
         .join(reached, Seq("node"), "left_anti"))
       if (!frontier.isEmpty) {
         levels += frontier.withColumn("dist", lit(depth))
+        val prev = reached
         reached = ck.cut(reached.unionByName(frontier))
+        // frontier cuts stay alive (every level frame is unioned into the
+        // result); only the superseded reached-set accumulator is dead
+        ck.release(prev)
       }
     }
     levels.reduce(_.unionByName(_))
@@ -462,9 +680,11 @@ object GraphAnalytics {
       val msgs = contribEdges.join(ranks, col("src") === col("node"))
         .groupBy(col("dst").as("__n"))
         .agg(sum(col("rank") / col("__deg")).as("__m"))
+      val prev = ranks
       ranks = ck.cut(ranks.join(msgs, col("node") === col("__n"), "left")
         .select(col("node"),
           (lit(0.15) + lit(0.85) * coalesce(col("__m"), lit(0.0))).as("rank")))
+      ck.release(prev) // new ranks materialized; last round's frame is dead
     }
     contribEdges.unpersist(false)
     // normalize final mass to the vertex count (GraphX SPARK-18847);

@@ -156,6 +156,86 @@ class GraphAnalyticsSpec extends SparkSpec {
     assert(jump > 0 && jump <= 12, s"jump=$jump")
   }
 
+  test("contraction CC matches union-find on adversarial shapes") {
+    // each shape targets a contraction failure mode: a path (hook chains
+    // the whole component through same-level parents — the in-level
+    // pointer jump must root them), a star whose CENTER is the max id
+    // (the center hooks to the min leaf, stranding the other leaves for
+    // one extra level), a bipartite fan (the q33 shape: every dst
+    // absorbs level 1), an imploding clique (the root loses all edges
+    // and must be re-emitted by the compose step), and self-loops (kept
+    // in the output, labeled by themselves)
+    val shapes = Seq(
+      "path" -> (1L to 50L).sliding(2).map(p => (p(0), p(1))).toSeq,
+      "max-center star" -> (1L to 9L).map(i => (100L, i)),
+      "bipartite fan" -> (1L to 6L).flatMap(c => Seq((c, 1000L + c), (c, 1000L + c + 1))),
+      "imploding clique" -> (for { a <- 1L to 5L; b <- (a + 1) to 5L } yield (a, b)),
+      "self-loops" -> Seq((7L, 7L), (1L, 2L), (3L, 3L), (2L, 3L)))
+    shapes.foreach { case (name, es) =>
+      val df = es.toDF("src", "dst")
+      val local = GraphAnalytics.connectedComponents(spark, df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val contract = GraphAnalytics.contractComponents(spark, df, localThreshold = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(contract == local, s"shape '$name': $contract vs $local")
+    }
+  }
+
+  test("CC strategy conf key routes between contract and delta") {
+    val df = Seq((1L, 2L), (2L, 3L), (9L, 8L)).toDF("src", "dst")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 8L -> 8L, 9L -> 8L)
+    try {
+      spark.conf.set(GraphAnalytics.CcStrategyKey, "delta")
+      val delta = GraphAnalytics.connectedComponents(spark, df, localThreshold = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.conf.set(GraphAnalytics.CcStrategyKey, "contract")
+      val contract = GraphAnalytics.connectedComponents(spark, df, localThreshold = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(delta == expected && contract == expected)
+    } finally spark.conf.unset(GraphAnalytics.CcStrategyKey)
+  }
+
+  test("contraction CC on random graphs, including released-block reuse") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val n = 60
+      val es = Seq.fill(n)((rnd.nextInt(2 * n).toLong, rnd.nextInt(2 * n).toLong))
+      val df = es.toDF("src", "dst")
+      val local = GraphAnalytics.connectedComponents(spark, df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val contract = GraphAnalytics.contractComponents(spark, df, localThreshold = 0)
+      // the result frame must stay readable TWICE (released frames are
+      // only ever the superseded intermediates, never the output)
+      assert(contract.count() == local.size)
+      val m = contract.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(m == local)
+    }
+  }
+
+  test("checkpoint stats firewall keeps loop estimates O(1) digits") {
+    // checkpoints preserve origin-plan statistics; inside a loop the
+    // join estimates MULTIPLY the previous round's BigInt, so after k
+    // rounds the size estimate has O(k) (propagation) or O(3^k)
+    // (contraction) digits and the optimizer drowns in BigInteger
+    // arithmetic — the sf100 q33 stall. The firewall rebinds every cut
+    // to a bounded estimate; 25 self-join rounds must stay at a sane
+    // digit count AND stay correct.
+    import org.apache.spark.sql.functions.col
+    val ck = new GraphAnalytics.IterCheckpointer(spark)
+    var df = ck.cut(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"))
+    (1 to 25).foreach { _ =>
+      val r = df.select(col("src").as("s2"), col("dst").as("d2"))
+      df = ck.cut(df.join(r, col("dst") === col("s2"))
+        .select(col("src"), col("d2").as("dst")))
+    }
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(bytes < BigInt(10).pow(25), s"stats compounded: ${bytes.toString.length} digits")
+    // rows known → accurate rebound stats, visible to the planner
+    val sized = ck.cut(Seq((9L, 9L)).toDF("src", "dst"), rows = 1L)
+    val st = sized.queryExecution.optimizedPlan.stats
+    assert(st.rowCount.contains(BigInt(1)) && st.sizeInBytes == BigInt(64))
+  }
+
   test("the three PageRank strategies agree on random graphs (float tolerance)") {
     val rnd = new scala.util.Random(13)
     val n = 25
