@@ -44,11 +44,21 @@ object GraftExtensions {
         make(args(0), args(1))
       })
 
+  private def unary(name: String, make: Expression => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      info(name, s"$name(array) - native codegen'd kernel."),
+      { args: Seq[Expression] =>
+        require(args.length == 1, s"$name expects exactly 1 argument, got ${args.length}")
+        make(args(0))
+      })
+
   /** (identifier, info, builder) rows shared by both registration paths. */
   val descriptions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
     Seq(
       binary("graft_dot", DotProduct(_, _)),
-      binary("graft_cosine", CosineSimilarity(_, _)))
+      binary("graft_cosine", CosineSimilarity(_, _)),
+      unary("graft_shingle3", ShingleHashes3(_)))
 
   /** Idempotent registration on a live session (covers sessions built
     * without the `spark.sql.extensions` config).

@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 
 /** Near-duplicate detection for training-data pipelines (BASELINE.json
@@ -63,17 +64,22 @@ object Dedup {
     */
   def shingleHashes(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
     require(n == 3, s"shingleHashes is specialized to n=3 (got $n)")
-    val w = Window.partitionBy("id").orderBy("pos")
-    tokenRows(df, idCol, textCol)
-      .select(col("id"), col("pos"), xxhash64(col("t")).as("h0"))
-      .select(col("id"),
-        lead(col("h0"), 1).over(w).as("h1"),
-        lead(col("h0"), 2).over(w).as("h2"),
-        row_number().over(w).as("rn"),
-        col("h0"))
-      .filter(col("h2").isNotNull || col("rn") === 1)
-      .select(col("id"),
-        xxhash64(col("h0"), coalesce(col("h1"), lit(0L)), coalesce(col("h2"), lit(0L))).as("h"))
+    // Array-side shingling (r16): the r15 shape exploded tokens to rows
+    // and accessed the next two via a window `lead`, which forced a full
+    // sort-shuffle of the TOKEN stream (id-partitioned, pos-ordered) just
+    // to see consecutive tokens — at sf100 that is a 250M-row exchange
+    // before a single shingle exists. Tokens of one doc are already
+    // adjacent in the split() array, so the whole triple-hash runs as the
+    // native [[graft.functions.ShingleHashes3]] kernel (a transform()
+    // reshape was tried first and measured 2× SLOWER than the window —
+    // higher-order lambdas are CodegenFallback) and only the final
+    // shingle HASHES explode: zero exchanges until the signature
+    // aggregation, which stays map-side combinable. Hash bytes are
+    // IDENTICAL to the window shape, pinned by DedupSpec.
+    val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    val shingles = Bridge.column(
+      graft.functions.ShingleHashes3(Bridge.expression(toks)))
+    df.select(col(idCol).as("id"), explode(shingles).as("h"))
   }
 
   /** MinHash signatures as a DataFrame `[id, sig: array<bigint>]`: each

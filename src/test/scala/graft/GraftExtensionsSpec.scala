@@ -45,6 +45,6 @@ class GraftExtensionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw
     assert(GraftExtensions.descriptions.map(_._1.funcName).sorted ==
-      Seq("graft_cosine", "graft_dot"))
+      Seq("graft_cosine", "graft_dot", "graft_shingle3"))
   }
 }

@@ -16,6 +16,30 @@ class DedupSpec extends SparkSpec {
     (5L, "another unrelated document mentioning parquet columnar storage formats only")
   ).toDF("doc_id", "text")
 
+  test("array-side shingle hashes are bit-identical to the window-lead shape") {
+    // the r16 rewrite removed the token-stream sort-shuffle; the hash
+    // BYTES must not move (signatures, buckets, and the recall instrument
+    // all derive from them). Reference: the r15 window shape, inlined.
+    import org.apache.spark.sql.expressions.Window
+    val mixed = Seq((1L, "a b c d e"), (2L, "x"), (3L, "p q"), (4L, ""),
+      (5L, "  spaced   out  tokens  "), (6L, "a b c")).toDF("doc_id", "text")
+    val w = Window.partitionBy("id").orderBy("pos")
+    val reference = Dedup.tokenRows(mixed, "doc_id", "text")
+      .select(col("id"), col("pos"), xxhash64(col("t")).as("h0"))
+      .select(col("id"),
+        lead(col("h0"), 1).over(w).as("h1"),
+        lead(col("h0"), 2).over(w).as("h2"),
+        row_number().over(w).as("rn"), col("h0"))
+      .filter(col("h2").isNotNull || col("rn") === 1)
+      .select(col("id"),
+        xxhash64(col("h0"), coalesce(col("h1"), lit(0L)),
+          coalesce(col("h2"), lit(0L))).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val arrayside = Dedup.shingleHashes(mixed, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(arrayside == reference)
+  }
+
   test("minhash LSH finds exact and near duplicates, not unrelated pairs") {
     val cands = Dedup.minhashCandidates(docs, "doc_id", "text", k = 64, bands = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
