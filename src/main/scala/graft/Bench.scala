@@ -218,14 +218,20 @@ object Bench {
     // execution can't inflate it (ADVICE r15).
     val loadAfter = loadavg()
     // Operator-vs-instrument phase split for the tolerance-oracle family
-    // (r15 verdict directive #3): timed AFTER the headline loop, recorded
-    // under "phases" — never folded into the headline total or the
-    // contention median (those compare against records of the combined
-    // queries). Full-suite runs only: subset iteration shouldn't pay it.
+    // (r15 verdict directive #3) plus q34's ingest-vs-BFS split (r17,
+    // verdict #5): timed AFTER the headline loop, recorded under
+    // "phases" — never folded into the headline total or the contention
+    // median (those compare against records of the combined queries).
+    // Since r17 a SUBSET run probes the queries it actually ran (the
+    // sf100 scale subsets are where q34's split matters most); headline
+    // numbers stay untouched, so subset artifacts remain comparable.
     // A probe that throws records null, not its (misleadingly short)
     // wall time (ADVICE r15).
-    val phasesJson = if (args.nonEmpty) "" else {
-      val ps = operators.PipelineQueries.phaseProbes.toSeq.sortBy(_._1)
+    val phasesJson = {
+      val ps = (operators.PipelineQueries.phaseProbes ++
+          operators.GraphQueries.phaseProbes).toSeq
+        .filter { case (q, _) => args.isEmpty || args.contains(q) }
+        .sortBy(_._1)
         .map { case (q, probes) =>
           val inner = probes.map { case (nm, fn) =>
             val (sec, err) = time1(fn)

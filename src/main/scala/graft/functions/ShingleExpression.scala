@@ -29,6 +29,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class ShingleHashes3(child: Expression) extends UnaryExpression {
 
+  import ShingleHashes3.EmptyTokenHash
+
   override def prettyName: String = "graft_shingle3"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -44,8 +46,13 @@ case class ShingleHashes3(child: Expression) extends UnaryExpression {
     val th = new Array[Long](m)
     var i = 0
     while (i < m) {
-      val t = arr.getUTF8String(i)
-      th(i) = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+      // Null elements hash as the empty string — the same value an
+      // UnsafeArrayData null slot yields (zero offsetAndSize word), so
+      // interpreted and codegen agree on array<string> with nulls.
+      val t = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      th(i) =
+        if (t == null) EmptyTokenHash
+        else XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
       i += 1
     }
     val out =
@@ -85,8 +92,12 @@ case class ShingleHashes3(child: Expression) extends UnaryExpression {
         final int $m = $arr.numElements();
         final long[] $th = new long[$m];
         for (int $i = 0; $i < $m; $i++) {
-          final $utf8 $t = $arr.getUTF8String($i);
-          $th[$i] = $xxh.hashUnsafeBytes($t.getBaseObject(), $t.getBaseOffset(), $t.numBytes(), 42L);
+          if ($arr.isNullAt($i)) {
+            $th[$i] = ${EmptyTokenHash}L;
+          } else {
+            final $utf8 $t = $arr.getUTF8String($i);
+            $th[$i] = $xxh.hashUnsafeBytes($t.getBaseObject(), $t.getBaseOffset(), $t.numBytes(), 42L);
+          }
         }
         final long[] $out = new long[$m >= 3 ? $m - 2 : ($m >= 1 ? 1 : 0)];
         if ($m >= 3) {
@@ -109,4 +120,15 @@ case class ShingleHashes3(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes3 =
     copy(child = newChild)
+}
+
+object ShingleHashes3 {
+  /** XXH64 of zero bytes at seed 42 — what a null token hashes to (the
+    * empty string), keeping interpreted eval identical to codegen over
+    * UnsafeArrayData where a null slot reads as an empty UTF8String.
+    */
+  val EmptyTokenHash: Long = {
+    val e = UTF8String.EMPTY_UTF8
+    XXH64.hashUnsafeBytes(e.getBaseObject, e.getBaseOffset, e.numBytes, 42L)
+  }
 }

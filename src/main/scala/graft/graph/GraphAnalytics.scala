@@ -98,8 +98,11 @@ object GraphAnalytics {
       * drifts upward with block-manager pressure — measured on the sf100
       * q33 profile: prop 2 s → 19 s and jump 0.8 s → 18.7 s by round 18.
       * No-op on frames that are not a direct cut output (projections over
-      * a cut, reliable checkpoints, arbitrary plans) — the matcher keeps
-      * the call safe rather than clever.
+      * a cut, arbitrary plans) — the matcher keeps the call safe rather
+      * than clever. A reliable (dir-mode) checkpoint IS matched — its
+      * LogicalRDD also caches blocks — but releasing it only drops the
+      * cached copy: the frame stays readable, recomputing from the
+      * checkpoint files.
       */
     def release(df: DataFrame): Unit = df.queryExecution.logical match {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
@@ -309,6 +312,11 @@ object GraphAnalytics {
       if (gEdges == 0) Seq.empty[(Long, Long)].toDF("node", "component")
       else if (gEdges > floor) dfComponents(spark, g)
       else localComponents(spark, g)
+    // an escalated finish ran dfComponents, whose (delta, jump) counts
+    // just landed in LastCcRounds — fold them into this run's report
+    // instead of clobbering them with zeros
+    val (finishDelta, finishJump) =
+      if (gEdges > floor) LastCcRounds.get() else (0, 0)
     // compose labels back down: deepest level first, so every parent is
     // either already labeled or the (fully contracted away) root itself
     maps.foreach { m =>
@@ -330,7 +338,7 @@ object GraphAnalytics {
       .join(comp, Seq("node"), "left_anti")
       .select(col("node"), col("node").as("component"))
     val out = comp.unionByName(selfOnly)
-    LastCcRounds.set((level, 0))
+    LastCcRounds.set((level + finishDelta, finishJump))
     if (verbose) System.err.println(
       f"[graft.cc] contract done: $level levels, " +
       f"${(System.nanoTime() - t00) / 1e9}%6.2f s")

@@ -58,8 +58,13 @@ object PipelineQueries {
     * `no_oracle` to a tolerance oracle): the DuckDB oracle recomputes
     * `truth_pairs_*` exactly from the raw text, and the recall booleans
     * assert the banded blocking surfaced at least the declared floor of
-    * them (0.6 at j≥0.5 — the 16×4-band detection probability at the
-    * threshold itself is 0.64; 0.9 at j≥0.8, detection ≈ 0.9998).
+    * them (0.6 at j≥0.5; 0.9 at j≥0.8). The band plan is the
+    * scale-derived [[Dedup.bandPlan]] (r17): r=4/b=16 through sf100
+    * (byte-identical to the r14-era plan at every measured SF — the
+    * sf100 A/B measured a wider plan strictly worse there), one
+    * rows-per-band step per 8× corpus past 16.8M docs, with bands
+    * doubling so detection at j=0.5 stays ≥ 1−1/e ≈ 0.632 at EVERY
+    * scale — the floors hold by construction, not per-SF tuning.
     */
   private def q47(s: SparkSession, dir: String): DataFrame = {
     val docs = T(s, dir, "documents")
@@ -67,7 +72,7 @@ object PipelineQueries {
     // sample² pairs) — both stats() consumers read the checkpoint blocks;
     // without it the full signature/banding/pair pipeline ran twice in a
     // benchmarked query (r14 ADVICE)
-    val cands = Dedup.minhashCandidates(docs, "doc_id", "text", k = 64, bands = 16)
+    val cands = Dedup.minhashCandidates(docs, "doc_id", "text")
       .filter(col("id_a") < SampleDocs && col("id_b") < SampleDocs)
       .withColumn("__c", lit(1))
       .localCheckpoint(true)
@@ -291,8 +296,7 @@ object PipelineQueries {
   val phaseProbes: Map[String, Seq[(String, Q)]] = Map(
     "q47_minhash_neardup" -> Seq(
       "operator" -> ((s, dir) =>
-        Dedup.minhashCandidates(T(s, dir, "documents"), "doc_id", "text",
-            k = 64, bands = 16)
+        Dedup.minhashCandidates(T(s, dir, "documents"), "doc_id", "text")
           .filter(col("id_a") < SampleDocs && col("id_b") < SampleDocs)),
       "instrument" -> ((s, dir) => {
         val docs = T(s, dir, "documents")

@@ -86,26 +86,27 @@ object Dedup {
     * shingle is hashed ONCE to a long, then seed i's hash is the cheap
     * long-remix `xxhash64(i, h)`; sig_i = MIN over shingles.
     *
-    * Shape matters at scale: explode + k `min` aggregates is map-side
-    * combinable (partial mins per partition), so the shuffle carries k longs
-    * per document — vs a per-row expression tree that re-evaluates the
-    * shingle array per seed (higher-order-function lambdas defeat
-    * subexpression elimination, making that k× redundant work).
+    * Shape (r17): ZERO shuffles — a document's shingle hashes are already
+    * adjacent inside the [[graft.functions.ShingleHashes3]] array, so the
+    * k mins are computed per ROW by the codegen'd
+    * [[graft.functions.MinHashSignature]] kernel. The r14-r16 shape
+    * exploded shingles to rows and re-grouped them with k min-aggregate
+    * columns — a full exchange of the shingle stream (250M rows at
+    * sf100), and past k≈100 columns the aggregate fell out of
+    * whole-stage codegen (`spark.sql.codegen.maxFields`) onto the
+    * interpreted path, which is what made the scale-derived [[bandPlan]]
+    * k=160 unusable. Signature BYTES are identical to the aggregate
+    * shape (DedupSpec pins the A/B); shingle-less docs (empty sig array)
+    * are filtered like the explode shape dropped them.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
       k: Int, n: Int = 3): DataFrame = {
-    val hashed = shingleHashes(df, idCol, textCol, n)
-    // k separate min-agg columns over ONE groupBy(id): each shingle row
-    // updates k aggregate buffers in a single hash-table probe, and the
-    // shuffle carries one k-long row per doc. The previous shape exploded
-    // the seed dimension (k× the rows through the aggregate, a probe per
-    // row) and needed a SECOND shuffle to reassemble the signature array
-    // from (id, seed) rows. Bit-identical output: lit(i) keeps the int
-    // seed type the exploded sequence() produced, so xxhash64(seed, h)
-    // hashes the same bytes.
-    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"_m$i"))
-    hashed.groupBy("id").agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
+    require(n == 3, s"minhashSignatures is specialized to n=3 (got $n)")
+    val toks = filter(split(lower(col(textCol)), " "), t => t =!= "")
+    val sig = Bridge.column(graft.functions.MinHashSignature(
+      graft.functions.ShingleHashes3(Bridge.expression(toks)), k))
+    df.select(col(idCol).as("id"), sig.as("sig"))
+      .filter(size(col("sig")) > 0)
   }
 
   /** LSH banding: docs → (band, bucketHash) rows; docs sharing a bucket in
@@ -127,6 +128,66 @@ object Dedup {
     * star pairs instead of all pairs (see [[bucketPairs]]).
     */
   val DefaultBucketCap = 256
+
+  /** Corpus size past which the band plan takes its first step. Placed by
+    * MEASUREMENT, not the r16 densification guess: the r17 sf100 profile
+    * showed the bucket BULK never densifies (80M band rows → 77.6M
+    * distinct buckets, 97% singletons at 5M docs) — what grows is the hot
+    * TAIL of identical/near-identical content clusters, max bucket size
+    * 4 → 25 → 301 across sf1/sf10/sf100 (≈ linear in n). The star-pair
+    * cap already bounds those (2 capped buckets at sf100, drop metrics
+    * published); widening the plan earlier was measured STRICTLY WORSE
+    * (sf100 at r=5/b=32: every linear stage ≈2× — signatures 25→43 s,
+    * banding 23→43 s — for a tail the cap handles anyway, and identical
+    * docs share a signature at ANY r, so their buckets never split).
+    * What r-growth buys is splitting the NON-identical near-dup tail
+    * before it saturates the cap: projected max bucket ≈ 301·(n/5M)
+    * crosses ~4× the 256 cap near n ≈ 2^24 ≈ 16.8M docs — the first
+    * step lands there.
+    */
+  val PlanBaseDocs: Long = 1L << 24
+
+  /** Ceiling for rows-per-band: r=7 (b=128, k=896) covers ~17B docs at
+    * the 8×-per-step schedule; past that the j≥0.5 recall floor itself
+    * costs k ≈ 2^r minhashes per doc and should be renegotiated (drop the
+    * floor to j≥0.6+, where r can grow much more cheaply) rather than
+    * silently paying a 2000-wide signature.
+    */
+  val MaxBandRows = 7
+
+  /** LSH band plan derived from corpus size — (k total minhashes, bands).
+    *
+    * What r-growth is FOR (r17, measured — see [[PlanBaseDocs]] for the
+    * profile): not the bucket bulk (97% singletons at sf100; the r16
+    * "densification" theory did not survive measurement) but the hot
+    * near-duplicate tail, whose largest bucket grows ≈ linearly with the
+    * corpus (4 → 25 → 301 across three decades). Identical docs share a
+    * signature at any r and stay the star-cap's job; NON-identical
+    * near-dup clusters split with each +1 of r (a band signature is r
+    * minhashes — one more row multiplies their distinct-signature
+    * space), so stepping r one per 8× corpus growth past
+    * [[PlanBaseDocs]] keeps that tail from saturating the cap.
+    *
+    * Why bands double per step: the q47 recall gate needs detection
+    * ≥ 0.6 at Jaccard 0.5 and ≥ 0.9 at 0.8. Detection is 1-(1-j^r)^b;
+    * at j = 0.5 with b = 2^r it is 1-(1-2⁻ʳ)^(2ʳ) → 1-1/e ≈ 0.632,
+    * monotonically ≥ 0.632 for every step (r=4: 0.644, r=5: 0.638,
+    * r=6: 0.635) — the floor holds at EVERY scale by construction, not
+    * by tuning. At j = 0.8 detection only improves with the doubling
+    * (r=4: 0.99998 → r=7: ≈1-e⁻³⁰). The price is k = r·2^r signature
+    * minhashes (64 → 160 → 384 → 896) and 2^(r-4)× band rows — LINEAR,
+    * shuffle-free ([[graft.functions.MinHashSignature]]) costs, paid
+    * only where the measured tail growth says they buy something.
+    */
+  def bandPlan(nDocs: Long): (Int, Int) = {
+    val extra =
+      if (nDocs <= PlanBaseDocs) 0
+      else math.ceil(
+        math.log(nDocs.toDouble / PlanBaseDocs) / math.log(2.0) / 3.0).toInt
+    val r = math.min(4 + extra, MaxBandRows)
+    val b = 16 << (r - 4) // = 2^r
+    (r * b, b)
+  }
 
   /** Unordered candidate pairs within each group: groupBy(keys) → sorted
     * collect_set → expansion. One shuffle, and the grouped values are
@@ -152,7 +213,27 @@ object Dedup {
   private[graft] def bucketPairs(df: DataFrame, keys: Seq[String], payload: Column,
       cap: Int, obs: Option[org.apache.spark.sql.Observation]): DataFrame = {
     require(cap >= 2, s"bucket cap must be >= 2 (got $cap)")
-    val grouped0 = df.groupBy(keys.map(col): _*).agg(array_sort(collect_set(payload)).as("xs"))
+    // Singleton prefilter (r17): on honest corpora almost every bucket is
+    // a singleton — the sf100 profile measured 77.6M buckets over 80M
+    // band rows, 97% of them size 1 — and `collect_set` is a
+    // TypedImperativeAggregate whose per-partition hash map falls back to
+    // SORT-BASED aggregation past 128 groups, so the singletons paid a
+    // full object-agg sort-spill-merge for rows the `size > 1` filter
+    // then discarded (132 s of q47's sf100 wall for 486k surviving
+    // pairs). A window COUNT over the same partitioning keys drops them
+    // first: ONE exchange+sort of the big frame (Tungsten sort, no
+    // object agg), the filter runs streaming over sorted groups, and the
+    // collect_set below sees only the ~3% multi-bucket rows — same
+    // partitioning, so Catalyst inserts no second exchange. Observed
+    // metrics shift benignly: `max_bucket_size` now reads the max over
+    // MULTI buckets (an all-singleton corpus reports 0 where it said 1).
+    val w = Window.partitionBy(keys.map(col): _*)
+    val multi = df
+      .withColumn("__bn", count(lit(1)).over(w))
+      .filter(col("__bn") > 1)
+      .drop("__bn")
+    val grouped0 = multi.groupBy(keys.map(col): _*)
+      .agg(array_sort(collect_set(payload)).as("xs"))
       .filter(size(col("xs")) > 1)
     val capped = sum(when(size(col("xs")) > cap, 1L).otherwise(0L)).as("capped_buckets")
     val maxSize = coalesce(max(size(col("xs"))), lit(0)).as("max_bucket_size")
@@ -176,11 +257,20 @@ object Dedup {
     * (id_a < id_b, deduplicated across bands). `cap` bounds per-bucket
     * expansion (see [[bucketPairs]]); pass `obs` to read the
     * `capped_buckets` / `max_bucket_size` metrics after the action.
+    *
+    * With the default `k = bands = 0` the band plan is derived from the
+    * corpus size via [[bandPlan]] (one `count()` — metadata-cheap on a
+    * parquet scan; callers holding a derived frame who already know n
+    * can pass an explicit plan to skip it). Explicit k/bands are honored
+    * verbatim (the testing / A-B seam).
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 64, bands: Int = 16, cap: Int = DefaultBucketCap,
+      k: Int = 0, bands: Int = 0, cap: Int = DefaultBucketCap,
       obs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
-    val b = lshBuckets(df, idCol, textCol, k, bands)
+    require((k > 0) == (bands > 0),
+      s"pass both k and bands, or neither for the scale-derived plan (got k=$k bands=$bands)")
+    val (kk, bb) = if (k > 0) (k, bands) else bandPlan(df.count())
+    val b = lshBuckets(df, idCol, textCol, kk, bb)
     bucketPairs(b, Seq("band", "bucket"), col("id"), cap, obs)
       .select(col("a").as("id_a"), col("b").as("id_b"))
       .distinct()
@@ -208,7 +298,7 @@ object Dedup {
     * keep the minimum id per group. Returns the deduplicated corpus.
     */
   def dedupByMinhash(df: DataFrame, idCol: String, textCol: String,
-      jaccardThreshold: Double = 0.8, k: Int = 64, bands: Int = 16): DataFrame = {
+      jaccardThreshold: Double = 0.8, k: Int = 0, bands: Int = 0): DataFrame = {
     // transitive grouping runs through the Long-vertex graph layer, and
     // "keep the minimum id" needs an ordered id — require an integral id
     // up front rather than silently null-casting strings later

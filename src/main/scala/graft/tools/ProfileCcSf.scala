@@ -27,8 +27,10 @@ object ProfileCcSf {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set(GraphAnalytics.IterVerboseKey, "true")
-    args.drop(1).headOption.foreach(r =>
-      spark.conf.set(GraphAnalytics.CcEscalateRoundsKey, r))
+    // only a numeric second arg is an escalateRounds override — `verify`
+    // (or any other flag) must not poison the conf with a non-int
+    args.drop(1).headOption.filter(r => scala.util.Try(r.toInt).isSuccess)
+      .foreach(r => spark.conf.set(GraphAnalytics.CcEscalateRoundsKey, r))
 
     def t[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f

@@ -36,6 +36,31 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(math.abs(top.getDouble(1) - 1.0) < 1e-6)
   }
 
+  test("graft_shingle3 hashes null elements as the empty string, both eval paths") {
+    GraftExtensions.register(spark)
+    // a direct SQL call may legally carry array<string> with nulls —
+    // codegen must hash the null slot exactly like '' (the empty string)
+    val viaSql = spark.sql(
+      "SELECT graft_shingle3(array('a', CAST(NULL AS STRING), 'c')) AS h")
+      .head().getSeq[Long](0)
+    val asEmpty = spark.sql(
+      "SELECT graft_shingle3(array('a', '', 'c')) AS h")
+      .head().getSeq[Long](0)
+    assert(viaSql == asEmpty)
+    // interpreted eval over a GenericArrayData null slot (the path that
+    // used to NPE): must agree with codegen byte-for-byte
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    val expr = graft.functions.ShingleHashes3(Literal(
+      new GenericArrayData(Array[Any](
+        UTF8String.fromString("a"), null, UTF8String.fromString("c"))),
+      ArrayType(StringType, containsNull = true)))
+    val interp = expr.eval(null).asInstanceOf[ArrayData].toLongArray().toSeq
+    assert(interp == asEmpty)
+  }
+
   test("the SparkSessionExtensions hook accepts the injection") {
     // A real `spark.sql.extensions` session can't be built here (the
     // JVM-wide test SparkContext already exists and getOrCreate ignores

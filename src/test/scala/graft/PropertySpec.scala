@@ -21,6 +21,13 @@ class PropertySpec extends SparkSpec {
   private def sample[A](g: Gen[A], seed: Long): A =
     g.pureApply(Gen.Parameters.default, Seed(seed))
 
+  /** Seeds per fuzz test: 3 in CI (fast), raised for campaign runs via
+    * `GRAFT_FUZZ_SEEDS` (r17 verdict #6: documented ≥50-seed campaigns
+    * over the write/provenance surface).
+    */
+  private val fuzzSeeds: Int =
+    sys.env.get("GRAFT_FUZZ_SEEDS").map(_.toInt).getOrElse(3)
+
   private val rowGen: Gen[List[(Long, Long, String)]] =
     Gen.listOfN(60, for {
       k <- Gen.choose(0L, 9L) // few keys → many duplicates
@@ -223,13 +230,16 @@ class PropertySpec extends SparkSpec {
       case AddLabel(t) => s"MATCH (n:WN) WHERE n.wv < $t SET n:WX"
       case RemoveLabel(k) => s"MATCH (n:WN {wk: $k}) REMOVE n:WX"
     }
-    (1 to 3).foreach { seed =>
+    (1 to fuzzSeeds).foreach { seed =>
       val ops = sample(Gen.listOfN(12, opGen), seed + 900)
-      // model interpreter. Label membership (WX) is key-linked rows in
-      // WX's store: a node DELETE does NOT prune them (the engine's WX
-      // rows are independent), so a recreated key is a member again —
-      // the model keeps mx across deletes and intersects with live keys
-      // at read time.
+      // model interpreter. Label membership (WX) is provenance rows keyed
+      // by WN keys: DETACH DELETE of a WN node PRUNES its provenance rows
+      // with it (GraphWriter.deleteNodes — provenance sourced from a label
+      // that lost nodes vanishes), so a recreated key is NOT a member
+      // until SET again. (r17: the model previously kept mx across deletes
+      // and only read-time intersection hid the divergence — the 3 CI
+      // seeds never recreated a deleted member; the 50-seed campaign
+      // protocol exists to surface exactly this class.)
       val mn = scala.collection.mutable.Map.empty[Long, Long]
       val me = scala.collection.mutable.Set.empty[(Long, Long)]
       val mx = scala.collection.mutable.Set.empty[Long]
@@ -239,7 +249,7 @@ class PropertySpec extends SparkSpec {
         case BulkSet(t, d) =>
           mn.mapValuesInPlace((_, v) => if (v < t) v + d else v)
         case DeleteNode(k) =>
-          mn -= k; me.filterInPlace(e => e._1 != k && e._2 != k)
+          mn -= k; me.filterInPlace(e => e._1 != k && e._2 != k); mx -= k
         case MergeEdge(a, b) =>
           if (mn.contains(a) && mn.contains(b)) me += ((a, b))
         case DeleteEdge(a, b) => me -= ((a, b))
@@ -307,7 +317,7 @@ class PropertySpec extends SparkSpec {
       2 -> rangeGen.map { case (lo, hi) => RemL(lo, hi) },
       2 -> Gen.choose(0L, 12L).map(NewTa(_)),
       2 -> Gen.choose(0L, 12L).map(NewTb(_)))
-    (1 to 3).foreach { seed =>
+    (1 to fuzzSeeds).foreach { seed =>
       val ops = sample(Gen.listOfN(10, opGen), seed + 7700)
       var st = GraphWriter.mergeNodes(GraphStore.empty, "Ta",
         Seq(0L, 1L, 2L, 3L, 4L, 5L).map((_, "t")).toDF("tak", "p"), Seq("tak"))
@@ -371,6 +381,186 @@ class PropertySpec extends SparkSpec {
         assert(desc.contains(("membership", "Ta<-Tb", members.size.toLong)),
           s"seed=$seed final membership count\nops=$ops")
       }
+    }
+  }
+
+  test("M48 provenance fuzz: member routing, chained labels, member deletes " +
+      "match a brute-force model") {
+    // r17 (r16 verdict #6): widen the collision fuzzer to the provenance
+    // surface — MERGE ON MATCH routing to source rows (q134), DETACH
+    // DELETE through member bindings killing the source node (q135),
+    // chained SET recording provenance under the TRUE source (q136), and
+    // REMOVE of a chained label — interleaved, against a brute-force model
+    // that also carries the §2.15 rendered-key blur (a matched key claims
+    // BOTH the native row and the same-valued member: SET/DELETE/MERGE
+    // partitions semi-join on renderings, not row identity).
+    import graft.cypher.CypherEngine
+    import graft.graph.{GraphStore, GraphWriter}
+    sealed trait Op
+    case class SetL(lo: Long, hi: Long) extends Op
+    case class RemL(lo: Long, hi: Long) extends Op
+    case class ChainSet(lo: Long, hi: Long) extends Op
+    case class ChainRem(lo: Long, hi: Long) extends Op
+    case class DelTa(lo: Long, hi: Long) extends Op
+    case class DelTb(lo: Long, hi: Long) extends Op
+    case class MergeShared(k: Long) extends Op
+    case class MergeTgtOnly(k: Long) extends Op
+    case class NewTb(k: Long) extends Op
+    val rangeGen = for {
+      lo <- Gen.choose(0L, 10L); w <- Gen.choose(0L, 5L)
+    } yield (lo, lo + w)
+    val opGen: Gen[Op] = Gen.frequency(
+      4 -> rangeGen.map { case (lo, hi) => SetL(lo, hi) },
+      2 -> rangeGen.map { case (lo, hi) => RemL(lo, hi) },
+      3 -> rangeGen.map { case (lo, hi) => ChainSet(lo, hi) },
+      1 -> rangeGen.map { case (lo, hi) => ChainRem(lo, hi) },
+      2 -> rangeGen.map { case (lo, hi) => DelTa(lo, hi) },
+      1 -> rangeGen.map { case (lo, hi) => DelTb(lo, hi) },
+      3 -> Gen.choose(0L, 12L).map(MergeShared(_)),
+      2 -> Gen.choose(0L, 12L).map(MergeTgtOnly(_)),
+      2 -> Gen.choose(0L, 12L).map(NewTb(_)))
+    (1 to fuzzSeeds).foreach { seed =>
+      val ops = sample(Gen.listOfN(12, opGen), seed + 8800)
+      // overlapping keyspaces; BOTH stores carry `p` (the routed-update
+      // column), only Ta carries `u` (the reject column)
+      var st = GraphWriter.mergeNodes(GraphStore.empty, "Ta",
+        Seq(0L, 1L, 2L, 3L, 4L, 5L).map(k => (k, s"ta$k", s"ua$k"))
+          .toDF("tak", "p", "u"), Seq("tak"))
+      st = GraphWriter.mergeNodes(st, "Tb",
+        Seq(3L, 4L, 5L, 6L, 7L, 8L).map(k => (k, s"tb$k")).toDF("tbk", "p"),
+        Seq("tbk"))
+      // model: native stores, provenance ROW sets, pair existence
+      val pTa = scala.collection.mutable.Map( // k -> (p, u)
+        (0L to 5L).map(k => k -> (Option(s"ta$k"), Option(s"ua$k"))): _*)
+      val pTb = scala.collection.mutable.Map(
+        (3L to 8L).map(k => k -> s"tb$k"): _*)
+      val mTaB = scala.collection.mutable.Set.empty[Long]
+      val mTcA = scala.collection.mutable.Set.empty[Long]
+      val mTcB = scala.collection.mutable.Set.empty[Long]
+      var pairTaB = false; var pairTcA = false; var pairTcB = false
+      var tcKnown = false
+      def liveMem = mTaB.toSet intersect pTb.keySet
+      ops.zipWithIndex.foreach { case (op, idx) =>
+        val tag = s"v${seed}_$idx"
+        op match {
+          case SetL(lo, hi) =>
+            val wr = CypherEngine(st).execute(
+              s"MATCH (b:Tb) WHERE b.tbk >= $lo AND b.tbk <= $hi SET b:Ta")
+            st = wr.store
+            mTaB ++= pTb.keys.filter(k => k >= lo && k <= hi)
+            pairTaB = true // empty matches still write the (Ta,Tb) pair
+            val expected = (liveMem intersect pTa.keySet).size.toLong
+            assert(wr.observed.getOrElse("collisions:Ta<-Tb", 0L) == expected,
+              s"seed=$seed op#$idx $op collision count\nops=$ops")
+          case RemL(lo, hi) =>
+            st = CypherEngine(st).execute(
+              s"MATCH (b:Tb) WHERE b.tbk >= $lo AND b.tbk <= $hi REMOVE b:Ta").store
+            mTaB --= pTb.keys.filter(k => k >= lo && k <= hi)
+          case ChainSet(lo, hi) =>
+            st = CypherEngine(st).execute(
+              s"MATCH (x:Ta) WHERE x.tak >= $lo AND x.tak <= $hi SET x:Tc").store
+            val natM = pTa.keySet.filter(k => k >= lo && k <= hi).toSet
+            val memM = liveMem.filter(k => k >= lo && k <= hi)
+            // the blur: partition semi-joins run on RENDERED keys, so a
+            // matched native key also claims the same-valued live member
+            // (and vice versa)
+            val rendered = natM ++ memM
+            val nat = pTa.keySet.toSet intersect rendered
+            val mem = liveMem intersect rendered
+            if (!pairTaB) { // single-partition path: pair written even when empty
+              tcKnown = true; pairTcA = true; mTcA ++= nat
+            } else {
+              if (nat.nonEmpty) { tcKnown = true; pairTcA = true; mTcA ++= nat }
+              if (mem.nonEmpty) { tcKnown = true; pairTcB = true; mTcB ++= mem }
+            }
+          case ChainRem(lo, hi) =>
+            st = CypherEngine(st).execute(
+              s"MATCH (x:Ta) WHERE x.tak >= $lo AND x.tak <= $hi REMOVE x:Tc").store
+            val rendered = (pTa.keySet.filter(k => k >= lo && k <= hi) ++
+              liveMem.filter(k => k >= lo && k <= hi)).toSet
+            if (pairTcA) mTcA --= pTa.keySet.toSet intersect rendered
+            if (pairTcB) mTcB --= liveMem intersect rendered
+          case DelTa(lo, hi) =>
+            st = CypherEngine(st).execute(
+              s"MATCH (x:Ta) WHERE x.tak >= $lo AND x.tak <= $hi DETACH DELETE x").store
+            val k = (pTa.keySet.filter(k => k >= lo && k <= hi) ++
+              liveMem.filter(k => k >= lo && k <= hi)).toSet
+            val d = liveMem intersect k // member deaths resolve to SOURCE rows
+            pTa --= k; pTb --= d
+            mTcA --= k // provenance sourced from Ta dies with its rows
+            mTaB --= d; mTcB --= d // provenance sourced from Tb likewise
+          case DelTb(lo, hi) =>
+            st = CypherEngine(st).execute(
+              s"MATCH (b:Tb) WHERE b.tbk >= $lo AND b.tbk <= $hi DETACH DELETE b").store
+            val k = pTb.keySet.filter(k => k >= lo && k <= hi).toSet
+            pTb --= k; mTaB --= k; mTcB --= k
+          case MergeShared(k) =>
+            st = CypherEngine(st).execute(
+              s"MERGE (x:Ta {tak: $k}) ON MATCH SET x.p = '$tag' " +
+                s"ON CREATE SET x.p = '${tag}c'").store
+            val natHit = pTa.contains(k)
+            val memHit = pairTaB && liveMem.contains(k)
+            if (natHit) pTa(k) = (Some(tag), pTa(k)._2)
+            if (memHit) pTb(k) = tag // routed to the SOURCE row (q134)
+            if (!natHit && !memHit) pTa(k) = (Some(s"${tag}c"), None)
+          case MergeTgtOnly(k) =>
+            val q = s"MERGE (x:Ta {tak: $k}) ON MATCH SET x.u = '$tag' " +
+              s"ON CREATE SET x.u = '${tag}c'"
+            if (pairTaB && liveMem.contains(k)) {
+              // u has no home in the member's source store — loud reject,
+              // store unchanged (even when a native row ALSO matched)
+              val e = intercept[CypherEngine.CypherException](
+                CypherEngine(st).execute(q))
+              assert(e.getMessage.contains("membership-derived"),
+                s"seed=$seed op#$idx $op\nops=$ops")
+            } else {
+              st = CypherEngine(st).execute(q).store
+              if (pTa.contains(k)) pTa(k) = (pTa(k)._1, Some(tag))
+              else pTa(k) = (None, Some(s"${tag}c"))
+            }
+          case NewTb(k) =>
+            st = CypherEngine(st).execute(
+              s"MERGE (b:Tb {tbk: $k}) ON CREATE SET b.p = '${tag}b'").store
+            if (!pTb.contains(k)) pTb(k) = s"${tag}b"
+        }
+      }
+      // read-backs through the engine's own MATCH surface
+      val eng = CypherEngine(st)
+      val gotTa = eng.run("MATCH (x:Ta) RETURN x.tak AS k, x.p AS p, x.u AS u")
+        .collect().map(r => (r.getLong(0),
+          Option(r.getString(1)), Option(r.getString(2)))).toSeq.sorted
+      val expTa = (pTa.toSeq.map { case (k, (p, u)) => (k, p, u) } ++
+        liveMem.toSeq.map(k => (k, Option(pTb(k)), Option.empty[String]))).sorted
+      assert(gotTa == expTa, s"seed=$seed Ta frame\nops=$ops")
+      val gotTb = eng.run("MATCH (b:Tb) RETURN b.tbk AS k, b.p AS p")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(gotTb == pTb.toMap, s"seed=$seed Tb frame\nops=$ops")
+      val gotMem = eng.run("MATCH (b:Tb) WHERE b:Ta RETURN b.tbk AS k")
+        .collect().map(_.getLong(0)).toSet
+      assert(gotMem == liveMem, s"seed=$seed membership predicate\nops=$ops")
+      if (tcKnown) {
+        val gotTc = eng.run("MATCH (c:Tc) RETURN c.tak AS k, c.p AS p")
+          .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSeq.sorted
+        val expTc = ((mTcA.toSet intersect pTa.keySet).toSeq
+            .map(k => (k, pTa(k)._1)) ++
+          (mTcB.toSet intersect pTb.keySet).toSeq
+            .map(k => (k, Option(pTb(k))))).sorted
+        assert(gotTc == expTc, s"seed=$seed Tc frame\nops=$ops")
+      }
+      // standing audit: describe()'s counts equal the brute force
+      val desc = st.describe(spark).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      if (pairTaB) {
+        assert(desc(("membership", "Ta<-Tb", mTaB.size.toLong)),
+          s"seed=$seed Ta<-Tb rows\nops=$ops")
+        assert(desc(("collision", "Ta<-Tb",
+          (liveMem intersect pTa.keySet).size.toLong)),
+          s"seed=$seed Ta<-Tb collisions\nops=$ops")
+      }
+      if (pairTcA) assert(desc(("membership", "Tc<-Ta", mTcA.size.toLong)),
+        s"seed=$seed Tc<-Ta rows\nops=$ops")
+      if (pairTcB) assert(desc(("membership", "Tc<-Tb", mTcB.size.toLong)),
+        s"seed=$seed Tc<-Tb rows\nops=$ops")
     }
   }
 

@@ -40,6 +40,57 @@ class DedupSpec extends SparkSpec {
     assert(arrayside == reference)
   }
 
+  test("per-row minhash signatures are bit-identical to the k-min-column aggregate shape") {
+    // the r17 rewrite removed the shingle-stream shuffle; signature BYTES
+    // must not move (buckets, candidates, and the recall gates all derive
+    // from them). Reference: the r14-r16 explode + k min-aggregate shape,
+    // inlined. Also pins the empty-doc contract: the aggregate shape drops
+    // shingle-less docs (no rows to group), the array shape filters them.
+    val mixed = Seq((1L, "a b c d e f g"), (2L, "x"), (3L, "p q"), (4L, ""),
+      (5L, "  spaced   out  tokens  "), (6L, "a b c"), (7L, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    val k = 64
+    val hashed = Dedup.shingleHashes(mixed, "doc_id", "text")
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("h"))).as(s"_m$i"))
+    val reference = hashed.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq.sortBy(_._1)
+    val arrayside = Dedup.minhashSignatures(mixed, "doc_id", "text", k)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq.sortBy(_._1)
+    assert(arrayside == reference)
+    assert(arrayside.map(_._1) == Seq(1L, 2L, 3L, 5L, 6L, 7L)) // doc 4 has no shingles
+    // identical docs produce identical signatures (1 and 7)
+    assert(arrayside.head._2 == arrayside.last._2)
+  }
+
+  test("bandPlan scales rows-per-band with log(n) and holds the recall floors") {
+    // every measured SF (≤5M docs) keeps the r14-era 64×16 plan — the r17
+    // sf100 A/B measured the wider plan strictly worse there (2× linear
+    // stages, tail already cap-bounded; see Dedup.PlanBaseDocs)
+    assert(Dedup.bandPlan(0L) == (64, 16))
+    assert(Dedup.bandPlan(500L) == (64, 16))
+    assert(Dedup.bandPlan(500000L) == (64, 16))
+    assert(Dedup.bandPlan(5000000L) == (64, 16))
+    assert(Dedup.bandPlan(Dedup.PlanBaseDocs) == (64, 16))
+    // first step past the base (projected hot-tail ≈ 4x the bucket cap):
+    // r=5, b=32, k=160; one step per 8x corpus, capped at MaxBandRows
+    assert(Dedup.bandPlan(Dedup.PlanBaseDocs + 1) == (160, 32))
+    assert(Dedup.bandPlan(Dedup.PlanBaseDocs * 8) == (160, 32))
+    assert(Dedup.bandPlan(Dedup.PlanBaseDocs * 9) == (384, 64))
+    assert(Dedup.bandPlan(Long.MaxValue / 4) == (7 * 128, 128))
+    // the floors hold at EVERY plan the schedule can emit: detection
+    // 1-(1-j^r)^b >= 0.6 at j=0.5 and >= 0.9 at j=0.8
+    (4 to Dedup.MaxBandRows).foreach { r =>
+      val b = 16 << (r - 4)
+      def det(j: Double) = 1.0 - math.pow(1.0 - math.pow(j, r), b)
+      assert(det(0.5) >= 0.6, s"j50 floor broken at r=$r b=$b: ${det(0.5)}")
+      assert(det(0.8) >= 0.9, s"j80 floor broken at r=$r b=$b: ${det(0.8)}")
+    }
+    // k=0/bands=0 must come as a pair
+    intercept[IllegalArgumentException](
+      Dedup.minhashCandidates(docs, "doc_id", "text", k = 64, bands = 0))
+  }
+
   test("minhash LSH finds exact and near duplicates, not unrelated pairs") {
     val cands = Dedup.minhashCandidates(docs, "doc_id", "text", k = 64, bands = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
