@@ -23,10 +23,18 @@ class PropertySpec extends SparkSpec {
 
   /** Seeds per fuzz test: 3 in CI (fast), raised for campaign runs via
     * `GRAFT_FUZZ_SEEDS` (r17 verdict #6: documented ≥50-seed campaigns
-    * over the write/provenance surface).
+    * over the write/provenance surface). `GRAFT_FUZZ_SEED_BASE` offsets
+    * the range so a campaign can run in CHUNKS across fresh JVMs — each
+    * seed's checkpointed store frames stay in the block manager until
+    * JVM exit (unpersist on a checkpointed frame is a no-op by design),
+    * so one long in-JVM campaign slows superlinearly while 10-seed
+    * chunks stay flat.
     */
-  private val fuzzSeeds: Int =
-    sys.env.get("GRAFT_FUZZ_SEEDS").map(_.toInt).getOrElse(3)
+  private val seedBase: Int =
+    sys.env.get("GRAFT_FUZZ_SEED_BASE").map(_.toInt).getOrElse(0)
+  private val fuzzSeeds: Range =
+    (seedBase + 1) to (seedBase +
+      sys.env.get("GRAFT_FUZZ_SEEDS").map(_.toInt).getOrElse(3))
 
   private val rowGen: Gen[List[(Long, Long, String)]] =
     Gen.listOfN(60, for {
@@ -230,7 +238,7 @@ class PropertySpec extends SparkSpec {
       case AddLabel(t) => s"MATCH (n:WN) WHERE n.wv < $t SET n:WX"
       case RemoveLabel(k) => s"MATCH (n:WN {wk: $k}) REMOVE n:WX"
     }
-    (1 to fuzzSeeds).foreach { seed =>
+    fuzzSeeds.foreach { seed =>
       val ops = sample(Gen.listOfN(12, opGen), seed + 900)
       // model interpreter. Label membership (WX) is provenance rows keyed
       // by WN keys: DETACH DELETE of a WN node PRUNES its provenance rows
@@ -317,7 +325,7 @@ class PropertySpec extends SparkSpec {
       2 -> rangeGen.map { case (lo, hi) => RemL(lo, hi) },
       2 -> Gen.choose(0L, 12L).map(NewTa(_)),
       2 -> Gen.choose(0L, 12L).map(NewTb(_)))
-    (1 to fuzzSeeds).foreach { seed =>
+    fuzzSeeds.foreach { seed =>
       val ops = sample(Gen.listOfN(10, opGen), seed + 7700)
       var st = GraphWriter.mergeNodes(GraphStore.empty, "Ta",
         Seq(0L, 1L, 2L, 3L, 4L, 5L).map((_, "t")).toDF("tak", "p"), Seq("tak"))
@@ -419,7 +427,7 @@ class PropertySpec extends SparkSpec {
       3 -> Gen.choose(0L, 12L).map(MergeShared(_)),
       2 -> Gen.choose(0L, 12L).map(MergeTgtOnly(_)),
       2 -> Gen.choose(0L, 12L).map(NewTb(_)))
-    (1 to fuzzSeeds).foreach { seed =>
+    fuzzSeeds.foreach { seed =>
       val ops = sample(Gen.listOfN(12, opGen), seed + 8800)
       // overlapping keyspaces; BOTH stores carry `p` (the routed-update
       // column), only Ta carries `u` (the reject column)
