@@ -66,7 +66,28 @@ final case class CypherEngine(store: GraphStore) {
       bindShortestRelVars(bindParams(Parser.parse(query), params)))
     val in = new Interp(store, params)
     val df = in.top(q)
-    WriteResult(in.store, df, in.writeObservations.toMap)
+    // Lineage cut on MUTATED store frames (r17, found by the provenance
+    // fuzzer's 12-op chains): each write statement layers joins over the
+    // prior store plans and references them MORE THAN ONCE (upsert +
+    // member resolution + provenance pruning), so a chained session's
+    // store plan DAG tree-expands — downstream plan RENDERING alone
+    // (SQLExecutionStart's explain string walks the tree, not the DAG)
+    // wedged for 19+ minutes by op 12, and every later read re-executed
+    // the whole write history. One eager localCheckpoint per mutated
+    // frame per statement bounds both; memberships already get exactly
+    // this treatment inside setLabels, and unchanged frames keep their
+    // identity, so read-only statements and untouched labels cost
+    // nothing. Superseded frames are NOT force-released (retained
+    // pre-mutation stores stay readable) — GC + ContextCleaner reclaim.
+    val st0 = store
+    val cutStore = in.store.copy(
+      nodes = in.store.nodes.map { case (l, f) =>
+        l -> (if (st0.nodes.get(l).exists(_ eq f)) f else f.localCheckpoint(true))
+      },
+      edges = in.store.edges.map { case (l, f) =>
+        l -> (if (st0.edges.get(l).exists(_ eq f)) f else f.localCheckpoint(true))
+      })
+    WriteResult(cutStore, df, in.writeObservations.toMap)
   }
 
   /** Validation gate without execution — the engine's analogue of the

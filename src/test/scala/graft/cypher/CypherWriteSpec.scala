@@ -957,4 +957,38 @@ class CypherWriteSpec extends SparkSpec {
       viaCypher.nodes("G").orderBy("gid").collect())
     assert(viaApi.schema.node("G") == viaCypher.schema.node("G"))
   }
+
+  test("chained write statements keep store plans BOUNDED (lineage cut per statement)") {
+    // r17, found by the provenance fuzzer: each write statement references
+    // the prior store plan several times (upsert + member resolution +
+    // provenance pruning), so without a per-statement cut a 12-op chain's
+    // store plan DAG tree-expands — plan RENDERING alone (the SQL
+    // listener's explain string walks the tree) wedged for 19+ minutes,
+    // and every read re-executed the whole write history. execute() now
+    // localCheckpoints every MUTATED frame, so a chained store's frames
+    // stay one LogicalRDD deep no matter how long the session.
+    import graft.cypher.CypherEngine
+    import graft.graph.{GraphStore, GraphWriter}
+    import spark.implicits._
+    var st = GraphWriter.mergeNodes(GraphStore.empty, "CH",
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("ck", "p"), Seq("ck"))
+    (1 to 12).foreach { i =>
+      st = CypherEngine(st).execute(
+        s"MERGE (n:CH {ck: ${i % 5}}) ON MATCH SET n.p = 'm$i' " +
+          s"ON CREATE SET n.p = 'c$i'").store
+      st = CypherEngine(st).execute(
+        s"MATCH (n:CH) WHERE n.ck <= ${i % 3} SET n:CHX").store
+    }
+    // a cut frame's plan is a bare LogicalRDD — a handful of nodes, not
+    // the 24-statement join stack
+    val planNodes = st.nodes("CH").queryExecution.logical
+      .collect { case p => p }.size
+    assert(planNodes <= 3, s"store plan not cut: $planNodes nodes")
+    // and the data is right: keys 0..4 exist (0,4 created), p reflects
+    // the LAST touching statement
+    val got = st.nodes("CH").orderBy("ck").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(got.toMap.apply(2L) == "m12") // i=12: 12%5=2 matched
+  }
 }
