@@ -58,8 +58,16 @@ object GraphQueries {
     * levels; probes must recompute from scratch, so they can't go through
     * [[edgeCache]]).
     */
+  /** `probeShape = true` (the ingest phase probe only) injects a no-op
+    * filter BETWEEN the join and the distinct, so no subtree of the
+    * probe's plan is `sameResult` to the [[edgeCache]]d frame — Spark's
+    * CacheManager otherwise substitutes the cached InMemoryRelation into
+    * ANY matching subplan and the "from scratch" probe silently reads
+    * cache blocks (measured: 0.78 s for a 600M-row ingest at sf100).
+    * The filter drops nothing: keys are non-negative.
+    */
   private def buildBipartite(s: SparkSession, dir: String,
-      sampleMod: Option[Int]): DataFrame = {
+      sampleMod: Option[Int], probeShape: Boolean = false): DataFrame = {
     val li = T(s, dir, "lineitem")
     // Upper bound on edge count without running anything: count() on a bare
     // parquet scan is answered from footer row-count statistics
@@ -72,11 +80,12 @@ object GraphQueries {
       case Some(m) => T(s, dir, "orders").filter(pmod(col("o_orderkey"), lit(m)) === 0)
       case None => T(s, dir, "orders")
     }
-    li.join(o, col("l_orderkey") === col("o_orderkey"))
+    val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").cast(LongType).as("src"),
         (col("l_partkey").cast(LongType) + PartOffset).as("dst"))
-      .distinct()
-      .coalesce(target)
+    val shaped =
+      if (probeShape) joined.filter(col("src") =!= lit(Long.MinValue)) else joined
+    shaped.distinct().coalesce(target)
   }
 
   private def bipartiteEdgeSql(sampleFilter: String): String =
@@ -345,7 +354,7 @@ object GraphQueries {
     */
   val phaseProbes: Map[String, Seq[(String, Q)]] = Map(
     "q34_bfs_distance" -> Seq(
-      "ingest" -> ((s, dir) => buildBipartite(s, dir, None)),
+      "ingest" -> ((s, dir) => buildBipartite(s, dir, None, probeShape = true)),
       "bfs" -> ((s, dir) =>
         GraphAnalytics.bfs(s, bipartiteEdges(s, dir, None),
           source = 1L, maxDepth = 4))))
