@@ -23,7 +23,10 @@ object Bench {
     * "Round-14 records".
     */
   val CommittedTotalSec: Map[String, (Int, Double)] =
-    Map("sf0.1" -> (144, 87.4), "sf1" -> (144, 131.9))
+    // sf0.1: r17 record — run a1 of the 5-run anchor campaign (84.2 s,
+    // contended:false, median 1.018 vs the r12 anchor, all 144 queries;
+    // BASELINE.md "Round-17: anchor promotion"). sf1: the r14 record.
+    Map("sf0.1" -> (144, 84.2), "sf1" -> (144, 131.9))
 
   /** Per-SF certified per-query ANCHOR for the median-ratio clause
     * (ADVICE r9: the guard previously anchored at sf0.1 only, leaving
@@ -33,9 +36,14 @@ object Bench {
     * soft — it medianed 1.051 vs the prior anchors, the gate's exact
     * edge, in a session-long slow window — so anchoring the detector on
     * it would let a genuinely ~5%-contended future run compare clean.
-    * The anchor file is the r12-era certified-clean 127-query record,
-    * median 0.917; update it only when a run BOTH certifies clean AND
-    * medians ≤1.05 against the standing anchor). Resolved against the
+    * Since r17 the sf0.1 anchor is cut by the MEDIAN-OF-N policy
+    * (tools/promote_anchor.py): per-query medians across N≥5 spaced
+    * clean-window runs, all contended:false — robust to the box's
+    * bimodal hypervisor modes that made the old single-run ≤1.05 gate
+    * refuse ~22 promotion attempts across r14-r16, and covering ALL
+    * 144 queries (the superseded r12 anchor, retained as
+    * BENCH_ANCHOR.sf0.1.superseded_r12.json, predated 17 of them, so
+    * the contention median read only 127). Resolved against the
     * first existing candidate so a bench launched from another CWD still
     * finds it.
     */
