@@ -57,9 +57,15 @@ final case class CypherEngine(store: GraphStore) {
 
   /** Execute a query that may contain write clauses. Returns the RETURN
     * rows (a query with no RETURN yields one `rows` count row) plus the
-    * updated store. The store update is lazy — persist with
-    * [[GraphStore.save]] or keep composing; a long chain of writes should
-    * be checkpointed by saving, exactly like any iterative Spark lineage.
+    * updated store. A mutated frame whose logical plan has grown past
+    * [[CypherEngine.PlanCutThreshold]] tree nodes is EAGERLY
+    * localCheckpointed before being returned (see the comment below for
+    * why); smaller mutated frames stay lazy, so a one-shot write over a
+    * large store costs no block-manager copy — persist those with
+    * [[GraphStore.save]] as usual. Superseded checkpoint blocks are
+    * reclaimed by GC + ContextCleaner once the caller drops the old
+    * store reference; a caller retaining every intermediate store of a
+    * long chain retains their blocks too, by design.
     */
   def execute(query: String, params: Map[String, Any] = Map.empty): WriteResult = {
     val q = hoistLabelPredicates(
@@ -73,19 +79,30 @@ final case class CypherEngine(store: GraphStore) {
     // store plan DAG tree-expands — downstream plan RENDERING alone
     // (SQLExecutionStart's explain string walks the tree, not the DAG)
     // wedged for 19+ minutes by op 12, and every later read re-executed
-    // the whole write history. One eager localCheckpoint per mutated
-    // frame per statement bounds both; memberships already get exactly
-    // this treatment inside setLabels, and unchanged frames keep their
+    // the whole write history. The cut is gated on plan TREE size
+    // (ADVICE r17: the r17 unconditional per-statement cut materialized
+    // one full copy of every mutated label per statement into the block
+    // manager): a frame at or under the threshold keeps its lazy plan —
+    // rendering it is cheap and no blocks accumulate — while a frame
+    // past it is cut back to a LogicalRDD, so chained sessions cut every
+    // few statements instead of every statement and the stored plan is
+    // bounded by ~3×threshold at all times. Memberships already get the
+    // eager treatment inside setLabels; unchanged frames keep their
     // identity, so read-only statements and untouched labels cost
-    // nothing. Superseded frames are NOT force-released (retained
-    // pre-mutation stores stay readable) — GC + ContextCleaner reclaim.
+    // nothing. Superseded checkpoints are NOT force-released (retained
+    // pre-mutation stores stay readable) — GC + ContextCleaner reclaim
+    // them once unreferenced.
     val st0 = store
+    def cut(f: DataFrame): DataFrame =
+      if (planTreeSize(f.queryExecution.logical, PlanCutThreshold) > PlanCutThreshold)
+        f.localCheckpoint(true)
+      else f
     val cutStore = in.store.copy(
       nodes = in.store.nodes.map { case (l, f) =>
-        l -> (if (st0.nodes.get(l).exists(_ eq f)) f else f.localCheckpoint(true))
+        l -> (if (st0.nodes.get(l).exists(_ eq f)) f else cut(f))
       },
       edges = in.store.edges.map { case (l, f) =>
-        l -> (if (st0.edges.get(l).exists(_ eq f)) f else f.localCheckpoint(true))
+        l -> (if (st0.edges.get(l).exists(_ eq f)) f else cut(f))
       })
     WriteResult(cutStore, df, in.writeObservations.toMap)
   }
@@ -134,6 +151,33 @@ object CypherEngine {
     */
   final case class WriteResult(store: GraphStore, result: DataFrame,
       observed: Map[String, Long] = Map.empty)
+
+  /** Mutated-frame plans larger than this (logical TREE nodes — the
+    * quantity that tree-expands across chained write statements, since
+    * every statement references the prior store plan several times) are
+    * eagerly localCheckpointed by [[CypherEngine.execute]]; smaller ones
+    * stay lazy. 64 keeps any stored plan's tree under ~3×64 nodes (one
+    * statement's growth over inputs at the threshold) — milliseconds to
+    * render — while a one-shot UNWIND-batch injection over a big store
+    * (the reference's write shape) never pays an eager materialization.
+    */
+  val PlanCutThreshold = 64
+
+  /** Tree-node count of `plan`, bailing out at `limit + 1` — counting is
+    * itself a tree walk, so it must not pay the cost it exists to bound.
+    */
+  private[cypher] def planTreeSize(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      limit: Int): Int = {
+    var n = 0
+    var stack = List(plan)
+    while (stack.nonEmpty && n <= limit) {
+      val p = stack.head
+      stack = p.children.toList reverse_::: stack.tail
+      n += 1
+    }
+    n
+  }
 
   /** A bound relationship variable: its edge label and which pattern
     * variables sit on the schema-forward source/target sides.

@@ -13,8 +13,14 @@ import org.apache.spark.sql.types._
   * Spark's `min(xxhash64(lit(i), col("h")))` per-column aggregate shape
   * (seed i's remix is `XXH64.hashLong(h, XXH64.hashInt(i, 42))`, the
   * exact chain the built-in `xxhash64(int, long)` evaluates; duplicate
-  * shingles can't move a MIN, and null elements are skipped like
-  * aggregate `min`). An empty input array yields an EMPTY output array —
+  * shingles can't move a MIN, and a NULL element folds the bare seed
+  * remix `XXH64.hashInt(i, 42)` into the min — `xxhash64` skips a null
+  * child, so the aggregate shape's `xxhash64(lit(i), null)` row
+  * contributed exactly that value, never a null the `min` would drop;
+  * ADVICE r17 caught the first cut of this kernel skipping nulls
+  * instead, a divergence unreachable through [[ShingleHashes3]]
+  * (containsNull=false) but latent for any SQL-registered caller).
+  * An empty input array yields an EMPTY output array —
   * consumers filter it, matching the old explode shape where a
   * shingle-less doc simply produced no signature row.
   *
@@ -65,6 +71,14 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
           if (x < out(j)) out(j) = x
           j += 1
         }
+      } else {
+        // xxhash64 skips a null child: the aggregate shape's row is the
+        // bare seed remix, which participates in the min (class doc).
+        var j = 0
+        while (j < k) {
+          if (seeds(j) < out(j)) out(j) = seeds(j)
+          j += 1
+        }
       }
       i += 1
     }
@@ -92,6 +106,10 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
             for (int $j = 0; $j < $k; $j++) {
               final long $x = $xxh.hashLong($h, $seedsRef[$j]);
               if ($x < $out[$j]) $out[$j] = $x;
+            }
+          } else {
+            for (int $j = 0; $j < $k; $j++) {
+              if ($seedsRef[$j] < $out[$j]) $out[$j] = $seedsRef[$j];
             }
           }
         }

@@ -52,6 +52,23 @@ object GraphQueries {
     edgeCache.computeIfAbsent((dir, sampleMod),
       _ => buildBipartite(s, dir, sampleMod).persist(StorageLevel.MEMORY_AND_DISK))
 
+  /** Drop one memoized edge frame and release its storage (r18, verdict
+    * #5): q34 is the SOLE consumer of the UNSAMPLED bipartite graph —
+    * q33/q56/q57 share the mod-97 sample — and its BFS is
+    * level-synchronous-eager (every level is localCheckpointed before
+    * [[GraphAnalytics.bfs]] returns), so by the time q34's result frame
+    * exists the 600M-pair cache (sf100) is dead weight: left pinned it
+    * evicted q47's working set for the rest of the suite (measured 97 s
+    * in-suite vs 66 s isolated at sf100). A later call re-warms it
+    * through [[bipartiteEdges]] — the q34 phase probes do exactly that,
+    * with the re-warm timed as its OWN phase so the bfs phase stays
+    * warm-labeled.
+    */
+  private def releaseEdges(dir: String, sampleMod: Option[Int]): Unit = {
+    val f = edgeCache.remove((dir, sampleMod))
+    if (f != null) f.unpersist(false)
+  }
+
   /** The uncached bipartite ingest plan — also the `ingest` phase probe of
     * q34's phase split (r17, verdict #5: the sf100 q34 headline is
     * dominated by this one-time 600M-row join + distinct, not the BFS
@@ -249,7 +266,13 @@ object GraphQueries {
     // The source vertex is part of the result even if isolated (GraphX only
     // materializes vertices that appear in some edge).
     val seed = Seq((1L, 0)).toDF("node", "dist")
-    GraphAnalytics.bfs(s, bipartiteEdges(s, dir, None), source = 1L, maxDepth = 4)
+    // bfs is eager (each level localCheckpointed), so its result no longer
+    // references the edge frame — release the unsampled cache here, not at
+    // suite end, so q47+ don't compete with 600M dead pairs (verdict r17 #5)
+    val levels = GraphAnalytics.bfs(s, bipartiteEdges(s, dir, None),
+      source = 1L, maxDepth = 4)
+    releaseEdges(dir, None)
+    levels
       .unionByName(seed)
       .groupBy("node").agg(min(col("dist")).cast(IntegerType).as("dist"))
       .orderBy("node")
@@ -346,15 +369,20 @@ object GraphQueries {
     * numbers, recorded under `"phases"`. `ingest` rebuilds the bipartite
     * dedup join from scratch (bypassing [[edgeCache]] — probes share no
     * state with the timed run); `bfs` runs the 4-level BFS over the
-    * CACHED edges (warm after the headline), so the two phases decompose
-    * the headline: at sf100 the one-time 600M-row join + distinct
-    * dominates q34's ~250 s wall while the BFS levels are seconds — the
-    * accounting blur this split removes (the r15 phase split did the
-    * same for the tolerance family).
+    * CACHED edges, so the phases decompose the headline: at sf100 the
+    * one-time 600M-row join + distinct dominates q34's ~250 s wall while
+    * the BFS levels are seconds — the accounting blur this split removes
+    * (the r15 phase split did the same for the tolerance family). Since
+    * r18 q34 RELEASES the unsampled cache when it finishes (verdict r17
+    * #5), so the probe sequence re-warms it explicitly: `warm`
+    * re-materializes the cache as its own timed phase (probes run in Seq
+    * order), and `bfs` then measures the levels over genuinely warm
+    * edges — no phase silently reads state another phase paid for.
     */
   val phaseProbes: Map[String, Seq[(String, Q)]] = Map(
     "q34_bfs_distance" -> Seq(
       "ingest" -> ((s, dir) => buildBipartite(s, dir, None, probeShape = true)),
+      "warm" -> ((s, dir) => bipartiteEdges(s, dir, None)),
       "bfs" -> ((s, dir) =>
         GraphAnalytics.bfs(s, bipartiteEdges(s, dir, None),
           source = 1L, maxDepth = 4))))

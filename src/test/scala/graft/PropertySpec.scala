@@ -414,6 +414,14 @@ class PropertySpec extends SparkSpec {
     case class MergeShared(k: Long) extends Op
     case class MergeTgtOnly(k: Long) extends Op
     case class NewTb(k: Long) extends Op
+    // r18 (r17 verdict #6): the shapes the generator didn't yet emit —
+    // FOREACH-nested batch MERGE, DETACH DELETE + same-key recreate (a
+    // membership chain must NOT resurrect through the new row), and
+    // MERGE inside CALL { } (pinned as a loud deterministic rejection:
+    // callSubquery is read-only by contract).
+    case class ForeachMerge(ks: List[Long]) extends Op
+    case class DelRecreate(k: Long) extends Op
+    case class CallMergeReject(k: Long) extends Op
     val rangeGen = for {
       lo <- Gen.choose(0L, 10L); w <- Gen.choose(0L, 5L)
     } yield (lo, lo + w)
@@ -426,7 +434,10 @@ class PropertySpec extends SparkSpec {
       1 -> rangeGen.map { case (lo, hi) => DelTb(lo, hi) },
       3 -> Gen.choose(0L, 12L).map(MergeShared(_)),
       2 -> Gen.choose(0L, 12L).map(MergeTgtOnly(_)),
-      2 -> Gen.choose(0L, 12L).map(NewTb(_)))
+      2 -> Gen.choose(0L, 12L).map(NewTb(_)),
+      2 -> Gen.listOfN(3, Gen.choose(0L, 12L)).map(ForeachMerge(_)),
+      2 -> Gen.choose(0L, 12L).map(DelRecreate(_)),
+      1 -> Gen.choose(0L, 12L).map(CallMergeReject(_)))
     fuzzSeeds.foreach { seed =>
       val ops = sample(Gen.listOfN(12, opGen), seed + 8800)
       // overlapping keyspaces; BOTH stores carry `p` (the routed-update
@@ -530,6 +541,49 @@ class PropertySpec extends SparkSpec {
             st = CypherEngine(st).execute(
               s"MERGE (b:Tb {tbk: $k}) ON CREATE SET b.p = '${tag}b'").store
             if (!pTb.contains(k)) pTb(k) = s"${tag}b"
+          case ForeachMerge(ks) =>
+            // batch-at-once MERGE over the exploded list (InterpWrites
+            // FOREACH doc): each DISTINCT key follows MergeShared routing
+            // against the PRE-FOREACH state — member hits route to the
+            // source row, misses create natives
+            st = CypherEngine(st).execute(
+              s"FOREACH (kk IN [${ks.mkString(", ")}] | " +
+                s"MERGE (x:Ta {tak: kk}) SET x.p = '$tag')").store
+            val mem0 = liveMem
+            ks.distinct.foreach { k =>
+              val natHit = pTa.contains(k)
+              val memHit = pairTaB && mem0.contains(k)
+              if (natHit) pTa(k) = (Some(tag), pTa(k)._2)
+              if (memHit) pTb(k) = tag
+              if (!natHit && !memHit) pTa(k) = (Some(tag), None)
+            }
+          case DelRecreate(k) =>
+            // membership chain through DETACH DELETE + same-key recreate:
+            // deleting a live member kills its SOURCE row and every
+            // provenance row it carried; the recreated native must come
+            // back bare — no membership resurrection
+            st = CypherEngine(st).execute(
+              s"MATCH (x:Ta) WHERE x.tak = $k DETACH DELETE x").store
+            val kset = (pTa.keySet.filter(_ == k) ++ liveMem.filter(_ == k)).toSet
+            val d = liveMem intersect kset
+            pTa --= kset; pTb --= d
+            mTcA --= kset; mTaB --= d; mTcB --= d
+            st = CypherEngine(st).execute(
+              s"MERGE (x:Ta {tak: $k}) ON CREATE SET x.p = '${tag}rc' " +
+                s"ON MATCH SET x.p = '${tag}rm'").store
+            // after the delete neither a native nor a live member can
+            // match k, so the MERGE always takes the create branch
+            pTa(k) = (Some(s"${tag}rc"), None)
+          case CallMergeReject(k) =>
+            // CALL { } is read-only by contract (Compiler.callSubquery);
+            // a write inside must reject loudly and leave the store
+            // untouched — `st` is deliberately not reassigned
+            val e = intercept[CypherEngine.CypherException](
+              CypherEngine(st).execute(
+                s"MATCH (t:Ta) CALL { MERGE (y:Tb {tbk: $k}) " +
+                  "RETURN 1 AS one } RETURN count(*) AS c"))
+            assert(e.getMessage.contains("read-only"),
+              s"seed=$seed op#$idx $op rejection message: ${e.getMessage}\nops=$ops")
         }
       }
       // read-backs through the engine's own MATCH surface

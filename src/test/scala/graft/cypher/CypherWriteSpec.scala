@@ -964,9 +964,13 @@ class CypherWriteSpec extends SparkSpec {
     // provenance pruning), so without a per-statement cut a 12-op chain's
     // store plan DAG tree-expands — plan RENDERING alone (the SQL
     // listener's explain string walks the tree) wedged for 19+ minutes,
-    // and every read re-executed the whole write history. execute() now
-    // localCheckpoints every MUTATED frame, so a chained store's frames
-    // stay one LogicalRDD deep no matter how long the session.
+    // and every read re-executed the whole write history. execute() cuts
+    // every MUTATED frame whose plan tree exceeds PlanCutThreshold nodes
+    // (r18, ADVICE r17: the unconditional per-statement cut materialized
+    // a full store copy per statement into the block manager; the gate
+    // keeps one-shot writes lazy and chains bounded), so a chained
+    // store's frames never exceed the threshold no matter how long the
+    // session runs.
     import graft.cypher.CypherEngine
     import graft.graph.{GraphStore, GraphWriter}
     import spark.implicits._
@@ -979,16 +983,40 @@ class CypherWriteSpec extends SparkSpec {
       st = CypherEngine(st).execute(
         s"MATCH (n:CH) WHERE n.ck <= ${i % 3} SET n:CHX").store
     }
-    // a cut frame's plan is a bare LogicalRDD — a handful of nodes, not
-    // the 24-statement join stack
+    // invariant: a returned frame is either small (plan tree at or under
+    // the cut threshold) or a bare LogicalRDD from the cut — never the
+    // 24-statement join stack (which tree-expands into the thousands)
     val planNodes = st.nodes("CH").queryExecution.logical
       .collect { case p => p }.size
-    assert(planNodes <= 3, s"store plan not cut: $planNodes nodes")
+    assert(planNodes <= CypherEngine.PlanCutThreshold,
+      s"store plan not bounded: $planNodes nodes")
     // and the data is right: keys 0..4 exist (0,4 created), p reflects
     // the LAST touching statement
     val got = st.nodes("CH").orderBy("ck").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(got.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L))
     assert(got.toMap.apply(2L) == "m12") // i=12: 12%5=2 matched
+  }
+
+  test("one-shot writes stay LAZY below the plan-cut threshold (r18 gate)") {
+    // ADVICE r17: the unconditional per-statement cut eagerly
+    // materialized every mutated label frame into the block manager —
+    // a single UNWIND-batch injection over a big store paid a full-store
+    // copy for nothing. The gate keeps a small-plan mutation lazy: no
+    // LogicalRDD (the checkpoint's plan shape) at the root.
+    import org.apache.spark.sql.execution.LogicalRDD
+    import spark.implicits._
+    val base = GraphWriter.mergeNodes(GraphStore.empty, "LZ",
+      Seq((1L, "a"), (2L, "b")).toDF("zk", "p"), Seq("zk"))
+    val st = CypherEngine(base).execute(
+      "MERGE (n:LZ {zk: 3}) ON CREATE SET n.p = 'c'").store
+    val plan = st.nodes("LZ").queryExecution.logical
+    val size = CypherEngine.planTreeSize(plan, CypherEngine.PlanCutThreshold)
+    assert(size <= CypherEngine.PlanCutThreshold, s"one-shot plan too big: $size")
+    assert(!plan.isInstanceOf[LogicalRDD], "one-shot write was eagerly cut")
+    assert(st.nodes("LZ").orderBy("zk").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 3L))
+    // the tree-size counter bails at limit+1 instead of walking the tree
+    assert(CypherEngine.planTreeSize(plan, 1) == 2)
   }
 }

@@ -63,6 +63,44 @@ class DedupSpec extends SparkSpec {
     assert(arrayside.head._2 == arrayside.last._2)
   }
 
+  test("minhash kernel folds NULL elements as the bare seed remix (aggregate parity)") {
+    // ADVICE r17: xxhash64 SKIPS a null child, so the aggregate shape's
+    // xxhash64(lit(i), null) row contributes hashInt(i, 42) to the min —
+    // it never produced a null the min would drop. Unreachable through
+    // ShingleHashes3 (containsNull=false) but pinned here for any future
+    // SQL-registered caller. Exercises BOTH eval paths: the DataFrame
+    // projection (codegen) and a direct interpreted eval.
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, XXH64}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    val k = 8
+    val rows = Seq(
+      (1L, Seq[java.lang.Long](7L, null, 99L)),
+      (2L, Seq[java.lang.Long](null, null)), // all-null: sig = seeds themselves
+      (3L, Seq[java.lang.Long](7L, 99L)))
+      .toDF("id", "h")
+    // aggregate reference shape over the exploded (nullable) hashes
+    val mins = (0 until k).map(i => min(xxhash64(lit(i), col("eh"))).as(s"_m$i"))
+    val reference = rows.select(col("id"), explode(col("h")).as("eh"))
+      .groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"_m$i")): _*).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq.sortBy(_._1)
+    import org.apache.spark.sql.graftbridge.Bridge
+    val kernel = rows.select(col("id"), Bridge.column(
+        graft.functions.MinHashSignature(Bridge.expression(col("h")), k)).as("sig"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq.sortBy(_._1)
+    assert(kernel == reference)
+    val seeds = (0 until k).map(i => XXH64.hashInt(i, 42L))
+    assert(kernel(1)._2 == seeds) // all-null doc: the bare remixes
+    // interpreted path agrees byte-for-byte with the codegen'd one
+    val expr = graft.functions.MinHashSignature(
+      BoundReference(0, ArrayType(LongType, containsNull = true), nullable = false), k)
+    val interp = expr.eval(InternalRow(ArrayData.toArrayData(
+      Array[Any](7L, null, 99L)))).asInstanceOf[ArrayData].toLongArray.toSeq
+    assert(interp == kernel.head._2)
+  }
+
   test("bandPlan scales rows-per-band with log(n) and holds the recall floors") {
     // every measured SF (≤5M docs) keeps the r14-era 64×16 plan — the r17
     // sf100 A/B measured the wider plan strictly worse there (2× linear

@@ -32,16 +32,32 @@ def main() -> int:
         print(f"REFUSED: need >=5 candidate runs, got {len(cands)}")
         return 1
     runs = []
+    sfs = set()
     for path in cands:
-        with open(path) as f:
-            d = json.load(f)
+        # a contended campaign run is rerouted by Bench to
+        # <prefix>_aN.contended.json, so the advertised clean path not
+        # existing IS the refusal signal, not a traceback (ADVICE r17)
+        try:
+            with open(path) as f:
+                d = json.load(f)
+        except FileNotFoundError:
+            print(f"REFUSED: {path} missing — the run was likely rerouted "
+                  f"to *.contended.json by Bench's contention gate")
+            return 1
+        except json.JSONDecodeError as e:
+            print(f"REFUSED: {path} is not valid JSON ({e})")
+            return 1
         if d.get("contended") is not False:
             print(f"REFUSED: {path} is not contended:false")
             return 1
         if d.get("errors"):
             print(f"REFUSED: {path} has per-query errors: {d['errors']}")
             return 1
+        sfs.add(d.get("sf"))
         runs.append((path, d["queries"]))
+    if len(sfs) != 1:
+        print(f"REFUSED: candidates span multiple SFs: {sorted(map(str, sfs))}")
+        return 1
     names = set(runs[0][1])
     for path, qs in runs[1:]:
         if set(qs) != names:
@@ -53,6 +69,7 @@ def main() -> int:
         "metric": "total",
         "value": total,
         "unit": "sec",
+        "sf": next(iter(sfs)),
         "queries": anchor,
         "contended": False,
         "policy": {
