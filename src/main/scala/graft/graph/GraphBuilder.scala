@@ -158,4 +158,31 @@ object GraphBuilder {
   /** Build the declared graph from a scale-factor directory. */
   def buildAll(spark: SparkSession, dir: String, schema: GraphSchema = GraphSchema.testdata): GraphStore =
     buildAll(name => Tables.load(spark, dir, name), schema)
+
+  /** Load-or-build entry: a real deployment ingests ONCE
+    * ([[GraphStore.save]] — the reference's injection flow runs once per
+    * upload, final/app.py upload→inject→query) and every query session
+    * after that LOADS the persisted store. When `SPARK_GRAFT_STORE_ROOT`
+    * names a directory holding a saved store for this SF
+    * (`<root>/<sfBasename>/_graft_meta.json` present — written by
+    * [[graft.tools.SaveStore]]), load it; otherwise build from the base
+    * tables as always. The loaded frames are plain parquet scans, so key
+    * filters prune row groups via the save-time key sort and nothing is
+    * recomputed — at sf100 this splits the one-time ~150 s relational→
+    * graph build out of the first query's wall clock, which is the
+    * deployment-faithful accounting (r17 verdict #1).
+    */
+  def openOrBuild(spark: SparkSession, dir: String,
+      schema: GraphSchema = GraphSchema.testdata,
+      storeRoot: Option[String] = sys.env.get("SPARK_GRAFT_STORE_ROOT"))
+      : GraphStore = {
+    val sfName = java.nio.file.Paths.get(dir).getFileName.toString
+    storeRoot.map(r => s"$r/$sfName")
+      .filter(root => new java.io.File(s"$root/_graft_meta.json").exists)
+      .map { root =>
+        spark.sparkContext.setJobDescription(s"graft: load saved store $root")
+        GraphStore.load(spark, root, schema)
+      }
+      .getOrElse(buildAll(spark, dir, schema))
+  }
 }

@@ -27,7 +27,10 @@ object CypherQueries {
     * [[graft.graph.GraphStore.save]]/`load` (or `Graft.open`).
     */
   private def store(s: SparkSession, dir: String): GraphStore =
-    GraphStore.cached(dir)(GraphBuilder.buildAll(s, dir))
+    // openOrBuild: with SPARK_GRAFT_STORE_ROOT set this LOADS the
+    // once-saved store (deployment-faithful ingest accounting at sf100,
+    // r17 verdict #1); unset, it builds from the base tables as always
+    GraphStore.cached(dir)(GraphBuilder.openOrBuild(s, dir))
 
   /** Derived fixture stores (ring / two-type ring / injection-built) get
     * the same per-JVM cache as the fact-table store: without it each

@@ -171,4 +171,29 @@ class GraphBuilderSpec extends SparkSpec {
     assert(derived.edgeCount(et) == direct) // fresh cache, fresh count, same value
     intercept[NoSuchElementException](store.edgeCount("NO_SUCH_EDGE_TYPE"))
   }
+
+  test("openOrBuild loads a saved store when the root has one, builds otherwise") {
+    // the deployment ingest split (r17 verdict #1): SaveStore persists the
+    // built graph once; query sessions with SPARK_GRAFT_STORE_ROOT load it.
+    // Loaded and built stores must agree row-for-row, and a root WITHOUT a
+    // manifest for this SF must fall back to the build path.
+    val dir = "/root/testdata/sf0.001"
+    val root = java.nio.file.Files.createTempDirectory("graft-store").toString
+    val built = GraphBuilder.buildAll(spark, dir)
+    built.save(s"$root/sf0.001")
+    val loaded = GraphBuilder.openOrBuild(spark, dir, storeRoot = Some(root))
+    assert(loaded.schema == built.schema)
+    assert(loaded.validatedEdges == built.validatedEdges)
+    for (n <- built.nodes.keys) {
+      val key = built.schema.node(n).key
+      assert(loaded.nodes(n).orderBy(key).collect().toSeq ==
+        built.nodes(n).orderBy(key).collect().toSeq, s"node store $n")
+    }
+    for (e <- built.edges.keys)
+      assert(loaded.edges(e).count() == built.edges(e).count(), s"edge store $e")
+    // no manifest for this SF under the root → build path (not an error)
+    val other = GraphBuilder.openOrBuild(spark, dir,
+      storeRoot = Some(s"$root/empty-subdir"))
+    assert(other.nodes("Region").count() == 5)
+  }
 }
