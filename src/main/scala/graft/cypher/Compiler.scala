@@ -510,6 +510,23 @@ object CypherEngine {
     */
   val BfsAntiEarlyKey = "graft.cypher.bfsAntiEarly"
 
+  /** Frontier/reached-set frames at or under this many rows get an
+    * EXPLICIT `broadcast()` hint in the distributed BFS's per-level
+    * joins (r18). Catalyst cannot infer it: a checkpointed frontier's
+    * LogicalRDD carries the PRE-cut plan's size estimate — derived from
+    * the full edge scan it was cut from — so auto-broadcast never fires
+    * and every level sort-merge-joins the WHOLE edge frame (measured at
+    * sf100: ~35 GB of sort spill PER LEVEL on the 1.4B-row undirected
+    * union, the disk-exhaustion boundary; with the hint a level is one
+    * scan of the edge frame, zero exchanges of it). The row counts are
+    * free — the loop already runs a per-level action on the checkpointed
+    * frontier. 1M rows ≈ tens of MB of (src,dst) pairs, well under any
+    * broadcast limit even with path arrays attached; a closure-dense
+    * frontier above the gate keeps the shuffle path, which is then the
+    * right plan.
+    */
+  private[cypher] val BfsBroadcastFrontierRows = 1000000L
+
   /** Spark-conf key for the loud (never silent) budget on open-bound
     * relationship-unique path enumeration (`[:R*]` outside shortestPath).
     */

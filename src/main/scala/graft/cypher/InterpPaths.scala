@@ -739,11 +739,19 @@ private[cypher] trait InterpPaths { self: CypherEngine.Interp =>
         else p0
         ck.cut(p1)
       }
+      // size-gated broadcast (r18): the checkpointed frontier's LogicalRDD
+      // keeps the PRE-cut plan's size estimate, so Catalyst never
+      // auto-broadcasts it and each level would sort-merge-shuffle the
+      // whole edge frame — see [[CypherEngine.BfsBroadcastFrontierRows]]
+      def gated(df: DataFrame, rows: Long): DataFrame =
+        if (rows <= BfsBroadcastFrontierRows) broadcast(df) else df
       if (lo == 1) {
         var dist = e0p.withColumn("__len", lit(1L))
+        var distRows = e0p.count()
         var frontier = e0p
+        var frontierRows = distRows
         var n = 2
-        var exhausted = false
+        var exhausted = frontierRows == 0
         // an open upper bound ([[Parser.Unbounded]]) runs until the
         // frontier exhausts — guaranteed finite because every level must
         // reach at least one new (src, dst) pair of the finite closure
@@ -753,14 +761,18 @@ private[cypher] trait InterpPaths { self: CypherEngine.Interp =>
           // the logical plan doubles per level and planning itself OOMs
           // long before the data does. The checkpoint also lets the loop
           // stop as soon as a frontier comes back empty.
+          val from = gated(frontier, frontierRows)
+          val reached = gated(dist.select("__ds", "__dd"), distRows)
           val fresh = ck.cut(
-            if (antiEarly) oneHop(frontier, Some(dist.select("__ds", "__dd")))
-            else oneHop(frontier).join(
-              dist.select("__ds", "__dd"), Seq("__ds", "__dd"), "left_anti"))
-          if (fresh.isEmpty) exhausted = true
+            if (antiEarly) oneHop(from, Some(reached))
+            else oneHop(from).join(reached, Seq("__ds", "__dd"), "left_anti"))
+          val freshRows = fresh.count()
+          if (freshRows == 0) exhausted = true
           else {
             dist = dist.unionByName(fresh.withColumn("__len", lit(n.toLong)))
+            distRows += freshRows
             frontier = fresh
+            frontierRows = freshRows
           }
           n += 1
         }
@@ -783,15 +795,18 @@ private[cypher] trait InterpPaths { self: CypherEngine.Interp =>
         // and a frontier that dies (DAG exhausted) would still run the
         // remaining levels as empty jobs
         var cur = e0p
-        var exhausted = cur.isEmpty
+        var curRows = cur.count()
+        var exhausted = curRows == 0
         for (_ <- 2 to lo if !exhausted) {
-          cur = ck.cut(oneHop(cur))
-          exhausted = cur.isEmpty
+          cur = ck.cut(oneHop(gated(cur, curRows)))
+          curRows = cur.count()
+          exhausted = curRows == 0
         }
         var dist = cur.withColumn("__len", lit(lo.toLong))
         for (n <- lo + 1 to hi if !exhausted) {
-          cur = ck.cut(oneHop(cur))
-          if (cur.isEmpty) exhausted = true
+          cur = ck.cut(oneHop(gated(cur, curRows)))
+          curRows = cur.count()
+          if (curRows == 0) exhausted = true
           else dist = dist.unionByName(cur.withColumn("__len", lit(n.toLong)))
         }
         if (keepAll) {

@@ -175,14 +175,28 @@ object GraphBuilder {
   def openOrBuild(spark: SparkSession, dir: String,
       schema: GraphSchema = GraphSchema.testdata,
       storeRoot: Option[String] = sys.env.get("SPARK_GRAFT_STORE_ROOT"))
-      : GraphStore = {
-    val sfName = java.nio.file.Paths.get(dir).getFileName.toString
-    storeRoot.map(r => s"$r/$sfName")
-      .filter(root => new java.io.File(s"$root/_graft_meta.json").exists)
+      : GraphStore =
+    savedStoreRoot(dir, storeRoot)
       .map { root =>
         spark.sparkContext.setJobDescription(s"graft: load saved store $root")
         GraphStore.load(spark, root, schema)
       }
       .getOrElse(buildAll(spark, dir, schema))
+
+  /** The saved-store directory for `dir`, when one exists under the
+    * (env-provided by default) store root — presence of the manifest is
+    * the load signal. Callers that cache the opened store should persist
+    * BUILT stores (expensive multi-shuffle plans) but take LOADED stores
+    * as-is: a loaded frame is already a key-sorted columnar file the OS
+    * page cache serves on re-scan, and re-persisting it into the block
+    * manager doubles its storage — at sf100 that duplicate spill competed
+    * for the same disk the BFS checkpoints need.
+    */
+  def savedStoreRoot(dir: String,
+      storeRoot: Option[String] = sys.env.get("SPARK_GRAFT_STORE_ROOT"))
+      : Option[String] = {
+    val sfName = java.nio.file.Paths.get(dir).getFileName.toString
+    storeRoot.map(r => s"$r/$sfName")
+      .filter(root => new java.io.File(s"$root/_graft_meta.json").exists)
   }
 }

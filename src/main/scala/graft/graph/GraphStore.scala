@@ -293,6 +293,16 @@ object GraphStore {
   def cached(key: String)(build: => GraphStore): GraphStore =
     storeCache.computeIfAbsent(key, _ => build.persisted)
 
+  /** Memoize WITHOUT block-manager persistence — for stores whose frames
+    * are already materialized files (a [[GraphStore.load]]ed store):
+    * re-persisting key-sorted parquet doubles its storage and at sf100
+    * the duplicate spill competed with the BFS checkpoints for the same
+    * disk; the OS page cache already serves repeated scans
+    * ([[graft.graph.GraphBuilder.savedStoreRoot]] doc).
+    */
+  def cachedAsIs(key: String)(build: => GraphStore): GraphStore =
+    storeCache.computeIfAbsent(key, _ => build)
+
   /** Drop one cached store (releasing its blocks), or all with no key. */
   def evict(key: String = null): Unit =
     if (key == null) {

@@ -137,7 +137,11 @@ object GraphQueries {
     // (final/inject_relationship.py:1017-1031), and a fresh uncached
     // build here re-paid every node/edge construction per call (~5 s of
     // q31b's sf1 wall was the rebuild, not the counts)
-    GraphStore.cached(dir)(GraphBuilder.openOrBuild(s, dir)).describe(s)
+    (GraphBuilder.savedStoreRoot(dir) match {
+      case Some(root) => GraphStore.cachedAsIs(dir)(
+        GraphStore.load(s, root, graft.graph.GraphSchema.testdata))
+      case None => GraphStore.cached(dir)(GraphBuilder.buildAll(s, dir))
+    }).describe(s)
 
   private val q31bSql: String = {
     val g = GraphSchema.testdata
