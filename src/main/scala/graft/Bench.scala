@@ -177,6 +177,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B knob: `SPARK_GRAFT_CONF="k=v;k2=v2"` sets runtime SQL confs the
+    // engine's conf-gated policies read (e.g. the BFS union-cache tiers) —
+    // graft.* keys can't ride -D like spark.* ones, and measured A/Bs of
+    // those gates at scale need a launcher-level switch.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty => spark.conf.set(k.trim, v.trim)
+        case _ =>
+      }
+    })
 
     // Untimed warmup: exercise the scan/join/agg/window/explode execution
     // paths once so the first measured query doesn't absorb JVM/JIT and
