@@ -23,15 +23,18 @@ object Bench {
     * "Round-14 records".
     */
   val CommittedTotalSec: Map[String, (Int, Double)] =
-    // sf0.1: the MEDIAN-OF-5 campaign total (87.6 s) from the r17 anchor
-    // promotion, NOT the single fastest run (84.2 s, BENCH_FULL.json) —
-    // ADVICE r17: anchoring the >1.15× total clause on the one fastest
-    // run left only ~10% headroom over a TYPICAL clean run (per-run
-    // campaign totals 84.2-91.4 s), routing clean-but-median runs to
+    // Both SFs anchor the >1.15× total clause on their campaign's
+    // MEDIAN-OF-5 total, NOT the single fastest run — ADVICE r17:
+    // anchoring on the fastest run left only ~10% headroom over a
+    // TYPICAL clean run, routing clean-but-median runs to
     // .contended.json; the median total is the same statistic the
-    // per-query anchor already uses (BASELINE.md "Round-17: anchor
-    // promotion"). sf1: the r14 record.
-    Map("sf0.1" -> (144, 87.6), "sf1" -> (144, 131.9))
+    // per-query anchors use. sf0.1: 87.6 s (r17 campaign, per-run
+    // totals 84.2-91.4; BASELINE.md "Round-17: anchor promotion").
+    // sf1: 132.96 s (r18 campaign, per-run totals 126.2-148.0, 5/5
+    // contended:false; BASELINE.md "Round-18: sf1 anchor"). The
+    // committed RECORDS are the best clean runs (84.2 s / 126.2 s,
+    // BENCH_FULL*.json).
+    Map("sf0.1" -> (144, 87.6), "sf1" -> (144, 133.0))
 
   /** Per-SF certified per-query ANCHOR for the median-ratio clause
     * (ADVICE r9: the guard previously anchored at sf0.1 only, leaving
