@@ -52,7 +52,7 @@ final case class CypherEngine(store: GraphStore) {
     if (hasWrites(q))
       throw CypherException(
         "write clauses (CREATE/MERGE/SET/DELETE) mutate the store — use execute()")
-    new Interp(store, params).top(q)
+    new Interp(CypherEngine.cutConsumedLazyMutations(store), params).top(q)
   }
 
   /** Execute a query that may contain write clauses. Returns the RETURN
@@ -60,9 +60,12 @@ final case class CypherEngine(store: GraphStore) {
     * updated store. A mutated frame whose logical plan has grown past
     * [[CypherEngine.PlanCutThreshold]] tree nodes is EAGERLY
     * localCheckpointed before being returned (see the comment below for
-    * why); smaller mutated frames stay lazy, so a one-shot write over a
-    * large store costs no block-manager copy — persist those with
-    * [[GraphStore.save]] as usual. Superseded checkpoint blocks are
+    * why); smaller mutated frames stay lazy-but-marked, so a one-shot
+    * write over a large store costs no block-manager copy — the FIRST
+    * later run()/execute() over the returned store checkpoints them
+    * before interpreting (cut-on-first-consume, r18 — see
+    * [[CypherEngine.cutConsumedLazyMutations]]). Persist one-shot results
+    * with [[GraphStore.save]] as usual. Superseded checkpoint blocks are
     * reclaimed by GC + ContextCleaner once the caller drops the old
     * store reference; a caller retaining every intermediate store of a
     * long chain retains their blocks too, by design.
@@ -70,7 +73,8 @@ final case class CypherEngine(store: GraphStore) {
   def execute(query: String, params: Map[String, Any] = Map.empty): WriteResult = {
     val q = hoistLabelPredicates(
       bindShortestRelVars(bindParams(Parser.parse(query), params)))
-    val in = new Interp(store, params)
+    val st = CypherEngine.cutConsumedLazyMutations(store)
+    val in = new Interp(st, params)
     val df = in.top(q)
     // Lineage cut on MUTATED store frames (r17, found by the provenance
     // fuzzer's 12-op chains): each write statement layers joins over the
@@ -92,11 +96,32 @@ final case class CypherEngine(store: GraphStore) {
     // nothing. Superseded checkpoints are NOT force-released (retained
     // pre-mutation stores stay readable) — GC + ContextCleaner reclaim
     // them once unreferenced.
-    val st0 = store
+    val st0 = st
+    val cutAt = planCutThreshold(df.sparkSession)
+    // Cut policy (r18 optimization round, A/B in OPTIMIZATION_r18.md):
+    // a mutated frame whose plan outgrew the tree-size gate is cut HERE
+    // (single gigantic statement — the fuzzer-found rendering wedge);
+    // everything else leaves execute() LAZY but MARKED, and is
+    // checkpointed by the FIRST consumer that actually reads it
+    // ([[CypherEngine.cutConsumedLazyMutations]], at the top of run() and
+    // execute()). Cut-on-first-consume dominates both earlier policies:
+    // the r17 eager per-statement cut paid one full store copy per
+    // statement even for frames never read again (a one-shot UNWIND
+    // injection over a 100 TB store), while the r18.0 size-only gate left
+    // chained sessions re-executing the whole write history on every
+    // downstream read — a consuming plan that references the mutated
+    // frame k times executes its lazy plan k times (measured: q134's
+    // 3-statement chain 2.8 s gated vs 1.9 s eager at sf0.1; the consume
+    // cut recovers the eager time without its pay-even-if-never-read
+    // copies). Chained plans stay bounded at ~1 statement's growth over
+    // checkpointed blocks, so the rendering wedge cannot return.
     def cut(f: DataFrame): DataFrame =
-      if (planTreeSize(f.queryExecution.logical, PlanCutThreshold) > PlanCutThreshold)
+      if (planTreeSize(f.queryExecution.logical, cutAt) > cutAt)
         f.localCheckpoint(true)
-      else f
+      else {
+        CypherEngine.lazyMutated.put(f, java.lang.Boolean.TRUE)
+        f
+      }
     val cutStore = in.store.copy(
       nodes = in.store.nodes.map { case (l, f) =>
         l -> (if (st0.nodes.get(l).exists(_ eq f)) f else cut(f))
@@ -162,6 +187,49 @@ object CypherEngine {
     * (the reference's write shape) never pays an eager materialization.
     */
   val PlanCutThreshold = 64
+
+  /** Runtime override for [[PlanCutThreshold]] (r18 optimization round):
+    * 0 restores the r17 eager per-statement cut (every mutated frame
+    * checkpointed — fastest for short interactive chains over small
+    * stores, block-manager-heaviest for long sessions over big ones), a
+    * large value defers cuts entirely. Exists so the trade can be A/B
+    * measured at any scale without a rebuild; the default stays the
+    * tree-size gate above.
+    */
+  val PlanCutThresholdKey = "graft.cypher.planCutThreshold"
+  private[cypher] def planCutThreshold(
+      spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.getOption(PlanCutThresholdKey).map(_.toInt)
+      .getOrElse(PlanCutThreshold)
+
+  /** Weak identity set of store frames that left [[CypherEngine.execute]]
+    * as LAZY mutations (under the tree-size gate). The next query over a
+    * store carrying such frames checkpoints them first
+    * ([[cutConsumedLazyMutations]]) — cut-on-first-consume. Weak keys: a
+    * dropped store releases its marks with its frames.
+    */
+  private[cypher] val lazyMutated =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[DataFrame, java.lang.Boolean]())
+
+  /** Checkpoint (and unmark) any marked-lazy mutated frames of `st` —
+    * called at the top of run()/execute(), so a mutated frame is
+    * materialized exactly once, at its first consumer, instead of either
+    * per statement (r17 eager: pays even when nothing ever reads it) or
+    * never (size-only gate: a consumer plan referencing the frame k times
+    * re-executes the whole write history k times). Stores with no marked
+    * frames (every read-only session) pass through untouched.
+    */
+  private[cypher] def cutConsumedLazyMutations(st: graft.graph.GraphStore): graft.graph.GraphStore = {
+    def marked(f: DataFrame): Boolean = lazyMutated.containsKey(f)
+    if (!st.nodes.values.exists(marked) && !st.edges.values.exists(marked)) st
+    else {
+      def c(f: DataFrame): DataFrame =
+        if (lazyMutated.remove(f) != null) f.localCheckpoint(true) else f
+      st.copy(nodes = st.nodes.map { case (l, f) => l -> c(f) },
+        edges = st.edges.map { case (l, f) => l -> c(f) })
+    }
+  }
 
   /** Tree-node count of `plan`, bailing out at `limit + 1` — counting is
     * itself a tree walk, so it must not pay the cost it exists to bound.

@@ -1019,4 +1019,35 @@ class CypherWriteSpec extends SparkSpec {
     // the tree-size counter bails at limit+1 instead of walking the tree
     assert(CypherEngine.planTreeSize(plan, 1) == 2)
   }
+
+  test("a lazy mutated frame is checkpointed by its FIRST consumer (r18 cut-on-consume)") {
+    // r18 optimization round: a small-plan mutation leaves execute() lazy
+    // (no block-manager copy for one-shot writes — the test above), but a
+    // consuming plan that references it k times would execute the write
+    // history k times, and chained sessions compounded that per statement
+    // (measured: q134's 3-statement chain 2.8 s under the size-only gate
+    // vs 1.9 s eager at sf0.1). So the NEXT run()/execute() over a store
+    // carrying marked lazy mutations checkpoints them first: materialized
+    // exactly once, at first consumption.
+    import org.apache.spark.sql.execution.LogicalRDD
+    import graft.graph.{GraphStore, GraphWriter}
+    import spark.implicits._
+    val base = GraphWriter.mergeNodes(GraphStore.empty, "CC1",
+      Seq((1L, "a"), (2L, "b")).toDF("wk", "p"), Seq("wk"))
+    val st1 = CypherEngine(base).execute(
+      "MERGE (n:CC1 {wk: 3}) ON CREATE SET n.p = 'c'").store
+    assert(!st1.nodes("CC1").queryExecution.logical.isInstanceOf[LogicalRDD],
+      "mutation should leave execute() lazy")
+    // the consuming execute cuts st1's marked frame before interpreting;
+    // its own mutation then leaves lazily again — so the returned frame's
+    // plan is one statement's growth over a LogicalRDD, never two
+    val st2 = CypherEngine(st1).execute(
+      "MERGE (n:CC1 {wk: 4}) ON CREATE SET n.p = 'd'").store
+    val cutLeaves = st2.nodes("CC1").queryExecution.logical
+      .collectLeaves().collect { case l: LogicalRDD => l }
+    assert(cutLeaves.nonEmpty,
+      "consumer did not checkpoint the prior lazy mutation (no LogicalRDD leaf)")
+    assert(st2.nodes("CC1").orderBy("wk").collect().map(_.getLong(0)).toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+  }
 }
