@@ -519,7 +519,16 @@ object GraphAnalytics {
       edgePartitions: Option[Int] = None,
       localThreshold: Long = LocalEdgeThreshold): DataFrame = {
     if (underThreshold(edges, localThreshold))
-      return localBfs(spark, edges, source, maxDepth)
+      // eager, like every dfBfs level: the local kernel's plan references
+      // the INPUT edge frame (a lazy mapPartitions), so a caller that
+      // releases its edge cache after bfs() returns — q34 does, r18
+      // verdict #5 — would silently re-pay the whole ingest on the first
+      // result action (measured at sf0.1: q34 headline 3.13 s vs its
+      // ingest+bfs phases 1.67 s; the gap was this uncached re-derive).
+      // Bounded: the local path only admits <= localThreshold edge rows,
+      // so the checkpointed result is at most ~2x that many (node, dist)
+      // pairs — tens of MB.
+      return localBfs(spark, edges, source, maxDepth).localCheckpoint(true)
     dfBfs(spark, edges, source, maxDepth)
   }
 

@@ -270,9 +270,13 @@ object GraphQueries {
     // The source vertex is part of the result even if isolated (GraphX only
     // materializes vertices that appear in some edge).
     val seed = Seq((1L, 0)).toDF("node", "dist")
-    // bfs is eager (each level localCheckpointed), so its result no longer
-    // references the edge frame — release the unsampled cache here, not at
-    // suite end, so q47+ don't compete with 600M dead pairs (verdict r17 #5)
+    // bfs is eager on BOTH strategies (each distributed level is
+    // localCheckpointed; the local kernel's result is checkpointed at the
+    // strategy gate — r18: it used to return a lazy plan over the edge
+    // frame, so this release made the final aggregation re-pay the whole
+    // ingest uncached), so its result no longer references the edge frame
+    // — release the unsampled cache here, not at suite end, so q47+ don't
+    // compete with 600M dead pairs (verdict r17 #5)
     val levels = GraphAnalytics.bfs(s, bipartiteEdges(s, dir, None),
       source = 1L, maxDepth = 4)
     releaseEdges(dir, None)
