@@ -517,7 +517,21 @@ private[cypher] trait InterpPaths { self: CypherEngine.Interp =>
         edgeUnionCache.values.asScala.foreach(_.unpersist(false))
         edgeUnionCache.clear()
       }
-      edgeUnionCache.computeIfAbsent(key, _ => build.persist(level))
+      edgeUnionCache.computeIfAbsent(key, _ => {
+        val f = build.persist(level)
+        // materialize the cache entry IN PARALLEL at insert (r18
+        // optimization round): the first reader is often the single-task
+        // local BFS kernel (coalesce(1)), which would otherwise compute
+        // AND cache the whole doubled union inside one task — measured at
+        // sf0.1: q105's first run 5.9 s vs 2.1 s warm, ~3.8 s of it this
+        // single-threaded materialization. One count() here builds the
+        // blocks with full scan parallelism; every reader (local kernel
+        // included) then streams cached blocks. The distributed path paid
+        // an equivalent first-touch materialization inside its level-1
+        // action anyway, so this moves no extra work onto it.
+        f.count()
+        f
+      })
     }
 
     /** True when the type group's edge-key columns span more than one data

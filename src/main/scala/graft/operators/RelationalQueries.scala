@@ -339,12 +339,23 @@ object RelationalQueries {
     val tOrders = s"graft_bkt_orders_$token"
     val tLineitem = s"graft_bkt_lineitem_$token"
     try {
-      graft.sources.Bucketing.saveBucketed(
-        T(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus")),
-        tOrders, s"$base/orders", 8, Seq("o_orderkey"))
-      graft.sources.Bucketing.saveBucketed(
-        T(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
-        tLineitem, s"$base/lineitem", 8, Seq("l_orderkey"))
+      // The two bucketed writes are independent jobs — submit them from
+      // two driver threads so the second job's tasks back-fill executor
+      // slots freed by the first's straggling bucket tasks (optimization
+      // guide §2.6 "overlap independent jobs"; bucket count 8 < cores, so
+      // a serial write leaves most slots idle). Spark's scheduler is
+      // thread-safe; failures propagate through Await.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writes = Seq(
+        Future(graft.sources.Bucketing.saveBucketed(
+          T(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus")),
+          tOrders, s"$base/orders", 8, Seq("o_orderkey"))),
+        Future(graft.sources.Bucketing.saveBucketed(
+          T(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+          tLineitem, s"$base/lineitem", 8, Seq("l_orderkey"))))
+      writes.foreach(Await.result(_, Duration.Inf))
       val grouped = s.table(tOrders)
         .join(s.table(tLineitem), col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderstatus")
