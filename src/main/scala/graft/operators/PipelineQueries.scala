@@ -221,8 +221,17 @@ object PipelineQueries {
     val emb = T(s, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 50)
     val k = 5
+    // materialized ONCE (bounded: |queries| × k rows) — the exact top-k
+    // subtree is referenced FOUR times in the final plan (hits semi-join
+    // + denominator, for each of the two methods), and an un-checkpointed
+    // plan executes the full corpus×queries brute-force pass once per
+    // reference (r18 optimization round: plan 28 → 12 scans; wall time at
+    // sf0.1 within noise because the sf0.1 corpus is small and the four
+    // passes overlapped across cores — the cut is for the corpus-bound
+    // regime, where each redundant pass is a full corpus scan)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = k)
       .select(col("query_id"), col("corpus_id"))
+      .localCheckpoint(true)
     def recallOf(method: String, approx: DataFrame): DataFrame = {
       val hits = approx.select(col("query_id"), col("corpus_id"))
         .join(exact, Seq("query_id", "corpus_id"), "left_semi")
