@@ -52,9 +52,20 @@ object StreamAnalogQueries {
   private def q37(s: SparkSession, dir: String): DataFrame = {
     val b = floor(epochS("ts") / 300)
     val e = T(s, dir, "events")
-    e.select(col("event_type"), b.as("wb"))
-      .unionAll(e.select(col("event_type"), (b - 1).as("wb")))
-      .groupBy("event_type", "wb").agg(count(lit(1)).as("cnt"))
+    // Aggregate BEFORE the window doubling (r18, guide §2.3): every event
+    // lands in windows wb and wb−1, so sliding(w) = tumbling(w) +
+    // tumbling(w+1). The old shape unionAll'd the RAW events and
+    // aggregated 2× the rows; tumbling-first scans and aggregates the
+    // events once, then doubles only the per-bucket partials — bounded by
+    // the time span (types × buckets), not the event volume, which is why
+    // the eager checkpoint that stops the two union branches re-executing
+    // the aggregation is safe at any scale. sum-of-counts ≡
+    // count-of-union per (type, window) by construction.
+    val tumb = e.groupBy(col("event_type"), b.as("wb"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    tumb.unionAll(tumb.select(col("event_type"), (col("wb") - 1).as("wb"), col("cnt")))
+      .groupBy("event_type", "wb").agg(sum(col("cnt")).as("cnt"))
       .orderBy("event_type", "wb")
   }
 
