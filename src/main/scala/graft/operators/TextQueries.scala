@@ -67,7 +67,11 @@ object TextQueries {
     * triangular predicate.
     */
   private def q43(s: SparkSession, dir: String): DataFrame = {
+    // materialized once (bounded: 20 docs' distinct tokens) — the subtree
+    // is referenced by both join sides and would otherwise scan+explode+
+    // distinct twice per run (r18; same pattern as q79's exact set)
     val t = tokens(s, dir).filter(col("doc_id") < 20).distinct()
+      .localCheckpoint(true)
     val a = t.select(col("doc_id").as("doc_a"), col("token"))
     val b = t.select(col("doc_id").as("doc_b"), col("token"))
     a.join(b, Seq("token"))
@@ -89,7 +93,10 @@ object TextQueries {
     * division done once in IEEE double on exact integers — deterministic.
     */
   private def q43b(s: SparkSession, dir: String): DataFrame = {
+    // materialized once (bounded) — referenced THREE times below (sizes +
+    // both join sides); see q43
     val t = tokens(s, dir).filter(col("doc_id") < 20).distinct()
+      .localCheckpoint(true)
     val sizes = t.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val shared = t.select(col("doc_id").as("doc_a"), col("token"))
       .join(t.select(col("doc_id").as("doc_b"), col("token")), Seq("token"))
