@@ -132,18 +132,26 @@ object AnalyticQueries {
     // (oracle-gated; the count that picks the strategy is the same
     // aggregate either path needs).
     val pc = perCustCounts(s, dir)
-    quartileRank(pc, GlobalRankLocalRows).orderBy("o_custkey")
+    // strategy pick without an extra aggregate pass where possible:
+    // |customers| <= |orders|, and a bare-scan count() is answered from
+    // parquet footer statistics in milliseconds
+    val underCap = T(s, dir, "orders").count() <= GlobalRankLocalRows
+    quartileRank(pc, GlobalRankLocalRows, knownUnderCap = underCap)
+      .orderBy("o_custkey")
   }
 
   /** ntile(4)+percent_rank over (cnt DESC, o_custkey) with the adaptive
     * strategy described at [[GlobalRankLocalRows]]; `localRowCap` is a
     * parameter so AnalyticsSpec can force both paths and pin them
-    * row-identical. Package-private for exactly that spec.
+    * row-identical (package-private for exactly that spec).
+    * `knownUnderCap` skips the exact count when the caller already holds
+    * a cheap row-count upper bound at or under the cap.
     */
-  private[operators] def quartileRank(pc: DataFrame, localRowCap: Long): DataFrame = {
+  private[operators] def quartileRank(pc: DataFrame, localRowCap: Long,
+      knownUnderCap: Boolean = false): DataFrame = {
     val s = pc.sparkSession
-    val n = pc.count()
-    if (n <= localRowCap) {
+    val n = if (knownUnderCap) 0L else pc.count()
+    if (knownUnderCap || n <= localRowCap) {
       val w = Window.orderBy(col("cnt").desc, col("o_custkey"))
       return pc
         .withColumn("quartile", ntile(4).over(w))
